@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's `column_mapping` config: `"from1:to1,from2:to2,key"`
+  * (reference `out_sql.rb:48, 61-72`; a bare `key` maps to itself,
+  * `out_sql.rb:66-69`). Applying a mapping projects the record through it —
+  * renaming mapped fields, pruning everything unlisted, and producing NULL
+  * for sources absent from the record (`out_sql.rb:140-148`).
+  *
+  * Spark-side this is a plain `select` of aliased columns: fully codegen'd,
+  * prunable, and pushdown-friendly (Catalyst collapses it into the scan).
+  */
+final case class ColumnMapping(pairs: Seq[(String, String)]) extends Serializable {
+  require(pairs.nonEmpty, "column_mapping must list at least one column")
+
+  def apply(df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    df.select(pairs.map { case (from, to) =>
+      if (present(from)) col(from).as(to)
+      else lit(null).cast("string").as(to) // absent source → NULL column
+    }: _*)
+  }
+
+  def projection(present: Set[String]): Seq[Column] =
+    pairs.map { case (from, to) =>
+      if (present(from)) col(from).as(to) else lit(null).cast("string").as(to)
+    }
+}
+
+object ColumnMapping {
+  def parse(spec: String): ColumnMapping = ColumnMapping(
+    spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+      kv.split(":", 2) match {
+        case Array(k, v) => (k.trim, v.trim)
+        case Array(k)    => (k.trim, k.trim)
+      }
+    }
+  )
+}
