@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Exact._
+import graft.sources.{KeysetScan, Tables}
+
+/** The relational surface the reference outsources to the backing RDBMS
+  * (SURVEY §2.2): joins, aggregations, windows, rollup, set ops. Engine
+  * parity means a user of the reference pipeline can compute these
+  * end-to-end on our engine instead.
+  *
+  * Scale stance: dims (`region`, `nation`) broadcast explicitly; fact-fact
+  * joins shuffle on their keys with AQE left to re-plan skew; aggregates
+  * are partial+final hash aggs (map-side combine is automatic for
+  * sum/count); top-k plans as TakeOrderedAndProject (no global sort).
+  */
+object RelationalQueries {
+
+  /** Shared oracle fragment: exact decimal sum of a double measure. */
+  private def oSum(expr: String, as: String) =
+    s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(12,2))),2) AS DOUBLE) AS $as"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // TPC-H Q1 shape: partial+final hash aggregation over 4 exact measures.
+    "q_agg_revenue" -> QueryDef.sql(
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        val qty = dec(col("l_quantity"))
+        val price = dec(col("l_extendedprice"))
+        val discF = oneMinus(col("l_discount"))
+        val taxF = onePlus(col("l_tax"))
+        l.groupBy("l_returnflag", "l_linestatus").agg(
+          decSum(qty).as("sum_qty"),
+          decSum(price).as("sum_base_price"),
+          decSum(price * discF).as("sum_disc_price"),
+          decSum(price * discF * taxF).as("sum_charge"),
+          (decSum(qty) / count(lit(1))).as("avg_qty"),
+          (decSum(price) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order")
+        ).orderBy("l_returnflag", "l_linestatus")
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))),2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6))) * CAST(CAST(1 AS DECIMAL(8,6)) + CAST(l_tax AS DECIMAL(8,6)) AS DECIMAL(19,6))),2) AS DOUBLE) AS sum_charge,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))),2) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      doc = "hash agg, exact decimal measures"),
+
+    "q_agg_distinct" -> QueryDef.sql(
+      (s, dir) => Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows")
+      ).orderBy("l_returnflag"),
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      doc = "distinct aggregation (expand + two-phase agg)"),
+
+    "q_rollup" -> QueryDef.sql(
+      (s, dir) => Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("revenue"), col("n_orders"))
+        .orderBy("status", "priority"),
+      s"""SELECT COALESCE(o_orderstatus,'ALL') AS status, COALESCE(o_orderpriority,'ALL') AS priority,
+         |  ${oSum("o_totalprice", "revenue")}, COUNT(*) AS n_orders
+         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+      doc = "rollup / grouping sets"),
+
+    // orders ⋈ customer (shuffle) ⋈ nation ⋈ region (broadcast dims).
+    "q_join_enrich" -> QueryDef.sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = broadcast(Tables.nation(s, dir))
+        val r = broadcast(Tables.region(s, dir))
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+          .orderBy("r_name", "n_name")
+      },
+      s"""SELECT r_name, n_name, ${oSum("o_totalprice", "revenue")}, COUNT(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+      doc = "multi-join enrichment; dims broadcast"),
+
+    "q_semi_join" -> QueryDef.sql(
+      (s, dir) => Tables.customer(s, dir).join(
+          Tables.orders(s, dir).filter(col("o_totalprice") > 200000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+      doc = "left-semi (EXISTS)"),
+
+    "q_anti_join" -> QueryDef.sql(
+      (s, dir) => Tables.customer(s, dir).join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+      doc = "left-anti (NOT EXISTS)"),
+
+    "q_window_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val joined = Tables.orders(s, dir).join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        joined.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("c_mktsegment", "rn")
+      },
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+      doc = "ranking window, top-k per group"),
+
+    // lineitem has no unique row key, so a row-level running sum is
+    // ill-defined; aggregate to (supplier, ship-day) first — exact keys,
+    // and the shape that scales (window input is |suppliers|×|days|,
+    // not raw fact rows).
+    "q_window_running" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey"), col("l_shipdate"))
+          .agg(round(sum(dec(col("l_quantity"))), 2).as("day_qty_dec"))
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("running_qty", sum(col("day_qty_dec")).over(w).cast("double"))
+          .select(col("l_suppkey"), col("l_shipdate"),
+            col("day_qty_dec").cast("double").as("day_qty"), col("running_qty"))
+          .orderBy(col("l_suppkey"), col("l_shipdate"))
+      },
+      """WITH daily AS (
+        |  SELECT l_suppkey, l_shipdate,
+        |         ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))),2) AS day_qty_dec
+        |  FROM lineitem GROUP BY l_suppkey, l_shipdate)
+        |SELECT l_suppkey, l_shipdate, CAST(day_qty_dec AS DOUBLE) AS day_qty,
+        |  CAST(SUM(day_qty_dec) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM daily ORDER BY l_suppkey, l_shipdate""".stripMargin,
+      doc = "analytic window, exact running sum over daily pre-aggregates"),
+
+    // Event-time tumbling (batch-checkable form of the streaming window).
+    "q_window_tumbling" -> QueryDef.sql(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+        .orderBy("day", "event_type"),
+      s"""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, event_type,
+         |  COUNT(*) AS n_events, ${oSum("value", "total_value")}
+         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+      doc = "event-time tumbling buckets"),
+
+    // Gap-based sessionization (batch form of session windows).
+    "q_sessionize" -> QueryDef.sql(
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        val micros = unix_micros(col("ts"))
+        val isNew = when(lag(micros, 1).over(wOrd).isNull
+            .or(micros - lag(micros, 1).over(wOrd) > 1800000000L), 1).otherwise(0)
+        Tables.events(s, dir)
+          .withColumn("is_new", isNew)
+          .withColumn("session_id", sum(col("is_new"))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+          .orderBy("user_id", "session_id")
+      },
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |    CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+        |              OR epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sess AS (
+        |  SELECT user_id, t, SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM gaps)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(t) AS session_start, MAX(t) AS session_end
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      doc = "30-min-gap sessions via lag + running flag sum"),
+
+    // Multi-table tail merge (mirrors multi-<table> input, in_sql.rb:170-176).
+    "q_union_tail" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = KeysetScan.scan(Tables.events(s, dir), "event_id", None, 200)
+          .select(lit("db.events").as("tag"), col("event_id").as("id"), col("ts").as("t"))
+        val ord = KeysetScan.scan(Tables.orders(s, dir), "o_orderkey", None, 200)
+          .select(lit("db.orders").as("tag"), col("o_orderkey").as("id"), col("o_orderdate").as("t"))
+        ev.unionByName(ord).orderBy("tag", "id")
+      },
+      """SELECT * FROM (
+        |  SELECT 'db.events' AS tag, event_id AS id, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events ORDER BY event_id LIMIT 200)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'db.orders' AS tag, o_orderkey AS id, o_orderdate AS t
+        |  FROM orders ORDER BY o_orderkey LIMIT 200)
+        |ORDER BY tag, id""".stripMargin,
+      doc = "union of per-table tails"),
+
+    "q_set_intersect" -> QueryDef.sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+      doc = "INTERSECT (distinct)"),
+
+    "q_set_except" -> QueryDef.sql(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderstatus") === "P").select("o_custkey")
+          .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+      doc = "EXCEPT (distinct)")
+  )
+}
