@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines, at three cost tiers:
+  *
+  *  1. exact — hash-groupBy on a content fingerprint. One shuffle on the
+  *     fingerprint; at 100 TB this is the cheapest possible dedup.
+  *  2. exact-similarity (n-gram Jaccard) — shingle → explode → self-join on
+  *     shingle → per-pair intersection counts. Quadratic in the worst case;
+  *     correct baseline and the oracle for the approximate tiers.
+  *  3. approximate (MinHash-LSH / SimHash) — signatures via `xxhash64`
+  *     column expressions (codegen'd, no UDFs), banded so candidate
+  *     generation is an equi-join on (band, bandHash): the 100 TB path.
+  *     Candidates are then exact-verified, so precision is 1.0 and only
+  *     recall is probabilistic.
+  */
+object Dedup {
+
+  /** Tier 1: keep the first (min id) row per fingerprint group. */
+  def exactGroups(docs: DataFrame, idCol: String, fp: Column): DataFrame =
+    docs.groupBy(fp.as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Deduplicated view: one row per distinct fingerprint (min-id winner). */
+  def dropDuplicatesBy(docs: DataFrame, idCol: String, fp: Column): DataFrame = {
+    val w = Window.partitionBy(fp).orderBy(col(idCol).asc)
+    docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-doc distinct shingles, exploded: (id, shingle). */
+  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    docs.select(col(idCol).as("id"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
+
+  /** Tier 2: all pairs with shingle-set Jaccard >= threshold (exact).
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, rounded to 6 dp so the
+    * DuckDB oracle hash-matches despite engine-internal double noise. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, n)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard", round(col("n_inter").cast("double")
+        / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature columns: perm p's hash of a doc is
+    * min over shingles of xxhash64(p, shingle). */
+  private def minhashAggs(numPerm: Int): Seq[Column] =
+    (0 until numPerm).map(p => min(xxhash64(lit(p), col("s"))).as(s"h$p"))
+
+  /** Tier 3a: MinHash-LSH candidate pairs, exact-verified.
+    *
+    * numPerm signatures banded into groups of `rowsPerBand`; docs sharing any
+    * band bucket are candidates (equi-join on the band hash — linear shuffle,
+    * no cross join); candidates are then exact-verified with true Jaccard.
+    * Detection probability for a pair at Jaccard j is
+    * 1-(1-j^rowsPerBand)^(numPerm/rowsPerBand).
+    */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 2,
+                          threshold: Double = 0.5): DataFrame = {
+    require(numPerm % rowsPerBand == 0, "numPerm must be divisible by rowsPerBand")
+    val numBands = numPerm / rowsPerBand
+    val sh = explodedShingles(docs, idCol, textCol, n)
+    val sigs = sh.groupBy("id").agg(minhashAggs(numPerm).head, minhashAggs(numPerm).tail: _*)
+    // one row per (doc, band): bandHash = xxhash64 over the band's signature slice
+    val bandCols = (0 until numBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val l = banded.as("l"); val r = banded.as("r")
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    // exact verification of candidates only (precision 1.0)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("s").as("s2")), Seq("id_b"))
+      .filter(col("s") === col("s2")) // collapses into the equi-join condition
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    candidates.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0, Seq("n_inter"))
+      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard", round(col("n_inter").cast("double")
+        / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the shingle set: bit k is the sign of
+    * sum over shingles of ±1 according to bit k of xxhash64(shingle). */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, n)
+      .withColumn("h", xxhash64(col("s")))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    val sums = sh.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Tier 3b: SimHash near-dup candidates — band the 64 bits into four
+    * 16-bit chunks (pigeonhole: hamming <= 3 pairs share at least one exact
+    * chunk), equi-join per chunk, verify true hamming distance. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val sims = simhash64(docs, idCol, textCol, n)
+    val chunks = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ch")))
+    val banded = sims.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("e"))
+      .select(col("id"), col("simhash"), col("e.chunk").as("chunk"), col("e.ch").as("ch"))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.chunk") === col("r.chunk") && col("l.ch") === col("r.ch") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.simhash").as("sa"), col("r.simhash").as("sb")).distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

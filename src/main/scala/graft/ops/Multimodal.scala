@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus batch decode / feature-extract operators.
+  *
+  * The Spark-side mechanics are real — schema, partition-wise batch
+  * processing (`mapPartitions`, mirroring how a codec library would be
+  * invoked once per batch), deterministic output shape — while the codec
+  * itself is a STUB (this container has no image/audio libraries): the
+  * "decoder" derives features from a seeded hash of the payload bytes.
+  * Swap `fakeDecode` for a real codec call and nothing else changes.
+  */
+object Multimodal {
+
+  /** Wrap a text corpus as binary assets: (id, content: binary, meta struct).
+    * In production the binary column comes straight from parquet. */
+  def asAssets(docs: DataFrame, idCol: String, payloadCol: String, format: String): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      col(payloadCol).cast("binary").as("content"),
+      struct(
+        length(col(payloadCol).cast("binary")).as("n_bytes"),
+        lit(format).as("format"),
+        md5(col(payloadCol).cast("binary")).as("content_fp")).as("meta"))
+
+  val FeatureDim = 8
+
+  /** STUB decoder: deterministic fake features from the payload bytes.
+    * Real implementation would decode the image/audio batch here. */
+  private[ops] def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    var h = 1125899906842597L // seeded FNV-ish rolling hash of the bytes
+    payload.foreach { b => h = h * 31 + (b & 0xff) }
+    Array.tabulate(FeatureDim) { i =>
+      val x = h ^ (0x9E3779B97F4A7C15L * (i + 1))
+      ((x % 1000003L).toFloat / 1000003f)
+    }
+  }
+
+  private val featureSchema = new StructType()
+    .add("asset_id", LongType).add("n_bytes", IntegerType)
+    .add("features", ArrayType(FloatType, containsNull = false))
+
+  /** Partition-batched decode + feature extraction. One decoder
+    * instantiation per partition (where a real codec would init its
+    * native context), rows streamed through it. */
+  def extractFeatures(assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    assets.select(col("asset_id"), col("content")).mapPartitions { rows =>
+      // per-partition decoder init happens here in a real codec
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(id, bytes.length, fakeDecode(bytes))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th chunk of the
+    * payload becomes a frame with a deterministic fingerprint. Pure column
+    * expressions — the explode shape is exactly what a real frame sampler
+    * produces. */
+  def sampleFrames(assets: DataFrame, nFrames: Int): DataFrame =
+    assets.select(col("asset_id"), col("meta.n_bytes").as("n_bytes"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+      .withColumn("frame_fp", md5(concat(col("asset_id").cast("string"),
+        lit(":"), col("frame_idx").cast("string"))))
+}

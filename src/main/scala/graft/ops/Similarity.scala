@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *  - brute-force exact cosine (broadcast the query set, scan the corpus
+  *    once) — the correctness baseline, linear in corpus size per query
+  *    batch, embarrassingly parallel;
+  *  - random-hyperplane LSH bucketing — candidates come from an equi-join
+  *    on the bucket signature instead of a cross join: the 100 TB path.
+  *    Hyperplanes are derived from `xxhash64`, so the whole pipeline stays
+  *    in codegen'd column expressions with a deterministic seed.
+  *
+  * All arithmetic is promoted float→double before any sum, and final
+  * cosines are rounded to 6 dp so results are engine-reproducible.
+  */
+object Similarity {
+
+  /** float[] → double[] (exact promotion). */
+  def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * Queries are broadcast; corpus is scanned once. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+      .withColumn("nnorm", norm(col("nv")))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", round(dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "cos", "rn")
+  }
+
+  /** Exact all-pairs near-duplicates by cosine (id_a < id_b). Quadratic —
+    * the oracle baseline; use `lshTopK`/banded candidates at scale. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = base.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → uniform in [-1, 1]. */
+  private def planeComponent(plane: Int, dimIdx: Column): Column =
+    (pmod(xxhash64(lit(plane), dimIdx), lit(1000003L)).cast("double") / 500001.5) - 1.0
+
+  /** Sign-bit bucket signature from `numPlanes` random hyperplanes. */
+  def lshBucket(v: Column, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val proj = aggregate(zip_with(v,
+        transform(sequence(lit(0), size(v) - 1), i => planeComponent(p, i)),
+        (x, h) => x * h), lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket,
+    * then exact cosine rank within it. Equi-join on bucket — no cross join.
+    * Recall/latency trade via numPlanes (more planes → smaller buckets). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 4): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+      .withColumn("nnorm", norm(col("nv")))
+      .withColumn("bucket", lshBucket(col("nv"), numPlanes))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("bucket", lshBucket(col("qv"), numPlanes))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", round(dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "cos", "rn", "bucket")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, stopword/language scoring, normalization
+  * fingerprints, quality scoring. Everything is a codegen'd column
+  * expression (`functions._` only — no UDFs), so Catalyst collapses these
+  * into the scan projection and they vectorize over 100 TB of documents
+  * as well as over the local testdata.
+  */
+object TextOps {
+
+  /** Word tokens: maximal `[a-z0-9]+` runs of the lowercased text. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace-separated tokens (Unix `wc -w` semantics). */
+  def wsTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish pre-tokenization: letter runs | digit runs | punctuation runs —
+    * the usual byte-pair pre-split shape (public GPT-2-style pre-tokenizer,
+    * simplified to ASCII classes). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0)))
+
+  /** Distinct word n-gram shingles, joined with '_'. Guarded so docs shorter
+    * than n shingle to an empty array (Spark's `sequence` would otherwise
+    * generate a DESCENDING range). */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+      concat_ws("_", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** Tiny public stopword lists per language for n-gram language ID. */
+  val StopwordsEn = Seq("the", "and", "of", "to", "in", "is")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "nicht")
+  val StopwordsFr = Seq("le", "la", "les", "et", "est", "dans")
+  val StopwordsEs = Seq("el", "los", "las", "y", "es", "en")
+
+  /** Whitespace-collapsed, trimmed, lowercased canonical form. */
+  def normalizedText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Content fingerprint of the normalized text (normalization-invariant
+    * exact-dup key). */
+  def fingerprint(text: Column): Column = md5(normalizedText(text))
+}

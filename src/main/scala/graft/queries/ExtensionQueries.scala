@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.Tables
+
+/** North-star training-data-pipeline operators (BASELINE.json): dedup,
+  * similarity search, multimodal columns, text analysis. Exact variants are
+  * oracle-checked against DuckDB; approximate/LSH variants (engine-specific
+  * hashes) are declared rows-only and verified in ScalaTest against their
+  * exact baselines.
+  */
+object ExtensionQueries {
+
+  private val StopEnRe = "\\b(" + TextOps.StopwordsEn.mkString("|") + ")\\b"
+  private def langRe(ws: Seq[String]) = "\\b(" + ws.mkString("|") + ")\\b"
+  private val ShingleSqlFragment =
+    """SELECT doc_id AS id,
+      |  unnest(list_distinct([toks[i]||'_'||toks[i+1]||'_'||toks[i+2] for i in range(1, len(toks)-1)])) AS s
+      |FROM (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks FROM documents)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------ deduplication
+    "q_dedup_exact" -> QueryDef.sql(
+      (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "doc_id", md5(col("text")))
+        .orderBy("keep_id"),
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+      doc = "exact dedup: one shuffle on the content hash"),
+
+    "q_dedup_ngram_jaccard" -> QueryDef.sql(
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5).orderBy("id_a", "id_b"),
+      s"""WITH sh AS ($ShingleSqlFragment),
+         |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b,
+         |        ROUND(CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |      FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      doc = "exact 3-gram Jaccard near-dup pairs (baseline for MinHash)"),
+
+    // MinHash-LSH / SimHash: engine-specific hash functions → rows-only;
+    // recall vs the exact baseline is asserted in DedupSpec.
+    "q_dedup_minhash" -> QueryDef.rowsOnly(
+      (s, dir) => Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numPerm = 64, rowsPerBand = 2, threshold = 0.5).orderBy("id_a", "id_b"),
+      doc = "MinHash(64) banded 32x2, candidates exact-verified"),
+
+    "q_dedup_simhash" -> QueryDef.rowsOnly(
+      (s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, maxHamming = 16).orderBy("id_a", "id_b"),
+      doc = "SimHash64, 4x16-bit pigeonhole bands"),
+
+    // -------------------------------------------------- similarity search
+    "q_sim_cosine_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+          .orderBy("qid", "rn")
+      },
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |p AS (SELECT qid, n.vec_id AS nid,
+        |        ROUND(list_inner_product(qv, n.v)/(qnrm*n.nrm), 6) AS cos
+        |      FROM q CROSS JOIN n WHERE n.vec_id <> qid),
+        |r AS (SELECT qid, nid, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
+        |SELECT qid, nid, cos, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+      doc = "brute-force cosine top-k (correctness baseline for ANN)"),
+
+    "q_sim_near_dup" -> QueryDef.sql(
+      (s, dir) => Similarity.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy("id_a", "id_b"),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS cos
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+      doc = "embedding-cosine near-dup pairs (exact baseline)"),
+
+    "q_sim_lsh_topk" -> QueryDef.rowsOnly(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, numPlanes = 4)
+          .orderBy("qid", "rn")
+      },
+      doc = "random-hyperplane LSH ANN: bucket equi-join instead of cross join"),
+
+    // -------------------------------------------------------- text analysis
+    "q_text_stats" -> QueryDef.sql(
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val nToks = size(toks)
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_len"),
+          nToks.cast("long").as("n_tokens"),
+          size(TextOps.distinctTokens(col("text"))).cast("long").as("n_uniq_tokens"),
+          round(when(nToks === 0, lit(null))
+            .otherwise(length(array_join(toks, "")).cast("double") / nToks), 6).as("avg_token_len"),
+          round(when(nToks === 0, lit(null))
+            .otherwise(TextOps.stopwordCount(col("text"), TextOps.StopwordsEn).cast("double") / nToks), 6)
+            .as("stop_ratio")
+        ).orderBy("doc_id")
+      },
+      s"""WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks FROM documents)
+         |SELECT doc_id, length(text) AS n_chars_len, len(toks) AS n_tokens,
+         |  len(list_distinct(toks)) AS n_uniq_tokens,
+         |  ROUND(CASE WHEN len(toks)=0 THEN NULL
+         |             ELSE CAST(length(array_to_string(toks,'')) AS DOUBLE)/len(toks) END, 6) AS avg_token_len,
+         |  ROUND(CASE WHEN len(toks)=0 THEN NULL
+         |             ELSE CAST(len(regexp_extract_all(lower(text),'$StopEnRe')) AS DOUBLE)/len(toks) END, 6) AS stop_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+      doc = "per-doc length/token/stopword stats"),
+
+    "q_lang_id" -> QueryDef.sql(
+      (s, dir) => {
+        def score(ws: Seq[String]) = TextOps.stopwordCount(col("text"), ws).cast("long")
+        Tables.documents(s, dir).select(
+            col("doc_id"),
+            score(TextOps.StopwordsEn).as("en_score"),
+            score(TextOps.StopwordsDe).as("de_score"),
+            score(TextOps.StopwordsFr).as("fr_score"),
+            score(TextOps.StopwordsEs).as("es_score"))
+          .withColumn("lang_guess",
+            when(col("en_score") >= col("de_score") && col("en_score") >= col("fr_score")
+              && col("en_score") >= col("es_score"), "en")
+            .when(col("de_score") >= col("fr_score") && col("de_score") >= col("es_score"), "de")
+            .when(col("fr_score") >= col("es_score"), "fr")
+            .otherwise("es"))
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id, en_score, de_score, fr_score, es_score,
+         |  CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
+         |       WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+         |       WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS lang_guess
+         |FROM (SELECT doc_id,
+         |        len(regexp_extract_all(lower(text),'${langRe(TextOps.StopwordsEn)}')) AS en_score,
+         |        len(regexp_extract_all(lower(text),'${langRe(TextOps.StopwordsDe)}')) AS de_score,
+         |        len(regexp_extract_all(lower(text),'${langRe(TextOps.StopwordsFr)}')) AS fr_score,
+         |        len(regexp_extract_all(lower(text),'${langRe(TextOps.StopwordsEs)}')) AS es_score
+         |      FROM documents) ORDER BY doc_id""".stripMargin,
+      doc = "n-gram/stopword language ID heuristic"),
+
+    "q_token_count" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish_tokens"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("n_ws_tokens"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_bpeish_tokens,
+        |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      doc = "whitespace + BPE-ish pre-tokenizer counts"),
+
+    "q_doc_fingerprint" -> QueryDef.sql(
+      (s, dir) => {
+        val fp = Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        fp.withColumn("n_same", count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
+        |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS fp
+        |      FROM documents) ORDER BY doc_id""".stripMargin,
+      doc = "normalization-invariant content fingerprint"),
+
+    "q_quality_score" -> QueryDef.sql(
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val nToks = size(toks)
+        val stopCnt = TextOps.stopwordCount(col("text"), TextOps.StopwordsEn)
+        val points =
+          when(nToks.between(20, 2000), 1).otherwise(0) +
+          when(stopCnt * 20 >= nToks, 1).otherwise(0) +
+          when(size(array_distinct(toks)) * 4 >= nToks, 1).otherwise(0) +
+          when(length(col("text")).between(100, 10000), 1).otherwise(0)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), points.cast("long").as("points"))
+          .withColumn("tier", when(col("points") >= 3, "high")
+            .when(col("points") === 2, "medium").otherwise("low"))
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id, points,
+         |  CASE WHEN points >= 3 THEN 'high' WHEN points = 2 THEN 'medium' ELSE 'low' END AS tier
+         |FROM (SELECT doc_id,
+         |  (CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1 ELSE 0 END +
+         |   CASE WHEN stop_cnt*20 >= len(toks) THEN 1 ELSE 0 END +
+         |   CASE WHEN len(list_distinct(toks))*4 >= len(toks) THEN 1 ELSE 0 END +
+         |   CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1 ELSE 0 END) AS points
+         |  FROM (SELECT doc_id, text, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks,
+         |          len(regexp_extract_all(lower(text),'$StopEnRe')) AS stop_cnt
+         |        FROM documents)) ORDER BY doc_id""".stripMargin,
+      doc = "integer-arithmetic quality tiers (length/stopword/diversity)"),
+
+    // ------------------------------------------------- multimodal columns
+    "q_multimodal_meta" -> QueryDef.sql(
+      (s, dir) => Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "text/plain")
+        .select(col("asset_id"), col("meta.n_bytes").cast("long").as("n_bytes"),
+          col("meta.format").as("format"), col("meta.content_fp").as("content_fp"))
+        .orderBy("asset_id"),
+      """SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
+        |'text/plain' AS format, md5(text) AS content_fp
+        |FROM documents ORDER BY asset_id""".stripMargin,
+      doc = "binary payload + typed metadata plumbing"),
+
+    "q_multimodal_features" -> QueryDef.rowsOnly(
+      (s, dir) => Multimodal.extractFeatures(
+        Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "text/plain"))
+        .orderBy("asset_id"),
+      doc = "partition-batched decode + feature extraction (stubbed codec)")
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpecBase {
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  private lazy val exactPairs =
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact n-gram Jaccard finds the planted near-dup pairs") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("MinHash-LSH recalls the exact near-dup pairs with precision 1.0") {
+    val mh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 64, 2, 0.5)
+    val got = mh.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is 1.0 by construction (exact post-verification)...
+    assert(got.subsetOf(exactPairs))
+    // ...and 32 bands x 2 rows makes recall ~1 at j >= 0.5 for this corpus
+    assert(got === exactPairs, s"missed: ${exactPairs -- got}")
+  }
+
+  test("SimHash candidates overlap the exact near-dup pairs and respect the hamming bound") {
+    val sh = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3, 16)
+    val rows = sh.collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hamming bound holds by construction for everything reported
+    assert(rows.forall(_.getAs[Int]("hamming") <= 16))
+    // recall is probabilistic (pigeonhole needs one clean 16-bit chunk), but
+    // the planted near-dups give a nonempty overlap with the exact baseline
+    assert((got & exactPairs).nonEmpty, s"no overlap: got=${got.take(5)}")
+  }
+
+  test("simhash is a deterministic 64-bit signature") {
+    val s1 = Dedup.simhash64(docs.limit(20), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val s2 = Dedup.simhash64(docs.limit(20), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(s1 === s2)
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("LSH top-k returns a subset of brute-force candidates, correctly ranked") {
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, 50)
+      .select("qid", "nid", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(emb, q, 10, numPlanes = 4).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      // exact cosine of an LSH candidate must agree with the brute-force value
+      brute.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cos")) < 1e-9))
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val self = Similarity.nearDupPairs(
+      emb.limit(1).union(emb.limit(1).withColumn("vec_id", col("vec_id") + 1000000)), 0.99)
+    assert(self.count() === 1)
+  }
+}
+
+class MultimodalSpec extends SparkSpecBase {
+  test("asset schema: binary content + typed metadata") {
+    val assets = Multimodal.asAssets(Tables.documents(spark, sf0001), "doc_id", "text", "text/plain")
+    val schema = assets.schema
+    assert(schema("content").dataType.typeName === "binary")
+    assert(schema("meta").dataType.typeName === "struct")
+    assert(assets.count() === 500)
+  }
+  test("partition-batched feature extraction is deterministic with fixed dim") {
+    val assets = Multimodal.asAssets(Tables.documents(spark, sf0001), "doc_id", "text", "text/plain")
+    val f1 = Multimodal.extractFeatures(assets).orderBy("asset_id").limit(5).collect()
+    val f2 = Multimodal.extractFeatures(assets.repartition(7)).orderBy("asset_id").limit(5).collect()
+    assert(f1.map(_.getSeq[Float](2).toList).toSeq ===
+      f2.map(_.getSeq[Float](2).toList).toSeq) // partitioning-invariant
+    assert(f1.forall(_.getSeq[Float](2).length === Multimodal.FeatureDim))
+  }
+  test("frame sampling explodes deterministic frames") {
+    val assets = Multimodal.asAssets(Tables.documents(spark, sf0001).limit(3), "doc_id", "text", "video/fake")
+    val frames = Multimodal.sampleFrames(assets, 4)
+    assert(frames.count() === 12)
+    assert(frames.select("frame_fp").distinct().count() === 12)
+  }
+}
