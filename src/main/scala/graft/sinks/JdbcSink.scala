@@ -1,0 +1,107 @@
+package graft.sinks
+
+import java.sql.{DriverManager, PreparedStatement, SQLNonTransientException, SQLSyntaxErrorException}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JDBC output — the reference's bulk insert + degraded fallback
+  * (`out_sql.rb:91-136`), Spark-native:
+  *
+  *  - `bulkAppend`: one multi-row batched INSERT per partition
+  *    (activerecord-import ≙ JDBC batch inserts; `batchsize` ≙ chunk size,
+  *    `numPartitions` caps connection parallelism ≙ `pool`).
+  *  - `resilientAppend`: the degraded path (`out_sql.rb:105-136`) — rows are
+  *    written one-by-one inside each partition; deterministic statement
+  *    errors drop the row immediately; transient errors retry up to
+  *    `numRetries` with `retrySleepMs` backoff; rows that still fail land in
+  *    the RETURNED dead-letter DataFrame instead of being silently lost
+  *    (a deliberate improvement over the reference's drop-after-retries,
+  *    `out_sql.rb:123, 127-129`). Runs entirely inside executor tasks — no
+  *    driver-side loops.
+  */
+object JdbcSink {
+
+  def bulkAppend(df: DataFrame, url: String, table: String,
+                 props: Properties = new Properties(),
+                 batchSize: Int = 1000, numPartitions: Option[Int] = None): Unit = {
+    val base = numPartitions.map(df.coalesce).getOrElse(df)
+    base.write.mode("append")
+      .option("batchsize", batchSize)
+      .jdbc(url, table, props)
+  }
+
+  /** Deterministic (non-retryable) vs transient classification — the
+    * reference's `StatementInvalid`/`MissingColumnError` split
+    * (`out_sql.rb:105-111, 117-136`). */
+  private def isDeterministic(e: Throwable): Boolean = e match {
+    case _: SQLSyntaxErrorException | _: SQLNonTransientException => true
+    case e: java.sql.SQLIntegrityConstraintViolationException => true
+    case e: java.sql.SQLException =>
+      // SQLState class 22 (data exception) / 23 (constraint violation)
+      Option(e.getSQLState).exists(s => s.startsWith("22") || s.startsWith("23") || s.startsWith("42"))
+    case _ => false
+  }
+
+  /** Row-wise resilient append; returns the dead-letter DataFrame
+    * (row rendered as JSON + error message). */
+  def resilientAppend(df: DataFrame, url: String, table: String,
+                      user: String = "", password: String = "",
+                      numRetries: Int = 5, retrySleepMs: Long = 500): DataFrame = {
+    val schema = df.schema
+    val cols = schema.fieldNames
+    val insertSql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val deadLetterSchema = new StructType()
+      .add("record_json", StringType).add("error", StringType)
+    val enc = org.apache.spark.sql.Encoders.row(deadLetterSchema)
+
+    val withJson = df.withColumn("__json", to_json(struct(cols.map(col): _*)))
+
+    withJson.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val conn = DriverManager.getConnection(url,
+          { val p = new Properties(); if (user.nonEmpty) { p.put("user", user); p.put("password", password) }; p })
+        conn.setAutoCommit(true)
+        val stmt = conn.prepareStatement(insertSql)
+        val dead = scala.collection.mutable.ListBuffer.empty[Row]
+
+        def bind(r: Row): Unit = {
+          stmt.clearParameters()
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (r.isNullAt(i)) stmt.setObject(i + 1, null)
+            else f.dataType match {
+              case TimestampType => stmt.setTimestamp(i + 1, r.getTimestamp(i))
+              case _ => stmt.setObject(i + 1, r.get(i))
+            }
+          }
+        }
+
+        def writeOne(r: Row): Option[String] = {
+          var attempt = 0
+          while (true) {
+            try { bind(r); stmt.executeUpdate(); return None }
+            catch {
+              case e: Throwable if isDeterministic(e) =>
+                return Some(s"deterministic: ${e.getMessage}") // no retry (out_sql.rb:120-123)
+              case e: Throwable =>
+                attempt += 1
+                if (attempt > numRetries) return Some(s"exhausted retries: ${e.getMessage}")
+                Thread.sleep(retrySleepMs) // out_sql.rb:126-132
+            }
+          }
+          None
+        }
+
+        val out = rows.flatMap { r =>
+          writeOne(r).map(err => Row(r.getAs[String]("__json"), err))
+        }.toList // drain before closing the connection
+        stmt.close(); conn.close()
+        (dead ++= out).iterator
+      }
+    }(enc)
+  }
+}

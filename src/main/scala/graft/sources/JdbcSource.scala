@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import scala.collection.mutable
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.SystemTables
+
+/** JDBC input shell — the reference's ActiveRecord connection + reflection
+  * surface (`in_sql.rb:188-230`) on Spark's JDBC source.
+  *
+  * The keyset page is pushed down INSIDE the dbtable subquery so the
+  * database (with its index on the update column, `README.md:100-102`)
+  * does the WHERE/ORDER/LIMIT — Spark never scans the full table.
+  */
+object JdbcSource {
+
+  /** `SELECT * FROM t WHERE upd > ? ORDER BY upd ASC LIMIT n` pushed into
+    * the remote DB (`in_sql.rb:129-135`). `fetchFirstSyntax` covers
+    * LIMIT-less dialects (Derby/Oracle/DB2: FETCH FIRST n ROWS ONLY). */
+  def keysetPage(spark: SparkSession, url: String, table: String, updateColumn: String,
+                 last: Option[String], limit: Int, props: Properties = new Properties(),
+                 fetchFirstSyntax: Boolean = false): DataFrame = {
+    // Numeric resume values go unquoted (strict engines like Derby refuse
+    // BIGINT > CHAR); everything else stays a quoted string and round-trips
+    // through the DB's cast, exactly like the reference's serialized resume.
+    def literal(v: String): String =
+      if (v.matches("-?\\d+(\\.\\d+)?")) v else "'" + v.replace("'", "''") + "'"
+    val where = last.map(v => s"WHERE $updateColumn > ${literal(v)}").getOrElse("")
+    val limitClause =
+      if (limit <= 0) ""
+      else if (fetchFirstSyntax) s"FETCH FIRST $limit ROWS ONLY"
+      else s"LIMIT $limit"
+    val sub = s"(SELECT * FROM $table $where ORDER BY $updateColumn ASC $limitClause) page"
+    spark.read.jdbc(url, sub, props)
+  }
+
+  /** `all_tables` discovery via JDBC catalog metadata, skipping system
+    * tables (`in_sql.rb:214-230`, skip `in_sql.rb:183`). */
+  def discoverTables(url: String, props: Properties = new Properties()): Seq[String] =
+    Using.resource(DriverManager.getConnection(url, props)) { conn =>
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val out = mutable.ListBuffer.empty[String]
+      while (rs.next()) out += rs.getString("TABLE_NAME")
+      out.filterNot(t => SystemTables.isSystemTable(t)).sorted.toSeq
+    }
+
+  /** PK introspection for update-column defaulting: composite PK is a hard
+    * error, `primary_key` overrides for PK-less views (`in_sql.rb:107-114`). */
+  def primaryKey(url: String, table: String,
+                 props: Properties = new Properties()): Option[String] =
+    Using.resource(DriverManager.getConnection(url, props)) { conn =>
+      val rs = conn.getMetaData.getPrimaryKeys(null, null, table)
+      val pks = mutable.ListBuffer.empty[String]
+      while (rs.next()) pks += rs.getString("COLUMN_NAME")
+      if (pks.size > 1)
+        throw new IllegalStateException(
+          s"composite primary key detected for $table: ${pks.mkString(",")} — set primary_key explicitly")
+      pks.headOption
+    }
+
+  private[sources] def connect(url: String, props: Properties): Connection =
+    DriverManager.getConnection(url, props)
+}
