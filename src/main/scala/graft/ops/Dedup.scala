@@ -30,10 +30,14 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Per-doc distinct shingle array: (id, shs). */
+  private def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    docs.select(col(idCol).as("id"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), n).as("shs"))
+
   /** Per-doc distinct shingles, exploded: (id, shingle). */
   private def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) =
-    docs.select(col(idCol).as("id"),
-        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
+    shingleArrays(docs, idCol, textCol, n).select(col("id"), explode(col("shs")).as("s"))
 
   /** Tier 2: all pairs with shingle-set Jaccard >= threshold (exact).
     * Output: (id_a, id_b, jaccard) with id_a < id_b, rounded to 6 dp so the
@@ -41,7 +45,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = explodedShingles(docs, idCol, textCol, n)
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // set sizes straight from the array — no second explode+shuffle branch
+    val counts = shingleArrays(docs, idCol, textCol, n)
+      .select(col("id"), size(col("shs")).cast("long").as("n_sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -88,7 +94,8 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
     // exact verification of candidates only (precision 1.0)
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val counts = shingleArrays(docs, idCol, textCol, n)
+      .select(col("id"), size(col("shs")).cast("long").as("n_sh"))
     val inter = candidates
       .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("s").as("s2")), Seq("id_b"))

@@ -23,8 +23,9 @@ object Similarity {
   /** float[] → double[] (exact promotion). */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native dot product (graft.functions.DotProduct); same
+    * sequential summation order as the higher-order-function fold. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -69,6 +69,37 @@ class SimilaritySpec extends SparkSpecBase {
   }
 }
 
+class DotProductSpec extends SparkSpecBase {
+  import graft.functions.DotProduct
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array.empty[Double], Array.empty[Double])
+    ).toDF("a", "b")
+  }
+
+  test("codegen and interpreted paths agree") {
+    val expected = Seq(32.0, 0.0)
+    Seq("true", "false").foreach { cg =>
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      try {
+        val got = df.select(DotProduct.dot(col("a"), col("b")).as("d"))
+          .collect().map(_.getDouble(0)).toSeq
+        assert(got === expected, s"wholeStage=$cg")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("null array yields null") {
+    val withNull = df.select(
+      when(lit(false), col("a")).as("a"), col("b"))
+    val r = withNull.select(DotProduct.dot(col("a"), col("b")).as("d")).collect()
+    assert(r.forall(_.isNullAt(0)))
+  }
+}
+
 class MultimodalSpec extends SparkSpecBase {
   test("asset schema: binary content + typed metadata") {
     val assets = Multimodal.asAssets(Tables.documents(spark, sf0001), "doc_id", "text", "text/plain")
