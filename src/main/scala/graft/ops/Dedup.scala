@@ -33,7 +33,7 @@ object Dedup {
   /** Per-doc distinct shingle array: (id, shs). */
   private def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs.select(col(idCol).as("id"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), n).as("shs"))
+      TextOps.shingles(col(textCol), n).as("shs"))
 
   /** Per-doc distinct shingles, exploded: (id, shingle). */
   private def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) =
