@@ -39,22 +39,26 @@ object Dedup {
   private def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     shingleArrays(docs, idCol, textCol, n).select(col("id"), explode(col("shs")).as("s"))
 
+  /** Exploded shingles carrying the doc's set size: (id, n_sh, shingle).
+    * Carrying `n_sh` through the explode means downstream Jaccard math needs
+    * no extra join back to a per-doc count table (and no recompute of the
+    * shingle scan branch) — one scan, one shuffle. */
+  private def explodedShinglesWithSize(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    shingleArrays(docs, idCol, textCol, n)
+      .select(col("id"), size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("s"))
+
   /** Tier 2: all pairs with shingle-set Jaccard >= threshold (exact).
     * Output: (id_a, id_b, jaccard) with id_a < id_b, rounded to 6 dp so the
     * DuckDB oracle hash-matches despite engine-internal double noise. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = explodedShingles(docs, idCol, textCol, n)
-    // set sizes straight from the array — no second explode+shuffle branch
-    val counts = shingleArrays(docs, idCol, textCol, n)
-      .select(col("id"), size(col("shs")).cast("long").as("n_sh"))
+    val sh = explodedShinglesWithSize(docs, idCol, textCol, n)
     val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // n_a/n_b ride along with the grouping keys — no join back to a count table
+    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard", round(col("n_inter").cast("double")
         / (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
@@ -78,8 +82,9 @@ object Dedup {
                           n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 2,
                           threshold: Double = 0.5): DataFrame = {
     require(numPerm % rowsPerBand == 0, "numPerm must be divisible by rowsPerBand")
+    require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are pruned)")
     val numBands = numPerm / rowsPerBand
-    val sh = explodedShingles(docs, idCol, textCol, n)
+    val sh = explodedShinglesWithSize(docs, idCol, textCol, n)
     val sigs = sh.groupBy("id").agg(minhashAggs(numPerm).head, minhashAggs(numPerm).tail: _*)
     // one row per (doc, band): bandHash = xxhash64 over the band's signature slice
     val bandCols = (0 until numBands).map { b =>
@@ -93,18 +98,14 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
-    // exact verification of candidates only (precision 1.0)
-    val counts = shingleArrays(docs, idCol, textCol, n)
-      .select(col("id"), size(col("shs")).cast("long").as("n_sh"))
-    val inter = candidates
-      .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("s").as("s2")), Seq("id_b"))
+    // exact verification of candidates only (precision 1.0). Set sizes ride
+    // along with the shingle join; zero-overlap candidates drop out of the
+    // inner join, which is safe because threshold > 0.
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("s").as("s2")), Seq("id_b"))
       .filter(col("s") === col("s2")) // collapses into the equi-join condition
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    candidates.join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0, Seq("n_inter"))
-      .join(counts.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(counts.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard", round(col("n_inter").cast("double")
         / (col("n_a") + col("n_b") - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
