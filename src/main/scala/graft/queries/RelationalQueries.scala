@@ -66,6 +66,56 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
       doc = "distinct aggregation (expand + two-phase agg)"),
 
+    // HLL sketch variant of q_agg_distinct: constant memory per group at
+    // 100 TB vs the exact expand+two-phase distinct. Engine-specific sketch
+    // → rows-only here; relative error vs exact asserted in RelationalSpec.
+    "q_agg_approx_distinct" -> QueryDef.rowsOnly(
+      (s, dir) => Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        count(lit(1)).as("n_rows")
+      ).orderBy("l_returnflag"),
+      doc = "approx_count_distinct (HyperLogLog++) per group"),
+
+    "q_cube" -> QueryDef.sql(
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("revenue"), col("n_orders"))
+        .orderBy("status", "priority"),
+      s"""SELECT COALESCE(o_orderstatus,'ALL') AS status, COALESCE(o_orderpriority,'ALL') AS priority,
+         |  ${oSum("o_totalprice", "revenue")}, COUNT(*) AS n_orders
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+      doc = "cube over both grouping dims"),
+
+    // As-of join: each event picks the user's latest order at-or-before the
+    // event time. Spark plan: union + per-key window carry-forward (one
+    // shuffle), NOT a range join. Orders pre-aggregated to one row per
+    // (custkey, date) so the tie-pick is deterministic on both engines.
+    "q_asof_join" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val ord = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("asof_orderkey"))
+        graft.ops.AsofJoin.asofJoin(ev, ord,
+            leftOn = "user_id", rightOn = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            payload = Seq("asof_orderkey"))
+          .orderBy("event_id")
+      },
+      """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+        |           FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT e.event_id, e.user_id, e.ts, o.asof_orderkey
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY event_id""".stripMargin,
+      doc = "as-of join via union + window carry-forward (single shuffle)"),
+
     "q_rollup" -> QueryDef.sql(
       (s, dir) => Tables.orders(s, dir)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
