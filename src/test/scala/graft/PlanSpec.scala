@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan shape assertions — the properties that make these queries
+  * survive a 100 TB / 1000-executor scale-up, checked against the real
+  * optimizer output rather than asserted in prose:
+  *
+  *  - dimension joins broadcast (no shuffle of the fact side against dims);
+  *  - sort+limit plans as TakeOrderedAndProject (per-partition top-k + merge,
+  *    never a global sort);
+  *  - projection pruning reaches the parquet scan (a 2-column query must not
+  *    read all columns);
+  *  - the as-of join plans exactly one exchange (union + window, no range
+  *    join explosion).
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q_join_enrich broadcasts the nation/region dims") {
+    val plan = planString(SparkEntry.queries("q_join_enrich")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dim joins in:\n$plan")
+  }
+
+  test("q_select_limit_sort plans TakeOrderedAndProject, not a global sort") {
+    val plan = planString(SparkEntry.queries("q_select_limit_sort")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan in:\n$plan")
+  }
+
+  test("two-column projection prunes the lineitem scan schema") {
+    import org.apache.spark.sql.functions.col
+    val df = sources.Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+      .filter(col("l_quantity") > 30)
+    val scan = df.queryExecution.executedPlan.toString()
+    assert(scan.contains("ReadSchema"), scan)
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_extendedprice"), s"scan not pruned: $readSchema")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"),
+      s"filter not pushed: $scan")
+  }
+
+  test("q_asof_join plans a single shuffle (no range-join explosion)") {
+    val df = SparkEntry.queries("q_asof_join")(spark, sf0001)
+    val plan = planString(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of join must not fall back to a product join:\n$plan")
+    // exchanges in the final plan: orders pre-agg + one hash partition on
+    // the as-of key + the final range partition for the ORDER BY; anything
+    // more means a join crept in (the AQE toString repeats the initial plan,
+    // so cut it off first)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) +
+      finalPlan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$finalPlan")
+  }
+
+  test("q_agg_revenue aggregates partially before the shuffle (map-side combine)") {
+    val plan = planString(SparkEntry.queries("q_agg_revenue")(spark, sf0001))
+    val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("partial")), s"expected partial aggregate before exchange:\n$plan")
+  }
+}
