@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+import graft.streaming.StreamOps
+
+/** Event-time streaming ops driven end-to-end through the keyset-tail
+  * source, asserted equal to the same operator run in batch mode (the
+  * stream==batch parity Structured Streaming guarantees for append-mode
+  * windowed aggregations once all data is processed).
+  */
+class StreamOpsSpec extends SparkSpecBase {
+
+  private lazy val eventsMicro = {
+    val dir = Files.createTempDirectory("graft_sops_events").toString
+    Tables.events(spark, sf0001).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def eventStream: DataFrame = spark.readStream
+    .format("graft.streaming.KeysetTailProvider")
+    .option("path", eventsMicro)
+    .option("updateColumn", "event_id")
+    .option("maxRowsPerBatch", "400")
+    .load()
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("watermarked tumbling agg: stream equals batch") {
+    val streamed = runToMemory(
+      StreamOps.tumblingAgg(eventStream, "ts", "1 hour", "1 day"), "s_tumbling", "append")
+    val batch = StreamOps.tumblingAgg(Tables.events(spark, sf0001), "ts", "1 hour", "1 day")
+    // append mode only emits windows the watermark has passed; the final
+    // (open) windows are legitimately withheld — compare on emitted ones
+    val emitted = streamed.select("w_start").distinct().collect().map(_.get(0)).toSet
+    assert(emitted.nonEmpty, "watermark never closed any window")
+    val b = batch.filter(col("w_start").isInCollection(emitted))
+      .orderBy("w_start", "event_type").collect().toSeq
+    val s = streamed.orderBy("w_start", "event_type").collect().toSeq
+    assert(s === b)
+  }
+
+  test("session windows close after the gap and count every event") {
+    val sessions = runToMemory(
+      StreamOps.sessionAgg(eventStream, "ts", "1 hour", "30 minutes"), "s_sessions", "append")
+    assert(sessions.count() > 0)
+    // no session may contain a gap longer than 30 min: end-start <= n*gap bound
+    val bad = sessions.filter(
+      col("session_end").cast("long") - col("session_start").cast("long")
+        > col("n_events") * 1800L).count()
+    assert(bad === 0)
+  }
+
+  test("streaming exact dedup emits each key once for the stream lifetime") {
+    val deduped = runToMemory(
+      StreamOps.dedupStream(eventStream.withColumn("dup_key", col("event_id") % 100),
+        Seq("dup_key")), "s_dedup", "append")
+    assert(deduped.select("dup_key").distinct().count() === deduped.count())
+    assert(deduped.count() === 100)
+  }
+
+  test("watermark-bounded dedup: exact within horizon, at-least-once per key") {
+    val deduped = runToMemory(
+      StreamOps.dedupStreamBounded(eventStream.withColumn("dup_key", col("event_id") % 100),
+        "ts", "1 hour", Seq("dup_key")), "s_dedup_wm", "append")
+    val total = deduped.count()
+    val distinct = deduped.select("dup_key").distinct().count()
+    assert(distinct === 100)   // every key surfaced
+    assert(total >= distinct)  // re-emission after the horizon is legal
+  }
+
+  test("flatMapGroupsWithState: per-key running max advances monotonically") {
+    val advances = runToMemory(
+      StreamOps.runningMaxAdvances(eventStream).toDF(), "s_maxadv", "append")
+    // per user: strictly increasing new_max across batches
+    val rows = advances.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val byUser = rows.groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (_, vs) =>
+      val seq = vs.map(_._2).toSeq
+      assert(seq == seq.sorted && seq.distinct.size == seq.size)
+    }
+    // final per-user max equals the batch max
+    val batchMax = Tables.events(spark, sf0001).groupBy("user_id")
+      .agg(max("value").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val streamFinal = rows.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).max }
+    streamFinal.foreach { case (u, m) => assert(math.abs(m - batchMax(u)) < 1e-9) }
+  }
+}
