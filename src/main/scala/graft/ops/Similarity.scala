@@ -72,6 +72,55 @@ object Similarity {
       when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** IVF-flat approximate top-k: a coarse k-means quantizer (`nList`
+    * centroids, seeded — deterministic for a fixed input) partitions the
+    * corpus into inverted lists; each query probes its `nProbe` nearest
+    * lists and ranks exact cosine within them.
+    *
+    * Scale shape: centroid fit samples/aggregates once; corpus assignment
+    * is one map-side pass (model.transform, no shuffle); search is an
+    * equi-join on the list id against a broadcast probe table — corpus is
+    * never cross-joined. Probing nProbe/nList of the data bounds work per
+    * query at any corpus size; recall rises with nProbe (exact at
+    * nProbe = nList).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nList: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+      .withColumn("nnorm", norm(col("nv")))
+    val withFeatures = c.withColumn("features", array_to_vector(col("nv")))
+    val model = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cid").fit(withFeatures)
+    val assigned = model.transform(withFeatures).drop("features")
+    // tiny centroid table: (cid, center as array<double>)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cid", "center")
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+    // probe the nProbe nearest centroids per query (euclidean, matching the
+    // quantizer's metric): |queries| x nList rows — negligible
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("dist2").asc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centers))
+      .withColumn("dist2",
+        dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("center"))
+          + dot(col("center"), col("center")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("qid", "qv", "qnorm", "cid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", round(dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "cos", "rn")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine rank within it. Equi-join on bucket — no cross join.
     * Recall/latency trade via numPlanes (more planes → smaller buckets). */

@@ -84,6 +84,15 @@ object ExtensionQueries {
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
       doc = "embedding-cosine near-dup pairs (exact baseline)"),
 
+    "q_sim_ivf_topk" -> QueryDef.rowsOnly(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+            nList = 16, nProbe = 4)
+          .orderBy("qid", "rn")
+      },
+      doc = "IVF-flat ANN: k-means inverted lists, nProbe/nList of corpus scanned per query"),
+
     "q_sim_lsh_topk" -> QueryDef.rowsOnly(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

@@ -62,6 +62,30 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("IVF top-k: cosines exact, ranking consistent, recall over brute force") {
+    val q = emb.filter(col("vec_id") < 20)
+    val k = 10
+    val brute = Similarity.bruteForceTopK(emb, q, k).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Double]("cos")))
+    val bruteCos = brute.map(t => (t._1, t._2) -> t._3).toMap
+    val ivf = Similarity.ivfTopK(emb, q, k, nList = 8, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Double]("cos"),
+        r.getAs[Int]("rn")))
+    assert(ivf.nonEmpty)
+    // cosines of shared pairs agree exactly; per-query ranks are 1..n
+    ivf.foreach { case (qid, nid, cos, _) =>
+      bruteCos.get((qid, nid)).foreach(c => assert(math.abs(c - cos) < 1e-9))
+    }
+    ivf.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length))
+    }
+    // probing half the lists must recover a meaningful share of true top-k
+    val bruteSet = brute.map(t => (t._1, t._2)).toSet
+    val hit = ivf.count(t => bruteSet((t._1, t._2)))
+    val recall = hit.toDouble / brute.length
+    assert(recall >= 0.25, s"IVF recall@$k too low: $recall")
+  }
+
   test("cosine of a vector with itself is 1") {
     val self = Similarity.nearDupPairs(
       emb.limit(1).union(emb.limit(1).withColumn("vec_id", col("vec_id") + 1000000)), 0.99)
