@@ -65,6 +65,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Tier 2b: prefix-filtered exact Jaccard (AllPairs/PPJoin family) —
+    * identical output to `ngramJaccardPairs`, different join geometry.
+    *
+    * Shingles are ordered by ascending global frequency (rarest first,
+    * ties on the shingle string); each doc keeps only its first
+    * `|S| - ceil(t*|S|) + 1` shingles as its PREFIX. Any pair with
+    * J >= t must share at least ceil(t*max(|A|,|B|)) shingles, so under a
+    * consistent global order their prefixes must intersect — joining
+    * prefix-to-prefix loses no qualifying pair, but skips the massive
+    * fan-out on common shingles (exactly the ones a near-dup pair can
+    * afford to miss). Candidates are then exact-verified on full sets.
+    *
+    * At 100 TB this is the difference between joining on every "the_end_of"
+    * and joining only on each doc's rarest handful. All stages are
+    * shuffle-on-key; the frequency table is a broadcastable agg.
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive")
+    val sh = explodedShinglesWithSize(docs, idCol, textCol, n)
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, "s")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
+    val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
+    val prefix = ranked.filter(col("pos") <= prefixLen).select("id", "s")
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("s").as("s2")), Seq("id_b"))
+      .filter(col("s") === col("s2"))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard", round(col("n_inter").cast("double")
+        / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash signature columns: perm p's hash of a doc is
     * min over shingles of xxhash64(p, shingle). */
   private def minhashAggs(numPerm: Int): Seq[Column] =

@@ -20,6 +20,16 @@ object ExtensionQueries {
       |  unnest(list_distinct([toks[i]||'_'||toks[i+1]||'_'||toks[i+2] for i in range(1, len(toks)-1)])) AS s
       |FROM (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks FROM documents)""".stripMargin
 
+  private val JaccardOracleSql =
+    s"""WITH sh AS ($ShingleSqlFragment),
+       |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+       |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+       |j AS (SELECT id_a, id_b,
+       |        ROUND(CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+       |      FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------ deduplication
@@ -33,15 +43,16 @@ object ExtensionQueries {
     "q_dedup_ngram_jaccard" -> QueryDef.sql(
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, threshold = 0.5).orderBy("id_a", "id_b"),
-      s"""WITH sh AS ($ShingleSqlFragment),
-         |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
-         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
-         |j AS (SELECT id_a, id_b,
-         |        ROUND(CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
-         |      FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b)
-         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      JaccardOracleSql,
       doc = "exact 3-gram Jaccard near-dup pairs (baseline for MinHash)"),
+
+    // Same oracle as q_dedup_ngram_jaccard: the prefix filter must be
+    // lossless, and the hash-compare proves it on real data.
+    "q_dedup_jaccard_prefix" -> QueryDef.sql(
+      (s, dir) => Dedup.ngramJaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5).orderBy("id_a", "id_b"),
+      JaccardOracleSql,
+      doc = "PPJoin-style prefix-filtered exact Jaccard (the 100 TB join geometry)"),
 
     // MinHash-LSH / SimHash: engine-specific hash functions → rows-only;
     // recall vs the exact baseline is asserted in DedupSpec.

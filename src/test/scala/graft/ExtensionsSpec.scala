@@ -16,6 +16,12 @@ class DedupSpec extends SparkSpecBase {
     assert(exactPairs.nonEmpty)
   }
 
+  test("prefix-filtered Jaccard is lossless vs the naive self-join") {
+    val pf = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf === exactPairs)
+  }
+
   test("MinHash-LSH recalls the exact near-dup pairs with precision 1.0") {
     val mh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 64, 2, 0.5)
     val got = mh.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
