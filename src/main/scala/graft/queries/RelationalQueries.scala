@@ -152,6 +152,44 @@ object RelationalQueries {
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
       doc = "multi-join enrichment; dims broadcast"),
 
+    // Theta/range join against a tiny banding dim: broadcast nested-loop is
+    // the RIGHT plan here (build side is 3 rows; a shuffle would be waste).
+    "q_range_join" -> QueryDef.sql(
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          ("small", 0.0, 50000.0),
+          ("medium", 50000.0, 150000.0),
+          ("large", 150000.0, 1e9)).toDF("band", "lo", "hi")
+        Tables.orders(s, dir)
+          .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+          .orderBy("band")
+      },
+      s"""SELECT band, COUNT(*) AS n_orders, ${oSum("o_totalprice", "revenue")}
+         |FROM orders JOIN (VALUES ('small', 0.0, 50000.0), ('medium', 50000.0, 150000.0),
+         |                         ('large', 150000.0, 1000000000.0)) AS b(band, lo, hi)
+         |  ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+      doc = "range/theta join, broadcast nested-loop on a 3-row dim"),
+
+    // Salted two-phase aggregation over a deliberately skewed key
+    // (event_type has ~6 values over 1M rows): same answer as the plain
+    // group-by — the oracle proves it — with the hot key spread over
+    // `salts` reducers first.
+    "q_skew_salted_agg" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("v", dec(col("value")))
+        graft.ops.SkewJoin.saltedCountSum(ev, "event_type", "v", col("event_id"), salts = 8)
+          .select(col("event_type"), col("n_rows"),
+            round(col("sum_value"), 2).cast("double").as("total_value"))
+          .orderBy("event_type")
+      },
+      s"""SELECT event_type, COUNT(*) AS n_rows, ${oSum("value", "total_value")}
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      doc = "salted two-phase agg for hot keys; equals plain group-by"),
+
     "q_semi_join" -> QueryDef.sql(
       (s, dir) => Tables.customer(s, dir).join(
           Tables.orders(s, dir).filter(col("o_totalprice") > 200000),
