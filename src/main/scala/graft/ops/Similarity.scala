@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** float[] → double[] (exact promotion). */
-  def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+  /** float[] → double[] (exact promotion). Native array cast — stays in
+    * whole-stage codegen, unlike a `transform` lambda. */
+  def asDouble(emb: Column): Column = emb.cast("array<double>")
 
   /** Codegen'd native dot product (graft.functions.DotProduct); same
     * sequential summation order as the higher-order-function fold. */
@@ -58,18 +59,27 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 → uniform in [-1, 1]. */
-  private def planeComponent(plane: Int, dimIdx: Column): Column =
-    (pmod(xxhash64(lit(plane), dimIdx), lit(1000003L)).cast("double") / 500001.5) - 1.0
+  /** Deterministic seeded hyperplane (splitmix64 → uniform [-1, 1]),
+    * materialized on the driver and embedded as a literal array — so the
+    * per-row projection is one native codegen'd dot product instead of an
+    * interpreted zip_with/aggregate lambda chain per plane. */
+  private[ops] def planeVec(plane: Int, dim: Int): Array[Double] = {
+    var x = plane.toLong * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+    Array.fill(dim) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      // 53 high bits → [0,1) → [-1,1)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+  }
 
-  /** Sign-bit bucket signature from `numPlanes` random hyperplanes. */
-  def lshBucket(v: Column, numPlanes: Int): Column =
+  /** Sign-bit bucket signature from `numPlanes` seeded hyperplanes. */
+  def lshBucket(v: Column, numPlanes: Int, dim: Int): Column =
     (0 until numPlanes).map { p =>
-      val proj = aggregate(zip_with(v,
-        transform(sequence(lit(0), size(v) - 1), i => planeComponent(p, i)),
-        (x, h) => x * h), lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      when(dot(v, typedLit(planeVec(p, dim))) >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** IVF-flat approximate top-k: a coarse k-means quantizer (`nList`
@@ -124,13 +134,14 @@ object Similarity {
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine rank within it. Equi-join on bucket — no cross join.
     * Recall/latency trade via numPlanes (more planes → smaller buckets). */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 4): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 4,
+              dim: Int = 64): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
       .withColumn("nnorm", norm(col("nv")))
-      .withColumn("bucket", lshBucket(col("nv"), numPlanes))
+      .withColumn("bucket", lshBucket(col("nv"), numPlanes, dim))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
       .withColumn("qnorm", norm(col("qv")))
-      .withColumn("bucket", lshBucket(col("qv"), numPlanes))
+      .withColumn("bucket", lshBucket(col("qv"), numPlanes, dim))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("nid") =!= col("qid"))
