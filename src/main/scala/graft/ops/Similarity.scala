@@ -101,8 +101,10 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
       .withColumn("nnorm", norm(col("nv")))
     val withFeatures = c.withColumn("features", array_to_vector(col("nv")))
-    val model = new KMeans().setK(nList).setSeed(seed).setFeaturesCol("features")
-      .setPredictionCol("cid").fit(withFeatures)
+    // a coarse quantizer needs rough Voronoi cells, not convergence:
+    // few Lloyd iterations keep the one-time fit cheap at any corpus size
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cid").fit(withFeatures)
     val assigned = model.transform(withFeatures).drop("features")
     // tiny centroid table: (cid, center as array<double>)
     val spark = corpus.sparkSession

@@ -61,6 +61,28 @@ class PlanSpec extends SparkSpecBase {
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$finalPlan")
   }
 
+  test("bucketed tables co-locate: the join plans with zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    sources.Tables.orders(spark, sf0001).write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    sources.Tables.customer(spark, sf0001).write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    // bucketed joins only kick in when neither side qualifies for broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = planString(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.split("== Initial Plan ==").head.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("q_agg_revenue aggregates partially before the shuffle (map-side combine)") {
     val plan = planString(SparkEntry.queries("q_agg_revenue")(spark, sf0001))
     val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
