@@ -316,6 +316,48 @@ object RelationalQueries {
         |ORDER BY tag, id""".stripMargin,
       doc = "union of per-table tails"),
 
+    // JSON scalar functions over the events.props payload (the coerced
+    // map-record form of §1.2 in the wild: semi-structured per-event data).
+    "q_json_extract" -> QueryDef.sql(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .filter(col("k_val") >= 90)
+        .orderBy("event_id"),
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+        |ORDER BY event_id""".stripMargin,
+      doc = "JSON path extraction + typed filter"),
+
+    // Pivot with an explicit (deterministic) column list — wide-format
+    // reporting without a second scan per column.
+    "q_pivot" -> QueryDef.sql(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+        .orderBy("day"),
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+      doc = "pivot to wide format, one scan"),
+
+    // Generator (UDTF-shape) surface: explode tokens, global frequency top-k.
+    "q_explode_tokens" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(20),
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+      doc = "explode + top-k token frequency (TakeOrderedAndProject)"),
+
     "q_set_intersect" -> QueryDef.sql(
       (s, dir) => {
         val o = Tables.orders(s, dir)
