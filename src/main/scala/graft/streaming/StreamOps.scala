@@ -51,6 +51,21 @@ object StreamOps {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream interval join: rows pair when keys match and
+    * the right event time falls in [leftTs - lower, leftTs + upper]. The
+    * watermark + interval bound is what lets Spark evict join state — an
+    * unbounded stream-stream join would buffer both streams forever. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftTs: String, rightTs: String, watermarkDelay: String,
+                   keyCond: org.apache.spark.sql.Column,
+                   lower: String, upper: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, keyCond &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lower") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upper"))
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: per-key high-watermark
     * monitor that emits one row per micro-batch per key whose running max
     * `value` advanced. State = one double per key (timeout-free here;

@@ -79,6 +79,31 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(total >= distinct)  // re-emission after the horizon is legal
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val c = df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      (p, c)
+    }
+    val (ps, cs) = shape(eventStream)
+    // generous watermark: the keyset tail pages by event_id, so event time
+    // may arrive out of order — parity with batch needs no drops
+    val streamed = runToMemory(
+      StreamOps.intervalJoin(ps, cs, "p_ts", "c_ts", "30 days",
+        col("p_user") === col("c_user"), "10 minutes", "10 minutes")
+        .select("p_id", "c_id"), "s_ssjoin", "append")
+    val (pb, cb) = shape(Tables.events(spark, sf0001))
+    val batch = pb.join(cb, col("p_user") === col("c_user") &&
+      col("c_ts") >= col("p_ts") - expr("INTERVAL 10 minutes") &&
+      col("c_ts") <= col("p_ts") + expr("INTERVAL 10 minutes"))
+      .select("p_id", "c_id")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("flatMapGroupsWithState: per-key running max advances monotonically") {
     val advances = runToMemory(
       StreamOps.runningMaxAdvances(eventStream).toDF(), "s_maxadv", "append")
