@@ -7,6 +7,8 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.core.OutputConfig
+
 /** JDBC output — the reference's bulk insert + degraded fallback
   * (`out_sql.rb:91-136`), Spark-native:
   *
@@ -32,6 +34,32 @@ object JdbcSink {
       .option("batchsize", batchSize)
       .jdbc(url, table, props)
   }
+
+  /** The reference's full output path for one chunk/batch (`out_sql.rb:
+    * 91-115, 226-237`): strip the tag prefix, route each row to its
+    * destination table (first matching pattern, else the required default),
+    * project through that table's column mapping, and bulk-append. The
+    * `repartition(tag)` colocates each table's rows (≙ tag-keyed buffer
+    * chunks, `out_sql.rb:37-39`) so every destination sees a handful of
+    * dense partitions instead of all-tables-in-every-partition. */
+  def writeRouted(batch: DataFrame, cfg: OutputConfig, url: String,
+                  props: Properties = new Properties(),
+                  batchSize: Int = 1000): Unit = {
+    val chunked = batch.repartition(col("tag"))
+    graft.ops.EventOps.routedTables(chunked, cfg).foreach { case (table, df) =>
+      bulkAppend(df, url, table, props, batchSize)
+    }
+  }
+
+  /** Streaming form: one `writeRouted` per micro-batch (`foreachBatch` ≙
+    * the per-chunk flush thread, `out_sql.rb:226-237`). Caller starts the
+    * returned query with its own trigger/checkpoint. */
+  def routedStream(stream: DataFrame, cfg: OutputConfig, url: String,
+                   props: Properties = new Properties(),
+                   batchSize: Int = 1000): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      writeRouted(batch.toDF(), cfg, url, props, batchSize)
+    }
 
   /** Deterministic (non-retryable) vs transient classification — the
     * reference's `StatementInvalid`/`MissingColumnError` split

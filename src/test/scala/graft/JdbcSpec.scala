@@ -51,6 +51,38 @@ class JdbcSpec extends SparkSpecBase {
     intercept[IllegalStateException](JdbcSource.primaryKey(url, "COMPOSITE_TBL"))
   }
 
+  test("streaming tail -> routed JDBC sink e2e (out_sql.rb:91-115, 226-237)") {
+    import graft.core.{OutputConfig, SinkTableConfig}
+    exec("CREATE TABLE t_money (event_id BIGINT, tag VARCHAR(50))")
+    exec("CREATE TABLE t_rest (event_id BIGINT, tag VARCHAR(50))")
+    val cfg = OutputConfig(
+      routes = Seq(SinkTableConfig("{purchase,error}", "t_money", "event_id,tag")),
+      defaultTable = SinkTableConfig("", "t_rest", "event_id,tag"),
+      removeTagPrefix = Some("db"))
+
+    // stage a tagged copy of events for the keyset tail
+    val dir = java.nio.file.Files.createTempDirectory("graft_routed").toString
+    Tables.events(spark, sf0001).limit(200)
+      .withColumn("tag", concat(lit("db."), col("event_type")))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.format("graft.streaming.KeysetTailProvider")
+      .option("path", dir).option("updateColumn", "event_id")
+      .option("maxRowsPerBatch", "75").load()
+
+    val q = JdbcSink.routedStream(stream, cfg, url)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val money = spark.read.jdbc(url, "t_money", new java.util.Properties())
+    val rest = spark.read.jdbc(url, "t_rest", new java.util.Properties())
+    assert(money.count() + rest.count() === 200)
+    // routing respects the pattern after the anchored prefix strip
+    val moneyTags = money.select("tag").distinct().collect().map(_.getString(0)).toSet
+    assert(moneyTags.subsetOf(Set("purchase", "error")) && moneyTags.nonEmpty)
+    val restTags = rest.select("tag").distinct().collect().map(_.getString(0)).toSet
+    assert(restTags.intersect(Set("purchase", "error")).isEmpty && restTags.nonEmpty)
+  }
+
   test("resilient fallback: bad rows dead-letter, good rows land (out_sql.rb:105-136)") {
     exec("CREATE TABLE strict_t (id BIGINT NOT NULL PRIMARY KEY, msg VARCHAR(5))")
     exec("INSERT INTO strict_t VALUES (3, 'dup')") // row 3 will violate the PK
