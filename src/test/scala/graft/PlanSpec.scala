@@ -83,6 +83,22 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("no declared query plans an unintended product join") {
+    // quadratic-by-design baselines and the tiny-dim range join are the
+    // ONLY places a nested-loop/cartesian plan is acceptable
+    val intended = Set("q_range_join", "q_sim_cosine_topk", "q_sim_near_dup",
+      "q_sim_lsh_topk", "q_sim_ivf_topk")
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => intended(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString()
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty, s"product joins in: ${offenders.mkString(", ")}")
+  }
+
   test("q_agg_revenue aggregates partially before the shuffle (map-side combine)") {
     val plan = planString(SparkEntry.queries("q_agg_revenue")(spark, sf0001))
     val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
