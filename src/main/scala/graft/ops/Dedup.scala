@@ -105,6 +105,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Tier 2c: copied-passage detection via winnowing fingerprints
+    * (graft.functions.Winnow — rolling hash + rightmost-window-min). Docs
+    * sharing >= minShared selected hashes contain common passages even when
+    * the rest of the text differs — a containment signal Jaccard dilutes on
+    * long documents. One explode + one equi-join; the winnow guarantee
+    * bounds fingerprints per doc to ~2/(w+1) of its length. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 16, w: Int = 4, minShared: Int = 10,
+                         maxDf: Int = 50): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+      explode(array_distinct(graft.functions.Winnow.fingerprints(
+        TextOps.normalizedText(col(textCol)), k, w))).as("fp"))
+    // stop-fingerprint removal: a hash present in more than maxDf docs is
+    // boilerplate, not a copied passage — and it is exactly the key whose
+    // self-join fan-out is quadratic. One window over the join key bounds
+    // every fingerprint's contribution to at most maxDf^2 pairs.
+    val rare = fp
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDf).drop("__df")
+    rare.as("a").join(rare.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature columns: perm p's hash of a doc is
     * min over shingles of xxhash64(p, shingle). */
   private def minhashAggs(numPerm: Int): Seq[Column] =

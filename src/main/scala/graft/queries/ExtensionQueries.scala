@@ -61,6 +61,11 @@ object ExtensionQueries {
         n = 3, numPerm = 64, rowsPerBand = 2, threshold = 0.5).orderBy("id_a", "id_b"),
       doc = "MinHash(64) banded 32x2, candidates exact-verified"),
 
+    "q_dedup_winnow" -> QueryDef.rowsOnly(
+      (s, dir) => Dedup.winnowOverlapPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 16, w = 4, minShared = 10, maxDf = 50).orderBy("id_a", "id_b"),
+      doc = "winnowing (rolling-hash) copied-passage pairs; engine-specific hashes"),
+
     "q_dedup_simhash" -> QueryDef.rowsOnly(
       (s, dir) => Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, maxHamming = 16).orderBy("id_a", "id_b"),
