@@ -82,3 +82,24 @@ final class KeysetTailRunner(
     total
   }
 }
+
+object KeysetTailRunner {
+
+  /** `all_tables` discovery (`in_sql.rb:178-180, 214-230`): every
+    * non-system table in the directory becomes a tailed source with
+    * tag = table name (`in_sql.rb:224`); `updateColumnFor` plays the role
+    * of PK reflection (parquet has no PK metadata), and tables it cannot
+    * resolve are dropped at init like the reference's `reject!`
+    * (`in_sql.rb:233-243`). */
+  def discovering(spark: SparkSession, dir: String, store: StateStore,
+                  updateColumnFor: String => Option[String],
+                  tagPrefix: Option[String] = None,
+                  selectLimit: Int = 500): KeysetTailRunner = {
+    val tables = Tables.discover(dir).map { name =>
+      SourceTableConfig(name, tag = Some(name), updateColumn = updateColumnFor(name))
+    }
+    val cfg = InputConfig(tables, tagPrefix = tagPrefix,
+      selectLimit = selectLimit, allTables = true)
+    new KeysetTailRunner(spark, cfg, (s, t) => Tables.table(s, dir, t), store)
+  }
+}

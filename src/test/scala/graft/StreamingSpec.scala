@@ -108,6 +108,19 @@ class RunnerSpec extends SparkSpecBase {
     assert(firstId === 300) // resumed strictly after the persisted boundary
   }
 
+  test("all_tables discovery: tag = table name, unresolvable tables dropped (in_sql.rb:214-230)") {
+    val store = new MemoryStateStore
+    val updFor = Map("events" -> "event_id", "orders" -> "o_orderkey").get _
+    val runner = KeysetTailRunner.discovering(spark, sf0001, store, updFor,
+      tagPrefix = Some("db"), selectLimit = 400)
+    // all 10 parquet tables discovered; only the two resolvable ones survive
+    assert(runner.activeTables.map(_.table).sorted === Seq("events", "orders"))
+    var tags = Set.empty[String]
+    val counts = runner.pollOnce((tag, _) => tags += tag)
+    assert(counts === Map("events" -> 400L, "orders" -> 400L))
+    assert(tags === Set("db.events", "db.orders"))
+  }
+
   test("per-table fault isolation (in_sql.rb:233-243, 272-275)") {
     val store = new MemoryStateStore
     val c = cfg(
