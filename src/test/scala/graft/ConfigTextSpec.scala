@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ConfigText
+
+/** Config-text parity: a fluent-plugin-sql deployment's config (shapes per
+  * the reference README's input/output examples) parses into our model. */
+class ConfigTextSpec extends AnyFunSuite {
+
+  private val inputConf = """
+    |<source>
+    |  @type sql
+    |  host db.local
+    |  database my_db
+    |  tag_prefix my.rdb
+    |  select_interval 75s
+    |  select_limit 800
+    |  state_file /var/run/fluentd/sql_state
+    |  <table>
+    |    table logs_a
+    |    tag logs
+    |    update_column updated_at
+    |    time_column updated_at
+    |  </table>
+    |  <table>
+    |    table views
+    |    update_column id
+    |    primary_key view_id
+    |  </table>
+    |</source>""".stripMargin
+
+  test("input config: tables, tag prefix, interval units, state file") {
+    val cfg = ConfigText.parseInput(inputConf)
+    assert(cfg.tagPrefix === Some("my.rdb"))
+    assert(cfg.selectIntervalSec === 75)
+    assert(cfg.selectLimit === 800)
+    assert(cfg.stateFile === Some("/var/run/fluentd/sql_state"))
+    assert(cfg.tables.map(_.table) === Seq("logs_a", "views"))
+    val t0 = cfg.tables.head
+    assert(t0.tag === Some("logs") && t0.updateColumn === Some("updated_at")
+      && t0.timeColumn === Some("updated_at"))
+    val t1 = cfg.tables(1)
+    assert(t1.tag === None && t1.primaryKey === Some("view_id"))
+    // README-documented tag defaulting: table name when unset
+    assert(t1.resolvedTag(cfg.tagPrefix) === "my.rdb.views")
+  }
+
+  test("all_tables flag (bare key = true)") {
+    val cfg = ConfigText.parseInput("<source>\n  all_tables\n  <table>\n  table t\n  </table>\n</source>")
+    assert(cfg.allTables)
+  }
+
+  private val outputConf = """
+    |<match my.rdb.*>
+    |  @type sql
+    |  remove_tag_prefix my.rdb
+    |  <table>
+    |    table logs_default
+    |    column_mapping timestamp:created_at,id,message
+    |  </table>
+    |  <table logs.money>
+    |    table logs_money
+    |    column_mapping timestamp:created_at,amount
+    |  </table>
+    |  <table logs.{click,view}>
+    |    table logs_traffic
+    |    column_mapping timestamp:created_at,id
+    |  </table>
+    |</match>""".stripMargin
+
+  test("output config: default table, ordered patterned routes, prefix strip") {
+    val cfg = ConfigText.parseOutput(outputConf)
+    assert(cfg.defaultTable.table === "logs_default")
+    assert(cfg.routes.map(_.table) === Seq("logs_money", "logs_traffic"))
+    assert(cfg.removeTagPrefix === Some("my.rdb"))
+    assert(cfg.stripPrefix("my.rdb.logs.click") === "logs.click")
+    assert(cfg.routeFor("logs.money").table === "logs_money")
+    assert(cfg.routeFor("logs.view").table === "logs_traffic")
+    assert(cfg.routeFor("logs.other").table === "logs_default")
+    assert(cfg.defaultTable.mapping.pairs ===
+      Seq(("timestamp", "created_at"), ("id", "id"), ("message", "message")))
+  }
+
+  test("missing default table is a config error (out_sql.rb:183-185)") {
+    intercept[IllegalArgumentException] {
+      ConfigText.parseOutput(
+        "<match x>\n  <table p>\n  table t\n  column_mapping a\n  </table>\n</match>")
+    }
+  }
+
+  test("duration units parse like the reference's :time type") {
+    assert(ConfigText.parseSeconds("500") === 500)
+    assert(ConfigText.parseSeconds("75s") === 75)
+    assert(ConfigText.parseSeconds("2m") === 120)
+    assert(ConfigText.parseSeconds("1h") === 3600)
+  }
+}
