@@ -83,6 +83,49 @@ class JdbcSpec extends SparkSpecBase {
     assert(restTags.intersect(Set("purchase", "error")).isEmpty && restTags.nonEmpty)
   }
 
+  test("config-text to pipeline e2e: parse, tail, route, land") {
+    import graft.core.ConfigText
+    import graft.sources.{KeysetTailRunner, MemoryStateStore}
+    exec("CREATE TABLE ev_sink (id BIGINT, tag VARCHAR(50))")
+    exec("CREATE TABLE other_sink (id BIGINT, tag VARCHAR(50))")
+    val in = ConfigText.parseInput(
+      """<source>
+        |  tag_prefix db
+        |  select_limit 300
+        |  <table>
+        |    table events
+        |    update_column event_id
+        |  </table>
+        |  <table>
+        |    table orders
+        |    update_column o_orderkey
+        |  </table>
+        |</source>""".stripMargin)
+    val out = ConfigText.parseOutput(
+      """<match db.**>
+        |  remove_tag_prefix db
+        |  <table events>
+        |    table ev_sink
+        |    column_mapping event_id:id,tag
+        |  </table>
+        |  <table>
+        |    table other_sink
+        |    column_mapping o_orderkey:id,tag
+        |  </table>
+        |</match>""".stripMargin)
+    val runner = new KeysetTailRunner(spark, in,
+      (s, t) => Tables.table(s, sf0001, t), new MemoryStateStore)
+    val total = runner.drain((tag, df) =>
+      JdbcSink.writeRouted(df.withColumn("tag", lit(tag)), out, url))
+    val ev = spark.read.jdbc(url, "ev_sink", new java.util.Properties())
+    val other = spark.read.jdbc(url, "other_sink", new java.util.Properties())
+    assert(ev.count() === 1000)      // all events, routed by stripped tag
+    assert(other.count() === 1500)   // orders fall through to the default
+    assert(total === 2500)
+    assert(ev.select("tag").distinct().collect().map(_.getString(0)).toSet === Set("events"))
+    assert(ev.agg(countDistinct(col("id"))).collect().head.getLong(0) === 1000)
+  }
+
   test("resilient fallback: bad rows dead-letter, good rows land (out_sql.rb:105-136)") {
     exec("CREATE TABLE strict_t (id BIGINT NOT NULL PRIMARY KEY, msg VARCHAR(5))")
     exec("INSERT INTO strict_t VALUES (3, 'dup')") // row 3 will violate the PK
