@@ -77,6 +77,20 @@ object RelationalQueries {
       ).orderBy("l_returnflag"),
       doc = "approx_count_distinct (HyperLogLog++) per group"),
 
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont). At 100 TB swap for approx_percentile (t-digest) —
+    // same query shape, bounded memory.
+    "q_percentile" -> QueryDef.sql(
+      (s, dir) => Tables.orders(s, dir).groupBy("o_orderstatus").agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+        count(lit(1)).as("n")
+      ).orderBy("o_orderstatus"),
+      """SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      doc = "exact interpolated percentiles per group"),
+
     "q_cube" -> QueryDef.sql(
       (s, dir) => Tables.orders(s, dir)
         .cube(col("o_orderstatus"), col("o_orderpriority"))
