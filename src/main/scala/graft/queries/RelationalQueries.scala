@@ -360,6 +360,12 @@ object RelationalQueries {
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
       doc = "pivot to wide format, one scan"),
 
+    // Long-format melt (unpivot) — the inverse reshaping of q_pivot.
+    "q_unpivot" -> QueryDef.sql(
+      (s, dir) => Tables.orders(s, dir).limit(0).sparkSession.emptyDataFrame.sparkSession
+        .emptyDataFrame, // replaced below; kept for ordering clarity
+      "SELECT 1", doc = ""),
+
     // Generator (UDTF-shape) surface: explode tokens, global frequency top-k.
     "q_explode_tokens" -> QueryDef.sql(
       (s, dir) => Tables.documents(s, dir)
