@@ -238,9 +238,15 @@ object ExtensionQueries {
       doc = "binary payload + typed metadata plumbing"),
 
     "q_multimodal_features" -> QueryDef.rowsOnly(
-      (s, dir) => Multimodal.extractFeatures(
-        Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "text/plain"))
-        .orderBy("asset_id"),
+      (s, dir) => {
+        // scalar feature columns (no arrays): the driver sorts result rows
+        // with pandas, and array cells are unsortable/unhashable there.
+        val feats = Multimodal.extractFeatures(
+          Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "text/plain"))
+        val fCols = (0 until Multimodal.FeatureDim)
+          .map(i => round(col("features")(i), 6).as(s"f$i"))
+        feats.select(col("asset_id") +: col("n_bytes") +: fCols: _*).orderBy("asset_id")
+      },
       doc = "partition-batched decode + feature extraction (stubbed codec)")
   )
 }

@@ -303,8 +303,8 @@ object RelationalQueries {
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
         |sess AS (
-        |  SELECT user_id, t, SUM(is_new) OVER (
-        |    PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  SELECT user_id, t, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY t, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM gaps)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       MIN(t) AS session_start, MAX(t) AS session_end
@@ -361,10 +361,25 @@ object RelationalQueries {
       doc = "pivot to wide format, one scan"),
 
     // Long-format melt (unpivot) — the inverse reshaping of q_pivot.
+    // Spark's native unpivot (Expand under the hood: no shuffle, one scan).
     "q_unpivot" -> QueryDef.sql(
-      (s, dir) => Tables.orders(s, dir).limit(0).sparkSession.emptyDataFrame.sparkSession
-        .emptyDataFrame, // replaced below; kept for ordering clarity
-      "SELECT 1", doc = ""),
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("double").as("custkey"),
+          col("o_totalprice").cast("double").as("totalprice"),
+          length(col("o_orderpriority")).cast("double").as("priority_len"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("custkey"), col("priority_len"), col("totalprice")),
+          "metric", "value")
+        .orderBy("o_orderkey", "metric"),
+      """SELECT o_orderkey, metric, value FROM (
+        |  SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS custkey,
+        |         CAST(o_totalprice AS DOUBLE) AS totalprice,
+        |         CAST(length(o_orderpriority) AS DOUBLE) AS priority_len
+        |  FROM orders)
+        |UNPIVOT (value FOR metric IN (custkey, priority_len, totalprice))
+        |ORDER BY o_orderkey, metric""".stripMargin,
+      doc = "melt to long format via native unpivot (Expand, zero shuffle)"),
 
     // Generator (UDTF-shape) surface: explode tokens, global frequency top-k.
     "q_explode_tokens" -> QueryDef.sql(
