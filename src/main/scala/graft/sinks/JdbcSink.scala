@@ -74,7 +74,13 @@ object JdbcSink {
   }
 
   /** Row-wise resilient append; returns the dead-letter DataFrame
-    * (row rendered as JSON + error message). */
+    * (row rendered as JSON + error message).
+    *
+    * Executes EAGERLY, exactly once: the inserts run inside a single
+    * collect action here, and the returned dead-letter DataFrame is built
+    * from the already-materialized results — re-using or re-computing it
+    * cannot re-run the inserts. Dead letters are by construction a small
+    * failure fraction, so driver materialization is bounded. */
   def resilientAppend(df: DataFrame, url: String, table: String,
                       user: String = "", password: String = "",
                       numRetries: Int = 5, retrySleepMs: Long = 500): DataFrame = {
@@ -88,7 +94,7 @@ object JdbcSink {
 
     val withJson = df.withColumn("__json", to_json(struct(cols.map(col): _*)))
 
-    withJson.mapPartitions { rows =>
+    val deadLetters = withJson.mapPartitions { rows =>
       if (rows.isEmpty) Iterator.empty
       else {
         val conn = DriverManager.getConnection(url,
@@ -130,6 +136,9 @@ object JdbcSink {
         stmt.close(); conn.close()
         (dead ++= out).iterator
       }
-    }(enc)
+    }(enc).collect() // the one and only execution of the inserts
+
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(deadLetters: _*), deadLetterSchema)
   }
 }

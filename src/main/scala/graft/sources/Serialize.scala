@@ -19,13 +19,22 @@ object Serialize {
       case _ => col(name).cast(StringType)
     }
 
+  /** Zone used for driver-side timestamp rendering — must agree with the
+    * Spark-side `date_format` path (which uses the session timezone), or
+    * resume boundaries diverge between driver- and executor-serialized
+    * values at page boundaries. */
+  private def sessionZone: java.time.ZoneId =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(s => java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone")))
+      .getOrElse(java.time.ZoneOffset.UTC)
+
   /** Serialize every column of a local Row (already collected; bounded by
     * select_limit) to the string map persisted in the state store. */
   def rowToStringMap(schema: StructType, row: Row,
                      rubyTimeFormat: String = RubyStrftime.DefaultRubyFormat): Map[String, String] = {
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern(RubyStrftime.toSparkPattern(rubyTimeFormat))
-      .withZone(java.time.ZoneOffset.UTC)
+      .withZone(sessionZone)
     schema.fields.zipWithIndex.flatMap { case (f, i) =>
       if (row.isNullAt(i)) None
       else Some(f.name -> (f.dataType match {

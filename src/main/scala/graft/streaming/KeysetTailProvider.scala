@@ -6,7 +6,6 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
@@ -15,7 +14,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.RubyStrftime
 import graft.sources.{KeysetScan, Serialize}
@@ -130,40 +128,28 @@ final class KeysetMicroBatchStream(schema: StructType, path: String,
         rubyTimeFormat = rubyTimeFormat)
       .filter(!upper) // NOT(upd > endBoundary)  ⇒  upd <= endBoundary
       .collect()
-    Array(KeysetPartition(page.map(externalize)))
+    Array(KeysetPartition(page))
   }
-
-  private def externalize(r: Row): Array[Any] =
-    schema.fields.zipWithIndex.map { case (f, i) =>
-      if (r.isNullAt(i)) null else f.dataType match {
-        case TimestampType => r.getTimestamp(i).toInstant
-          .getEpochSecond * 1000000L + r.getTimestamp(i).getNanos / 1000L
-        case StringType => r.getString(i)
-        case _ => r.get(i)
-      }
-    }
 
   override def createReaderFactory(): PartitionReaderFactory = new KeysetReaderFactory(schema)
 
   override def stop(): Unit = ()
 }
 
-final case class KeysetPartition(rows: Array[Array[Any]]) extends InputPartition
+final case class KeysetPartition(rows: Array[Row]) extends InputPartition
 
+/** External Row → InternalRow via the schema's row encoder — covers every
+  * Catalyst type (Date, Decimal, Binary, arrays, nested structs), not just
+  * the Timestamp/String pair a hand-rolled converter would. */
 final class KeysetReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val rows = partition.asInstanceOf[KeysetPartition].rows
     new PartitionReader[InternalRow] {
+      private val toInternal = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)).createSerializer()
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = {
-        val vals = rows(i).zip(schema.fields).map {
-          case (null, _) => null
-          case (v: String, _) => UTF8String.fromString(v)
-          case (v, _) => v
-        }
-        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
-      }
+      override def get(): InternalRow = toInternal(rows(i)).copy()
       override def close(): Unit = ()
     }
   }

@@ -56,6 +56,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("non-string/timestamp columns (date, decimal, binary, array) survive the tail") {
+    val dir = Files.createTempDirectory("graft_typed").toString
+    spark.sql(
+      """SELECT id,
+        |  DATE'2024-01-01' + make_interval(0,0,0,CAST(id AS INT)) AS d,
+        |  CAST(id AS DECIMAL(10,2)) / 3 AS m,
+        |  encode(CAST(id AS STRING), 'UTF-8') AS payload,
+        |  array(id, id * 2) AS arr
+        |FROM range(0, 50)""".stripMargin)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = spark.readStream
+      .format("graft.streaming.KeysetTailProvider")
+      .option("path", dir)
+      .option("updateColumn", "id")
+      .option("maxRowsPerBatch", "20")
+      .load()
+    val q = out.writeStream.format("memory").queryName("tail_typed")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT count(*) c, count(distinct id) u,
+          |  sum(CAST(decode(payload, 'UTF-8') AS LONG)) pay_sum,
+          |  max(d) dmax, sum(m) msum, sum(arr[1]) arr_sum
+          |FROM tail_typed""".stripMargin).collect().head
+      assert(got.getLong(0) === 50 && got.getLong(1) === 50)
+      assert(got.getLong(2) === (0 until 50).sum)
+      assert(got.getDate(3).toString === "2024-02-19")
+      assert(got.getDecimal(4).compareTo(new java.math.BigDecimal("408.333333")) === 0)
+      assert(got.getLong(5) === (0 until 50).map(_ * 2).sum)
+    } finally q.stop()
+  }
+
   test("checkpoint recovery resumes from the committed offset (at-least-once)") {
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val outDir = Files.createTempDirectory("graft_sink").toString
