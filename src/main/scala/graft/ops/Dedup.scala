@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication for training-data pipelines, at three cost tiers:
   *
@@ -84,26 +85,51 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0, "threshold must be positive")
-    val sh = explodedShinglesWithSize(docs, idCol, textCol, n)
-    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(freq, "s")
+    // The shingle regex pass dominates scan cost and the plan needs it in
+    // several branches (ranking, both verify sides); Spark has no DAG-level
+    // subplan reuse, so materialize the per-doc arrays once. Cardinality ==
+    // the doc table (one array row per doc), so this holds at 100 TB too
+    // (MEMORY_AND_DISK spills; columnar cache).
+    val arrays = shingleArrays(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = arrays.select(col("id"),
+      size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("s"))
+    // global df inline via a window over the join key (same shuffle the
+    // freq-table join would need, without materializing a second branch)
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
     val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
-    val prefix = ranked.filter(col("pos") <= prefixLen).select("id", "s")
+    val prefix = ranked.filter(col("pos") <= prefixLen).select("id", "n_sh", "s")
+    // equi-join on the prefix shingle with the AllPairs length filter riding
+    // on the join: J >= t forces t*|B| <= |A| and t*|A| <= |B|, so
+    // cross-size candidates never form. (A bucket-then-pair formulation
+    // measured 2x slower here: hot prefix shingles make big buckets, and
+    // carrying the bucket array through the pair explode copies it O(df^2).)
     val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
+        col("b.n_sh") * lit(threshold) <= col("a.n_sh"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // verify on the cached arrays: one array_intersect per candidate pair
+    // instead of re-exploding both sides into a pairs x shingles join
+    verifyJaccard(candidates, arrays, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
+    * per-doc distinct-shingle arrays: two equi-joins on doc id plus one
+    * `array_intersect` per pair — linear in candidates, never re-explodes. */
+  private def verifyJaccard(candidates: DataFrame, arrays: DataFrame,
+                            threshold: Double): DataFrame =
     candidates
-      .join(sh.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("s")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("s").as("s2")), Seq("id_b"))
-      .filter(col("s") === col("s2"))
-      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
+      .join(arrays.select(col("id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
+      .join(arrays.select(col("id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard", round(col("n_inter").cast("double")
-        / (col("n_a") + col("n_b") - col("n_inter")), 6))
+        / (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Tier 2c: copied-passage detection via winnowing fingerprints
     * (graft.functions.Winnow — rolling hash + rightmost-window-min). Docs
@@ -117,15 +143,18 @@ object Dedup {
     val fp = docs.select(col(idCol).as("id"),
       explode(array_distinct(graft.functions.Winnow.fingerprints(
         TextOps.normalizedText(col(textCol)), k, w))).as("fp"))
-    // stop-fingerprint removal: a hash present in more than maxDf docs is
-    // boilerplate, not a copied passage — and it is exactly the key whose
-    // self-join fan-out is quadratic. One window over the join key bounds
-    // every fingerprint's contribution to at most maxDf^2 pairs.
-    val rare = fp
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .filter(col("__df") <= maxDf).drop("__df")
-    rare.as("a").join(rare.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // bucket-then-pair: ONE shuffle groups doc ids per fingerprint; pairs
+    // are generated map-side from each bucket. The stop-fingerprint cap
+    // (df > maxDf = boilerplate, and exactly the quadratic-fan-out key)
+    // becomes a free size() filter on the bucket — no df window, no
+    // self-join, and a skewed bucket is bounded at maxDf^2/2 pairs.
+    val buckets = fp.groupBy("fp").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
@@ -149,32 +178,33 @@ object Dedup {
     require(numPerm % rowsPerBand == 0, "numPerm must be divisible by rowsPerBand")
     require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are pruned)")
     val numBands = numPerm / rowsPerBand
-    val sh = explodedShinglesWithSize(docs, idCol, textCol, n)
+    val arrays = shingleArrays(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = arrays.select(col("id"), explode(col("shs")).as("s"))
     val sigs = sh.groupBy("id").agg(minhashAggs(numPerm).head, minhashAggs(numPerm).tail: _*)
-    // one row per (doc, band): bandHash = xxhash64 over the band's signature slice
+    // one row per (doc, band): bandHash = xxhash64 over the band's signature
+    // slice. The signature agg feeds both join sides, so cache the (tiny,
+    // one-row-per-doc-per-band) banded table rather than recompute it.
     val bandCols = (0 until numBands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
     }
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("e"))
       .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
-    val l = banded.as("l"); val r = banded.as("r")
-    val candidates = l.join(r,
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
-    // exact verification of candidates only (precision 1.0). Set sizes ride
-    // along with the shingle join; zero-overlap candidates drop out of the
-    // inner join, which is safe because threshold > 0.
-    candidates
-      .join(sh.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("s")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("s").as("s2")), Seq("id_b"))
-      .filter(col("s") === col("s2")) // collapses into the equi-join condition
-      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
-      .withColumn("jaccard", round(col("n_inter").cast("double")
-        / (col("n_a") + col("n_b") - col("n_inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // bucket-then-pair: one shuffle on (band, bandHash), candidate pairs
+    // generated map-side inside each bucket (no second join side, no
+    // recompute of the signature aggregation)
+    val buckets = banded.groupBy("band", "bh").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val candidates = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    // exact verification of candidates only (precision 1.0): array_intersect
+    // against the cached per-doc arrays. Zero-shingle docs have no bands, so
+    // every candidate id resolves; threshold > 0 keeps semantics identical.
+    verifyJaccard(candidates, arrays, threshold)
   }
 
   /** 64-bit SimHash of the shingle set: bit k is the sign of
@@ -203,11 +233,18 @@ object Dedup {
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ch")))
     val banded = sims.select(col("id"), col("simhash"), explode(array(chunks: _*)).as("e"))
       .select(col("id"), col("simhash"), col("e.chunk").as("chunk"), col("e.ch").as("ch"))
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r, col("l.chunk") === col("r.chunk") && col("l.ch") === col("r.ch") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.simhash").as("sa"), col("r.simhash").as("sb")).distinct()
+    // bucket-then-pair on (chunk, chunkValue): one shuffle of the banded
+    // signatures; each bucket emits its pairs map-side with the simhash
+    // values carried in the bucket structs (no join back for verification)
+    val buckets = banded.groupBy("chunk", "ch")
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("es"))
+      .filter(size(col("es")) >= 2)
+    buckets
+      .select(explode(col("es")).as("a"), col("es"))
+      .select(col("a"), explode(col("es")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb")).distinct()
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -101,10 +101,13 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
       .withColumn("nnorm", norm(col("nv")))
     val withFeatures = c.withColumn("features", array_to_vector(col("nv")))
-    // a coarse quantizer needs rough Voronoi cells, not convergence:
-    // few Lloyd iterations keep the one-time fit cheap at any corpus size
-    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cid").fit(withFeatures)
+    // a coarse quantizer needs rough Voronoi cells, not convergence: few
+    // Lloyd iterations, fit on a bounded deterministic sample (first ids —
+    // synthetic/hashed ids are exchangeable). At any corpus size the fit
+    // cost is O(sample x nList x iters); assignment stays full-corpus.
+    val fitSample = withFeatures.orderBy(col("nid")).limit(4096)
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(3)
+      .setFeaturesCol("features").setPredictionCol("cid").fit(fitSample)
     val assigned = model.transform(withFeatures).drop("features")
     // tiny centroid table: (cid, center as array<double>)
     val spark = corpus.sparkSession
