@@ -15,9 +15,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (executor threads, codegen compiler, parquet footer
-    // reader) so the first timed query doesn't pay one-time JVM costs
+    // reader, regex/codegen paths of the big tables) so the first timed
+    // query doesn't pay one-time JVM costs
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.sources.Tables.table(spark, sfDir, "region").count()
+    graft.sources.Tables.documents(spark, sfDir)
+      .selectExpr("sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))").collect()
+    graft.sources.Tables.embeddings(spark, sfDir)
+      .selectExpr("sum(size(embedding))").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let

@@ -53,7 +53,11 @@ object Dedup {
     * DuckDB oracle hash-matches despite engine-internal double noise. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = explodedShinglesWithSize(docs, idCol, textCol, n)
+    // both self-join sides re-run the shingle regex scan otherwise
+    val arrays = shingleArrays(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = arrays.select(col("id"),
+      size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("s"))
     val a = sh.as("a"); val b = sh.as("b")
     // n_a/n_b ride along with the grouping keys — no join back to a count table
     a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -94,10 +98,12 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = arrays.select(col("id"),
       size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("s"))
-    // global df inline via a window over the join key (same shuffle the
-    // freq-table join would need, without materializing a second branch)
-    val ranked = sh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+    // global document frequency per shingle: map-side partial aggregation
+    // shrinks the shuffle to one row per distinct shingle, and AQE turns the
+    // join back into a broadcast when the vocabulary is small — cheaper than
+    // a window over s, which would shuffle+sort every exploded row
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, "s")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
     val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1

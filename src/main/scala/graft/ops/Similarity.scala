@@ -94,39 +94,78 @@ object Similarity {
     * query at any corpus size; recall rises with nProbe (exact at
     * nProbe = nList).
     */
+  /** Driver-local Lloyd iterations over a small sample: the quantizer fit is
+    * O(sample x nList x iters x dim) scalar work — trivial next to one
+    * distributed pass over the corpus, which is why IVF systems fit on a
+    * sample and broadcast centroids rather than run distributed k-means.
+    * Deterministic: seeded by taking every (sample/nList)-th vector as the
+    * initial centroid; empty clusters keep their previous center. */
+  private[ops] def lloyd(sample: Array[Array[Double]], nList: Int,
+                         iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    val stride = math.max(1, sample.length / nList)
+    var centers = Array.tabulate(nList)(i => sample((i * stride) % sample.length).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nList)(new Array[Double](dim))
+      val counts = new Array[Long](nList)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nList) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centers = Array.tabulate(nList) { c =>
+        if (counts(c) == 0) centers(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centers
+  }
+
+  /** Per-row nearest-centroid id against literal centroid arrays — pure
+    * codegen'd dot products + `least` over (dist2, cid) structs, so the
+    * full-corpus assignment pass stays inside whole-stage codegen. */
+  private def nearestCid(v: Column, centers: Array[Array[Double]]): Column = {
+    val cands = centers.zipWithIndex.map { case (ctr, cid) =>
+      val c = typedLit(ctr)
+      struct((dot(v, v) - lit(2.0) * dot(v, c) + lit(ctr.map(x => x * x).sum)).as("dist2"),
+        lit(cid).as("cid"))
+    }
+    least(cands: _*).getField("cid")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nList: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              nList: Int = 16, nProbe: Int = 4, fitSample: Int = 4096): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
       .withColumn("nnorm", norm(col("nv")))
-    val withFeatures = c.withColumn("features", array_to_vector(col("nv")))
-    // a coarse quantizer needs rough Voronoi cells, not convergence: few
-    // Lloyd iterations, fit on a bounded deterministic sample (first ids —
-    // synthetic/hashed ids are exchangeable). At any corpus size the fit
-    // cost is O(sample x nList x iters); assignment stays full-corpus.
-    val fitSample = withFeatures.orderBy(col("nid")).limit(4096)
-    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(3)
-      .setFeaturesCol("features").setPredictionCol("cid").fit(fitSample)
-    val assigned = model.transform(withFeatures).drop("features")
-    // tiny centroid table: (cid, center as array<double>)
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centers = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cid", "center")
+    // fit: bounded deterministic sample (first ids — synthetic/hashed ids
+    // are exchangeable), Lloyd on the driver, centroids broadcast as
+    // literals. At any corpus size the distributed work is exactly two
+    // codegen'd passes: one to sample-scan, one to assign.
+    val sample = c.orderBy(col("nid")).limit(fitSample)
+      .select(col("nv")).collect().map(_.getSeq[Double](0).toArray)
+    val centers = lloyd(sample, nList, iters = 3)
+    val assigned = c.withColumn("cid", nearestCid(col("nv"), centers))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
       .withColumn("qnorm", norm(col("qv")))
     // probe the nProbe nearest centroids per query (euclidean, matching the
-    // quantizer's metric): |queries| x nList rows — negligible
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("dist2").asc, col("cid").asc)
-    val probes = q.crossJoin(broadcast(centers))
-      .withColumn("dist2",
-        dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("center"))
-          + dot(col("center"), col("center")))
-      .withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= nProbe)
-      .select("qid", "qv", "qnorm", "cid")
+    // quantizer's metric): sort a 16-element literal struct array per query
+    val probeCands = centers.zipWithIndex.map { case (ctr, cid) =>
+      val ctrCol = typedLit(ctr)
+      struct((dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), ctrCol)
+        + lit(ctr.map(x => x * x).sum)).as("dist2"), lit(cid).as("cid"))
+    }
+    val probes = q
+      .withColumn("pc", slice(sort_array(array(probeCands: _*)), 1, nProbe))
+      .select(col("qid"), col("qv"), col("qnorm"), explode(col("pc")).as("p"))
+      .select(col("qid"), col("qv"), col("qnorm"), col("p.cid").as("cid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("nid") =!= col("qid"))
