@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Map[String, QueryDef] =
-    PipelineQueries.defs ++ RelationalQueries.defs ++ ExtensionQueries.defs
+    PipelineQueries.defs ++ RelationalQueries.defs ++ ExtensionQueries.defs ++
+      AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

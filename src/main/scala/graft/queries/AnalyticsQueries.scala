@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Exact.{dec, decSum, moneySum}
+import graft.ops.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Second-wave analytics coverage: grouping sets, analytic window functions,
+  * exact moment statistics, deterministic arg-min/max, conditional
+  * aggregates, string/date scalar suites, hash-bucket sampling, TF-IDF and
+  * z-score pipelines, and a portable-hash MinHash whose DuckDB oracle
+  * reproduces the approximate algorithm bit-for-bit.
+  *
+  * Determinism conventions follow FIXTURES.md: decimal sums for anything
+  * float-aggregated, struct-ordering tiebreaks for arg-extremes, ORDER BY on
+  * a unique key, identical expression shape (same IEEE op order) on both
+  * engines when double math is unavoidable.
+  */
+object AnalyticsQueries {
+
+  // DuckDB shingle fragment shared with ExtensionQueries' Jaccard oracles.
+  private val ShingleSqlFragment =
+    """SELECT doc_id AS id,
+      |  unnest(list_distinct([toks[i]||'_'||toks[i+1]||'_'||toks[i+2] for i in range(1, len(toks)-1)])) AS s
+      |FROM (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks FROM documents)""".stripMargin
+
+  private def minhashPortableOracle(numPerm: Int, rowsPerBand: Int, threshold: Double): String = {
+    val (as, bs) = Dedup.permConsts(numPerm)
+    val aList = as.mkString("[", ",", "]")
+    val bList = bs.mkString("[", ",", "]")
+    s"""WITH sh AS ($ShingleSqlFragment),
+       |h AS (SELECT id, s, ('0x'||substr(md5(s),1,7))::BIGINT AS h FROM sh),
+       |m AS (SELECT id, CAST(p AS INTEGER) AS p,
+       |        MIN(($aList[CAST(p AS INTEGER)+1]*h + $bList[CAST(p AS INTEGER)+1]) % ${Dedup.MinhashPrime}) AS mh
+       |      FROM h CROSS JOIN range($numPerm) r(p) GROUP BY id, p),
+       |b AS (SELECT id, p//$rowsPerBand AS band, string_agg(mh::VARCHAR, ',' ORDER BY p) AS bk
+       |      FROM m GROUP BY id, p//$rowsPerBand),
+       |cand AS (SELECT DISTINCT l.id AS id_a, r2.id AS id_b
+       |         FROM b l JOIN b r2 ON l.band = r2.band AND l.bk = r2.bk AND l.id < r2.id),
+       |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+       |inter AS (SELECT id_a, id_b, COUNT(*) AS n_inter
+       |          FROM cand JOIN sh sa ON sa.id = cand.id_a
+       |                    JOIN sh sb ON sb.id = cand.id_b AND sb.s = sa.s
+       |          GROUP BY id_a, id_b),
+       |j AS (SELECT id_a, id_b,
+       |        ROUND(CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+       |      FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------ multi-level grouping
+    "q_grouping_sets" -> QueryDef.sql(
+      (s, dir) => Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .select(col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("revenue"), col("n_orders"))
+        .orderBy("gid", "status", "priority"),
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COALESCE(o_orderstatus,'ALL') AS status,
+        |  COALESCE(o_orderpriority,'ALL') AS priority,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))),2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY gid, status, priority""".stripMargin,
+      doc = "explicit grouping sets with grouping_id disambiguation"),
+
+    // -------------------------------------------- analytic window functions
+    "q_window_lag_lead" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.orders(s, dir)
+          .filter(col("o_custkey") <= 200)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            ntile(4).over(w).as("quartile"),
+            first_value(col("o_orderkey")).over(w).as("first_key"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+      doc = "lag/lead/ntile/first_value over a per-customer ordered window"),
+
+    // ------------------------------------------- exact moment statistics
+    // stddev/corr from exact decimal power sums cast to double at the end:
+    // the expression shape (and so IEEE op order) is identical on both
+    // engines, and rounding margins dwarf the <=1e-12 conversion noise.
+    "q_stats_agg" -> QueryDef.sql(
+      (s, dir) => {
+        val base = Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sx"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sxx"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("syy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast("double").as("sxy"))
+        base.select(col("l_returnflag"),
+            col("n").cast("long").as("n_rows"),
+            round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
+              .as("qty_std"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+                * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("qty_price_corr"))
+          .orderBy("l_returnflag")
+      },
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  ROUND(sqrt((sxx - sx*sx/n)/(n - 1)), 4) AS qty_std,
+        |  ROUND((n*sxy - sx*sy)/(sqrt(n*sxx - sx*sx)*sqrt(n*syy - sy*sy)), 6) AS qty_price_corr
+        |FROM base ORDER BY l_returnflag""".stripMargin,
+      doc = "stddev + correlation from order-independent decimal power sums"),
+
+    // --------------------------------------- deterministic arg-min/arg-max
+    "q_min_max_by" -> QueryDef.sql(
+      (s, dir) => Tables.orders(s, dir).groupBy("o_orderstatus").agg(
+          max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+            .getField("k").as("max_price_key"),
+          min(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+            .getField("k").as("min_price_key"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus,
+        |  max({'p': o_totalprice, 'k': o_orderkey}).k AS max_price_key,
+        |  min({'p': o_totalprice, 'k': o_orderkey}).k AS min_price_key,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      doc = "arg-extreme via struct ordering (deterministic under value ties)"),
+
+    // ------------------------------------------------ conditional aggregates
+    "q_cond_agg" -> QueryDef.sql(
+      (s, dir) => Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+          decSum(when(col("l_discount") > 0.05, dec(col("l_extendedprice")))
+            .otherwise(lit(null))).as("discounted_revenue"),
+          count(when(col("l_tax") === 0, 1)).as("n_taxfree"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05),2) AS DOUBLE) AS discounted_revenue,
+        |  COUNT(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      doc = "FILTER-style conditional aggregates (count/sum under predicates)"),
+
+    // --------------------------------------------------- scalar suites
+    "q_string_funcs" -> QueryDef.sql(
+      (s, dir) => Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_translated"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          instr(col("c_name"), "#").cast("long").as("hash_pos"),
+          levenshtein(col("c_mktsegment"), lit("MACHINERY")).as("seg_lev"),
+          reverse(col("c_mktsegment")).as("seg_rev"))
+        .orderBy("c_custkey"),
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        |  levenshtein(c_mktsegment, 'MACHINERY') AS seg_lev,
+        |  reverse(c_mktsegment) AS seg_rev
+        |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin,
+      doc = "string scalar suite incl. edit distance"),
+
+    "q_date_arith" -> QueryDef.sql(
+      (s, dir) => {
+        val d = to_date(col("o_orderdate"))
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"),
+            // dates go out as timestamps: Spark-written parquet DATE reads
+            // back as python objects in the driver's pandas compare
+            d.cast("timestamp").as("order_date"),
+            date_add(d, 30).cast("timestamp").as("due_date"),
+            last_day(d).cast("timestamp").as("month_end"),
+            datediff(lit("2026-01-01").cast("date"), d).cast("long").as("days_to_2026"),
+            ((lit(2026) - year(d)) * 12 + (lit(1) - month(d))).cast("long").as("months_to_2026"),
+            dayofweek(d).cast("long").as("dow"),
+            quarter(d).cast("long").as("qtr"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS BIGINT) AS days_to_2026,
+        |  CAST((2026 - year(o_orderdate))*12 + (1 - month(o_orderdate)) AS BIGINT) AS months_to_2026,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+      doc = "date arithmetic suite (offsets, boundaries, calendar fields)"),
+
+    "q_regex_extract" -> QueryDef.sql(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([0-9]+)", 1).as("first_number"),
+          regexp_extract(col("text"), "\\b([A-Z][a-z]+)\\b", 1).as("first_capitalized"),
+          size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))).cast("long")
+            .as("n_sentence_marks"))
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  regexp_extract(text, '([0-9]+)', 1) AS first_number,
+        |  regexp_extract(text, '\b([A-Z][a-z]+)\b', 1) AS first_capitalized,
+        |  CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentence_marks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      doc = "regex extraction and occurrence counting over documents"),
+
+    // --------------------------------------- deterministic hash sampling
+    // Train/test-split shape: a content-addressed bucket from md5 makes the
+    // sample reproducible across engines, runs, and cluster sizes (unlike
+    // rand()/TABLESAMPLE) — the property a 100 TB pipeline needs to keep
+    // splits stable under re-partitioning.
+    "q_sample_hash" -> QueryDef.sql(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("bucket",
+          conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 10)
+        .filter(col("bucket") === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id"),
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |WHERE ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,4))::BIGINT % 10 = 0
+        |ORDER BY event_id""".stripMargin,
+      doc = "content-hash bucket sampling (stable 10% split at any scale)"),
+
+    // --------------------------------------------------- text pipelines
+    "q_tf_idf" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = docs.filter(col("doc_id") < 50)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        // document frequency over the SAMPLE population (doc_id < 50) keeps
+        // the query self-contained; idf is ln-smoothed
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(df, "term")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score",
+            round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rn"))
+          .orderBy("doc_id", "rn")
+      },
+      """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term
+        |       FROM documents WHERE doc_id < 50),
+        |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id, tfc.term, tf,
+        |    ROUND(tf * ln(CAST(n_docs + 1 AS DOUBLE)/(df + 1)), 6) AS score
+        |  FROM tfc JOIN df ON df.term = tfc.term CROSS JOIN n),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+        |           FROM scored)
+        |SELECT doc_id, term, tf, score, rn FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+      doc = "TF-IDF top terms per document (explode -> tf -> df -> rank)"),
+
+    "q_zscore" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val stats = ev.groupBy("event_type").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(dec(col("value"), 12, 6)).cast("double").as("s1"),
+          sum(dec(col("value"), 12, 6) * dec(col("value"), 12, 6)).cast("double").as("s2"))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z", round(
+            (col("value") - col("s1") / col("n"))
+              / sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 4))
+          .filter(abs(col("z")) >= 2.0)
+          .select(col("event_id"), col("event_type"), col("value"), col("z"))
+          .orderBy("event_id")
+      },
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,6)) * CAST(value AS DECIMAL(12,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, events.event_type, value,
+        |  ROUND((value - s1/n) / sqrt((s2 - s1*s1/n)/(n - 1)), 4) AS z
+        |FROM events JOIN stats ON stats.event_type = events.event_type
+        |WHERE abs(ROUND((value - s1/n) / sqrt((s2 - s1*s1/n)/(n - 1)), 4)) >= 2.0
+        |ORDER BY event_id""".stripMargin,
+      doc = "per-type z-score outliers from exact decimal power sums"),
+
+    // ----------------------------------- portable-hash MinHash (full oracle)
+    "q_dedup_minhash_portable" -> QueryDef.sql(
+      (s, dir) => Dedup.minhashNearDupPairsPortable(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, numPerm = 32, rowsPerBand = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      minhashPortableOracle(numPerm = 32, rowsPerBand = 2, threshold = 0.5),
+      doc = "MinHash-LSH with an md5/universal-hash family both engines " +
+        "compute bit-for-bit: the approximate tier, fully oracle-checked")
+  )
+}

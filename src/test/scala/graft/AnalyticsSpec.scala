@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+import graft.queries.AnalyticsQueries
+import graft.sources.Tables
+
+class AnalyticsSpec extends SparkSpecBase {
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  test("portable-hash MinHash recalls the exact pairs with precision 1.0") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text", 3, 32, 2, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))          // exact post-verification
+    assert(got === exact, s"missed: ${exact -- got}")
+  }
+
+  test("portable MinHash permutation constants are deterministic and bounded") {
+    val (a1, b1) = Dedup.permConsts(32)
+    val (a2, _) = Dedup.permConsts(32)
+    assert(a1.toSeq === a2.toSeq)
+    assert(a1.forall(x => x > 0 && x < (1L << 30)) && b1.forall(x => x >= 0 && x < (1L << 30)))
+    assert(a1.forall(_ % 2 == 1)) // odd multipliers
+  }
+
+  test("hash-bucket sampling is partitioning-invariant") {
+    val q = AnalyticsQueries.defs("q_sample_hash").fn
+    val base = q(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    val events = Tables.events(spark, sf0001).repartition(13)
+    val resampled = events
+      .withColumn("bucket",
+        conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10).cast("long") % 10)
+      .filter(col("bucket") === 0).select("event_id")
+      .orderBy("event_id").collect().map(_.getLong(0)).toSeq
+    assert(base === resampled)
+    assert(base.nonEmpty && base.size < Tables.events(spark, sf0001).count())
+  }
+
+  test("moment statistics are sane: std > 0, corr within [-1, 1]") {
+    val rows = AnalyticsQueries.defs("q_stats_agg").fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("qty_std") > 0)
+      val c = r.getAs[Double]("qty_price_corr")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
+  test("grouping sets emit exactly the three declared levels") {
+    val gids = AnalyticsQueries.defs("q_grouping_sets").fn(spark, sf0001)
+      .select("gid").distinct().collect().map(_.getLong(0)).toSet
+    assert(gids === Set(0L, 1L, 3L)) // (s,p) / (s) / ()
+  }
+
+  test("tf-idf ranks at most 3 terms per doc, deterministically") {
+    val df = AnalyticsQueries.defs("q_tf_idf").fn(spark, sf0001)
+    val perDoc = df.groupBy("doc_id").count().collect()
+    assert(perDoc.forall(_.getLong(1) <= 3))
+    val r1 = df.collect().toSeq
+    val r2 = AnalyticsQueries.defs("q_tf_idf").fn(spark, sf0001).collect().toSeq
+    assert(r1 === r2)
+  }
+}
