@@ -321,6 +321,30 @@ object AnalyticsQueries {
         |ORDER BY event_id""".stripMargin,
       doc = "per-type z-score outliers from exact decimal power sums"),
 
+    // ------------------------------------------- embedding aggregation
+    // Per-label centroid of the embedding column — the standard "class
+    // prototype" reduction. Output is one row per (label, dimension) so the
+    // driver's pandas compare never sees an array cell; sums are exact
+    // decimals (order-independent), division happens once in double.
+    "q_emb_centroid" -> QueryDef.sql(
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(sum(dec(col("v"), 20, 10)).cast("double") / count(lit(1)), 6).as("c"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label").cast("long").as("label"), col("pos").cast("long").as("pos"),
+          col("c"), col("n_vecs"))
+        .orderBy("label", "pos"),
+      """SELECT CAST(label AS BIGINT) AS label, CAST(p AS BIGINT) AS pos,
+        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c,
+        |  COUNT(*) AS n_vecs
+        |FROM (SELECT label, CAST(p AS INTEGER) AS p,
+        |        CAST(embedding AS DOUBLE[])[CAST(p AS INTEGER)+1] AS v
+        |      FROM embeddings CROSS JOIN range(64) r(p))
+        |GROUP BY label, p ORDER BY label, pos""".stripMargin,
+      doc = "per-label embedding centroids from exact decimal dimension sums"),
+
     // ----------------------------------- portable-hash MinHash (full oracle)
     "q_dedup_minhash_portable" -> QueryDef.sql(
       (s, dir) => Dedup.minhashNearDupPairsPortable(Tables.documents(s, dir),
