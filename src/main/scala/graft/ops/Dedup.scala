@@ -86,6 +86,17 @@ object Dedup {
     * and joining only on each doc's rarest handful. All stages are
     * shuffle-on-key; the frequency table is a broadcastable agg.
     */
+  /** Per-doc distinct shingles as 64-bit hashes: (id, hs). Hashing once in
+    * the cached arrays makes every downstream join key and set-intersect a
+    * primitive long instead of a ~20-byte string; a cross-shingle collision
+    * (p ~ |vocab|^2 / 2^64) is the only way this diverges from the
+    * string-exact computation. The `transform` lambda body is a bare
+    * xxhash64 of the element — nothing non-trivial re-evaluates per call
+    * (the CodegenFallback trap is embedded subexpressions, not this). */
+  private def hashedShingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    docs.select(col(idCol).as("id"),
+      transform(TextOps.shingles(col(textCol), n), s => xxhash64(s)).as("hs"))
+
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0, "threshold must be positive")
@@ -94,33 +105,41 @@ object Dedup {
     // subplan reuse, so materialize the per-doc arrays once. Cardinality ==
     // the doc table (one array row per doc), so this holds at 100 TB too
     // (MEMORY_AND_DISK spills; columnar cache).
-    val arrays = shingleArrays(docs, idCol, textCol, n)
+    val arrays = hashedShingleArrays(docs, idCol, textCol, n)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = arrays.select(col("id"),
-      size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("s"))
+      size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("h"))
     // global document frequency per shingle: map-side partial aggregation
     // shrinks the shuffle to one row per distinct shingle, and AQE turns the
     // join back into a broadcast when the vocabulary is small — cheaper than
-    // a window over s, which would shuffle+sort every exploded row
-    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(freq, "s")
+    // a window over the shingle, which would shuffle+sort every exploded row
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, "h")
       .withColumn("pos", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)))
     val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
-    val prefix = ranked.filter(col("pos") <= prefixLen).select("id", "n_sh", "s")
-    // equi-join on the prefix shingle with the AllPairs length filter riding
-    // on the join: J >= t forces t*|B| <= |A| and t*|A| <= |B|, so
-    // cross-size candidates never form. (A bucket-then-pair formulation
-    // measured 2x slower here: hot prefix shingles make big buckets, and
-    // carrying the bucket array through the pair explode copies it O(df^2).)
+    val prefix = ranked.filter(col("pos") <= prefixLen)
+      .select("id", "n_sh", "pos", "h")
+    // equi-join on the prefix shingle with the AllPairs length filter and
+    // the PPJoin positional filter riding on the join:
+    //  - length: J >= t forces t*|B| <= |A| and t*|A| <= |B|;
+    //  - positional: overlap needed is ceil(t/(1+t)*(|A|+|B|)), and a match
+    //    at sorted positions (i, j) caps achievable overlap at
+    //    1 + min(|A|-i, |B|-j). The first common prefix shingle of a truly
+    //    qualifying pair always passes, so the pruning is lossless.
+    // (A bucket-then-pair formulation measured 2x slower here: hot prefix
+    // shingles make big buckets, and carrying the bucket array through the
+    // pair explode copies it O(df^2).)
     val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
         col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
-        col("b.n_sh") * lit(threshold) <= col("a.n_sh"))
+        col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
+        lit(1) + least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos"))
+          >= ceil(lit(threshold / (1 + threshold)) * (col("a.n_sh") + col("b.n_sh"))))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // verify on the cached arrays: one array_intersect per candidate pair
     // instead of re-exploding both sides into a pairs x shingles join
-    verifyJaccard(candidates, arrays, threshold)
+    verifyJaccardHashed(candidates, arrays, threshold)
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
@@ -134,6 +153,19 @@ object Dedup {
       .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard", round(col("n_inter").cast("double")
         / (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Same as verifyJaccard but over hashed-shingle arrays (array<bigint>
+    * intersect takes the primitive fast path). */
+  private def verifyJaccardHashed(candidates: DataFrame, arrays: DataFrame,
+                                  threshold: Double): DataFrame =
+    candidates
+      .join(arrays.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(arrays.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", round(col("n_inter").cast("double")
+        / (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 

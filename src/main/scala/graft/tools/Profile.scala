@@ -35,30 +35,31 @@ object Profile {
     def noop(df: DataFrame): Long = { df.write.format("noop").mode("overwrite").save(); df.count() }
 
     val arrays = docs.select(col("doc_id").as("id"), TextOps.shingles(col("text"), n).as("shs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = arrays.select(col("id"), size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("s"))
 
-    time("docs scan")(noop(docs))
-    time("shingle arrays")(noop(arrays))
-    time("exploded shingles")(noop(sh))
+    time("arrays (cache load)")(noop(arrays))
+    time("exploded from cache")(noop(sh))
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     time("freq")(noop(freq))
     val ranked = sh.join(freq, "s")
       .withColumn("pos", row_number().over(Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
     time("ranked (join+window)")(noop(ranked))
     val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
-    val prefix = ranked.filter(col("pos") <= prefixLen).select("id", "s")
+    val prefix = ranked.filter(col("pos") <= prefixLen).select("id", "n_sh", "s")
     time("prefix")(noop(prefix))
     val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
+        col("b.n_sh") * lit(threshold) <= col("a.n_sh"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     time("candidates")(noop(candidates))
     val verified = candidates
-      .join(sh.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("s")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("s").as("s2")), Seq("id_b"))
-      .filter(col("s") === col("s2"))
-      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_inter"))
+      .join(arrays.select(col("id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
+      .join(arrays.select(col("id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard", round(col("n_inter").cast("double")
-        / (col("n_a") + col("n_b") - col("n_inter")), 6))
+        / (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
     time("verify (end-to-end)")(noop(verified))
 
