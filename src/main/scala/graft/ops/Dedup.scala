@@ -31,6 +31,27 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Per-(input, n) persisted shingle-array cache. Four dedup ops persist the
+    * per-doc array scan; without reuse, repeated calls in a long-lived
+    * session would each register a fresh cache entry and accumulate
+    * block-manager storage until LRU pressure. Keyed by the analyzed plan's
+    * semantic hash, so the same (docs, n) within a session shares ONE cached
+    * instance — bounded by the number of distinct inputs, not call count. */
+  private val arrayCache =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, Int, String, Int, Boolean), DataFrame]
+
+  private def cachedPersist(docs: DataFrame, key: String, n: Int, hashed: Boolean)
+                           (build: => DataFrame): DataFrame = arrayCache.synchronized {
+    val k = (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), key, n, hashed)
+    arrayCache.getOrElseUpdate(k, build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Drop every cached shingle array (callers own cleanup in long sessions). */
+  def clearCaches(): Unit = arrayCache.synchronized {
+    arrayCache.values.foreach(_.unpersist(blocking = false))
+    arrayCache.clear()
+  }
+
   /** Per-doc distinct shingle array: (id, shs). */
   private def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs.select(col(idCol).as("id"),
@@ -54,8 +75,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // both self-join sides re-run the shingle regex scan otherwise
-    val arrays = shingleArrays(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val arrays = cachedPersist(docs, idCol + ":" + textCol, n, hashed = false)(
+      shingleArrays(docs, idCol, textCol, n))
     val sh = arrays.select(col("id"),
       size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("s"))
     val a = sh.as("a"); val b = sh.as("b")
@@ -105,8 +126,8 @@ object Dedup {
     // subplan reuse, so materialize the per-doc arrays once. Cardinality ==
     // the doc table (one array row per doc), so this holds at 100 TB too
     // (MEMORY_AND_DISK spills; columnar cache).
-    val arrays = hashedShingleArrays(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val arrays = cachedPersist(docs, idCol + ":" + textCol, n, hashed = true)(
+      hashedShingleArrays(docs, idCol, textCol, n))
     val sh = arrays.select(col("id"),
       size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("h"))
     // global document frequency per shingle: map-side partial aggregation
@@ -117,7 +138,8 @@ object Dedup {
     val ranked = sh.join(freq, "h")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)))
-    val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
+    // decimal t*|S| keeps ceil exact when the product is an integer
+    val prefixLen = col("n_sh") - ceil(lit(BigDecimal(threshold.toString)) * col("n_sh")) + 1
     val prefix = ranked.filter(col("pos") <= prefixLen)
       .select("id", "n_sh", "pos", "h")
     // equi-join on the prefix shingle with the AllPairs length filter and
@@ -130,12 +152,17 @@ object Dedup {
     // (A bucket-then-pair formulation measured 2x slower here: hot prefix
     // shingles make big buckets, and carrying the bucket array through the
     // pair explode copies it O(df^2).)
+    // all threshold comparisons in EXACT decimal (the double ratio
+    // t/(1+t) rounded up under ceil() could prune a borderline qualifying
+    // pair, e.g. t=0.2 with t/(1+t)*(|A|+|B|) an exact integer):
+    // overlap bound o >= ceil(t/(1+t)*(nA+nB))  ⇔  o*(1+t) >= t*(nA+nB)
+    val t = lit(BigDecimal(threshold.toString))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-        col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
-        col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
-        lit(1) + least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos"))
-          >= ceil(lit(threshold / (1 + threshold)) * (col("a.n_sh") + col("b.n_sh"))))
+        col("a.n_sh") * t <= col("b.n_sh") &&
+        col("b.n_sh") * t <= col("a.n_sh") &&
+        (lit(1) + least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")))
+          * (lit(1) + t) >= t * (col("a.n_sh") + col("b.n_sh")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // verify on the cached arrays: one array_intersect per candidate pair
     // instead of re-exploding both sides into a pairs x shingles join
@@ -212,12 +239,12 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, numPerm: Int = 64, rowsPerBand: Int = 2,
-                          threshold: Double = 0.5): DataFrame = {
+                          threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     require(numPerm % rowsPerBand == 0, "numPerm must be divisible by rowsPerBand")
     require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are pruned)")
     val numBands = numPerm / rowsPerBand
-    val arrays = shingleArrays(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val arrays = cachedPersist(docs, idCol + ":" + textCol, n, hashed = false)(
+      shingleArrays(docs, idCol, textCol, n))
     val sh = arrays.select(col("id"), explode(col("shs")).as("s"))
     val sigs = sh.groupBy("id").agg(minhashAggs(numPerm).head, minhashAggs(numPerm).tail: _*)
     // one row per (doc, band): bandHash = xxhash64 over the band's signature
@@ -231,9 +258,13 @@ object Dedup {
       .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
     // bucket-then-pair: one shuffle on (band, bandHash), candidate pairs
     // generated map-side inside each bucket (no second join side, no
-    // recompute of the signature aggregation)
+    // recompute of the signature aggregation). The maxBucket cap bounds a
+    // duplicate-heavy bucket (the hot-key quadratic: m copies → one
+    // m-element aggregation buffer → m²/2 pairs in one task) exactly like
+    // winnowOverlapPairs.maxDf; exact copies a dropped mega-bucket would
+    // have paired are already caught by tier-1 exact dedup.
     val buckets = banded.groupBy("band", "bh").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")).between(2, maxBucket))
     val candidates = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -272,13 +303,13 @@ object Dedup {
     * verified pairs, checked end-to-end by the driver's hash compare. */
   def minhashNearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
                                   n: Int = 3, numPerm: Int = 32, rowsPerBand: Int = 2,
-                                  threshold: Double = 0.5): DataFrame = {
+                                  threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     require(numPerm % rowsPerBand == 0, "numPerm must be divisible by rowsPerBand")
     require(threshold > 0.0, "threshold must be positive")
     val (as, bs) = permConsts(numPerm)
     val numBands = numPerm / rowsPerBand
-    val arrays = shingleArrays(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val arrays = cachedPersist(docs, idCol + ":" + textCol, n, hashed = false)(
+      shingleArrays(docs, idCol, textCol, n))
     val sh = arrays.select(col("id"), explode(col("shs")).as("s"))
       .withColumn("h", conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long"))
     val aggs = (0 until numPerm).map(p =>
@@ -290,8 +321,9 @@ object Dedup {
     }
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("e"))
       .select(col("id"), col("e.band").as("band"), col("e.bk").as("bk"))
+    // same hot-bucket cap as minhashNearDupPairs (mirrored in the oracle SQL)
     val buckets = banded.groupBy("band", "bk").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
+      .filter(size(col("ids")).between(2, maxBucket))
     val candidates = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -319,7 +351,7 @@ object Dedup {
     * 16-bit chunks (pigeonhole: hamming <= 3 pairs share at least one exact
     * chunk), equi-join per chunk, verify true hamming distance. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int = 3, maxHamming: Int = 3): DataFrame = {
+                          n: Int = 3, maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     val sims = simhash64(docs, idCol, textCol, n)
     val chunks = (0 until 4).map(c =>
       struct(lit(c).as("chunk"),
@@ -329,9 +361,11 @@ object Dedup {
     // bucket-then-pair on (chunk, chunkValue): one shuffle of the banded
     // signatures; each bucket emits its pairs map-side with the simhash
     // values carried in the bucket structs (no join back for verification)
+    // hot-bucket cap: a duplicate-heavy chunk value would otherwise build an
+    // m-element buffer and m²/2 map-side pairs in one task
     val buckets = banded.groupBy("chunk", "ch")
       .agg(collect_list(struct(col("id"), col("simhash"))).as("es"))
-      .filter(size(col("es")) >= 2)
+      .filter(size(col("es")).between(2, maxBucket))
     buckets
       .select(explode(col("es")).as("a"), col("es"))
       .select(col("a"), explode(col("es")).as("b"))

@@ -102,6 +102,7 @@ object Similarity {
     * initial centroid; empty clusters keep their previous center. */
   private[ops] def lloyd(sample: Array[Array[Double]], nList: Int,
                          iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "lloyd: empty sample (caller must fall back)")
     val dim = sample.head.length
     val stride = math.max(1, sample.length / nList)
     var centers = Array.tabulate(nList)(i => sample((i * stride) % sample.length).clone())
@@ -145,12 +146,16 @@ object Similarity {
               nList: Int = 16, nProbe: Int = 4, fitSample: Int = 4096): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
       .withColumn("nnorm", norm(col("nv")))
-    // fit: bounded deterministic sample (first ids — synthetic/hashed ids
-    // are exchangeable), Lloyd on the driver, centroids broadcast as
-    // literals. At any corpus size the distributed work is exactly two
-    // codegen'd passes: one to sample-scan, one to assign.
-    val sample = c.orderBy(col("nid")).limit(fitSample)
+    // fit: bounded deterministic sample — ordered by a HASH of the id, not
+    // the raw id, so the sample stays uniform even when ids correlate with
+    // content (ties broken by id for full determinism). Lloyd on the driver,
+    // centroids broadcast as literals. At any corpus size the distributed
+    // work is exactly two codegen'd passes: one to sample-scan, one to
+    // assign. An empty/undersized corpus falls back to exact brute force
+    // (quantizing fewer vectors than centroids is meaningless).
+    val sample = c.orderBy(xxhash64(col("nid")), col("nid")).limit(fitSample)
       .select(col("nv")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.length < nList) return bruteForceTopK(corpus, queries, k)
     val centers = lloyd(sample, nList, iters = 3)
     val assigned = c.withColumn("cid", nearestCid(col("nv"), centers))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))

@@ -26,7 +26,8 @@ object AnalyticsQueries {
       |  unnest(list_distinct([toks[i]||'_'||toks[i+1]||'_'||toks[i+2] for i in range(1, len(toks)-1)])) AS s
       |FROM (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks FROM documents)""".stripMargin
 
-  private def minhashPortableOracle(numPerm: Int, rowsPerBand: Int, threshold: Double): String = {
+  private def minhashPortableOracle(numPerm: Int, rowsPerBand: Int, threshold: Double,
+                                    maxBucket: Int): String = {
     val (as, bs) = Dedup.permConsts(numPerm)
     val aList = as.mkString("[", ",", "]")
     val bList = bs.mkString("[", ",", "]")
@@ -37,8 +38,11 @@ object AnalyticsQueries {
        |      FROM h CROSS JOIN range($numPerm) r(p) GROUP BY id, p),
        |b AS (SELECT id, p//$rowsPerBand AS band, string_agg(mh::VARCHAR, ',' ORDER BY p) AS bk
        |      FROM m GROUP BY id, p//$rowsPerBand),
+       |bsz AS (SELECT band, bk FROM b GROUP BY band, bk
+       |        HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
        |cand AS (SELECT DISTINCT l.id AS id_a, r2.id AS id_b
-       |         FROM b l JOIN b r2 ON l.band = r2.band AND l.bk = r2.bk AND l.id < r2.id),
+       |         FROM b l JOIN b r2 ON l.band = r2.band AND l.bk = r2.bk AND l.id < r2.id
+       |         JOIN bsz ON bsz.band = l.band AND bsz.bk = l.bk),
        |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
        |inter AS (SELECT id_a, id_b, COUNT(*) AS n_inter
        |          FROM cand JOIN sh sa ON sa.id = cand.id_a
@@ -339,9 +343,9 @@ object AnalyticsQueries {
       """SELECT CAST(label AS BIGINT) AS label, CAST(p AS BIGINT) AS pos,
         |  ROUND(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS c,
         |  COUNT(*) AS n_vecs
-        |FROM (SELECT label, CAST(p AS INTEGER) AS p,
-        |        CAST(embedding AS DOUBLE[])[CAST(p AS INTEGER)+1] AS v
-        |      FROM embeddings CROSS JOIN range(64) r(p))
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS p,
+        |        unnest(CAST(embedding AS DOUBLE[])) AS v
+        |      FROM embeddings)
         |GROUP BY label, p ORDER BY label, pos""".stripMargin,
       doc = "per-label embedding centroids from exact decimal dimension sums"),
 
@@ -350,7 +354,7 @@ object AnalyticsQueries {
       (s, dir) => Dedup.minhashNearDupPairsPortable(Tables.documents(s, dir),
         "doc_id", "text", n = 3, numPerm = 32, rowsPerBand = 2, threshold = 0.5)
         .orderBy("id_a", "id_b"),
-      minhashPortableOracle(numPerm = 32, rowsPerBand = 2, threshold = 0.5),
+      minhashPortableOracle(numPerm = 32, rowsPerBand = 2, threshold = 0.5, maxBucket = 64),
       doc = "MinHash-LSH with an md5/universal-hash family both engines " +
         "compute bit-for-bit: the approximate tier, fully oracle-checked")
   )

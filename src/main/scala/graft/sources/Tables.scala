@@ -27,7 +27,12 @@ object Tables {
     * `CAST(ts AS TIMESTAMP)` performs, keeping both engines bit-identical. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Sessions we build (Verify/Bench/specs) set this at construction;
+      // this guarded set is a safety net for externally-built sessions
+      // (e.g. the driver's smoke check) and is a no-op on ours — parquet
+      // has no per-read option for it (SQLConf-only, schema-converter level).
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
       spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {
