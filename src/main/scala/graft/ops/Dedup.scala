@@ -376,4 +376,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Tier 3b': portable-hash SimHash — identical banding/verify geometry to
+    * `simhashNearDupPairs`, but the 64 per-shingle bits come from md5 (two
+    * 32-bit halves of the hex digest), and the signature is kept as four
+    * 16-bit chunks c0..c3 instead of one packed 64-bit value (no sign-bit
+    * or shift-overflow divergence between engines). Every step — md5, bit
+    * tests, majority vote, chunk packing, bucket join, hamming — is
+    * reproducible in ANSI SQL, giving this approximate tier a FULL DuckDB
+    * oracle (the q_dedup_minhash_portable pattern).
+    */
+  def simhash4x16Portable(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3): DataFrame = {
+    val sh = explodedShingles(docs, idCol, textCol, n)
+      .withColumn("h1", conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { g =>
+      val h = if (g < 32) col("h1") else col("h2")
+      sum(when(shiftright(h, g % 32).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$g")
+    }
+    val sums = sh.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val chunkCols = (0 until 4).map { c =>
+      (0 until 16).map { k =>
+        when(col(s"b${c * 16 + k}") > 0, lit(1L << k)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b)).as(s"c$c")
+    }
+    sums.select(col("id") +: chunkCols: _*)
+  }
+
+  def simhashNearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                                  n: Int = 3, maxHamming: Int = 16,
+                                  maxBucket: Int = 64): DataFrame = {
+    val sig = simhash4x16Portable(docs, idCol, textCol, n)
+    val chunkStructs = (0 until 4).map(c => struct(lit(c).as("chunk"), col(s"c$c").as("v")))
+    val banded = sig.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        explode(array(chunkStructs: _*)).as("e"))
+      .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("e.chunk").as("chunk"), col("e.v").as("v"))
+    // bucket-then-pair on (chunk, value), signatures carried in the bucket
+    // structs; hot-bucket cap as in the other approximate tiers
+    val buckets = banded.groupBy("chunk", "v")
+      .agg(collect_list(struct(col("id"), col("c0"), col("c1"), col("c2"), col("c3"))).as("es"))
+      .filter(size(col("es")).between(2, maxBucket))
+    val ham = (0 until 4).map(c =>
+      bit_count(col(s"a.c$c").bitwiseXOR(col(s"b.c$c")))).reduce(_ + _)
+    buckets
+      .select(explode(col("es")).as("a"), col("es"))
+      .select(col("a"), explode(col("es")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a").as("a"), col("b").as("b"))
+      .distinct()
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+  }
 }

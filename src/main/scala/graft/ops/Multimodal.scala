@@ -30,13 +30,22 @@ object Multimodal {
   val FeatureDim = 8
 
   /** STUB decoder: deterministic fake features from the payload bytes.
-    * Real implementation would decode the image/audio batch here. */
+    * Real implementation would decode the image/audio batch here.
+    *
+    * Feature i is the first 32 bits of md5(payload ++ ":i"), scaled to
+    * [0, 1) and narrowed to float — md5-derived (not an engine-internal
+    * hash) precisely so an ANSI-SQL oracle can reproduce the stub
+    * bit-for-bit and the features query gets a full driver hash check. */
   private[ops] def fakeDecode(payload: Array[Byte]): Array[Float] = {
-    var h = 1125899906842597L // seeded FNV-ish rolling hash of the bytes
-    payload.foreach { b => h = h * 31 + (b & 0xff) }
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(FeatureDim) { i =>
-      val x = h ^ (0x9E3779B97F4A7C15L * (i + 1))
-      ((x % 1000003L).toFloat / 1000003f)
+      md.reset()
+      md.update(payload)
+      md.update(s":$i".getBytes("UTF-8"))
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (h.toDouble / 4294967296.0).toFloat
     }
   }
 

@@ -63,7 +63,7 @@ object Similarity {
     * materialized on the driver and embedded as a literal array — so the
     * per-row projection is one native codegen'd dot product instead of an
     * interpreted zip_with/aggregate lambda chain per plane. */
-  private[ops] def planeVec(plane: Int, dim: Int): Array[Double] = {
+  private[graft] def planeVec(plane: Int, dim: Int): Array[Double] = {
     var x = plane.toLong * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
     Array.fill(dim) {
       x += 0x9E3779B97F4A7C15L

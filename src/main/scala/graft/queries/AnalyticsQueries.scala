@@ -54,6 +54,43 @@ object AnalyticsQueries {
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB reproduction of `Dedup.simhashNearDupPairsPortable`: md5-derived
+    * 64-bit signature as four 16-bit chunks, majority vote per bit, bucket
+    * join per chunk with the hot-bucket cap, hamming verify via bit_count. */
+  private def simhashPortableOracle(maxHamming: Int, maxBucket: Int): String = {
+    val bitSums = (0 until 64).map { g =>
+      val h = if (g < 32) "h1" else "h2"
+      s"SUM(CASE WHEN ($h >> ${g % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b$g"
+    }.mkString(",\n|        ")
+    val chunkExprs = (0 until 4).map { c =>
+      (0 until 16).map(k => s"(CASE WHEN b${c * 16 + k} > 0 THEN ${1L << k} ELSE 0 END)")
+        .mkString("(", " + ", s")::BIGINT AS c$c")
+    }.mkString(",\n|        ")
+    val bandedSelects = (0 until 4)
+      .map(c => s"SELECT id, c0, c1, c2, c3, $c AS chunk, c$c AS v FROM sig")
+      .mkString("\n|        UNION ALL ")
+    val hamExpr = (0 until 4).map(c => s"bit_count(xor(sa.c$c, sb.c$c))::BIGINT").mkString(" + ")
+    s"""WITH sh AS ($ShingleSqlFragment),
+       |h AS (SELECT id, ('0x'||substr(md5(s),1,8))::BIGINT AS h1,
+       |        ('0x'||substr(md5(s),9,8))::BIGINT AS h2 FROM sh),
+       |bits AS (SELECT id,
+       |        $bitSums
+       |      FROM h GROUP BY id),
+       |sig AS (SELECT id,
+       |        $chunkExprs
+       |      FROM bits),
+       |banded AS ($bandedSelects),
+       |elig AS (SELECT chunk, v FROM banded GROUP BY chunk, v
+       |         HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.v = b.v AND a.id < b.id
+       |         JOIN elig ON elig.chunk = a.chunk AND elig.v = a.v),
+       |ham AS (SELECT id_a, id_b, ($hamExpr) AS hamming
+       |        FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
+       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------ multi-level grouping
@@ -356,6 +393,14 @@ object AnalyticsQueries {
         .orderBy("id_a", "id_b"),
       minhashPortableOracle(numPerm = 32, rowsPerBand = 2, threshold = 0.5, maxBucket = 64),
       doc = "MinHash-LSH with an md5/universal-hash family both engines " +
-        "compute bit-for-bit: the approximate tier, fully oracle-checked")
+        "compute bit-for-bit: the approximate tier, fully oracle-checked"),
+
+    "q_dedup_simhash_portable" -> QueryDef.sql(
+      (s, dir) => Dedup.simhashNearDupPairsPortable(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, maxHamming = 16, maxBucket = 64)
+        .orderBy("id_a", "id_b"),
+      simhashPortableOracle(maxHamming = 16, maxBucket = 64),
+      doc = "SimHash with md5-derived bits both engines compute bit-for-bit: " +
+        "4x16-bit pigeonhole bands, fully oracle-checked")
   )
 }

@@ -20,6 +20,27 @@ object ExtensionQueries {
       |  unnest(list_distinct([toks[i]||'_'||toks[i+1]||'_'||toks[i+2] for i in range(1, len(toks)-1)])) AS s
       |FROM (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks FROM documents)""".stripMargin
 
+  /** DuckDB reproduction of `Similarity.lshTopK`: the seeded hyperplanes are
+    * embedded as double literals (shortest round-trip repr parses back to
+    * the identical double), bucket = sum of sign bits, then exact cosine
+    * rank within the query's bucket — bit-for-bit the Spark plan. */
+  private def lshTopKOracle(k: Int, numPlanes: Int, dim: Int): String = {
+    val bucketExpr = (0 until numPlanes).map { p =>
+      val plane = graft.ops.Similarity.planeVec(p, dim).mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product(v, $plane) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm,
+       |        $bucketExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id < 5),
+       |p AS (SELECT qid, n.vec_id AS nid, n.bucket,
+       |        ROUND(list_inner_product(qv, n.v)/(qnrm*n.nrm), 6) AS cos
+       |      FROM q JOIN n ON n.bucket = q.bucket AND n.vec_id <> qid),
+       |r AS (SELECT qid, nid, cos, bucket,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
+       |SELECT qid, nid, cos, rn, bucket FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
   private val JaccardOracleSql =
     s"""WITH sh AS ($ShingleSqlFragment),
        |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
@@ -109,12 +130,17 @@ object ExtensionQueries {
       },
       doc = "IVF-flat ANN: k-means inverted lists, nProbe/nList of corpus scanned per query"),
 
-    "q_sim_lsh_topk" -> QueryDef.rowsOnly(
+    // The hyperplanes are deterministic driver-side literals (splitmix64
+    // doubles), and both engines evaluate dot products in the same
+    // sequential order — so the whole LSH pipeline (bucket signs, candidate
+    // join, cosine rank) is reproducible in DuckDB and gets a FULL oracle.
+    "q_sim_lsh_topk" -> QueryDef.sql(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10, numPlanes = 4)
           .orderBy("qid", "rn")
       },
+      lshTopKOracle(k = 10, numPlanes = 4, dim = 64),
       doc = "random-hyperplane LSH ANN: bucket equi-join instead of cross join"),
 
     // -------------------------------------------------------- text analysis
@@ -237,16 +263,31 @@ object ExtensionQueries {
         |FROM documents ORDER BY asset_id""".stripMargin,
       doc = "binary payload + typed metadata plumbing"),
 
-    "q_multimodal_features" -> QueryDef.rowsOnly(
+    // The codec stub derives feature i from md5(payload ++ ":i") — an
+    // engine-neutral hash — so the whole decode path is reproducible in
+    // DuckDB and the query carries a full hash-checked oracle.
+    "q_multimodal_features" -> QueryDef.sql(
       (s, dir) => {
         // scalar feature columns (no arrays): the driver sorts result rows
         // with pandas, and array cells are unsortable/unhashable there.
         val feats = Multimodal.extractFeatures(
           Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "text/plain"))
+        // widen float->double BEFORE round (Spark's round preserves float,
+        // which would diverge from DuckDB's double round in the low bits)
         val fCols = (0 until Multimodal.FeatureDim)
-          .map(i => round(col("features")(i), 6).as(s"f$i"))
+          .map(i => round(col("features")(i).cast("double"), 6).as(s"f$i"))
         feats.select(col("asset_id") +: col("n_bytes") +: fCols: _*).orderBy("asset_id")
       },
-      doc = "partition-batched decode + feature extraction (stubbed codec)")
+      {
+        val fCols = (0 until Multimodal.FeatureDim).map { i =>
+          s"ROUND(CAST(CAST(('0x'||substr(md5(text||':$i'),1,8))::BIGINT" +
+            s" / 4294967296.0 AS FLOAT) AS DOUBLE), 6) AS f$i"
+        }.mkString(",\n|  ")
+        s"""SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
+           |  $fCols
+           |FROM documents ORDER BY asset_id""".stripMargin
+      },
+      doc = "partition-batched decode + feature extraction (stubbed codec, " +
+        "md5-derived features with a full oracle)")
   )
 }
