@@ -180,6 +180,50 @@ object Similarity {
       .select("qid", "nid", "cos", "rn")
   }
 
+  /** Scale-path twin of `nearDupPairs`: banded random-hyperplane LSH
+    * candidate generation + exact cosine verify, mirroring the dedup tiers
+    * (MinHash bands → bucket equi-join → exact verification, precision 1.0).
+    *
+    * Band b's bucket key is the `rowsPerBand` sign bits of hyperplanes
+    * b*rowsPerBand..b*rowsPerBand+r-1; a pair is a candidate if it shares
+    * any band bucket (equi-join on (band, bits) — no cross join, no
+    * collect_list buffers, so a hot bucket is handled by the join shuffle
+    * rather than a single task). Candidates are verified with exact cosine,
+    * so output ⊆ the exact baseline and only recall is probabilistic:
+    * P(miss) = (1 - p^r)^numBands with p = 1 - θ/π.
+    *
+    * Parameter note: at production near-dup thresholds (cos ≥ 0.9, p ≥ .86)
+    * a handful of bands gives miss < 1e-10 and buckets are sparse. The
+    * default r=3 × 48 bands is sized for the loosest declared threshold
+    * (0.4 ⇒ p ≈ .63 ⇒ miss ≈ 1e-6 per pair) — recall is a config choice,
+    * the geometry (linear shuffles, bounded per-candidate verify) is not. */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double,
+                      rowsPerBand: Int = 3, numBands: Int = 48,
+                      dim: Int = 64): DataFrame = {
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val bandCols = (0 until numBands).map { b =>
+      val bits = (0 until rowsPerBand).map { r =>
+        val plane = typedLit(planeVec(b * rowsPerBand + r, dim))
+        when(dot(col("v"), plane) >= 0, shiftleft(lit(1), r)).otherwise(lit(0))
+      }.reduce((a, c) => a.bitwiseOR(c))
+      struct(lit(b).as("band"), bits.as("bits"))
+    }
+    val banded = base.select(col("vec_id").as("id"),
+        explode(array(bandCols: _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bits").as("bits"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    candidates
+      .join(base.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine rank within it. Equi-join on bucket — no cross join.
     * Recall/latency trade via numPlanes (more planes → smaller buckets). */

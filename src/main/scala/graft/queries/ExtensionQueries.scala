@@ -121,6 +121,22 @@ object ExtensionQueries {
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
       doc = "embedding-cosine near-dup pairs (exact baseline)"),
 
+    // Scale-path twin of q_sim_near_dup: SAME oracle (the exact all-pairs
+    // SQL), so the driver hash-proves the banded-LSH candidates + exact
+    // verify lose no qualifying pair on real data — the dedup-tier pattern
+    // applied to embeddings, killing the last unpaired quadratic.
+    "q_sim_near_dup_lsh" -> QueryDef.sql(
+      (s, dir) => Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4,
+        rowsPerBand = 3, numBands = 48).orderBy("id_a", "id_b"),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS cos
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+      doc = "banded-LSH near-dup candidates + exact cosine verify (scale path; " +
+        "oracle-proven equal to the exact baseline)"),
+
     "q_sim_ivf_topk" -> QueryDef.rowsOnly(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

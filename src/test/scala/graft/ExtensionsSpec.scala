@@ -92,6 +92,16 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.25, s"IVF recall@$k too low: $recall")
   }
 
+  test("banded-LSH near-dup pairs equal the exact all-pairs baseline") {
+    val exact = Similarity.nearDupPairs(emb, 0.4).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lsh = Similarity.lshNearDupPairs(emb, 0.4, rowsPerBand = 3, numBands = 48)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(exact.nonEmpty)
+    assert(lsh === exact) // recall 1.0 on real data, precision 1.0 by verify
+  }
+
   test("cosine of a vector with itself is 1") {
     val self = Similarity.nearDupPairs(
       emb.limit(1).union(emb.limit(1).withColumn("vec_id", col("vec_id") + 1000000)), 0.99)
