@@ -224,6 +224,60 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Tier 2c': portable winnowing twin — identical selection geometry to
+    * `graft.functions.Winnow` (rightmost minimum per sliding window of `w`
+    * gram hashes over the normalized text), but the gram hash is md5-derived
+    * (28 bits) instead of the native Rabin-Karp rolling hash, and the
+    * selection runs as a window-frame MIN both engines evaluate identically:
+    *
+    *   enc(pos) = h(pos) * 2^22 + (2^22-1 - pos)
+    *
+    * so MIN(enc) over [pos, pos+w-1] picks the smallest hash with the
+    * RIGHTMOST position on ties — exactly the winnowing rule — and
+    * enc div 2^22 recovers the hash. Positions are capped at
+    * max(1, nGrams-w+1) so short documents collapse to a single global
+    * window, matching the native expression's <= w special case. This gives
+    * the winnowing tier a FULL DuckDB oracle; the native codegen expression
+    * remains the fast path (one pass, no per-gram md5 or explode).
+    *
+    * Output: one row per distinct (id, fp). Requires docs < 2^22 chars. */
+  def winnowFingerprintsPortable(docs: DataFrame, idCol: String, textCol: String,
+                                 k: Int = 16, w: Int = 4): DataFrame = {
+    val norm = docs.select(col(idCol).as("id"),
+        TextOps.normalizedText(col(textCol)).as("t"))
+      .withColumn("n_grams", (length(col("t")) - k + 1).cast("long"))
+      .filter(col("n_grams") >= 1)
+    val grams = norm
+      .select(col("id"), col("t"), col("n_grams"),
+        explode(sequence(lit(1L), col("n_grams"))).as("pos"))
+      .withColumn("h",
+        conv(substring(md5(expr(s"substring(t, CAST(pos AS INT), $k)")), 1, 7), 16, 10)
+          .cast("long"))
+      .withColumn("enc", col("h") * lit(1L << 22) + (lit((1L << 22) - 1) - col("pos")))
+    val frame = Window.partitionBy(col("id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams.withColumn("me", min(col("enc")).over(frame))
+      .filter(col("pos") <= greatest(lit(1L), col("n_grams") - (w - 1)))
+      .select(col("id"), expr(s"me div ${1L << 22}").as("fp"))
+      .distinct()
+  }
+
+  /** Pair generation over the portable fingerprints — same bucket-then-pair
+    * + stop-fingerprint df cap as `winnowOverlapPairs`. */
+  def winnowOverlapPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                                 k: Int = 16, w: Int = 4, minShared: Int = 10,
+                                 maxDf: Int = 50): DataFrame = {
+    val fp = winnowFingerprintsPortable(docs, idCol, textCol, k, w)
+    val buckets = fp.groupBy("fp").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+    buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature columns: perm p's hash of a doc is
     * min over shingles of xxhash64(p, shingle). */
   private def minhashAggs(numPerm: Int): Seq[Column] =

@@ -91,6 +91,34 @@ object AnalyticsQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB reproduction of `Dedup.winnowOverlapPairsPortable`: md5 gram
+    * hashes, the enc = h*2^22 + (2^22-1-pos) rightmost-min trick as a
+    * window-frame MIN, dedup to distinct (id, fp), df-capped pair join. */
+  private def winnowPortableOracle(k: Int, w: Int, minShared: Int, maxDf: Int): String = {
+    val div = 1L << 22
+    s"""WITH norm AS (SELECT doc_id AS id,
+       |        lower(trim(regexp_replace(text,'\\s+',' ','g'))) AS t FROM documents),
+       |lens AS (SELECT id, t, length(t) - $k + 1 AS n_grams FROM norm
+       |         WHERE length(t) >= $k),
+       |g AS (SELECT id, t, n_grams, unnest(range(1, n_grams + 1)) AS pos FROM lens),
+       |h AS (SELECT id, n_grams, pos,
+       |        ('0x'||substr(md5(substring(t, CAST(pos AS INTEGER), $k)),1,7))::BIGINT AS h
+       |      FROM g),
+       |e AS (SELECT id, n_grams, pos, h*$div + (${div - 1} - pos) AS enc FROM h),
+       |sel AS (SELECT id, n_grams, pos,
+       |        MIN(enc) OVER (PARTITION BY id ORDER BY pos
+       |                       ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS me
+       |      FROM e),
+       |fp AS (SELECT DISTINCT id, me // $div AS fp FROM sel
+       |       WHERE pos <= GREATEST(1, n_grams - ${w - 1})),
+       |elig AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $maxDf),
+       |pairs AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+       |          FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+       |          JOIN elig ON elig.fp = a.fp GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared FROM pairs WHERE n_shared >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------ multi-level grouping
@@ -401,6 +429,14 @@ object AnalyticsQueries {
         .orderBy("id_a", "id_b"),
       simhashPortableOracle(maxHamming = 16, maxBucket = 64),
       doc = "SimHash with md5-derived bits both engines compute bit-for-bit: " +
-        "4x16-bit pigeonhole bands, fully oracle-checked")
+        "4x16-bit pigeonhole bands, fully oracle-checked"),
+
+    "q_dedup_winnow_portable" -> QueryDef.sql(
+      (s, dir) => Dedup.winnowOverlapPairsPortable(Tables.documents(s, dir),
+        "doc_id", "text", k = 16, w = 4, minShared = 10, maxDf = 50)
+        .orderBy("id_a", "id_b"),
+      winnowPortableOracle(k = 16, w = 4, minShared = 10, maxDf = 50),
+      doc = "winnowing (rightmost window-min) with md5 gram hashes both " +
+        "engines compute bit-for-bit: the copied-passage tier, fully oracle-checked")
   )
 }

@@ -61,6 +61,35 @@ object JdbcSink {
       writeRouted(batch.toDF(), cfg, url, props, batchSize)
     }
 
+  /** The reference's full chunk write path with the `enable_fallback`
+    * toggle (`out_sql.rb:31, 100-113`): bulk import, and on a DETERMINISTIC
+    * statement failure either degrade to the row-wise resilient path
+    * (enableFallback = true, the default — returns Some(deadLetters)) or
+    * re-raise so the caller's buffer/retry mechanism owns the chunk
+    * (enableFallback = false, "Fallback is disabled … raise e").
+    * Transient failures always re-raise — they are the retry mechanism's
+    * job in both modes, exactly as in the reference ("ignore other
+    * exceptions to use Fluentd retry mechanism").
+    *
+    * As in the reference, a bulk write that failed mid-chunk may have
+    * committed some partitions; the fallback re-import is at-least-once. */
+  def appendWithFallback(df: DataFrame, url: String, table: String,
+                         props: Properties = new Properties(),
+                         batchSize: Int = 1000, numPartitions: Option[Int] = None,
+                         enableFallback: Boolean = true,
+                         user: String = "", password: String = "",
+                         numRetries: Int = 5, retrySleepMs: Long = 500): Option[DataFrame] =
+    try { bulkAppend(df, url, table, props, batchSize, numPartitions); None }
+    catch {
+      case e: Throwable if enableFallback && causeChain(e).exists(isDeterministic) =>
+        Some(resilientAppend(df, url, table, user, password, numRetries, retrySleepMs))
+    }
+
+  /** Spark wraps executor-side SQLExceptions (SparkException → cause …);
+    * classification must walk the chain. */
+  private def causeChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
   /** Deterministic (non-retryable) vs transient classification — the
     * reference's `StatementInvalid`/`MissingColumnError` split
     * (`out_sql.rb:105-111, 117-136`). */

@@ -140,4 +140,25 @@ class JdbcSpec extends SparkSpecBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(landed === Set(1L, 2L, 3L, 5L)) // 3 = pre-existing dup row
   }
+
+  test("enable_fallback toggle: false re-raises the bulk failure, true degrades (out_sql.rb:31,107-113)") {
+    exec("CREATE TABLE fb_t (id BIGINT NOT NULL PRIMARY KEY, msg VARCHAR(5))")
+    exec("INSERT INTO fb_t VALUES (2, 'dup')") // bulk insert will hit the PK
+    import spark.implicits._
+    val df = Seq((1L, "ok"), (2L, "ok"), (3L, "ok")).toDF("id", "msg").coalesce(1)
+    // fallback disabled: the deterministic bulk failure propagates to the
+    // caller (the buffer's retry mechanism in the reference)
+    val thrown = intercept[Throwable] {
+      JdbcSink.appendWithFallback(df, url, "fb_t", enableFallback = false,
+        numRetries = 1, retrySleepMs = 1)
+    }
+    assert(thrown != null)
+    // fallback enabled (default): degrades row-wise; only the dup dead-letters
+    val dead = JdbcSink.appendWithFallback(df, url, "fb_t",
+      numRetries = 1, retrySleepMs = 1)
+    assert(dead.isDefined && dead.get.count() === 1)
+    val landed = spark.read.jdbc(url, "fb_t", new java.util.Properties())
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(landed === Set(1L, 2L, 3L))
+  }
 }

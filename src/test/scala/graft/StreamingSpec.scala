@@ -110,6 +110,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.count() === 1000)
     assert(got.select("event_id").distinct().count() === 1000)
   }
+
+  test("mid-stream kill + restart: resumes from the offset log, no gaps, source growth picked up") {
+    // own staged table so appending growth can't disturb other tests
+    val srcDir = Files.createTempDirectory("graft_grow").toString
+    spark.range(0, 1000).selectExpr("id AS event_id", "id * 2 AS v")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt2").toString
+    val outDir = Files.createTempDirectory("graft_sink2").toString
+    def stream() = spark.readStream
+      .format("graft.streaming.KeysetTailProvider")
+      .option("path", srcDir)
+      .option("updateColumn", "event_id")
+      .option("maxRowsPerBatch", "100")
+      .load()
+    // slow trigger so the query is reliably mid-stream when killed
+    val q1 = stream().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(500)).start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!q1.recentProgress.exists(_.numInputRows > 0) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(q1.recentProgress.exists(_.numInputRows > 0), "no batch committed before kill")
+    } finally q1.stop() // kill mid-stream: offset log holds a partial position
+    val sofar = spark.read.parquet(outDir).count()
+    assert(sofar >= 100, s"expected at least one 100-row page, got $sofar")
+    // the table keeps growing while the consumer is down (tail semantics)
+    spark.range(1000, 1200).selectExpr("id AS event_id", "id * 2 AS v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = stream().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+    // no gaps: every id delivered exactly once through the recovered offset
+    // (file sink + offset log give effective exactly-once here; the source
+    // contract itself is at-least-once)
+    assert(got.select("event_id").distinct().count() === 1200)
+    assert(got.count() === 1200)
+  }
 }
 
 class RunnerSpec extends SparkSpecBase {

@@ -42,6 +42,37 @@ class WinnowSpec extends SparkSpecBase {
     assert(viaCodegen === viaOracle)
   }
 
+  /** Reference md5-winnow matching winnowFingerprintsPortable's semantics:
+    * 28-bit md5 gram hashes, rightmost window-min, distinct values. */
+  private def portableRef(text: String, k: Int, w: Int): Set[Long] = {
+    val t = text.replaceAll("\\s+", " ").trim.toLowerCase
+    val nG = t.length - k + 1
+    if (nG < 1) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = Array.tabulate(nG) { i =>
+      md.reset()
+      val d = md.digest(t.substring(i, i + k).getBytes("UTF-8"))
+      // first 7 hex chars = first 28 bits of the digest
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString.take(7), 16)
+    }
+    val lastStart = math.max(1, nG - (w - 1))
+    (1 to lastStart).map { pos =>
+      val enc = (pos until math.min(pos + w, nG + 1))
+        .map(p => hs(p - 1) * (1L << 22) + ((1L << 22) - 1 - p)).min
+      enc >> 22
+    }.toSet
+  }
+
+  test("portable fingerprints match the reference md5-winnow exactly") {
+    val docs = Tables.documents(spark, sf0001).limit(40)
+    val got = Dedup.winnowFingerprintsPortable(docs, "doc_id", "text", k = 16, w = 4)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exp = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> portableRef(r.getString(1), 16, 4))
+      .filter(_._2.nonEmpty).toMap
+    assert(got === exp)
+  }
+
   test("planted copied passage is detected; unrelated docs are not paired") {
     val passage = "one two three four five six seven eight nine ten eleven twelve"
     val docs = Seq(
