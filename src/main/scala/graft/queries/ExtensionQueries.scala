@@ -135,7 +135,11 @@ object ExtensionQueries {
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
       doc = "banded-LSH near-dup candidates + exact cosine verify (scale path; " +
-        "oracle-proven equal to the exact baseline)"),
+        "oracle-proven equal to the exact baseline). Crossover note: at this " +
+        "corpus size and loose threshold the exact baseline is faster — the " +
+        "band count is sized for recall at cos>=0.4 (p=0.63); the LSH " +
+        "geometry pays off where n^2 is infeasible and thresholds are tight " +
+        "(cos>=0.9 => a few bands suffice and buckets are sparse)"),
 
     "q_sim_ivf_topk" -> QueryDef.rowsOnly(
       (s, dir) => {
@@ -304,6 +308,21 @@ object ExtensionQueries {
            |FROM documents ORDER BY asset_id""".stripMargin
       },
       doc = "partition-batched decode + feature extraction (stubbed codec, " +
-        "md5-derived features with a full oracle)")
+        "md5-derived features with a full oracle)"),
+
+    "q_multimodal_frames" -> QueryDef.sql(
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.asAssets(Tables.documents(s, dir), "doc_id", "text", "text/plain"),
+          nFrames = 4)
+        .select(col("asset_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("frame_idx").cast("long").as("frame_idx"), col("frame_fp"))
+        .orderBy("asset_id", "frame_idx"),
+      """SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes,
+        |  f AS frame_idx,
+        |  md5(doc_id::VARCHAR || ':' || f::VARCHAR) AS frame_fp
+        |FROM documents CROSS JOIN range(4) r(f)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+      doc = "frame sampling shape for video payloads: deterministic " +
+        "per-frame explode + fingerprint, fully oracle-checked")
   )
 }
