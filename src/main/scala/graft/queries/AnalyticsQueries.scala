@@ -431,6 +431,18 @@ object AnalyticsQueries {
       doc = "SimHash with md5-derived bits both engines compute bit-for-bit: " +
         "4x16-bit pigeonhole bands, fully oracle-checked"),
 
+    // KMV (bottom-k) distinct estimate: the approximate-cardinality tier
+    // with an engine-reproducible hash — unlike HLL's internal sketch bits,
+    // the estimate itself is oracle-checked. q_agg_approx_distinct stays the
+    // built-in HLL fast path.
+    "q_agg_kmv_distinct" -> QueryDef.sql(
+      (s, dir) => graft.ops.Sketch.kmvDistinct(
+          Tables.lineitem(s, dir), "l_returnflag", "l_partkey", k = 64)
+        .orderBy("l_returnflag"),
+      graft.ops.Sketch.kmvDistinctOracle("lineitem", "l_returnflag", "l_partkey", k = 64),
+      doc = "KMV/bottom-k distinct estimate with an md5 hash family both " +
+        "engines compute bit-for-bit (mergeable sketch, full oracle)"),
+
     "q_dedup_winnow_portable" -> QueryDef.sql(
       (s, dir) => Dedup.winnowOverlapPairsPortable(Tables.documents(s, dir),
         "doc_id", "text", k = 16, w = 4, minShared = 10, maxDf = 50)

@@ -55,6 +55,21 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(gids === Set(0L, 1L, 3L)) // (s,p) / (s) / ()
   }
 
+  test("KMV distinct estimate lands within the sketch's error envelope") {
+    val k = 64
+    val rows = graft.ops.Sketch.kmvDistinct(
+        Tables.lineitem(spark, sf0001), "l_returnflag", "l_partkey", k)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("est")
+      if (exact < k) assert(est === exact) // below k the sketch is exact
+      else assert(math.abs(est - exact) / exact <= 4.0 / math.sqrt(k - 2),
+        s"KMV est $est vs exact $exact outside 4/sqrt(k-2)")
+    }
+  }
+
   test("tf-idf ranks at most 3 terms per doc, deterministically") {
     val df = AnalyticsQueries.defs("q_tf_idf").fn(spark, sf0001)
     val perDoc = df.groupBy("doc_id").count().collect()
