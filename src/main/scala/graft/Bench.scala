@@ -35,8 +35,10 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         name -> (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
+        // strip EVERY control char plus quote/backslash — RFC 8259 requires
+        // them escaped, and one \f from a JDBC driver would break the line
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
         name -> -1.0
       }
     }

@@ -31,25 +31,37 @@ object Dedup {
     docs.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Per-(input, n) persisted shingle-array cache. Four dedup ops persist the
-    * per-doc array scan; without reuse, repeated calls in a long-lived
-    * session would each register a fresh cache entry and accumulate
-    * block-manager storage until LRU pressure. Keyed by the analyzed plan's
-    * semantic hash, so the same (docs, n) within a session shares ONE cached
-    * instance — bounded by the number of distinct inputs, not call count. */
-  private val arrayCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, Int, String, Int, Boolean), DataFrame]
-
+  /** Per-(input, n) persisted shingle-array reuse via the bounded
+    * [[PlanCache]] (LRU + stopped-session eviction): four dedup ops persist
+    * the per-doc array scan, and repeated calls in one session share one
+    * cached instance instead of accumulating block-manager entries. */
   private def cachedPersist(docs: DataFrame, key: String, n: Int, hashed: Boolean)
-                           (build: => DataFrame): DataFrame = arrayCache.synchronized {
-    val k = (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), key, n, hashed)
-    arrayCache.getOrElseUpdate(k, build.persist(StorageLevel.MEMORY_AND_DISK))
-  }
+                           (build: => DataFrame): DataFrame =
+    PlanCache.getOrPersist(docs, s"shingles:$key:$n:$hashed")(build)
 
-  /** Drop every cached shingle array (callers own cleanup in long sessions). */
-  def clearCaches(): Unit = arrayCache.synchronized {
-    arrayCache.values.foreach(_.unpersist(blocking = false))
-    arrayCache.clear()
+  /** Drop every cached intermediate (callers own cleanup in long sessions;
+    * required after in-place rewrites of input data — see [[PlanCache]]). */
+  def clearCaches(): Unit = PlanCache.clear()
+
+  /** Bucket-then-pair: ONE shuffle groups ids per bucket key; pairs are
+    * generated map-side inside each bucket, with the size cap bounding a
+    * hot bucket's quadratic fan-out (m ids → m²/2 pairs in one task).
+    * Emits one (id_a, id_b) row per shared bucket — callers dedupe
+    * (`distinct`) or count shared buckets (`groupBy.count`).
+    *
+    * Recall note on the cap: a bucket LARGER than `cap` is dropped from
+    * candidate generation entirely, so near-duplicate clusters bigger than
+    * the cap lose their pairs — the cap bounds worst-case task fan-out, not
+    * recall. Byte-identical mega-clusters are caught by tier-1 exact dedup;
+    * raise the cap where hot NEAR-dup clusters are real signal. */
+  private def bucketPairs(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val buckets = df.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, cap))
+    buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
   }
 
   /** Per-doc distinct shingle array: (id, shs). */
@@ -208,17 +220,10 @@ object Dedup {
     val fp = docs.select(col(idCol).as("id"),
       explode(array_distinct(graft.functions.Winnow.fingerprints(
         TextOps.normalizedText(col(textCol)), k, w))).as("fp"))
-    // bucket-then-pair: ONE shuffle groups doc ids per fingerprint; pairs
-    // are generated map-side from each bucket. The stop-fingerprint cap
-    // (df > maxDf = boilerplate, and exactly the quadratic-fan-out key)
-    // becomes a free size() filter on the bucket — no df window, no
-    // self-join, and a skewed bucket is bounded at maxDf^2/2 pairs.
-    val buckets = fp.groupBy("fp").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
-    buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    // the stop-fingerprint cap (df > maxDf = boilerplate, and exactly the
+    // quadratic-fan-out key) is the bucketPairs size filter — no df window,
+    // no self-join, and a skewed bucket is bounded at maxDf^2/2 pairs
+    bucketPairs(fp, Seq("fp"), maxDf)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -267,12 +272,7 @@ object Dedup {
                                  k: Int = 16, w: Int = 4, minShared: Int = 10,
                                  maxDf: Int = 50): DataFrame = {
     val fp = winnowFingerprintsPortable(docs, idCol, textCol, k, w)
-    val buckets = fp.groupBy("fp").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
-    buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    bucketPairs(fp, Seq("fp"), maxDf)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -310,20 +310,9 @@ object Dedup {
     }
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("e"))
       .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
-    // bucket-then-pair: one shuffle on (band, bandHash), candidate pairs
-    // generated map-side inside each bucket (no second join side, no
-    // recompute of the signature aggregation). The maxBucket cap bounds a
-    // duplicate-heavy bucket (the hot-key quadratic: m copies → one
-    // m-element aggregation buffer → m²/2 pairs in one task) exactly like
-    // winnowOverlapPairs.maxDf; exact copies a dropped mega-bucket would
-    // have paired are already caught by tier-1 exact dedup.
-    val buckets = banded.groupBy("band", "bh").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val candidates = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    // one shuffle on (band, bandHash); see bucketPairs for cap semantics
+    // (near-dup clusters > maxBucket lose pairs — fan-out bound, not recall)
+    val candidates = bucketPairs(banded, Seq("band", "bh"), maxBucket).distinct()
     // exact verification of candidates only (precision 1.0): array_intersect
     // against the cached per-doc arrays. Zero-shingle docs have no bands, so
     // every candidate id resolves; threshold > 0 keeps semantics identical.
@@ -376,13 +365,7 @@ object Dedup {
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("e"))
       .select(col("id"), col("e.band").as("band"), col("e.bk").as("bk"))
     // same hot-bucket cap as minhashNearDupPairs (mirrored in the oracle SQL)
-    val buckets = banded.groupBy("band", "bk").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val candidates = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    val candidates = bucketPairs(banded, Seq("band", "bk"), maxBucket).distinct()
     verifyJaccard(candidates, arrays, threshold)
   }
 

@@ -36,13 +36,20 @@ object Multimodal {
     * [0, 1) and narrowed to float — md5-derived (not an engine-internal
     * hash) precisely so an ANSI-SQL oracle can reproduce the stub
     * bit-for-bit and the features query gets a full driver hash check. */
-  private[ops] def fakeDecode(payload: Array[Byte]): Array[Float] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  private[ops] def fakeDecode(payload: Array[Byte]): Array[Float] =
+    fakeDecode(java.security.MessageDigest.getInstance("MD5"), payload)
+
+  /** Hot-path form: the payload is absorbed ONCE into `md`, then the digest
+    * is cloned per feature suffix (MD5 digests are cloneable) — one payload
+    * pass instead of FeatureDim, with the instance owned by the partition. */
+  private def fakeDecode(md: java.security.MessageDigest,
+                         payload: Array[Byte]): Array[Float] = {
+    md.reset()
+    md.update(payload)
     Array.tabulate(FeatureDim) { i =>
-      md.reset()
-      md.update(payload)
-      md.update(s":$i".getBytes("UTF-8"))
-      val d = md.digest()
+      val mdi = md.clone().asInstanceOf[java.security.MessageDigest]
+      mdi.update(s":$i".getBytes("UTF-8"))
+      val d = mdi.digest()
       val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       (h.toDouble / 4294967296.0).toFloat
@@ -59,11 +66,12 @@ object Multimodal {
   def extractFeatures(assets: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     assets.select(col("asset_id"), col("content")).mapPartitions { rows =>
-      // per-partition decoder init happens here in a real codec
+      // per-partition decoder init (≙ a real codec's native context)
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        Row(id, bytes.length, fakeDecode(bytes))
+        Row(id, bytes.length, fakeDecode(md, bytes))
       }
     }(enc)
   }

@@ -192,16 +192,24 @@ object Similarity {
     * so output ⊆ the exact baseline and only recall is probabilistic:
     * P(miss) = (1 - p^r)^numBands with p = 1 - θ/π.
     *
-    * Parameter note: at production near-dup thresholds (cos ≥ 0.9, p ≥ .86)
-    * a handful of bands gives miss < 1e-10 and buckets are sparse. The
-    * default r=3 × 48 bands is sized for the loosest declared threshold
-    * (0.4 ⇒ p ≈ .63 ⇒ miss ≈ 1e-6 per pair) — recall is a config choice,
-    * the geometry (linear shuffles, bounded per-candidate verify) is not. */
+    * Parameter note — r (rowsPerBand) sets BOTH selectivity and recall:
+    * each band has 2^r buckets, so candidate volume per band is
+    * ~n²/2^r·E[p^r]-ish; sub-quadratic behavior needs r ≳ log2(n) with p^r
+    * still large, which holds at production near-dup thresholds (cos ≥ .9 ⇒
+    * p ≥ .86 ⇒ r=16 keeps p^r ≈ .09 and a handful of bands suffices) but
+    * NOT at loose ones. The default r=3 × 48 bands is sized for recall at
+    * the loosest declared threshold (0.4 ⇒ p ≈ .63 ⇒ miss ≈ 1e-6/pair),
+    * where 8 buckets/band makes the candidate join deliberately dense — the
+    * exact baseline is cheaper there and stays the right choice below ~10^5
+    * vectors. `maxBucket` (None = unbounded, required for the oracle-equal
+    * declared query) caps hot buckets for production runs, trading recall
+    * in mega-clusters for bounded join fan-out. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
                       rowsPerBand: Int = 3, numBands: Int = 48,
-                      dim: Int = 64): DataFrame = {
-    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+                      dim: Int = 64, maxBucket: Option[Int] = None): DataFrame = {
+    val base = PlanCache.getOrPersist(corpus, "lsh_near_dup_base")(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v"))))
     val bandCols = (0 until numBands).map { b =>
       val bits = (0 until rowsPerBand).map { r =>
         val plane = typedLit(planeVec(b * rowsPerBand + r, dim))
@@ -209,9 +217,17 @@ object Similarity {
       }.reduce((a, c) => a.bitwiseOR(c))
       struct(lit(b).as("band"), bits.as("bits"))
     }
-    val banded = base.select(col("vec_id").as("id"),
+    val bandedAll = base.select(col("vec_id").as("id"),
         explode(array(bandCols: _*)).as("e"))
       .select(col("id"), col("e.band").as("band"), col("e.bits").as("bits"))
+    // optional hot-bucket bound: drop (band,bits) groups larger than the cap
+    // from BOTH join sides (breaks the recall guarantee for clusters larger
+    // than the cap — production knob, not used by the oracle-equal query)
+    val banded = maxBucket.fold(bandedAll) { cap =>
+      val sizes = bandedAll.groupBy("band", "bits")
+        .agg(count(lit(1)).as("n")).filter(col("n") <= cap).drop("n")
+      bandedAll.join(sizes, Seq("band", "bits"))
+    }
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
         col("a.id") < col("b.id"))

@@ -82,7 +82,11 @@ object JdbcSink {
     try { bulkAppend(df, url, table, props, batchSize, numPartitions); None }
     catch {
       case e: Throwable if enableFallback && causeChain(e).exists(isDeterministic) =>
-        Some(resilientAppend(df, url, table, user, password, numRetries, retrySleepMs))
+        // credentials may arrive via props (the usual Spark JDBC pattern) —
+        // the degraded path must authenticate the same way
+        val u = if (user.nonEmpty) user else props.getProperty("user", "")
+        val p = if (user.nonEmpty) password else props.getProperty("password", "")
+        Some(resilientAppend(df, url, table, u, p, numRetries, retrySleepMs))
     }
 
   /** Spark wraps executor-side SQLExceptions (SparkException → cause …);
