@@ -150,8 +150,13 @@ object Dedup {
     val ranked = sh.join(freq, "h")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)))
-    // decimal t*|S| keeps ceil exact when the product is an integer
-    val prefixLen = col("n_sh") - ceil(lit(BigDecimal(threshold.toString)) * col("n_sh")) + 1
+    // threshold as an exact rational p/q: every filter becomes pure LONG
+    // arithmetic — FP-safe (no double ratio, no decimal ceil) AND cheaper
+    // than decimal ops in codegen. ceil(p*n/q) = (p*n + q - 1) div q.
+    val tBD = BigDecimal(threshold.toString)
+    val p = tBD.underlying.unscaledValue.longValueExact
+    val q = math.pow(10, tBD.scale).toLong
+    val prefixLen = col("n_sh") - expr(s"(n_sh * $p + ${q - 1}) div $q") + 1
     val prefix = ranked.filter(col("pos") <= prefixLen)
       .select("id", "n_sh", "pos", "h")
     // equi-join on the prefix shingle with the AllPairs length filter and
@@ -164,17 +169,17 @@ object Dedup {
     // (A bucket-then-pair formulation measured 2x slower here: hot prefix
     // shingles make big buckets, and carrying the bucket array through the
     // pair explode copies it O(df^2).)
-    // all threshold comparisons in EXACT decimal (the double ratio
+    // all threshold comparisons in EXACT integer arithmetic (a double ratio
     // t/(1+t) rounded up under ceil() could prune a borderline qualifying
     // pair, e.g. t=0.2 with t/(1+t)*(|A|+|B|) an exact integer):
-    // overlap bound o >= ceil(t/(1+t)*(nA+nB))  ⇔  o*(1+t) >= t*(nA+nB)
-    val t = lit(BigDecimal(threshold.toString))
+    //   t*|A| <= |B|                 ⇔  p*|A| <= q*|B|
+    //   o >= ceil(t/(1+t)*(nA+nB))   ⇔  o*(q+p) >= p*(nA+nB)
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-        col("a.n_sh") * t <= col("b.n_sh") &&
-        col("b.n_sh") * t <= col("a.n_sh") &&
-        (lit(1) + least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")))
-          * (lit(1) + t) >= t * (col("a.n_sh") + col("b.n_sh")))
+        col("a.n_sh") * p <= col("b.n_sh") * q &&
+        col("b.n_sh") * p <= col("a.n_sh") * q &&
+        (lit(1L) + least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")))
+          * (q + p) >= (col("a.n_sh") + col("b.n_sh")) * p)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // verify on the cached arrays: one array_intersect per candidate pair
     // instead of re-exploding both sides into a pairs x shingles join

@@ -217,9 +217,12 @@ object Similarity {
       }.reduce((a, c) => a.bitwiseOR(c))
       struct(lit(b).as("band"), bits.as("bits"))
     }
-    val bandedAll = base.select(col("vec_id").as("id"),
-        explode(array(bandCols: _*)).as("e"))
-      .select(col("id"), col("e.band").as("band"), col("e.bits").as("bits"))
+    // the 144-dot signature projection is the dominant scan cost and feeds
+    // BOTH self-join sides — persist it once (tiny: numBands rows/vector)
+    val bandedAll = PlanCache.getOrPersist(corpus, s"lsh_near_dup_banded:$rowsPerBand:$numBands")(
+      base.select(col("vec_id").as("id"),
+          explode(array(bandCols: _*)).as("e"))
+        .select(col("id"), col("e.band").as("band"), col("e.bits").as("bits")))
     // optional hot-bucket bound: drop (band,bits) groups larger than the cap
     // from BOTH join sides (breaks the recall guarantee for clusters larger
     // than the cap — production knob, not used by the oracle-equal query)
