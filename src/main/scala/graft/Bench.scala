@@ -17,13 +17,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (executor threads, codegen compiler, parquet footer
     // reader, regex/codegen paths of the big tables) so the first timed
-    // query doesn't pay one-time JVM costs
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    graft.sources.Tables.table(spark, sfDir, "region").count()
-    graft.sources.Tables.documents(spark, sfDir)
-      .selectExpr("sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))").collect()
-    graft.sources.Tables.embeddings(spark, sfDir)
-      .selectExpr("sum(size(embedding))").collect()
+    // query doesn't pay one-time JVM costs. Warm-up failure must not kill
+    // the run — broken tables then fail per-query, visibly, below.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      graft.sources.Tables.table(spark, sfDir, "region").count()
+      graft.sources.Tables.documents(spark, sfDir)
+        .selectExpr("sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))").collect()
+      graft.sources.Tables.embeddings(spark, sfDir)
+        .selectExpr("sum(size(embedding))").collect()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
+    }
     // a failed query must be visible, never a near-zero "speedup": its time
     // is recorded as -1 and the error surfaces in an "errors" JSON field
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -101,6 +101,29 @@ class PlanSpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"product joins in: ${offenders.mkString(", ")}")
   }
 
+  test("winnow-portable window shuffles only (id,pos,enc) — never the document text") {
+    // the per-char gram explode amplifies rows ~300x; if the normalized text
+    // column survived into the window exchange, the shuffle would carry the
+    // full corpus per gram row. Assert the WindowExec input is pruned.
+    import org.apache.spark.sql.execution.window.WindowExec
+    // AQE buries WindowExec inside finalized query stages; plan statically
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey)
+    val plan = try {
+      spark.conf.set(aqeKey, "false")
+      ops.Dedup.winnowFingerprintsPortable(
+        sources.Tables.documents(spark, sf0001), "doc_id", "text")
+        .queryExecution.executedPlan
+    } finally spark.conf.set(aqeKey, prev)
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected a WindowExec in:\n$plan")
+    windows.foreach { w =>
+      val inputCols = w.child.output.map(_.name).toSet
+      assert(!inputCols.contains("t"),
+        s"window input must not carry the text column, got $inputCols")
+    }
+  }
+
   test("partitioned parquet sink: layout written, reads partition-prune") {
     import org.apache.spark.sql.functions.{col, date_format}
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
