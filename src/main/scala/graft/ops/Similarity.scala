@@ -180,6 +180,44 @@ object Similarity {
       .select("qid", "nid", "cos", "rn")
   }
 
+  /** Seeded data-independent centroid c (splitmix64 family, disjoint from
+    * the LSH plane indices) — literal on both engines. */
+  private[graft] def fixedCentroid(c: Int, dim: Int): Array[Double] =
+    planeVec(1000 + c, dim)
+
+  /** IVF search with FIXED seeded centroids instead of a learned quantizer:
+    * identical machinery to `ivfTopK` (nearest-centroid inverted lists,
+    * nProbe-bounded probe, exact cosine rank) but every constant is a
+    * driver-side literal, so a DuckDB oracle reproduces the whole pipeline
+    * bit-for-bit — the IVF tier's driver-proven variant. Recall is lower
+    * than the learned quantizer's (cells don't adapt to the data); the
+    * declared q_sim_ivf_topk keeps the learned fit as the quality path. */
+  def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, k: Int,
+                   nList: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    val centers = Array.tabulate(nList)(fixedCentroid(_, dim))
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+      .withColumn("nnorm", norm(col("nv")))
+    val assigned = c.withColumn("cid", nearestCid(col("nv"), centers))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+    val probeCands = centers.zipWithIndex.map { case (ctr, cid) =>
+      val ctrCol = typedLit(ctr)
+      struct((dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), ctrCol)
+        + lit(ctr.map(x => x * x).sum)).as("dist2"), lit(cid).as("cid"))
+    }
+    val probes = q
+      .withColumn("pc", slice(sort_array(array(probeCands: _*)), 1, nProbe))
+      .select(col("qid"), col("qv"), col("qnorm"), explode(col("pc")).as("p"))
+      .select(col("qid"), col("qv"), col("qnorm"), col("p.cid").as("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", round(dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "cos", "rn")
+  }
+
   /** Scale-path twin of `nearDupPairs`: banded random-hyperplane LSH
     * candidate generation + exact cosine verify, mirroring the dedup tiers
     * (MinHash bands → bucket equi-join → exact verification, precision 1.0).

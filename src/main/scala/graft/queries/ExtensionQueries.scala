@@ -41,6 +41,41 @@ object ExtensionQueries {
        |SELECT qid, nid, cos, rn, bucket FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB reproduction of `Similarity.ivfTopKFixed`: centroids and their
+    * squared norms embedded as literals (the norm is the Scala-computed
+    * double, NOT recomputed in SQL — summation order must not differ),
+    * assignment/probe via ROW_NUMBER with the same (dist2, cid) tie-break
+    * as Spark's struct ordering. */
+  private def ivfFixedOracle(k: Int, nList: Int, nProbe: Int, dim: Int): String = {
+    val centRows = (0 until nList).map { c =>
+      val ctr = graft.ops.Similarity.fixedCentroid(c, dim)
+      s"($c, ${ctr.mkString("[", ",", "]")}, ${ctr.map(x => x * x).sum})"
+    }.mkString(",\n|    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |cent(cid, cv, cc) AS (VALUES
+       |    $centRows),
+       |ca AS (SELECT vec_id, cid FROM (
+       |    SELECT n.vec_id, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        (list_inner_product(v, v) - 2.0*list_inner_product(v, cv) + cc), cid) AS rnk
+       |    FROM n CROSS JOIN cent) WHERE rnk = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+       |pr AS (SELECT qid, cid FROM (
+       |    SELECT q.qid, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        (list_inner_product(qv, qv) - 2.0*list_inner_product(qv, cv) + cc), cid) AS rnk
+       |    FROM q CROSS JOIN cent) WHERE rnk <= $nProbe),
+       |p AS (SELECT q.qid, n.vec_id AS nid,
+       |        ROUND(list_inner_product(qv, n.v)/(qnrm*n.nrm), 6) AS cos
+       |      FROM q JOIN pr ON pr.qid = q.qid
+       |            JOIN ca ON ca.cid = pr.cid
+       |            JOIN n ON n.vec_id = ca.vec_id AND n.vec_id <> q.qid),
+       |r AS (SELECT qid, nid, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
+       |SELECT qid, nid, cos, rn FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
   private val JaccardOracleSql =
     s"""WITH sh AS ($ShingleSqlFragment),
        |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
@@ -149,6 +184,20 @@ object ExtensionQueries {
           .orderBy("qid", "rn")
       },
       doc = "IVF-flat ANN: k-means inverted lists, nProbe/nList of corpus scanned per query"),
+
+    // Same IVF machinery with fixed seeded centroids — every constant is a
+    // driver literal, so the inverted-list assignment, bounded probe, and
+    // exact rank are all reproduced by the DuckDB oracle bit-for-bit.
+    "q_sim_ivf_portable" -> QueryDef.sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopKFixed(emb, emb.filter(col("vec_id") < 5), k = 10,
+            nList = 16, nProbe = 4)
+          .orderBy("qid", "rn")
+      },
+      ivfFixedOracle(k = 10, nList = 16, nProbe = 4, dim = 64),
+      doc = "IVF search with seeded literal centroids: inverted lists + " +
+        "bounded probe + exact rank, fully oracle-checked"),
 
     // The hyperplanes are deterministic driver-side literals (splitmix64
     // doubles), and both engines evaluate dot products in the same
