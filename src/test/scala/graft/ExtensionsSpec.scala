@@ -92,6 +92,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.25, s"IVF recall@$k too low: $recall")
   }
 
+  test("fixed-centroid IVF: cosines exact, ranks well-formed, bounded probe") {
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, 50)
+      .select("qid", "nid", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.ivfTopKFixed(emb, q, k = 10, nList = 16, nProbe = 4).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      brute.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cos")) < 1e-9))
+    }
+    ivf.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to rs.length))
+    }
+  }
+
+  test("lshNearDupPairs maxBucket cap drops pairs only from oversized buckets") {
+    val capped = Similarity.lshNearDupPairs(emb, 0.4, maxBucket = Some(1)).collect()
+    val uncapped = Similarity.lshNearDupPairs(emb, 0.4).collect()
+    // cap=1 keeps no bucket (every colliding bucket has >= 2 members)
+    assert(capped.isEmpty && uncapped.nonEmpty)
+  }
+
   test("banded-LSH near-dup pairs equal the exact all-pairs baseline") {
     val exact = Similarity.nearDupPairs(emb, 0.4).orderBy("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
