@@ -157,8 +157,11 @@ object Dedup {
     val p = tBD.underlying.unscaledValue.longValueExact
     val q = math.pow(10, tBD.scale).toLong
     val prefixLen = col("n_sh") - expr(s"(n_sh * $p + ${q - 1}) div $q") + 1
-    val prefix = ranked.filter(col("pos") <= prefixLen)
-      .select("id", "n_sh", "pos", "h")
+    // the prefix table feeds BOTH self-join sides; without persisting it the
+    // whole freq-join + per-doc window pipeline runs twice
+    val prefix = PlanCache.getOrPersist(docs, s"ppjoin_prefix:$idCol:$textCol:$n:$threshold")(
+      ranked.filter(col("pos") <= prefixLen)
+        .select("id", "n_sh", "pos", "h"))
     // equi-join on the prefix shingle with the AllPairs length filter and
     // the PPJoin positional filter riding on the join:
     //  - length: J >= t forces t*|B| <= |A| and t*|A| <= |B|;

@@ -46,6 +46,58 @@ object Sketch {
       .select(col(groupCol), col("n_exact"), col("est"))
   }
 
+  /** The same KMV estimate as a typed `Aggregator` — the PRODUCTION form:
+    * one pass, mergeable partial sketches (map-side combine keeps the
+    * shuffle at k longs per group), no distinct + window shuffle. The
+    * relational `kmvDistinct` (which carries the DuckDB oracle) doubles as
+    * its test oracle: both produce the identical estimate for groups whose
+    * 60-bit hashes don't collide (p ≈ n²/2^61).
+    *
+    * Buffer = sorted ascending array of the k smallest DISTINCT hashes.
+    * Input = the raw 60-bit hash (compute with [[portableUnitHashLong]]). */
+  final class KmvAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Double] {
+    require(k >= 2, "KMV needs k >= 2")
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+      if (buf.length >= k && h >= buf.last) buf
+      else {
+        val i = searchInsert(buf, h)
+        if (i < buf.length && buf(i) == h) buf // already present
+        else ((buf.take(i) :+ h) ++ buf.drop(i)).take(k)
+      }
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+
+    override def finish(buf: Seq[Long]): Double =
+      if (buf.length < k) buf.length.toDouble
+      else {
+        val hk = buf.last.toDouble / 1152921504606846976.0 // 2^60
+        BigDecimal((k - 1).toDouble / hk)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+
+    private def searchInsert(buf: Seq[Long], h: Long): Int = {
+      var lo = 0; var hi = buf.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (buf(mid) < h) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** Raw 60-bit portable hash (input to [[KmvAgg]]). */
+  def portableUnitHashLong(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** DuckDB SQL reproducing `kmvDistinct` bit-for-bit over a table. */
   def kmvDistinctOracle(table: String, groupCol: String, valueCol: String,
                         k: Int = 64): String =

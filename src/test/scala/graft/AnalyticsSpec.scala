@@ -70,6 +70,29 @@ class AnalyticsSpec extends SparkSpecBase {
     }
   }
 
+  test("KMV Aggregator (one-pass mergeable sketch) equals the relational KMV") {
+    import org.apache.spark.sql.functions.udaf
+    val k = 64
+    val li = Tables.lineitem(spark, sf0001)
+    val viaAgg = li
+      .select(col("l_returnflag"),
+        graft.ops.Sketch.portableUnitHashLong(col("l_partkey")).as("h"))
+      .groupBy("l_returnflag")
+      .agg(udaf(new graft.ops.Sketch.KmvAgg(k)).apply(col("h")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaRelational = graft.ops.Sketch.kmvDistinct(li, "l_returnflag", "l_partkey", k)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    assert(viaAgg === viaRelational)
+    // repartitioning must not change a mergeable sketch's result
+    val viaAggShuffled = li.repartition(13)
+      .select(col("l_returnflag"),
+        graft.ops.Sketch.portableUnitHashLong(col("l_partkey")).as("h"))
+      .groupBy("l_returnflag")
+      .agg(udaf(new graft.ops.Sketch.KmvAgg(k)).apply(col("h")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaAggShuffled === viaRelational)
+  }
+
   test("tf-idf ranks at most 3 terms per doc, deterministically") {
     val df = AnalyticsQueries.defs("q_tf_idf").fn(spark, sf0001)
     val perDoc = df.groupBy("doc_id").count().collect()
