@@ -26,6 +26,21 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("event_type"), col("n_events"),
         col("total_value"))
 
+  /** Windowed approximate-distinct via the mergeable KMV sketch
+    * (`graft.ops.Sketch.KmvAgg`): per tumbling window, estimate distinct
+    * `keyCol` values. Mergeability is exactly what streaming needs — each
+    * micro-batch folds its partial bottom-k into the window's state, and
+    * the emitted estimate equals the batch computation over the same rows
+    * (asserted stream==batch in StreamOpsSpec). */
+  def tumblingKmvDistinct(events: DataFrame, tsCol: String, watermarkDelay: String,
+                          windowDur: String, keyCol: String, k: Int = 64): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), graft.ops.Sketch.portableUnitHashLong(col(keyCol)).as("h"))
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(org.apache.spark.sql.functions.udaf(new graft.ops.Sketch.KmvAgg(k))
+        .apply(col("h")).as("est_distinct"))
+      .select(col("w.start").as("w_start"), col("est_distinct"))
+
   /** Gap-based session windows (native `session_window`): per user, sessions
     * close after `gap` of event-time silence. */
   def sessionAgg(events: DataFrame, tsCol: String, watermarkDelay: String,

@@ -50,6 +50,20 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(s === b)
   }
 
+  test("windowed KMV distinct sketch: stream equals batch (mergeable state)") {
+    val streamed = runToMemory(
+      StreamOps.tumblingKmvDistinct(eventStream, "ts", "1 hour", "1 day", "user_id"),
+      "s_kmv", "append")
+    val batch = StreamOps.tumblingKmvDistinct(
+      Tables.events(spark, sf0001), "ts", "1 hour", "1 day", "user_id")
+    val emitted = streamed.select("w_start").distinct().collect().map(_.get(0)).toSet
+    assert(emitted.nonEmpty, "watermark never closed any window")
+    val b = batch.filter(col("w_start").isInCollection(emitted))
+      .orderBy("w_start").collect().toSeq
+    val s = streamed.orderBy("w_start").collect().toSeq
+    assert(s === b)
+  }
+
   test("session windows close after the gap and count every event") {
     val sessions = runToMemory(
       StreamOps.sessionAgg(eventStream, "ts", "1 hour", "30 minutes"), "s_sessions", "append")
