@@ -51,7 +51,11 @@ final case class SinkTableConfig(
 final case class OutputConfig(
     routes: Seq[SinkTableConfig],
     defaultTable: SinkTableConfig,
-    removeTagPrefix: Option[String] = None
+    removeTagPrefix: Option[String] = None,
+    /** `enable_fallback` (`out_sql.rb:31`): true (default) degrades a
+      * deterministic bulk failure to the row-wise path; false re-raises so
+      * the buffer's retry mechanism owns the chunk (`out_sql.rb:107-113`). */
+    enableFallback: Boolean = true
 ) {
   /** Anchored prefix strip, dual of the input's tag_prefix
     * (`out_sql.rb:160-162, 253-259`). */

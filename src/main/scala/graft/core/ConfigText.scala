@@ -86,7 +86,9 @@ object ConfigText {
     OutputConfig(
       routes = all.collect { case (false, c) => c },
       defaultTable = defaults.head, // duplicate defaults: first wins, as out_sql.rb:171-177
-      removeTagPrefix = m.params.get("remove_tag_prefix"))
+      removeTagPrefix = m.params.get("remove_tag_prefix"),
+      // :bool semantics (out_sql.rb:31): anything but "false" stays true
+      enableFallback = !m.params.get("enable_fallback").contains("false"))
   }
 
   /** The reference's `:time` config type: `500` → 500, `75s` → 75,

@@ -47,7 +47,10 @@ object JdbcSink {
                   batchSize: Int = 1000): Unit = {
     val chunked = batch.repartition(col("tag"))
     graft.ops.EventOps.routedTables(chunked, cfg).foreach { case (table, df) =>
-      bulkAppend(df, url, table, props, batchSize)
+      // honor the config's enable_fallback: degrade deterministic bulk
+      // failures row-wise, or (false) propagate to the caller's retry
+      appendWithFallback(df, url, table, props, batchSize,
+        enableFallback = cfg.enableFallback)
     }
   }
 

@@ -82,6 +82,14 @@ class ConfigTextSpec extends AnyFunSuite {
       Seq(("timestamp", "created_at"), ("id", "id"), ("message", "message")))
   }
 
+  test("enable_fallback parses with :bool semantics (out_sql.rb:31)") {
+    assert(ConfigText.parseOutput(outputConf).enableFallback) // absent -> true
+    val off = outputConf.replace("@type sql", "@type sql\n  enable_fallback false")
+    assert(!ConfigText.parseOutput(off).enableFallback)
+    val on = outputConf.replace("@type sql", "@type sql\n  enable_fallback true")
+    assert(ConfigText.parseOutput(on).enableFallback)
+  }
+
   test("missing default table is a config error (out_sql.rb:183-185)") {
     intercept[IllegalArgumentException] {
       ConfigText.parseOutput(

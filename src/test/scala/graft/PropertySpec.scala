@@ -87,6 +87,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("KMV sketch laws: any reduce/merge split yields the true bottom-k") {
+    val agg = new graft.ops.Sketch.KmvAgg(8)
+    val hashes: Gen[List[Long]] =
+      Gen.listOf(Gen.choose(0L, 1L << 60)) // duplicates likely on small ranges
+    val split: Gen[(List[Long], Int)] = for {
+      hs <- hashes
+      cut <- Gen.choose(0, math.max(0, hs.length))
+    } yield (hs, cut)
+    check(Prop.forAll(split) { case (hs, cut) =>
+      val (l, r) = hs.splitAt(cut)
+      val viaSketch = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val truth = hs.distinct.sorted.take(8)
+      viaSketch == truth &&
+        agg.merge(r.foldLeft(agg.zero)(agg.reduce),
+          l.foldLeft(agg.zero)(agg.reduce)) == truth // commutative
+    })
+  }
+
   test("strftime translation: literal runs survive, %-directives all translate") {
     // every directive the reference can reach via time_format configs
     val directives = Seq("%Y", "%m", "%d", "%H", "%M", "%S", "%N", "%3N", "%6N", "%9N",
