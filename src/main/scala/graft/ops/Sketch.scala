@@ -75,8 +75,11 @@ object Sketch {
       if (buf.length < k) buf.length.toDouble
       else {
         val hk = buf.last.toDouble / 1152921504606846976.0 // 2^60
-        BigDecimal((k - 1).toDouble / hk)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // BigDecimal.valueOf (canonical repr), matching Spark's Round —
+        // the exact-binary-expansion constructor rounds boundary values
+        // differently at scale 4
+        java.math.BigDecimal.valueOf((k - 1).toDouble / hk)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
       }
 
     private def searchInsert(buf: Seq[Long], h: Long): Int = {
