@@ -26,7 +26,7 @@ object Bench {
         .selectExpr("sum(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))").collect()
       graft.sources.Tables.embeddings(spark, sfDir)
         .selectExpr("sum(size(embedding))").collect()
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
     }
     // a failed query must be visible, never a near-zero "speedup": its time

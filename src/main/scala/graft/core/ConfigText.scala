@@ -87,9 +87,18 @@ object ConfigText {
       routes = all.collect { case (false, c) => c },
       defaultTable = defaults.head, // duplicate defaults: first wins, as out_sql.rb:171-177
       removeTagPrefix = m.params.get("remove_tag_prefix"),
-      // :bool semantics (out_sql.rb:31): anything but "false" stays true
-      enableFallback = !m.params.get("enable_fallback").contains("false"))
+      enableFallback = parseBool(m.params.get("enable_fallback"), default = true))
   }
+
+  /** Fluentd `:bool` config type: true/yes, false/no, bare key → true;
+    * anything else is a config error (not silently coerced). */
+  private[graft] def parseBool(v: Option[String], default: Boolean): Boolean =
+    v.map(_.trim.toLowerCase) match {
+      case None                  => default
+      case Some("") | Some("true") | Some("yes") => true
+      case Some("false") | Some("no")            => false
+      case Some(bad) => sys.error(s"invalid :bool value '$bad'")
+    }
 
   /** The reference's `:time` config type: `500` → 500, `75s` → 75,
     * `2m` → 120, `1h` → 3600. */

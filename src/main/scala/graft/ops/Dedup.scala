@@ -150,12 +150,19 @@ object Dedup {
     val ranked = sh.join(freq, "h")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)))
-    // threshold as an exact rational p/q: every filter becomes pure LONG
-    // arithmetic — FP-safe (no double ratio, no decimal ceil) AND cheaper
-    // than decimal ops in codegen. ceil(p*n/q) = (p*n + q - 1) div q.
-    val tBD = BigDecimal(threshold.toString)
-    val p = tBD.underlying.unscaledValue.longValueExact
-    val q = math.pow(10, tBD.scale).toLong
+    // threshold as a rational p/q with p,q <= 10^6: every filter becomes
+    // pure LONG arithmetic — FP-safe (no double ratio, no decimal ceil) AND
+    // cheaper than decimal ops in codegen, with NO overflow for any |S| up
+    // to ~10^12 shingles (n_sh * p stays far below 2^63; an unscaled-value
+    // rational from threshold.toString could reach 10^16 and wrap).
+    // p/q = floor(t*10^6)/10^6 <= t, and a SMALLER threshold only loosens
+    // each pruning filter, so losslessness is preserved; exact decimals
+    // like 0.5 reduce to the identical fraction.
+    val g0 = (threshold * 1e6).toLong
+    require(g0 > 0, "threshold too small for the rational prefix filter")
+    val gcd = BigInt(g0).gcd(BigInt(1000000L)).toLong
+    val p = g0 / gcd
+    val q = 1000000L / gcd
     val prefixLen = col("n_sh") - expr(s"(n_sh * $p + ${q - 1}) div $q") + 1
     // the prefix table feeds BOTH self-join sides; without persisting it the
     // whole freq-join + per-doc window pipeline runs twice

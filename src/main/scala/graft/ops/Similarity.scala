@@ -142,26 +142,20 @@ object Similarity {
     least(cands: _*).getField("cid")
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nList: Int = 16, nProbe: Int = 4, fitSample: Int = 4096): DataFrame = {
+  /** Shared IVF search pipeline: nearest-centroid inverted lists over
+    * `centers` (broadcast literals), nProbe nearest lists probed per query
+    * (euclidean, matching the quantizer's metric — sorted literal struct
+    * array per query), exact cosine rank within the probed lists. The ONE
+    * implementation behind both the learned-fit ivfTopK and the
+    * oracle-checked fixed-centroid ivfTopKFixed — any tie-break/rounding
+    * change applies to both by construction. */
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+                        centers: Array[Array[Double]], nProbe: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
       .withColumn("nnorm", norm(col("nv")))
-    // fit: bounded deterministic sample — ordered by a HASH of the id, not
-    // the raw id, so the sample stays uniform even when ids correlate with
-    // content (ties broken by id for full determinism). Lloyd on the driver,
-    // centroids broadcast as literals. At any corpus size the distributed
-    // work is exactly two codegen'd passes: one to sample-scan, one to
-    // assign. An empty/undersized corpus falls back to exact brute force
-    // (quantizing fewer vectors than centroids is meaningless).
-    val sample = c.orderBy(xxhash64(col("nid")), col("nid")).limit(fitSample)
-      .select(col("nv")).collect().map(_.getSeq[Double](0).toArray)
-    if (sample.length < nList) return bruteForceTopK(corpus, queries, k)
-    val centers = lloyd(sample, nList, iters = 3)
     val assigned = c.withColumn("cid", nearestCid(col("nv"), centers))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
       .withColumn("qnorm", norm(col("qv")))
-    // probe the nProbe nearest centroids per query (euclidean, matching the
-    // quantizer's metric): sort a 16-element literal struct array per query
     val probeCands = centers.zipWithIndex.map { case (ctr, cid) =>
       val ctrCol = typedLit(ctr)
       struct((dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), ctrCol)
@@ -178,6 +172,22 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("qid", "nid", "cos", "rn")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nList: Int = 16, nProbe: Int = 4, fitSample: Int = 4096): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+    // fit: bounded deterministic sample — ordered by a HASH of the id, not
+    // the raw id, so the sample stays uniform even when ids correlate with
+    // content (ties broken by id for full determinism). Lloyd on the driver,
+    // centroids broadcast as literals. At any corpus size the distributed
+    // work is exactly two codegen'd passes: one to sample-scan, one to
+    // assign. An empty/undersized corpus falls back to exact brute force
+    // (quantizing fewer vectors than centroids is meaningless).
+    val sample = c.orderBy(xxhash64(col("nid")), col("nid")).limit(fitSample)
+      .select(col("nv")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.length < nList) return bruteForceTopK(corpus, queries, k)
+    ivfSearch(corpus, queries, k, lloyd(sample, nList, iters = 3), nProbe)
   }
 
   /** Seeded data-independent centroid c (splitmix64 family, disjoint from
@@ -193,30 +203,8 @@ object Similarity {
     * than the learned quantizer's (cells don't adapt to the data); the
     * declared q_sim_ivf_topk keeps the learned fit as the quality path. */
   def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, k: Int,
-                   nList: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
-    val centers = Array.tabulate(nList)(fixedCentroid(_, dim))
-    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
-      .withColumn("nnorm", norm(col("nv")))
-    val assigned = c.withColumn("cid", nearestCid(col("nv"), centers))
-    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-      .withColumn("qnorm", norm(col("qv")))
-    val probeCands = centers.zipWithIndex.map { case (ctr, cid) =>
-      val ctrCol = typedLit(ctr)
-      struct((dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), ctrCol)
-        + lit(ctr.map(x => x * x).sum)).as("dist2"), lit(cid).as("cid"))
-    }
-    val probes = q
-      .withColumn("pc", slice(sort_array(array(probeCands: _*)), 1, nProbe))
-      .select(col("qid"), col("qv"), col("qnorm"), explode(col("pc")).as("p"))
-      .select(col("qid"), col("qv"), col("qnorm"), col("p.cid").as("cid"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
-    assigned.join(broadcast(probes), Seq("cid"))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("cos", round(dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("qid", "nid", "cos", "rn")
-  }
+                   nList: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame =
+    ivfSearch(corpus, queries, k, Array.tabulate(nList)(fixedCentroid(_, dim)), nProbe)
 
   /** Scale-path twin of `nearDupPairs`: banded random-hyperplane LSH
     * candidate generation + exact cosine verify, mirroring the dedup tiers
@@ -257,7 +245,7 @@ object Similarity {
     }
     // the 144-dot signature projection is the dominant scan cost and feeds
     // BOTH self-join sides — persist it once (tiny: numBands rows/vector)
-    val bandedAll = PlanCache.getOrPersist(corpus, s"lsh_near_dup_banded:$rowsPerBand:$numBands")(
+    val bandedAll = PlanCache.getOrPersist(corpus, s"lsh_near_dup_banded:$rowsPerBand:$numBands:$dim")(
       base.select(col("vec_id").as("id"),
           explode(array(bandCols: _*)).as("e"))
         .select(col("id"), col("e.band").as("band"), col("e.bits").as("bits")))

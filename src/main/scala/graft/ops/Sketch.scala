@@ -33,7 +33,10 @@ object Sketch {
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
                   k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
+    // COUNT(DISTINCT x) semantics: NULL values don't count (and a null
+    // hash would crash the typed Aggregator twin's primitive encoder)
     val d = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
       .distinct()
       .withColumn("h", portableUnitHash(col(valueCol)))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("h").asc, col(valueCol).asc)
@@ -107,7 +110,7 @@ object Sketch {
     s"""WITH d AS (SELECT DISTINCT $groupCol, $valueCol,
        |        ('0x'||substr(md5($valueCol::VARCHAR),1,15))::BIGINT
        |          / 1152921504606846976.0 AS h
-       |      FROM $table),
+       |      FROM $table WHERE $valueCol IS NOT NULL),
        |r AS (SELECT $groupCol, $valueCol, h,
        |        ROW_NUMBER() OVER (PARTITION BY $groupCol ORDER BY h, $valueCol) AS rnk,
        |        COUNT(*) OVER (PARTITION BY $groupCol) AS n_exact

@@ -42,16 +42,19 @@ object JdbcSink {
     * `repartition(tag)` colocates each table's rows (≙ tag-keyed buffer
     * chunks, `out_sql.rb:37-39`) so every destination sees a handful of
     * dense partitions instead of all-tables-in-every-partition. */
+  /** Returns per-table dead-letter DataFrames from any degraded fallback —
+    * NEVER silently dropped (resilientAppend's contract); tables whose rows
+    * all landed are absent from the map. */
   def writeRouted(batch: DataFrame, cfg: OutputConfig, url: String,
                   props: Properties = new Properties(),
-                  batchSize: Int = 1000): Unit = {
+                  batchSize: Int = 1000): Map[String, DataFrame] = {
     val chunked = batch.repartition(col("tag"))
-    graft.ops.EventOps.routedTables(chunked, cfg).foreach { case (table, df) =>
+    graft.ops.EventOps.routedTables(chunked, cfg).flatMap { case (table, df) =>
       // honor the config's enable_fallback: degrade deterministic bulk
       // failures row-wise, or (false) propagate to the caller's retry
       appendWithFallback(df, url, table, props, batchSize,
-        enableFallback = cfg.enableFallback)
-    }
+        enableFallback = cfg.enableFallback).map(table -> _)
+    }.toMap
   }
 
   /** Streaming form: one `writeRouted` per micro-batch (`foreachBatch` ≙
@@ -59,9 +62,14 @@ object JdbcSink {
     * returned query with its own trigger/checkpoint. */
   def routedStream(stream: DataFrame, cfg: OutputConfig, url: String,
                    props: Properties = new Properties(),
-                   batchSize: Int = 1000): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+                   batchSize: Int = 1000,
+                   onDeadLetters: (String, DataFrame) => Unit = (table, dead) =>
+                     System.err.println(
+                       s"[graft.sink] $table: ${dead.count()} dead-letter row(s) after fallback"))
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
       writeRouted(batch.toDF(), cfg, url, props, batchSize)
+        .foreach { case (table, dead) => onDeadLetters(table, dead) }
     }
 
   /** The reference's full chunk write path with the `enable_fallback`

@@ -35,6 +35,9 @@ object StreamOps {
   def tumblingKmvDistinct(events: DataFrame, tsCol: String, watermarkDelay: String,
                           windowDur: String, keyCol: String, k: Int = 64): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
+      // COUNT(DISTINCT) semantics: null keys don't count (and would crash
+      // the Aggregator's primitive Long input encoder)
+      .filter(col(keyCol).isNotNull)
       .select(col(tsCol), graft.ops.Sketch.portableUnitHashLong(col(keyCol)).as("h"))
       .groupBy(window(col(tsCol), windowDur).as("w"))
       .agg(org.apache.spark.sql.functions.udaf(new graft.ops.Sketch.KmvAgg(k))
