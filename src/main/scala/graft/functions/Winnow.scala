@@ -86,6 +86,80 @@ object WinnowFingerprints {
   }
 }
 
+/** Portable-hash winnowing as ONE native pass per document: the same
+  * md5-derived 28-bit gram hashes, rightmost-window-min selection, and
+  * distinct-value output as `Dedup.winnowFingerprintsPortableRelational`
+  * (whose formulation the DuckDB oracle mirrors) — but computed in a tight
+  * JVM loop instead of a per-gram explode + md5 column + window exchange.
+  * At sf0.1 that removes a ~1.5M-row shuffle and sort per query.
+  *
+  * Parity rules (all asserted equal to the relational form in WinnowSpec):
+  * code-point indexing for grams (Spark `substring`/`length` and DuckDB
+  * count code points, not UTF-16 units), UTF-8 bytes into md5, hash =
+  * first 28 bits of the digest (= first 7 hex chars), enc = h*2^22 +
+  * (2^22-1-pos) with 1-based pos, window starts 1..max(1, nGrams-w+1). */
+case class Md5WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Md5WinnowFingerprints.winnowMd5(input.asInstanceOf[UTF8String].toString, k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = Md5WinnowFingerprints.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = new ${classOf[GenericArrayData].getName}($cls.winnowMd5($s.toString(), $k, $w));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5WinnowFingerprints {
+  /** Distinct selected hashes, sorted ascending (callers explode; order of
+    * the returned set is irrelevant but determinism keeps plans stable). */
+  def winnowMd5(text: String, k: Int, w: Int): Array[Long] = {
+    val cps = text.codePoints().toArray // code-point semantics, as both engines
+    val nG = cps.length - k + 1
+    if (nG < 1) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](nG)
+    var i = 0
+    while (i < nG) {
+      val gram = new String(cps, i, k)
+      md.reset()
+      val d = md.digest(gram.getBytes("UTF-8"))
+      // first 7 hex chars of the digest = top 28 bits
+      hs(i) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      i += 1
+    }
+    val div = 1L << 22
+    val lastStart = math.max(1, nG - (w - 1))
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var pos = 1
+    while (pos <= lastStart) {
+      var best = Long.MaxValue
+      var j = pos
+      val end = math.min(pos + w - 1, nG)
+      while (j <= end) {
+        val enc = hs(j - 1) * div + (div - 1 - j)
+        if (enc < best) best = enc
+        j += 1
+      }
+      out.add(best / div)
+      pos += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var x = 0
+    while (it.hasNext) { arr(x) = it.next(); x += 1 }
+    arr
+  }
+}
+
 object Winnow {
   val FunctionName = "graft_winnow"
 
@@ -100,6 +174,22 @@ object Winnow {
   def fingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
     register(SparkSession.active)
     call_function(FunctionName, text,
+      org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
+  }
+
+  val Md5FunctionName = "graft_winnow_md5"
+
+  def registerMd5(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Md5FunctionName,
+      exprs => Md5WinnowFingerprints(exprs.head,
+        k = exprs(1).eval().asInstanceOf[Int], w = exprs(2).eval().asInstanceOf[Int]),
+      "scala_udf")
+
+  /** Portable (md5-hash) winnowed fingerprint set — one native pass. */
+  def fingerprintsMd5(text: Column, k: Int = 16, w: Int = 4): Column = {
+    registerMd5(SparkSession.active)
+    call_function(Md5FunctionName, text,
       org.apache.spark.sql.functions.lit(k), org.apache.spark.sql.functions.lit(w))
   }
 }

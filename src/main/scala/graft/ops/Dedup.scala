@@ -257,12 +257,28 @@ object Dedup {
     * enc div 2^22 recovers the hash. Positions are capped at
     * max(1, nGrams-w+1) so short documents collapse to a single global
     * window, matching the native expression's <= w special case. This gives
-    * the winnowing tier a FULL DuckDB oracle; the native codegen expression
-    * remains the fast path (one pass, no per-gram md5 or explode).
+    * the winnowing tier a FULL DuckDB oracle.
+    *
+    * Two implementations with identical output (asserted in WinnowSpec):
+    * the default routes through `graft.functions.Md5WinnowFingerprints`, a
+    * native one-pass codegen expression (no per-gram explode, no md5
+    * column, no window exchange — at sf0.1 a ~1.5M-row shuffle saved);
+    * `winnowFingerprintsPortableRelational` keeps the pure
+    * column-expression formulation the DuckDB oracle SQL mirrors
+    * step-for-step.
     *
     * Output: one row per distinct (id, fp). Requires docs < 2^22 chars. */
   def winnowFingerprintsPortable(docs: DataFrame, idCol: String, textCol: String,
-                                 k: Int = 16, w: Int = 4): DataFrame = {
+                                 k: Int = 16, w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(graft.functions.Winnow.fingerprintsMd5(
+        TextOps.normalizedText(col(textCol)), k, w)).as("fp"))
+
+  /** The relational formulation (explode → md5 column → window-frame MIN) —
+    * the shape the DuckDB oracle reproduces; kept as the cross-check twin
+    * of the native expression above. */
+  def winnowFingerprintsPortableRelational(docs: DataFrame, idCol: String, textCol: String,
+                                           k: Int = 16, w: Int = 4): DataFrame = {
     val norm = docs.select(col(idCol).as("id"),
         TextOps.normalizedText(col(textCol)).as("t"))
       .withColumn("n_grams", (length(col("t")) - k + 1).cast("long"))

@@ -111,7 +111,7 @@ class PlanSpec extends SparkSpecBase {
     val prev = spark.conf.get(aqeKey)
     val plan = try {
       spark.conf.set(aqeKey, "false")
-      ops.Dedup.winnowFingerprintsPortable(
+      ops.Dedup.winnowFingerprintsPortableRelational(
         sources.Tables.documents(spark, sf0001), "doc_id", "text")
         .queryExecution.executedPlan
     } finally spark.conf.set(aqeKey, prev)

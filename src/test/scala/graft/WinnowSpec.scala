@@ -73,6 +73,15 @@ class WinnowSpec extends SparkSpecBase {
     assert(got === exp)
   }
 
+  test("native md5-winnow expression equals the relational formulation") {
+    val docs = Tables.documents(spark, sf0001)
+    val native = Dedup.winnowFingerprintsPortable(docs, "doc_id", "text", k = 16, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val relational = Dedup.winnowFingerprintsPortableRelational(docs, "doc_id", "text", k = 16, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native === relational && native.nonEmpty)
+  }
+
   test("planted copied passage is detected; unrelated docs are not paired") {
     val passage = "one two three four five six seven eight nine ten eleven twelve"
     val docs = Seq(
