@@ -456,6 +456,21 @@ object Dedup {
     */
   def simhash4x16Portable(docs: DataFrame, idCol: String, textCol: String,
                           n: Int = 3): DataFrame = {
+    // native one-pass chunks over the shingle array (no exploded-shingle
+    // 64-sum-aggregate shuffle); empty-shingle docs are filtered to match
+    // the relational groupBy's absent-group semantics
+    val withChunks = shingleArrays(docs, idCol, textCol, n)
+      .filter(size(col("shs")) > 0)
+      .withColumn("cs", graft.functions.SimHash.chunksMd5(col("shs")))
+    withChunks.select(col("id") +:
+      (0 until 4).map(c => col("cs")(c).as(s"c$c")): _*)
+  }
+
+  /** Exploded-shingle relational formulation of the portable SimHash — the
+    * shape the DuckDB oracle mirrors; cross-check twin of the native
+    * expression (asserted bit-equal in DedupSpec). */
+  def simhash4x16PortableRelational(docs: DataFrame, idCol: String, textCol: String,
+                                    n: Int = 3): DataFrame = {
     val sh = explodedShingles(docs, idCol, textCol, n)
       .withColumn("h1", conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long"))

@@ -42,6 +42,16 @@ class DedupSpec extends SparkSpecBase {
     assert((got & exactPairs).nonEmpty, s"no overlap: got=${got.take(5)}")
   }
 
+  test("native md5-simhash chunks equal the relational formulation bit-for-bit") {
+    val native = Dedup.simhash4x16Portable(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val relational = Dedup.simhash4x16PortableRelational(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(native.nonEmpty && native === relational)
+  }
+
   test("simhash is a deterministic 64-bit signature") {
     val s1 = Dedup.simhash64(docs.limit(20), "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
