@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Portable MinHash signatures of a shingle array in ONE native pass: base
+  * hash = first 28 bits of md5 (= `('0x'||substr(md5(s),1,7))::BIGINT` in
+  * the oracle SQL), composed with the universal-hash family
+  * `(a_p*h + b_p) mod 2^31-1`; the signature is the per-permutation minimum
+  * over the doc's shingles. Replaces the exploded-shingle numPerm-min
+  * aggregate shuffle of the relational formulation (bit-parity asserted in
+  * DedupSpec). Returns array<long> of length numPerm. */
+case class Md5MinHashSigs(child: Expression, numPerm: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinHash.sigsFromArrayData(input.asInstanceOf[ArrayData], numPerm))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = MinHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = new ${classOf[GenericArrayData].getName}($cls.sigsFromArrayData($s, $numPerm));"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHash {
+  /** MinHash prime modulus (2^31 - 1, Mersenne). */
+  val Prime = 2147483647L
+
+  /** Universal-hash permutation constants (a_p, b_p), derived from
+    * splitmix64 so Spark literals and DuckDB oracle SQL embed the same
+    * numbers. Bounded < 2^30 so a*h+b stays < 2^62 for 28-bit base hashes
+    * (no overflow in either engine). */
+  def permConsts(numPerm: Int): (Array[Long], Array[Long]) = {
+    def mix(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)) & ((1L << 30) - 1)
+    }
+    (Array.tabulate(numPerm)(p => mix(2L * p) | 1L), // odd multipliers
+      Array.tabulate(numPerm)(p => mix(2L * p + 1)))
+  }
+
+  def sigsFromArrayData(arr: ArrayData, numPerm: Int): Array[Long] = {
+    val (as, bs) = permConsts(numPerm)
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 7 hex chars of the digest = top 28 bits
+      val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      var p = 0
+      while (p < numPerm) {
+        val v = (as(p) * h + bs(p)) % Prime
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  val FunctionName = "graft_minhash_md5"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FunctionName,
+      exprs => Md5MinHashSigs(exprs.head, exprs(1).eval().asInstanceOf[Int]),
+      "scala_udf")
+
+  /** Portable MinHash signature array of a shingle-array column. */
+  def sigsMd5(shingles: Column, numPerm: Int): Column = {
+    register(SparkSession.active)
+    call_function(FunctionName, shingles, org.apache.spark.sql.functions.lit(numPerm))
+  }
+}

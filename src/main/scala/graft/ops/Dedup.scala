@@ -350,23 +350,14 @@ object Dedup {
     verifyJaccard(candidates, arrays, threshold)
   }
 
-  /** Universal-hash permutation constants (a_p, b_p) for portable MinHash,
-    * derived from splitmix64 so Spark literals and the DuckDB oracle SQL can
-    * embed the same numbers. Bounded < 2^30 so a*h+b stays < 2^62 for
-    * 28-bit base hashes (no overflow in either engine). */
-  def permConsts(numPerm: Int): (Array[Long], Array[Long]) = {
-    def mix(i: Long): Long = {
-      var z = i * 0x9E3779B97F4A7C15L + 0xD1B54A32D192ED03L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      (z ^ (z >>> 31)) & ((1L << 30) - 1)
-    }
-    (Array.tabulate(numPerm)(p => mix(2L * p) | 1L), // odd multipliers
-      Array.tabulate(numPerm)(p => mix(2L * p + 1)))
-  }
+  /** Universal-hash permutation constants — see
+    * [[graft.functions.MinHash.permConsts]] (shared with the native
+    * expression and the oracle SQL builder). */
+  def permConsts(numPerm: Int): (Array[Long], Array[Long]) =
+    graft.functions.MinHash.permConsts(numPerm)
 
   /** MinHash prime modulus (2^31 - 1, Mersenne). */
-  val MinhashPrime = 2147483647L
+  val MinhashPrime: Long = graft.functions.MinHash.Prime
 
   /** Tier 3a': portable-hash MinHash-LSH — identical algorithm to
     * `minhashNearDupPairs` but the hash family is md5-derived (28-bit base
@@ -374,23 +365,25 @@ object Dedup {
     * hashing `(a*h+b) mod 2^31-1`, every step of which an ANSI-SQL engine
     * reproduces bit-for-bit. This gives the approximate tier a FULL DuckDB
     * oracle: same signatures -> same bands -> same candidates -> same
-    * verified pairs, checked end-to-end by the driver's hash compare. */
+    * verified pairs, checked end-to-end by the driver's hash compare.
+    *
+    * Signatures come from the native one-pass expression
+    * (`graft.functions.Md5MinHashSigs` — no exploded-shingle numPerm-min
+    * aggregate shuffle); `minhashSigsPortableRelational` keeps the
+    * column-expression formulation the oracle mirrors (bit-parity asserted
+    * in DedupSpec). */
   def minhashNearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
                                   n: Int = 3, numPerm: Int = 32, rowsPerBand: Int = 2,
                                   threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     require(numPerm % rowsPerBand == 0, "numPerm must be divisible by rowsPerBand")
     require(threshold > 0.0, "threshold must be positive")
-    val (as, bs) = permConsts(numPerm)
     val numBands = numPerm / rowsPerBand
     val arrays = cachedPersist(docs, idCol + ":" + textCol, n, hashed = false)(
       shingleArrays(docs, idCol, textCol, n))
-    val sh = arrays.select(col("id"), explode(col("shs")).as("s"))
-      .withColumn("h", conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long"))
-    val aggs = (0 until numPerm).map(p =>
-      min((lit(as(p)) * col("h") + lit(bs(p))) % lit(MinhashPrime)).as(s"h$p"))
-    val sigs = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val sigs = arrays.filter(size(col("shs")) > 0)
+      .select(col("id"), graft.functions.MinHash.sigsMd5(col("shs"), numPerm).as("sig"))
     val bandCols = (0 until numBands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}").cast("string"))
+      val slice = (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r).cast("string"))
       struct(lit(b).as("band"), concat_ws(",", slice: _*).as("bk"))
     }
     val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("e"))
@@ -398,6 +391,20 @@ object Dedup {
     // same hot-bucket cap as minhashNearDupPairs (mirrored in the oracle SQL)
     val candidates = bucketPairs(banded, Seq("band", "bk"), maxBucket).distinct()
     verifyJaccard(candidates, arrays, threshold)
+  }
+
+  /** Exploded-shingle relational formulation of the portable signatures —
+    * the shape the DuckDB oracle mirrors; cross-check twin of the native
+    * expression. Output: (id, h0..h{numPerm-1}). */
+  def minhashSigsPortableRelational(docs: DataFrame, idCol: String, textCol: String,
+                                    n: Int = 3, numPerm: Int = 32): DataFrame = {
+    val (as, bs) = permConsts(numPerm)
+    val sh = shingleArrays(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("shs")).as("s"))
+      .withColumn("h", conv(substring(md5(col("s")), 1, 7), 16, 10).cast("long"))
+    val aggs = (0 until numPerm).map(p =>
+      min((lit(as(p)) * col("h") + lit(bs(p))) % lit(MinhashPrime)).as(s"h$p"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** 64-bit SimHash of the shingle set: bit k is the sign of

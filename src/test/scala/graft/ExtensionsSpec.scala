@@ -42,6 +42,18 @@ class DedupSpec extends SparkSpecBase {
     assert((got & exactPairs).nonEmpty, s"no overlap: got=${got.take(5)}")
   }
 
+  test("native md5-minhash signatures equal the relational formulation bit-for-bit") {
+    val numPerm = 32
+    val native = docs
+      .select(col("doc_id").as("id"), graft.ops.TextOps.shingles(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), graft.functions.MinHash.sigsMd5(col("shs"), numPerm).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val relational = Dedup.minhashSigsPortableRelational(docs, "doc_id", "text", 3, numPerm)
+      .collect().map(r => r.getLong(0) -> (1 to numPerm).map(r.getLong).toVector).toMap
+    assert(native.nonEmpty && native === relational)
+  }
+
   test("native md5-simhash chunks equal the relational formulation bit-for-bit") {
     val native = Dedup.simhash4x16Portable(docs, "doc_id", "text", 3)
       .collect().map(r => r.getLong(0) ->
