@@ -51,18 +51,24 @@ object MinHash {
       Array.tabulate(numPerm)(p => mix(2L * p + 1)))
   }
 
+  // constants are a pure function of numPerm — memoized so the per-row hot
+  // path never re-runs the splitmix mixes or allocates
+  private val constCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def cachedConsts(numPerm: Int): (Array[Long], Array[Long]) =
+    constCache.computeIfAbsent(numPerm, permConsts(_))
+
+  /** Empty input → EMPTY output (never a colliding sentinel signature);
+    * callers must still drop shingle-less docs before banding to mirror
+    * the relational groupBy's absent-group semantics. */
   def sigsFromArrayData(arr: ArrayData, numPerm: Int): Array[Long] = {
-    val (as, bs) = permConsts(numPerm)
-    val mins = Array.fill(numPerm)(Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
     val n = arr.numElements()
+    if (n == 0) return Array.empty
+    val (as, bs) = cachedConsts(numPerm)
+    val mins = Array.fill(numPerm)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      // first 7 hex chars of the digest = top 28 bits
-      val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      val h = Md5Bits.top28(Md5Bits.digest(arr.getUTF8String(i).getBytes))
       var p = 0
       while (p < numPerm) {
         val v = (as(p) * h + bs(p)) % Prime

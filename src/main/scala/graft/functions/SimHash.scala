@@ -20,9 +20,8 @@ case class Md5SimHashChunks(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any =
-    new GenericArrayData(Md5SimHashChunks.chunks(
-      input.asInstanceOf[ArrayData].toObjectArray(org.apache.spark.sql.types.StringType)
-        .map(_.asInstanceOf[UTF8String].toString)))
+    new GenericArrayData(
+      Md5SimHashChunks.chunksFromArrayData(input.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
@@ -36,25 +35,20 @@ case class Md5SimHashChunks(child: Expression) extends UnaryExpression {
 }
 
 object Md5SimHashChunks {
+  /** Empty input -> EMPTY output (never a colliding all-zero sentinel);
+    * callers must still drop shingle-less docs to mirror the relational
+    * groupBy's absent-group semantics. Single conversion path shared by
+    * the interpreted and codegen routes; md5 input bytes come straight
+    * from the UTF8String (no UTF-16 round trip). */
   def chunksFromArrayData(arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
-    val ss = new Array[String](n)
-    var i = 0
-    while (i < n) { ss(i) = arr.getUTF8String(i).toString; i += 1 }
-    chunks(ss)
-  }
-
-  def chunks(shingles: Array[String]): Array[Long] = {
+    if (n == 0) return Array.empty
     val sums = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
-    while (i < shingles.length) {
-      md.reset()
-      val d = md.digest(shingles(i).getBytes("UTF-8"))
-      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    while (i < n) {
+      val d = Md5Bits.digest(arr.getUTF8String(i).getBytes)
+      val h1 = Md5Bits.half(d, 0)
+      val h2 = Md5Bits.half(d, 1)
       var g = 0
       while (g < 64) {
         val h = if (g < 32) h1 else h2
@@ -74,7 +68,6 @@ object Md5SimHashChunks {
     }
   }
 }
-
 
 object SimHash {
   val FunctionName = "graft_simhash_md5"

@@ -124,16 +124,11 @@ object Md5WinnowFingerprints {
     val cps = text.codePoints().toArray // code-point semantics, as both engines
     val nG = cps.length - k + 1
     if (nG < 1) return Array.empty
-    val md = java.security.MessageDigest.getInstance("MD5")
     val hs = new Array[Long](nG)
     var i = 0
     while (i < nG) {
       val gram = new String(cps, i, k)
-      md.reset()
-      val d = md.digest(gram.getBytes("UTF-8"))
-      // first 7 hex chars of the digest = top 28 bits
-      hs(i) = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >>> 4)
+      hs(i) = Md5Bits.top28(Md5Bits.digest(gram.getBytes("UTF-8")))
       i += 1
     }
     val div = 1L << 22
