@@ -124,6 +124,21 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("KMV Aggregator plans map-side partial aggregation (mergeable sketch)") {
+    import org.apache.spark.sql.functions.{col, udaf}
+    val df = sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"),
+        ops.Sketch.portableUnitHashLong(col("l_partkey")).as("h"))
+      .groupBy("l_returnflag")
+      .agg(udaf(new ops.Sketch.KmvAgg(64)).apply(col("h")).as("est"))
+    val plan = planString(df)
+    // the sketch's mergeability must actually materialize as a partial
+    // (map-side) aggregate before the exchange — k longs per group shuffled,
+    // not the raw hash stream
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
+    assert(plan.contains("partial_"), s"expected a partial aggregation stage in:\n$plan")
+  }
+
   test("partitioned parquet sink: layout written, reads partition-prune") {
     import org.apache.spark.sql.functions.{col, date_format}
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString

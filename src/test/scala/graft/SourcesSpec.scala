@@ -6,6 +6,50 @@ import org.apache.spark.sql.functions._
 
 import graft.sources._
 
+class FileSourcesSpec extends SparkSpecBase {
+
+  test("JSONL round-trips the documents table; corrupt lines dead-letter") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    docs.coalesce(1).write.mode("overwrite").json(dir)
+    // append a malformed line to the data file
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).head
+    Files.writeString(part.toPath, "{not valid json\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    // the local FS keeps a CRC sidecar for Spark-written files; the append
+    // invalidates it and ChecksumFileSystem would refuse the read
+    new java.io.File(part.getParentFile, "." + part.getName + ".crc").delete()
+    val schema = org.apache.spark.sql.types.StructType(docs.schema.fields)
+    val (clean, dead) = FileSources.split(FileSources.jsonl(spark, dir, schema))
+    assert(dead.count() === 1)
+    assert(dead.collect().head.getString(0).startsWith("{not valid"))
+    val a = clean.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = docs.select(clean.columns.map(col): _*)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b) // lossless round trip for the clean rows
+  }
+
+  test("CSV with explicit schema round-trips a projection; bad row dead-letters") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_quantity").limit(200)
+    val dir = Files.createTempDirectory("graft_csv").toString + "/li"
+    li.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).head
+    Files.writeString(part.toPath, "oops,not,numeric\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    new java.io.File(part.getParentFile, "." + part.getName + ".crc").delete()
+    val schema = org.apache.spark.sql.types.StructType(li.schema.fields)
+    val (clean, dead) = FileSources.split(FileSources.csv(spark, dir, schema))
+    assert(dead.count() === 1)
+    assert(clean.count() === 200)
+    val got = clean.agg(sum("l_quantity")).collect().head.getDouble(0)
+    val exp = li.agg(sum("l_quantity")).collect().head.getDouble(0)
+    assert(math.abs(got - exp) < 1e-9)
+  }
+}
+
 class KeysetScanSpec extends SparkSpecBase {
   test("strict > resume skips the boundary row (in_sql.rb:132)") {
     val e = Tables.events(spark, sf0001)
