@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.sql.{DriverManager, PreparedStatement, SQLNonTransientException, SQLSyntaxErrorException}
+import java.sql.{DriverManager, SQLNonTransientException}
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, Row}
@@ -109,8 +109,9 @@ object JdbcSink {
     * reference's `StatementInvalid`/`MissingColumnError` split
     * (`out_sql.rb:105-111, 117-136`). */
   private def isDeterministic(e: Throwable): Boolean = e match {
-    case _: SQLSyntaxErrorException | _: SQLNonTransientException => true
-    case e: java.sql.SQLIntegrityConstraintViolationException => true
+    // SQLIntegrityConstraintViolationException and SQLSyntaxErrorException
+    // are both SQLNonTransientException subtypes — one case covers them
+    case _: SQLNonTransientException => true
     case e: java.sql.SQLException =>
       // SQLState class 22 (data exception) / 23 (constraint violation)
       Option(e.getSQLState).exists(s => s.startsWith("22") || s.startsWith("23") || s.startsWith("42"))
