@@ -47,11 +47,21 @@ object Bench {
         name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // the driver keeps only the LAST 2000 chars of output and parses the
+    // JSON line out of that window; full-precision doubles overflowed it at
+    // 67 queries (round-3 bench came back unparsed). 3 decimals (ms
+    // resolution) keeps the line comfortably inside the window.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val errs =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString(""","errors":{""", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_errors":${errors.size},"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_errors":${errors.size}$errs,"sf":"$sfDir"}"""
+    if (line.length > 1850)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail window")
+    println(line)
     spark.stop()
   }
 }

@@ -49,6 +49,12 @@ object Dedup {
     * Emits one (id_a, id_b) row per shared bucket — callers dedupe
     * (`distinct`) or count shared buckets (`groupBy.count`).
     *
+    * The collection itself is capped at `cap + 1` elements per bucket
+    * ([[graft.functions.CollectCapped]]), so a duplicate-heavy mega-bucket
+    * never materializes an unbounded array in one aggregation buffer; the
+    * retained (cap+1)-element marker is then dropped by the size filter —
+    * bit-identical results to an unbounded collect_list + filter.
+    *
     * Recall note on the cap: a bucket LARGER than `cap` is dropped from
     * candidate generation entirely, so near-duplicate clusters bigger than
     * the cap lose their pairs — the cap bounds worst-case task fan-out, not
@@ -56,7 +62,7 @@ object Dedup {
     * raise the cap where hot NEAR-dup clusters are real signal. */
   private def bucketPairs(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     val buckets = df.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col("id")).as("ids"))
+      .agg(graft.functions.CollectCapped.collectCapped(col("id"), cap + 1).as("ids"))
       .filter(size(col("ids")).between(2, cap))
     buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -435,11 +441,13 @@ object Dedup {
       .select(col("id"), col("simhash"), col("e.chunk").as("chunk"), col("e.ch").as("ch"))
     // bucket-then-pair on (chunk, chunkValue): one shuffle of the banded
     // signatures; each bucket emits its pairs map-side with the simhash
-    // values carried in the bucket structs (no join back for verification)
-    // hot-bucket cap: a duplicate-heavy chunk value would otherwise build an
-    // m-element buffer and m²/2 map-side pairs in one task
+    // values carried in the bucket structs (no join back for verification).
+    // CollectCapped bounds the aggregation buffer itself at maxBucket+1
+    // elements (a hot chunk value can't build an unbounded array in one
+    // task); the size filter then drops the over-full marker buckets
     val buckets = banded.groupBy("chunk", "ch")
-      .agg(collect_list(struct(col("id"), col("simhash"))).as("es"))
+      .agg(graft.functions.CollectCapped.collectCapped(
+        struct(col("id"), col("simhash")), maxBucket + 1).as("es"))
       .filter(size(col("es")).between(2, maxBucket))
     buckets
       .select(explode(col("es")).as("a"), col("es"))
@@ -504,9 +512,11 @@ object Dedup {
       .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
         col("e.chunk").as("chunk"), col("e.v").as("v"))
     // bucket-then-pair on (chunk, value), signatures carried in the bucket
-    // structs; hot-bucket cap as in the other approximate tiers
+    // structs; hot-bucket cap as in the other approximate tiers, with the
+    // buffer itself bounded by CollectCapped (see bucketPairs)
     val buckets = banded.groupBy("chunk", "v")
-      .agg(collect_list(struct(col("id"), col("c0"), col("c1"), col("c2"), col("c3"))).as("es"))
+      .agg(graft.functions.CollectCapped.collectCapped(
+        struct(col("id"), col("c0"), col("c1"), col("c2"), col("c3")), maxBucket + 1).as("es"))
       .filter(size(col("es")).between(2, maxBucket))
     val ham = (0 until 4).map(c =>
       bit_count(col(s"a.c$c").bitwiseXOR(col(s"b.c$c")))).reduce(_ + _)
