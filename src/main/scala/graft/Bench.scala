@@ -32,7 +32,19 @@ object Bench {
     // a failed query must be visible, never a near-zero "speedup": its time
     // is recorded as -1 and the error surfaces in an "errors" JSON field
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
+    // (optionally several passes via SPARK_GRAFT_REPS); unset for the full
+    // driver-contract run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    for (r <- 2 to reps; (name, fn) <- selected) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+      System.err.println(f"[bench] rep ${r - 1} $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projections away and undercount the work)

@@ -230,40 +230,79 @@ object Similarity {
     * vectors. `maxBucket` (None = unbounded, required for the oracle-equal
     * declared query) caps hot buckets for production runs, trading recall
     * in mega-clusters for bounded join fan-out. */
+  /** (vec_id, v, nrm) persisted once per corpus. */
+  private[graft] def corpusBase(corpus: DataFrame): DataFrame =
+    PlanCache.getOrPersist(corpus, "lsh_near_dup_base")(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", norm(col("v"))))
+
+  /** Per-id signature array (one row per vector, numBands ints) from the
+    * one-pass native [[graft.functions.LshSigs]] expression. Only this
+    * COMPACT table is persisted — the banded explode is recomputed from it
+    * by each consumer (exploding 48 ints per row is far cheaper than
+    * columnar-caching the 48×-duplicated array column, which measured ~17 s
+    * at sf0.1). */
+  private[graft] def sigTable(corpus: DataFrame, rowsPerBand: Int, numBands: Int,
+                              dim: Int): DataFrame = {
+    val planesFlat = Array.tabulate(numBands * rowsPerBand)(planeVec(_, dim))
+      .flatten
+    PlanCache.getOrPersist(corpus, s"lsh_near_dup_sigs:$rowsPerBand:$numBands:$dim")(
+      corpusBase(corpus).select(col("vec_id").as("id"),
+        graft.functions.LshSigs.lshSigs(col("v"), planesFlat, rowsPerBand, dim).as("sig")))
+  }
+
+  /** Banded sign signatures: one row per (id, band) carrying the FULL
+    * signature array, so candidate generation can suppress duplicate pairs
+    * inside the join (see lshNearDupPairs) instead of a candidate-volume
+    * distinct(). Derived on the fly from the persisted [[sigTable]]. */
+  private[graft] def bandedSigs(corpus: DataFrame, rowsPerBand: Int, numBands: Int,
+                                dim: Int): DataFrame =
+    sigTable(corpus, rowsPerBand, numBands, dim)
+      .select(col("id"), col("sig"), posexplode(col("sig")).as(Seq("band", "bits")))
+
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
                       rowsPerBand: Int = 3, numBands: Int = 48,
                       dim: Int = 64, maxBucket: Option[Int] = None): DataFrame = {
-    val base = PlanCache.getOrPersist(corpus, "lsh_near_dup_base")(
-      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", norm(col("v"))))
-    val bandCols = (0 until numBands).map { b =>
-      val bits = (0 until rowsPerBand).map { r =>
-        val plane = typedLit(planeVec(b * rowsPerBand + r, dim))
-        when(dot(col("v"), plane) >= 0, shiftleft(lit(1), r)).otherwise(lit(0))
-      }.reduce((a, c) => a.bitwiseOR(c))
-      struct(lit(b).as("band"), bits.as("bits"))
+    val base = corpusBase(corpus)
+    val bandedAll = bandedSigs(corpus, rowsPerBand, numBands, dim)
+    val candidates = maxBucket match {
+      case None =>
+        // a pair sharing k band buckets would join k times; keeping only the
+        // row whose band is the FIRST index where the signatures agree
+        // (native graft_first_eq loop) leaves exactly one row per pair, so
+        // the candidate volume stays pipelined in the join stage — no
+        // distinct() exchange over it
+        bandedAll.as("a").join(bandedAll.as("b"),
+            col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.id") < col("b.id") &&
+            graft.functions.FirstEqIndex.firstEqIndex(col("a.sig"), col("b.sig"))
+              === col("a.band"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      case Some(cap) =>
+        // hot-bucket bound: drop (band,bits) groups larger than the cap from
+        // BOTH join sides (breaks the recall guarantee for clusters larger
+        // than the cap — production knob, not used by the oracle-equal
+        // query). First-match suppression doesn't apply — a pair's first
+        // matching band may sit in a dropped bucket while a later shared
+        // band survives — so duplicates go through distinct() here.
+        val slim = bandedAll.select("id", "band", "bits")
+        val sizes = slim.groupBy("band", "bits")
+          .agg(count(lit(1)).as("n")).filter(col("n") <= cap).drop("n")
+        val banded = slim.join(sizes, Seq("band", "bits"))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     }
-    // the 144-dot signature projection is the dominant scan cost and feeds
-    // BOTH self-join sides — persist it once (tiny: numBands rows/vector)
-    val bandedAll = PlanCache.getOrPersist(corpus, s"lsh_near_dup_banded:$rowsPerBand:$numBands:$dim")(
-      base.select(col("vec_id").as("id"),
-          explode(array(bandCols: _*)).as("e"))
-        .select(col("id"), col("e.band").as("band"), col("e.bits").as("bits")))
-    // optional hot-bucket bound: drop (band,bits) groups larger than the cap
-    // from BOTH join sides (breaks the recall guarantee for clusters larger
-    // than the cap — production knob, not used by the oracle-equal query)
-    val banded = maxBucket.fold(bandedAll) { cap =>
-      val sizes = bandedAll.groupBy("band", "bits")
-        .agg(count(lit(1)).as("n")).filter(col("n") <= cap).drop("n")
-      bandedAll.join(sizes, Seq("band", "bits"))
-    }
-    val candidates = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // the nondeterministic column is a predicate-pushdown barrier: without
+    // it Catalyst folds the cosine filter into the id_b join's condition,
+    // where the dot product is evaluated per PROBED row inside the join
+    // instead of once per joined row in a projection (measured ~2x slower
+    // on the verify stage at sf0.1)
     candidates
       .join(base.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
       .join(base.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("__barrier", monotonically_increasing_id())
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
