@@ -449,6 +449,88 @@ object AnalyticsQueries {
         .orderBy("id_a", "id_b"),
       winnowPortableOracle(k = 16, w = 4, minShared = 10, maxDf = 50),
       doc = "winnowing (rightmost window-min) with md5 gram hashes both " +
-        "engines compute bit-for-bit: the copied-passage tier, fully oracle-checked")
+        "engines compute bit-for-bit: the copied-passage tier, fully oracle-checked"),
+
+    // ------------------------------------- train/val/test stratification
+    // Content-addressed 3-way split (md5 bucket, the q_sample_hash family):
+    // stable under re-partitioning, re-runs, and cluster size — then the
+    // per-language balance report that a pipeline gates on. The window total
+    // is cast to double BEFORE division on both engines (DuckDB's SUM OVER
+    // returns HUGEINT).
+    "q_stratified_split" -> QueryDef.sql(
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        Tables.documents(s, dir)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+          .withColumn("pct", round(col("n_docs") * lit(100.0) /
+            sum(col("n_docs")).over(Window.partitionBy(col("lang"))).cast("double"), 4))
+          .orderBy("lang", "split")
+      },
+      """WITH a AS (
+        |  SELECT lang,
+        |    CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (SELECT lang, split, COUNT(*) AS n_docs FROM a GROUP BY lang, split)
+        |SELECT lang, split, n_docs,
+        |  ROUND(n_docs * 100.0 / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4) AS pct
+        |FROM g ORDER BY lang, split""".stripMargin,
+      doc = "deterministic hash-bucketed train/val/test split + per-language balance"),
+
+    // -------------------------------------------------- vocabulary build
+    // Corpus vocabulary: term frequency + document frequency, top 100 by tf.
+    // limit() runs BEFORE the rank window, so the global window orders 100
+    // rows, not the vocabulary (TakeOrderedAndProject does the heavy top-k).
+    "q_vocab_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        tf.orderBy(col("tf").desc, col("term").asc).limit(100)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("tf").desc, col("term").asc)))
+          .select("rnk", "term", "tf", "df")
+      },
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),'[a-z0-9]+')) AS term
+        |           FROM documents),
+        |g AS (SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+        |top AS (SELECT term, tf, df FROM g ORDER BY tf DESC, term LIMIT 100)
+        |SELECT ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rnk, term, tf, df
+        |FROM top ORDER BY rnk""".stripMargin,
+      doc = "corpus vocabulary: tf + df per term, ranked top 100"),
+
+    // ------------------------------------------- embedding quantization
+    // Int8 scalar quantization (per-vector absmax scale): the standard
+    // storage/serving compression for embedding tables. All arithmetic is
+    // identical IEEE shape on both engines (max is order-free; v/scale,
+    // floor(x+0.5) elementwise), so the quantized codes carry a full
+    // oracle. floor(x+0.5) is used instead of round() to pin down the
+    // half-way rule explicitly on both engines.
+    "q_emb_quantize" -> QueryDef.sql(
+      (s, dir) => {
+        val ex = Tables.embeddings(s, dir).select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+        ex.withColumn("scale", max(abs(col("v")))
+            .over(Window.partitionBy(col("vec_id"))) / 127.0)
+          .withColumn("qv", when(col("scale") === 0, 0L)
+            .otherwise(floor(col("v") / col("scale") + 0.5)))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"),
+            round(col("scale"), 9).as("scale_r"), col("qv"))
+          .orderBy("vec_id", "pos")
+      },
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |        unnest(CAST(embedding AS DOUBLE[])) AS v
+        |      FROM embeddings),
+        |s AS (SELECT vec_id, pos, v,
+        |        MAX(ABS(v)) OVER (PARTITION BY vec_id) / 127.0 AS scale FROM e)
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos, ROUND(scale, 9) AS scale_r,
+        |  CASE WHEN scale = 0 THEN 0 ELSE CAST(FLOOR(v/scale + 0.5) AS BIGINT) END AS qv
+        |FROM s ORDER BY vec_id, pos""".stripMargin,
+      doc = "int8 absmax quantization of the embedding column, fully oracle-checked")
   )
 }

@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Graph, Multimodal, Similarity, TextOps}
 import graft.sources.Tables
 
 /** North-star training-data-pipeline operators (BASELINE.json): dedup,
@@ -109,6 +110,44 @@ object ExtensionQueries {
         n = 3, threshold = 0.5).orderBy("id_a", "id_b"),
       JaccardOracleSql,
       doc = "PPJoin-style prefix-filtered exact Jaccard (the 100 TB join geometry)"),
+
+    // Pairs → clusters: the step that turns any near-dup pair tier into a
+    // deduplication DECISION (keep doc_id == cluster_id). The oracle
+    // reproduces the whole pipeline — exact Jaccard pairs, then transitive
+    // closure via a recursive CTE — so the iterative min-label propagation
+    // is driver-proven end-to-end, singletons included.
+    "q_dedup_clusters" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        val cc = Graph.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs.select("id_a", "id_b"))
+        cc.withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("label"))))
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+            col("n_members"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE sh AS ($ShingleSqlFragment),
+         |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b,
+         |        ROUND(CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |      FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b),
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r
+         |),
+         |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+         |FROM cc ORDER BY doc_id""".stripMargin,
+      doc = "near-dup pairs -> connected components (min-label propagation); " +
+        "cluster id = min reachable doc id, oracle via recursive-CTE closure"),
 
     // MinHash-LSH / SimHash: engine-specific hash functions → rows-only;
     // recall vs the exact baseline is asserted in DedupSpec.
