@@ -59,18 +59,21 @@ object Bench {
         name -> -1.0
       }
     }
-    // the driver keeps only the LAST 2000 chars of output and parses the
-    // JSON line out of that window; full-precision doubles overflowed it at
-    // 67 queries (round-3 bench came back unparsed). 3 decimals (ms
-    // resolution) keeps the line comfortably inside the window.
-    def fmt(v: Double): String = f"$v%.3f"
+    // the driver keeps only the LAST 2000 chars of output (incl. sbt's
+    // ~70-char "[success]" suffix) and parses the JSON line out of that
+    // window; full-precision doubles overflowed it at 67 queries (round-3
+    // bench came back unparsed). 2 decimals (centisecond resolution on
+    // 0.1–10s queries) plus a numeric sf keep ~250 chars of headroom at 71
+    // queries; the warning below fires well before the window is at risk.
+    def fmt(v: Double): String = f"$v%.2f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString(""","errors":{""", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_errors":${errors.size}$errs,"sf":"$sfDir"}"""
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_errors":${errors.size}$errs,"sf":$sfNum}"""
     if (line.length > 1850)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail window")
     println(line)

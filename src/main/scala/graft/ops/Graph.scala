@@ -37,10 +37,24 @@ object Graph {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIters: Int = 20): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // persist the (possibly expensive) pair pipeline BEFORE the symmetrizing
+    // union — union(e, e.swap) over an unpersisted input runs the upstream
+    // plan twice, which doubled q_dedup_clusters' cost when edges came from
+    // the PPJoin pipeline
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst")).persist()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
+    sym.count()
+    e.unpersist(blocking = false)
     var labels = nodes.select(col("id"), col("id").as("label")).persist()
+    // labels only ever DECREASE under min-propagation, so sum(label) is a
+    // strictly-decreasing convergence signal: one small aggregate per round
+    // both materializes the cache and detects the fixpoint (decimal sum —
+    // a long sum can overflow at billions of 64-bit ids)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty node set: sum is NULL
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -50,9 +64,9 @@ object Graph {
       val next = labels.select("id", "label").union(viaEdges)
         .groupBy("id").agg(min("label").as("label"))
         .persist()
-      next.count() // materialize before probing convergence / unpersisting
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).isEmpty
+      val s = labelSum(next) // materializes `next` and probes convergence
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist(blocking = false)
       labels = next
       iter += 1

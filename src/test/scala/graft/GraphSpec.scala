@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Connected components over near-dup pair lists (the pairs→clusters step). */
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(
+        nodes.toDF("id"), edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("singletons keep their own id when there are no edges") {
+    assert(cc(Seq(7L, 3L, 9L), Seq.empty) === Map(7L -> 7L, 3L -> 3L, 9L -> 9L))
+  }
+
+  test("a chain collapses to the minimum id regardless of edge orientation") {
+    // 5-4, 3-4 (reversed), 3-2, 1-2: one path component labelled 1, plus 9
+    val labels = cc(Seq(1L, 2L, 3L, 4L, 5L, 9L),
+      Seq((5L, 4L), (3L, 4L), (3L, 2L), (1L, 2L)))
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 9L -> 9L))
+  }
+
+  test("cycles and multiple components") {
+    val labels = cc(Seq(10L, 11L, 12L, 20L, 21L, 30L),
+      Seq((10L, 11L), (11L, 12L), (12L, 10L), (21L, 20L)))
+    assert(labels === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("duplicate and self edges are harmless") {
+    val labels = cc(Seq(1L, 2L), Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 2L)))
+    assert(labels === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty node set converges immediately") {
+    assert(cc(Seq.empty, Seq.empty) === Map.empty)
+  }
+
+  test("diameter beyond maxIters fails loudly instead of returning wrong labels") {
+    val n = 12L
+    val chain = (1L until n).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents((1L to n).toDF("id"),
+        chain.toDF("id_a", "id_b"), maxIters = 2).collect()
+    }
+  }
+
+  test("long chain converges within the default bound") {
+    val n = 15L
+    val chain = (1L until n).map(i => (i, i + 1))
+    val labels = cc(1L to n, chain)
+    assert(labels.values.toSet === Set(1L))
+  }
+}
