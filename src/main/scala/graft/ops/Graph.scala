@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * large-star/small-star alternation [Kiveris et al. 2014] halves rounds;
   * not needed for dedup-shaped graphs.)
   *
-  * Intermediate labels are persisted per round and the previous round is
-  * unpersisted — lineage stays O(1) deep, so the plan does not grow with
-  * iteration count.
+  * Intermediate labels are `localCheckpoint`ed per round: each round's plan
+  * references the previous round TWICE (the self-union and the edge join),
+  * so without lineage truncation the logical plan doubles every round —
+  * by round ~14 the plan tree is ~2^14 nodes and merely *stringifying* it
+  * for the SQL listener OOMs. Checkpointing keeps the plan O(1) deep;
+  * superseded checkpoint RDDs are reclaimed by the ContextCleaner.
   */
 object Graph {
 
@@ -43,10 +46,9 @@ object Graph {
     // the PPJoin pipeline
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst")).persist()
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
-    sym.count()
+      .localCheckpoint() // eager: materializes here, truncates the pair-pipeline plan
     e.unpersist(blocking = false)
-    var labels = nodes.select(col("id"), col("id").as("label")).persist()
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     // labels only ever DECREASE under min-propagation, so sum(label) is a
     // strictly-decreasing convergence signal: one small aggregate per round
     // both materializes the cache and detects the fixpoint (decimal sum —
@@ -63,15 +65,13 @@ object Graph {
         .select(sym("dst").as("id"), col("label"))
       val next = labels.select("id", "label").union(viaEdges)
         .groupBy("id").agg(min("label").as("label"))
-        .persist()
-      val s = labelSum(next) // materializes `next` and probes convergence
+        .localCheckpoint() // eager: O(1)-deep plan; prior round's RDD is GC-reclaimed
+      val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
-    sym.unpersist(blocking = false)
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels
   }
