@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators: sequence packing, BM25 retrieval and
+  * PageRank — the steps between "clean corpus" and "training batches" that
+  * a 100 TB pipeline runs after dedup/quality filtering.
+  */
+object TrainOps {
+
+  /** Concat-and-chunk sequence packing (the standard LLM pretraining pack):
+    * documents are concatenated in `idCol` order into one virtual token
+    * stream, then the stream is chunked into fixed windows of `window`
+    * tokens; a document's global token offset decides which window(s) it
+    * lands in (documents may straddle a boundary).
+    *
+    * The global running offset is a distributed two-phase prefix sum, NOT a
+    * single `Window.orderBy` (which would drag the whole corpus through one
+    * task):
+    *   1. shard by `idCol div shardSize` (range-ordered, so shard order ==
+    *      id order), aggregate one token total per shard;
+    *   2. collect the per-shard totals (one row per shard — thousands of
+    *      rows at 100 TB, not data rows), exclusive-prefix-sum them on the
+    *      driver, broadcast the shard→base map back;
+    *   3. a per-shard window cumsum (bounded partitions) plus the shard base
+    *      gives every document its exact global offset.
+    *
+    * @param docs   input with `idCol` (dense numeric id) and `tokCol`
+    *               (per-document token count, > 0)
+    * @param window tokens per training window (e.g. 512, 4096)
+    * @param shardSize documents per prefix-sum shard; tune so one shard's
+    *                  rows fit a task comfortably (1 << 20 at scale)
+    * @return idCol, n_tok, tok_offset, first_win, last_win, n_wins
+    */
+  def packConcatChunk(docs: DataFrame, idCol: String, tokCol: String,
+                      window: Long, shardSize: Long = 1L << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sharded = docs
+      .select(col(idCol).cast("long").as("id"), col(tokCol).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("shard", expr(s"id div $shardSize"))
+    // phase 1+2: one row per shard to the driver, exclusive prefix on the
+    // driver, broadcast back. Deterministic and O(#shards) driver memory.
+    val totals = sharded.groupBy("shard").agg(sum("n_tok").as("shard_tok"))
+      .orderBy("shard").as[(Long, Long)].collect()
+    var acc = 0L
+    val bases = totals.toSeq.map { case (shard, tok) =>
+      val b = (shard, acc); acc += tok; b
+    }
+    val baseDf = spark.createDataset(bases).toDF("shard", "shard_base")
+    // phase 3: per-shard cumsum — partitions are bounded by shardSize
+    val wsum = Window.partitionBy("shard").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded.join(broadcast(baseDf), "shard")
+      .withColumn("tok_offset", col("shard_base") + coalesce(sum("n_tok").over(wsum), lit(0L)))
+      .withColumn("first_win", expr(s"tok_offset div $window"))
+      .withColumn("last_win", expr(s"(tok_offset + n_tok - 1) div $window"))
+      .select(col("id").as(idCol), col("n_tok"), col("tok_offset"),
+        col("first_win"), col("last_win"),
+        (col("last_win") - col("first_win") + 1L).as("n_wins"))
+  }
+
+  /** Fixed-iteration PageRank over an undirected edge list (each edge walks
+    * both ways). The Pregel shape: one equi-join (ranks onto out-edges) and
+    * one sum-aggregate (contributions by destination) per iteration — both
+    * plain shuffles on the node id, no driver-side data beyond one count.
+    *
+    * Determinism contract (shared with the DuckDB oracle): FIXED-POINT
+    * integer arithmetic. Ranks are BIGINT micro-units at scale 1e12; the
+    * per-edge contribution is integer division `pr div outdeg`, the damping
+    * step is `(85 * sum) div 100`, the teleport term `(15 * S div 100) div
+    * n`. Rounded double math was tried first and diverged at 1-2e-12: an
+    * exact 12-decimal rank over a small out-degree lands exactly ON the
+    * halfway point, where Spark's BigDecimal HALF_UP and DuckDB's
+    * double-arithmetic ROUND disagree. Integer division has no rounding law
+    * to disagree about; truncation leaks <1 micro-unit of mass per edge per
+    * round, deterministically in both engines.
+    *
+    * @param edges columns `src`, `dst`; interpreted undirected
+    * @return (id, pr_micro BIGINT, pr DOUBLE = pr_micro/1e12)
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+               dampingPct: Long = 85L): DataFrame = {
+    val S = 1000000000000L // 1e12 micro-units of rank mass
+    val e = edges.select(col("src"), col("dst")).persist()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // out-degree rides on every edge (one small agg + broadcast-able join,
+    // done once) so the per-iteration join only touches ranks
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = sym.join(deg, "src").localCheckpoint() // truncate the edge pipeline
+    e.unpersist(blocking = false)
+    val n = deg.count() // every node has out-edges under the symmetric closure
+    val teleport = (S * (100L - dampingPct) / 100L) / n
+    var ranks = deg.select(col("src").as("id"), lit(S / n).as("pr_micro"))
+    for (_ <- 1 to iters) {
+      ranks = eDeg.join(ranks, eDeg("src") === ranks("id"))
+        .select(eDeg("dst").as("id"), expr("pr_micro div outdeg").as("c"))
+        .groupBy("id")
+        .agg((lit(teleport) + expr(s"($dampingPct * sum(c)) div 100")).as("pr_micro"))
+        .localCheckpoint() // O(1)-deep plan across iterations (see Graph.scala)
+    }
+    ranks.withColumn("pr", col("pr_micro").cast("double") / lit(1.0e12))
+  }
+
+  /** DuckDB oracle for [[pageRank]]: the same fixed iteration count
+    * unrolled as chained CTEs (DuckDB disallows aggregates in a recursive
+    * CTE term, so the rounds are generated, not recursive). Shares the
+    * fixed-point micro-unit contract — all-integer arithmetic, so the two
+    * engines agree bit-for-bit with no rounding law in play. */
+  def pageRankOracle(edgesSql: String, iters: Int, topK: Int,
+                     dampingPct: Long = 85L): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT s.dst AS id,
+         |  (SELECT tele FROM nn) +
+         |    ($dampingPct * CAST(SUM(r.pr_micro // d.outdeg) AS BIGINT)) // 100 AS pr_micro
+         |FROM sym s JOIN r${i - 1} r ON s.src = r.id JOIN deg d ON d.src = s.src
+         |GROUP BY s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src),
+       |nn AS (SELECT (1000000000000 * ${100L - dampingPct} // 100) // COUNT(*) AS tele,
+       |              1000000000000 // COUNT(*) AS r0_micro FROM deg),
+       |r0 AS (SELECT src AS id, (SELECT r0_micro FROM nn) AS pr_micro FROM deg),
+       |$rounds
+       |SELECT id, pr_micro, CAST(pr_micro AS DOUBLE) / 1e12 AS pr
+       |FROM r$iters ORDER BY pr_micro DESC, id LIMIT $topK""".stripMargin
+  }
+
+  /** BM25 score of `dl`-length documents for a fixed small term set.
+    * Pure column expression — the per-term tf/df/avgdl inputs come from the
+    * caller's aggregates; keeping the arithmetic in one fixed-order
+    * expression makes the double math bit-identical across engines. */
+  def bm25Term(tf: Column, df: Column, n: Column, dl: Column, avgdl: Column,
+               k1: Double = 1.2, b: Double = 0.75): Column = {
+    val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
+    idf * tf * (k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+  }
+}

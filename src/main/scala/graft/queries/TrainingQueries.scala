@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TextOps, TrainOps}
+import graft.sources.Tables
+
+/** Training-data assembly queries: the corpus→batches steps (packing,
+  * quality gating, contamination screening, retrieval, mixing, graph
+  * centrality) that complete the LLM-pipeline surface next to the dedup /
+  * ANN / text-analysis tiers. Every query carries a full DuckDB oracle.
+  */
+object TrainingQueries {
+
+  /** Portable uniform in [0,1): first 8 md5 hex chars of the id as a 32-bit
+    * fraction — the q_sample_hash family, identical in both engines. */
+  private def hashUniform(idSql: String): String =
+    s"(('0x'||substr(md5(CAST($idSql AS VARCHAR)),1,8))::BIGINT / 4294967296.0)"
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------- sequence packing
+    // Concat-and-chunk packing at window=512: the global token offset is a
+    // distributed two-phase prefix sum in Spark (per-shard totals →
+    // driver-side exclusive prefix over #shards rows → broadcast base +
+    // per-shard cumsum), never a single-task global window. The oracle is
+    // the single-window formulation — equality proves the sharded prefix
+    // sum exact.
+    "q_pack_sequences" -> QueryDef.sql(
+      (s, dir) => TrainOps.packConcatChunk(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", window = 512L, shardSize = 64L)
+        .orderBy("doc_id"),
+      """WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tok
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_tok,
+        |        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |      FROM t WHERE n_tok > 0)
+        |SELECT doc_id, n_tok, tok_offset,
+        |  tok_offset // 512 AS first_win,
+        |  (tok_offset + n_tok - 1) // 512 AS last_win,
+        |  (tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1 AS n_wins
+        |FROM o ORDER BY doc_id""".stripMargin,
+      doc = "concat-and-chunk sequence packing via a distributed two-phase " +
+        "prefix sum; oracle is the naive global window"),
+
+    // -------------------------------------------- repetition/quality gate
+    // Gopher-style repetition filters (Rae et al. 2021, §A1.1 adapted to
+    // word level): fraction of tokens taken by the most frequent token,
+    // fraction of duplicate 2-grams, mean token length, token count — and
+    // the keep/drop verdict a pipeline gates on. Thresholds sit inside the
+    // corpus distribution (frac_top p90≈0.14, dup2 p90≈0.065) so both
+    // branches of the verdict are exercised. Comparisons use the ROUNDED
+    // metrics so the two engines can't disagree at a threshold boundary.
+    "q_quality_gopher" -> QueryDef.sql(
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+        val base = t.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(TextOps.shingles(col("text"), 2)).cast("long").as("n_d2"),
+          length(array_join(col("toks"), "")).cast("long").as("sum_len"))
+        val top = t.select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("top_c"))
+        base.join(top, "doc_id")
+          .filter(col("n_tok") >= 2)
+          .select(col("doc_id"), col("n_tok"),
+            round(col("top_c").cast("double") / col("n_tok"), 6).as("frac_top"),
+            round(lit(1.0) - col("n_d2").cast("double") / (col("n_tok") - 1), 6).as("dup2_frac"),
+            round(col("sum_len").cast("double") / col("n_tok"), 4).as("mean_len"))
+          .withColumn("keep",
+            col("n_tok").between(20, 100000) && col("frac_top") <= 0.12 &&
+              col("dup2_frac") <= 0.05 && col("mean_len").between(3.0, 10.0))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |              FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_tok,
+        |    len(list_distinct([t[i]||'_'||t[i+1] for i in range(1, len(t))])) AS n_d2,
+        |    length(list_aggregate(t, 'string_agg', '')) AS sum_len
+        |  FROM toks),
+        |tt AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |top AS (SELECT doc_id, MAX(c) AS top_c FROM
+        |          (SELECT doc_id, term, COUNT(*) AS c FROM tt GROUP BY 1, 2)
+        |        GROUP BY doc_id),
+        |m AS (SELECT doc_id, n_tok,
+        |    ROUND(CAST(top_c AS DOUBLE) / n_tok, 6) AS frac_top,
+        |    ROUND(1.0 - CAST(n_d2 AS DOUBLE) / (n_tok - 1), 6) AS dup2_frac,
+        |    ROUND(CAST(sum_len AS DOUBLE) / n_tok, 4) AS mean_len
+        |  FROM base JOIN top USING (doc_id) WHERE n_tok >= 2)
+        |SELECT doc_id, n_tok, frac_top, dup2_frac, mean_len,
+        |  (n_tok BETWEEN 20 AND 100000 AND frac_top <= 0.12
+        |   AND dup2_frac <= 0.05 AND mean_len BETWEEN 3.0 AND 10.0) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+      doc = "Gopher-style repetition metrics + keep/drop verdict per document"),
+
+    // -------------------------------------------- benchmark contamination
+    // Eval-set n-gram contamination screen (the GPT-3/PaLM decontamination
+    // step): every corpus document sharing a distinct 4-gram with any
+    // held-out eval document (here: doc_id % 50 = 0) is reported with how
+    // many of its grams are tainted and by how many eval docs. Scale shape:
+    // the eval side is tiny by construction → broadcast equi-join on the
+    // gram; the corpus side streams through once. The per-doc gram-set size
+    // rides the explode (no join-back to a count table).
+    "q_contamination" -> QueryDef.sql(
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.shingles(col("text"), 4).as("grams"))
+          .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+            explode(col("grams")).as("g"))
+        val ev = g.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("eval_id"), col("g"))
+        g.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(ev), "g")
+          .groupBy("doc_id", "n_grams")
+          .agg(count_distinct(col("g")).as("n_tainted"),
+            count_distinct(col("eval_id")).as("n_eval_docs"))
+          .select(col("doc_id"), col("n_tainted"), col("n_eval_docs"),
+            round(col("n_tainted").cast("double") / col("n_grams"), 6).as("tainted_frac"))
+          .orderBy("doc_id")
+      },
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |              FROM documents),
+        |grams AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g FROM
+        |  (SELECT doc_id, list_distinct([t[i]||'_'||t[i+1]||'_'||t[i+2]||'_'||t[i+3]
+        |     for i in range(1, len(t) - 2)]) AS gs FROM toks)),
+        |ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 50 = 0)
+        |SELECT doc_id, COUNT(DISTINCT g) AS n_tainted,
+        |  COUNT(DISTINCT eval_id) AS n_eval_docs,
+        |  ROUND(CAST(COUNT(DISTINCT g) AS DOUBLE) / ANY_VALUE(n_grams), 6) AS tainted_frac
+        |FROM grams JOIN ev USING (g)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      doc = "4-gram eval-set contamination screen (broadcast eval side)"),
+
+    // --------------------------------------------------- BM25 retrieval
+    // Top-20 BM25(k1=1.2, b=0.75) ranking for a fixed 3-term query. All
+    // corpus statistics (N, avgdl, per-term df) reduce to ONE broadcast row;
+    // per-document term frequencies are conditional aggregates over one
+    // exploded pass; the score is a single fixed-order double expression —
+    // bit-identical across engines, ordered by the ROUNDED score so ulp
+    // noise can't reorder the top-k.
+    "q_bm25_search" -> QueryDef.sql(
+      (s, dir) => {
+        val terms = Seq("spark", "join", "filter")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val lens = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        val tt = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term").isin(terms: _*))
+        val tfCols = terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+        val tf = tt.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+        val dfCols = terms.map(t =>
+          count_distinct(when(col("term") === t, col("doc_id"))).cast("double").as(s"df_$t"))
+        val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+          .crossJoin(tt.groupBy().agg(dfCols.head, dfCols.tail: _*))
+        val scored = lens.join(tf, "doc_id")
+          .crossJoin(broadcast(stats))
+        val score = terms.map(t => TrainOps.bm25Term(
+          col(s"tf_$t").cast("double"), col(s"df_$t"), col("n_docs"),
+          col("dl").cast("double"), col("avgdl"))).reduce(_ + _)
+        scored.select(col("doc_id"), col("dl"),
+          col("tf_spark"), col("tf_join"), col("tf_filter"),
+          round(score, 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |              FROM documents),
+        |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |tt AS (SELECT doc_id, unnest(t) AS term FROM toks
+        |       WHERE TRUE) ,
+        |tf AS (SELECT doc_id,
+        |    SUM(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS tf_spark,
+        |    SUM(CASE WHEN term = 'join'   THEN 1 ELSE 0 END) AS tf_join,
+        |    SUM(CASE WHEN term = 'filter' THEN 1 ELSE 0 END) AS tf_filter
+        |  FROM tt WHERE term IN ('spark', 'join', 'filter') GROUP BY doc_id),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    AVG(dl) AS avgdl FROM lens),
+        |dfs AS (SELECT
+        |    CAST(COUNT(DISTINCT CASE WHEN term = 'spark'  THEN doc_id END) AS DOUBLE) AS df_spark,
+        |    CAST(COUNT(DISTINCT CASE WHEN term = 'join'   THEN doc_id END) AS DOUBLE) AS df_join,
+        |    CAST(COUNT(DISTINCT CASE WHEN term = 'filter' THEN doc_id END) AS DOUBLE) AS df_filter
+        |  FROM tt WHERE term IN ('spark', 'join', 'filter'))
+        |SELECT doc_id, dl, tf_spark, tf_join, tf_filter,
+        |  ROUND(
+        |    ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+        |      * tf_spark * 2.2 / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5))
+        |      * tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1.0 + (n_docs - df_filter + 0.5) / (df_filter + 0.5))
+        |      * tf_filter * 2.2 / (tf_filter + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score
+        |FROM lens JOIN tf USING (doc_id) CROSS JOIN stats CROSS JOIN dfs
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      doc = "BM25 top-20 for a fixed term set; one broadcast stats row"),
+
+    // ----------------------------------------------- temperature mixing
+    // Temperature-weighted source mixing (T=2, the multilingual-sampling
+    // rule): target share per source ∝ (n_s/N)^(1/T); documents accepted by
+    // a deterministic content hash against the per-source rate, so the mix
+    // is reproducible under re-partitioning and re-runs. The sqrt weights
+    // are rounded to 9 dp and summed EXACTLY as decimals so both engines
+    // derive identical rates; acceptance compares the md5 uniform against
+    // the ROUNDED rate.
+    "q_mix_temperature" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nTarget = 200L
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val weighted = counts.withColumn("w",
+          round(sqrt(col("n_docs").cast("double") /
+            sum("n_docs").over(Window.partitionBy()).cast("double")), 9)
+            .cast("decimal(18,9)"))
+        val rates = weighted.withColumn("p",
+          round(col("w").cast("double") /
+            sum("w").over(Window.partitionBy()).cast("double"), 9))
+          .withColumn("rate",
+            round(least(lit(1.0), col("p") * nTarget / col("n_docs")), 6))
+          .select("source", "n_docs", "rate")
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") / lit(4294967296.0)
+        docs.join(broadcast(rates), "source")
+          .withColumn("kept", (u < col("rate")).cast("long"))
+          .groupBy("source", "n_docs", "rate")
+          .agg(sum("kept").as("n_kept"))
+          .select(col("source"), col("n_docs"), col("rate"), col("n_kept"),
+            round(col("n_kept").cast("double") / col("n_docs"), 6).as("achieved"))
+          .orderBy("source")
+      },
+      s"""WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |    CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE) /
+        |      CAST(SUM(n_docs) OVER () AS DOUBLE)), 9) AS DECIMAL(18,9)) AS w
+        |  FROM counts),
+        |r AS (SELECT source, n_docs,
+        |    ROUND(LEAST(1.0,
+        |      ROUND(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 9)
+        |        * 200 / n_docs), 6) AS rate
+        |  FROM w)
+        |SELECT d.source, r.n_docs, r.rate,
+        |  SUM(CASE WHEN ${hashUniform("d.doc_id")} < r.rate THEN 1 ELSE 0 END) AS n_kept,
+        |  ROUND(CAST(SUM(CASE WHEN ${hashUniform("d.doc_id")} < r.rate THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / r.n_docs, 6) AS achieved
+        |FROM documents d JOIN r USING (source)
+        |GROUP BY d.source, r.n_docs, r.rate ORDER BY d.source""".stripMargin,
+      doc = "temperature-weighted (T=2) deterministic source mixing report"),
+
+    // --------------------------------------------------------- PageRank
+    // Fixed-5-iteration PageRank over the customer↔supplier trade graph
+    // (distinct pairs from lineitem⋈orders, walked both ways). The oracle
+    // unrolls the same five Pregel rounds as chained CTEs — rank values are
+    // bit-identical under the shared fixed-point micro-unit contract
+    // (see TrainOps.pageRank). Top 50 by rank so the output stays readable.
+    "q_pagerank" -> QueryDef.sql(
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+        TrainOps.pageRank(edges, iters = 5)
+          .select(col("id"), col("pr_micro"), col("pr"))
+          .orderBy(col("pr_micro").desc, col("id")).limit(50)
+      },
+      TrainOps.pageRankOracle(
+        edgesSql = """SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                     |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+        iters = 5, topK = 50),
+      doc = "5-iteration PageRank on the customer-supplier graph, " +
+        "bit-identical decimal-sum contract, top 50")
+  )
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.TrainOps
+
+/** Sequence packing, fixed-point PageRank, and the BM25 scoring column. */
+class TrainOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- packing
+
+  test("packConcatChunk matches the naive single-window prefix sum") {
+    // ids deliberately sparse/unordered on input; token counts force several
+    // shard boundaries at shardSize=4 and window straddles at window=10
+    val docs = Seq(3L -> 7L, 1L -> 4L, 10L -> 9L, 7L -> 3L, 12L -> 12L,
+      5L -> 1L, 8L -> 5L, 20L -> 2L, 15L -> 8L, 2L -> 6L)
+      .toDF("doc_id", "n_tok")
+    val packed = TrainOps.packConcatChunk(docs, "doc_id", "n_tok",
+      window = 10L, shardSize = 4L)
+    val naive = docs
+      .withColumn("tok_offset", coalesce(sum("n_tok").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"), col("tok_offset"),
+        expr("tok_offset div 10").as("first_win"),
+        expr("(tok_offset + n_tok - 1) div 10").as("last_win"))
+      .withColumn("n_wins", col("last_win") - col("first_win") + 1L)
+    assert(packed.orderBy("doc_id").collect().toSeq ===
+      naive.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("packConcatChunk window spans: a doc straddling a boundary counts both windows") {
+    val docs = Seq(1L -> 6L, 2L -> 8L, 3L -> 2L).toDF("doc_id", "n_tok")
+    val out = TrainOps.packConcatChunk(docs, "doc_id", "n_tok", window = 10L)
+      .orderBy("doc_id")
+      .select("doc_id", "tok_offset", "first_win", "last_win", "n_wins")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // doc 2 occupies offsets [6, 14) → windows 0 and 1
+    assert(out.toSeq === Seq((1L, 0L, 0L, 0L, 1L), (2L, 6L, 0L, 1L, 2L),
+      (3L, 14L, 1L, 1L, 1L)))
+  }
+
+  test("packConcatChunk drops zero-token docs and keeps offsets contiguous") {
+    val docs = Seq(1L -> 5L, 2L -> 0L, 3L -> 5L).toDF("doc_id", "n_tok")
+    val out = TrainOps.packConcatChunk(docs, "doc_id", "n_tok", window = 100L)
+      .orderBy("doc_id").select("doc_id", "tok_offset")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 0L), (3L, 5L)))
+  }
+
+  // ------------------------------------------------------------ PageRank
+
+  private val S = 1000000000000L
+
+  test("pageRank conserves mass up to deterministic truncation") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val pr = TrainOps.pageRank(edges, iters = 5)
+    val total = pr.agg(sum("pr_micro")).head.getLong(0)
+    // each of the <=10 sym edges truncates <1 micro-unit per round, the
+    // damping step <1 more per node per round
+    assert(total <= S && total > S - 5 * (10 + 4 + 2))
+  }
+
+  test("pageRank ranks a star hub above its leaves, leaves tie exactly") {
+    val edges = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("src", "dst")
+    val ranks = TrainOps.pageRank(edges, iters = 5)
+      .select("id", "pr_micro").as[(String, Long)].collect().toMap
+    assert(ranks("h") > ranks("l1"))
+    assert(ranks("l1") === ranks("l2") && ranks("l2") === ranks("l3"))
+  }
+
+  test("pageRank on a 2-cycle is the uniform fixpoint (exact)") {
+    // both nodes have outdeg 1 and feed each other: rank stays S/2 except
+    // for the deterministic damping truncation: 15% teleport + 85% of S/2
+    val edges = Seq(("x", "y")).toDF("src", "dst")
+    val ranks = TrainOps.pageRank(edges, iters = 3)
+      .select("id", "pr_micro").as[(String, Long)].collect().toMap
+    // closed form per round: r' = tele + (85*r) div 100 with r0 = S/2
+    var r = S / 2
+    val tele = (S * 15L / 100L) / 2
+    for (_ <- 1 to 3) r = tele + (85L * r) / 100L
+    assert(ranks("x") === r && ranks("y") === r)
+  }
+
+  // ---------------------------------------------------------------- BM25
+
+  test("bm25Term rises with tf and falls with df") {
+    val row = Seq(1).toDF("i")
+    def score(tf: Double, df: Double): Double = row.select(
+      TrainOps.bm25Term(lit(tf), lit(df), lit(100.0), lit(50.0), lit(50.0))
+        .as("s")).head.getDouble(0)
+    assert(score(3, 10) > score(1, 10))
+    assert(score(2, 5) > score(2, 50))
+    assert(score(0, 10) === 0.0)
+  }
+}
