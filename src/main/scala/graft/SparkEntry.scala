@@ -12,7 +12,7 @@ object SparkEntry {
 
   private def registry: Map[String, QueryDef] =
     PipelineQueries.defs ++ RelationalQueries.defs ++ ExtensionQueries.defs ++
-      AnalyticsQueries.defs ++ TrainingQueries.defs
+      AnalyticsQueries.defs ++ TrainingQueries.defs ++ CleaningQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CleanOps
+import graft.sources.Tables
+
+/** Corpus-cleaning queries: segment-level exact dedup, cross-document
+  * n-gram duplication scoring, unigram-LM quality scoring, and PII
+  * redaction — the content-hygiene steps between raw ingest and the
+  * training-assembly tier in `TrainingQueries`. Every query carries a full
+  * DuckDB oracle.
+  */
+object CleaningQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------- segment-level exact dedup
+    // CCNet/FineWeb line-dedup shape: segments keep only their first
+    // corpus-wide occurrence; documents are rebuilt from survivors. The
+    // fixture text is single-line, so segments are non-overlapping 8-token
+    // chunks (`CleanOps.tokenSegments`) — the operator itself takes any
+    // array<string> segmentation (lines, sentences). The winner per segment
+    // hash is a partially-aggregable min, NOT a window sort, so a hot
+    // boilerplate segment cannot pin one task (see CleanOps scaladoc).
+    "q_dedup_segments" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        CleanOps.segmentDedup(docs, "doc_id",
+            CleanOps.tokenSegments(col("text"), 8))
+          .orderBy("doc_id")
+      },
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |                       '(?:[a-z0-9]+ ){0,7}[a-z0-9]+') AS arr
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(arr) AS seg, unnest(range(len(arr))) AS pos
+        |       FROM raw),
+        |mk AS (SELECT doc_id, pos, seg,
+        |         row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) = 1 AS keep
+        |       FROM ex)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS kept_text,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE keep) AS DOUBLE) / COUNT(*), 6) AS retained_frac
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      doc = "corpus-wide segment (pseudo-line) exact dedup with first-" +
+        "occurrence winners and in-order document rebuild"),
+
+    // -------------------------------- cross-document n-gram duplication
+    // RefinedWeb's duplicated-n-gram quality signal: the fraction of a
+    // document's distinct 4-gram shingles that occur in >= 1 other
+    // document (or twice here — df counts occurrences, and shingles are
+    // distinct per doc, so df>1 means another document shares the gram).
+    "q_quality_dup_ngrams" -> QueryDef.sql(
+      (s, dir) => CleanOps.crossDocNgramDup(
+          Tables.documents(s, dir), "doc_id", "text", n = 4)
+        .orderBy("doc_id"),
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([toks[i] || '_' || toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3]
+        |                          for i in range(1, len(toks) - 2)])) AS gram
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |        FROM documents)),
+        |df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS gram_df FROM sh GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) FILTER (WHERE gram_df > 1) AS BIGINT) AS n_dup,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE gram_df > 1) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+        |FROM sh JOIN df USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      doc = "fraction of each doc's distinct 4-grams shared with another " +
+        "document (RefinedWeb duplicated-n-gram signal)"),
+
+    // ------------------------------------------ unigram LM quality score
+    // CCNet-shaped perplexity gate on a self-fit add-one unigram model.
+    // Per-term surprisals are rounded to 6 decimals BEFORE the per-doc sum
+    // and summed in exact decimals, so neither engine's double summation
+    // order can leak into the hash (FIXTURES.md double-sum trap).
+    "q_lm_perplexity" -> QueryDef.sql(
+      (s, dir) => CleanOps.lmUnigramScore(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |st AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total, CAST(COUNT(*) AS BIGINT) AS v_size FROM tc),
+        |sc AS (SELECT doc_id, tf.tf,
+        |         ROUND(-log2(CAST(c + 1 AS DOUBLE) / CAST(t_total + v_size AS DOUBLE)), 6) AS nll6
+        |       FROM tf JOIN tc USING (term) CROSS JOIN st)
+        |SELECT doc_id,
+        |  CAST(SUM(tf) AS BIGINT) AS n_tok,
+        |  ROUND(CAST(SUM(tf * CAST(nll6 AS DECIMAL(18,6))) AS DOUBLE) / SUM(tf), 6) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      doc = "mean per-token surprisal under a corpus-fit add-one unigram " +
+        "model (cheap CCNet-style perplexity gate)"),
+
+    // ------------------------------------------------------ PII redaction
+    // The fixture corpus carries no PII, so the query PLANTS deterministic
+    // synthetic PII derived from fixture ids (md5-local-part emails,
+    // doc_id-derived dotted quads and short phone numbers) identically in
+    // both engines, then counts and redacts it. Both the match and
+    // no-match branches are exercised (~1/3, 1/4, 1/5 of docs each).
+    "q_pii_redact" -> QueryDef.sql(
+      (s, dir) => {
+        val aug = Tables.documents(s, dir).select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact "),
+              substring(md5(col("doc_id").cast("string")), 1, 8),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 2,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+          .as("aug"))
+        aug.select(col("doc_id"),
+            CleanOps.piiCount(col("aug"), CleanOps.EmailRe).as("n_email"),
+            CleanOps.piiCount(col("aug"), CleanOps.Ipv4Re).as("n_ip"),
+            CleanOps.piiCount(col("aug"), CleanOps.PhoneRe).as("n_phone"),
+            CleanOps.redactPii(col("aug")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 1 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 2 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '${CleanOps.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '${CleanOps.Ipv4Re}')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(aug, '${CleanOps.PhoneRe}')) AS BIGINT) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '${CleanOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${CleanOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${CleanOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+         |FROM aug ORDER BY doc_id""".stripMargin,
+      doc = "regex PII redaction (email/IP/phone) with per-doc match counts " +
+        "over deterministically planted fixture-derived PII")
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CleanOps
+
+class CleanOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokenSegments chunks into non-overlapping <=n-token segments that rebuild the text") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "solo"), (3L, "")).toDF("id", "text")
+    val got = df.select(col("id"), CleanOps.tokenSegments(col("text"), 3).as("segs"))
+      .orderBy("id").collect().map(_.getSeq[String](1).toList)
+    assert(got(0) === List("a b c", "d e f", "g h i", "j"))
+    assert(got(1) === List("solo"))
+    assert(got(2) === List())
+    // segments concatenated with the separator reconstruct the normalized text
+    assert(got(0).mkString(" ") === "a b c d e f g h i j")
+  }
+
+  test("segmentDedup keeps first corpus-wide occurrence and rebuilds in order") {
+    // doc 1: [x y, z w]; doc 2: [z w, u v] — "z w" survives only in doc 1
+    val df = Seq((1L, "x y z w"), (2L, "z w u v")).toDF("doc_id", "text")
+    val out = CleanOps.segmentDedup(df, "doc_id", CleanOps.tokenSegments(col("text"), 2))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_segs") === 2 && out(0).getAs[Long]("n_kept") === 2)
+    assert(out(0).getAs[String]("kept_text") === "x y z w")
+    assert(out(1).getAs[Long]("n_segs") === 2 && out(1).getAs[Long]("n_kept") === 1)
+    assert(out(1).getAs[String]("kept_text") === "u v")
+    assert(out(1).getAs[Double]("retained_frac") === 0.5)
+  }
+
+  test("segmentDedup keeps a within-doc repeated segment only at its first position") {
+    val df = Seq((7L, "p q p q r s")).toDF("doc_id", "text")
+    val out = CleanOps.segmentDedup(df, "doc_id", CleanOps.tokenSegments(col("text"), 2))
+      .collect()
+    assert(out(0).getAs[Long]("n_segs") === 3)
+    assert(out(0).getAs[Long]("n_kept") === 2)
+    assert(out(0).getAs[String]("kept_text") === "p q r s")
+  }
+
+  test("crossDocNgramDup scores shared n-grams and leaves unique docs at zero") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta unique1 one"),
+      (2L, "alpha beta gamma delta unique2 two"),
+      (3L, "completely different tokens here again")).toDF("doc_id", "text")
+    val out = CleanOps.crossDocNgramDup(df, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect()
+    // docs 1/2 share exactly the gram alpha_beta_gamma_delta (3 grams each)
+    assert(out(0).getAs[Long]("n_dup") === 1 && out(0).getAs[Long]("n_grams") === 3)
+    assert(out(1).getAs[Long]("n_dup") === 1)
+    assert(out(2).getAs[Long]("n_dup") === 0)
+  }
+
+  test("lmUnigramScore matches the hand-computed add-one unigram surprisal") {
+    // corpus: a a a b -> c(a)=3, c(b)=1, T=4, V=2
+    // p(a)=(3+1)/(4+2)=2/3, p(b)=(1+1)/6=1/3
+    val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val out = CleanOps.lmUnigramScore(df, "doc_id", "text").collect()
+    val nllA = BigDecimal(-math.log(2.0 / 3) / math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val nllB = BigDecimal(-math.log(1.0 / 3) / math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = ((nllA * 3 + nllB) / 4).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Long]("n_tok") === 4)
+    assert(math.abs(out(0).getAs[Double]("avg_nll") - expected) < 1e-9)
+  }
+
+  test("redactPii masks emails, IPs, and phones; counts match") {
+    val df = Seq((1L, "write bob.smith+x@mail.example.org or ping 192.168.0.1 or call 555-0199 twice 555-0200"),
+                 (2L, "nothing sensitive here")).toDF("id", "text")
+    val out = df.select(col("id"),
+        CleanOps.piiCount(col("text"), CleanOps.EmailRe).as("ne"),
+        CleanOps.piiCount(col("text"), CleanOps.Ipv4Re).as("ni"),
+        CleanOps.piiCount(col("text"), CleanOps.PhoneRe).as("np"),
+        CleanOps.redactPii(col("text")).as("red"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("ne") === 1 && out(0).getAs[Long]("ni") === 1 && out(0).getAs[Long]("np") === 2)
+    assert(out(0).getAs[String]("red") ===
+      "write <EMAIL> or ping <IP> or call <PHONE> twice <PHONE>")
+    assert(out(1).getAs[String]("red") === "nothing sensitive here")
+  }
+}
