@@ -86,18 +86,35 @@ object TrainOps {
                dampingPct: Long = 85L): DataFrame = {
     val S = 1000000000000L // 1e12 micro-units of rank mass
     val e = edges.select(col("src"), col("dst")).persist()
+    // checkpoint the BARE symmetric edge list — an earlier version joined
+    // outdeg onto every edge here, which materialized a second, wider copy
+    // of the whole edge list before the first iteration (the single most
+    // expensive step of the job at sf0.1). Out-degree instead rides on the
+    // node-sized rank table below.
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    // out-degree rides on every edge (one small agg + broadcast-able join,
-    // done once) so the per-iteration join only touches ranks
+      .localCheckpoint()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDeg = sym.join(deg, "src").localCheckpoint() // truncate the edge pipeline
+      .localCheckpoint() // node-sized; computed once
     e.unpersist(blocking = false)
     val n = deg.count() // every node has out-edges under the symmetric closure
     val teleport = (S * (100L - dampingPct) / 100L) / n
+    // Per iteration, the per-source contribution (pr div outdeg) is built
+    // on the NODE-sized side (ranks ⋈ deg — two tiny tables) and joined
+    // onto the edges. Both small tables sit behind localCheckpoints, which
+    // hide their size from the planner (LogicalRDD reports
+    // spark.sql.defaultSizeInBytes), so without an explicit hint every
+    // iteration falls back to sort-merge — re-sorting the full edge list
+    // per round. While n is broadcast-sized, hint it; beyond that the
+    // shuffle join is the right plan and the edge side dominates anyway.
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (n <= 5000000L) broadcast(df) else df
     var ranks = deg.select(col("src").as("id"), lit(S / n).as("pr_micro"))
     for (_ <- 1 to iters) {
-      ranks = eDeg.join(ranks, eDeg("src") === ranks("id"))
-        .select(eDeg("dst").as("id"), expr("pr_micro div outdeg").as("c"))
+      val contrib = maybeBcast(
+        ranks.join(deg, ranks("id") === deg("src"))
+          .select(col("id"), expr("pr_micro div outdeg").as("c")))
+      ranks = sym.join(contrib, sym("src") === contrib("id"))
+        .select(sym("dst").as("id"), col("c"))
         .groupBy("id")
         .agg((lit(teleport) + expr(s"($dampingPct * sum(c)) div 100")).as("pr_micro"))
         .localCheckpoint() // O(1)-deep plan across iterations (see Graph.scala)
