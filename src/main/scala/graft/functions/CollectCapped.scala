@@ -94,17 +94,18 @@ case class CollectCapped(
 object CollectCapped {
   val FunctionName = "graft_collect_capped"
 
+  val builder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        s"$FunctionName(col, cap): cap must be a literal")
+      CollectCapped(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    }
+
   /** Idempotent per-session registration (the analyzer wraps the returned
     * AggregateFunction in an AggregateExpression automatically). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
-      exprs => {
-        require(exprs.length == 2 && exprs(1).foldable,
-          s"$FunctionName(col, cap): cap must be a literal")
-        CollectCapped(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
-      },
-      "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   /** Collect at most `cap` values of `c` per group (nulls skipped). */
   def collectCapped(c: Column, cap: Int): Column = {

@@ -59,11 +59,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object DotProduct {
   val FunctionName = "graft_dot"
 
+  val builder: Seq[Expression] => Expression =
+    exprs => DotProduct(exprs.head, exprs(1))
+
   /** Idempotent per-session registration; exposes the expression through the
     * public `call_function` API (and to SQL as `graft_dot(a, b)`). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   def dot(a: Column, b: Column): Column = {
     register(SparkSession.active)

@@ -58,9 +58,12 @@ case class FirstEqIndex(left: Expression, right: Expression) extends BinaryExpre
 object FirstEqIndex {
   val FunctionName = "graft_first_eq"
 
+  val builder: Seq[Expression] => Expression =
+    exprs => FirstEqIndex(exprs.head, exprs(1))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => FirstEqIndex(exprs.head, exprs(1)), "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   def firstEqIndex(a: Column, b: Column): Column = {
     register(SparkSession.active)

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The complete native-function surface of the library in one table, with
+  * the two installation paths a Spark library is expected to offer:
+  *
+  *  - `GraftFunctions.registerAll(spark)` — imperative, for an existing
+  *    session (tests, notebooks). Idempotent.
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` — declarative,
+  *    at session build; survives `newSession()` clones and applies to every
+  *    session of the cluster (the standard library-installation path, same
+  *    mechanism Delta/Iceberg use). Registration happens in the session's
+  *    `FunctionRegistry`, so the functions are callable from pure SQL
+  *    (`SELECT graft_dot(a, b) FROM ...`) as well as via `call_function`.
+  *
+  * Each entry reuses the SAME builder the per-object `register` helpers
+  * install, so SQL-surface and Column-API callers construct identical
+  * expression trees (one analysis/codegen contract to test).
+  */
+object GraftFunctions {
+
+  /** name → (usage, builder) for every graft native expression. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    (DotProduct.FunctionName,
+      "graft_dot(a, b) - dot product of two array<double> (codegen'd loop)",
+      DotProduct.builder),
+    (FirstEqIndex.FunctionName,
+      "graft_first_eq(a, b) - first index where the arrays agree, -1 if none",
+      FirstEqIndex.builder),
+    (CollectCapped.FunctionName,
+      "graft_collect_capped(col, cap) - collect_list bounded at cap elements per group",
+      CollectCapped.builder),
+    (MinHash.FunctionName,
+      "graft_minhash_md5(shingles, num_perm) - portable md5-derived MinHash signature array",
+      MinHash.builder),
+    (SimHash.FunctionName,
+      "graft_simhash_md5(shingles) - portable md5-derived SimHash 16-bit chunk array",
+      SimHash.builder),
+    (Winnow.FunctionName,
+      "graft_winnow(text, k, w) - winnowed k-gram rolling-hash fingerprints (MOSS)",
+      Winnow.builder),
+    (Winnow.Md5FunctionName,
+      "graft_winnow_md5(text, k, w) - portable md5-hash winnowed fingerprints",
+      Winnow.md5Builder),
+    (LshSigs.FunctionName,
+      "graft_lsh_sigs(v, planes_flat, rows_per_band, dim) - sign-LSH band signature array",
+      LshSigs.builder)
+  )
+
+  /** Register every graft function in an existing session (idempotent). */
+  def registerAll(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
+
+/** Session-extensions installer: `.config("spark.sql.extensions",
+  * "graft.functions.GraftExtensions")` (or `withExtensions`) makes every
+  * graft function available to SQL in all sessions built from that config. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        builder))
+    }
+}

@@ -98,19 +98,20 @@ case class LshSigs(child: Expression, planesFlat: Array[Double],
 object LshSigs {
   val FunctionName = "graft_lsh_sigs"
 
+  val builder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 4 && exprs.tail.forall(_.foldable),
+        s"$FunctionName(v, planes_flat, rows_per_band, dim): trailing args must be literals")
+      val planes = exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray()
+      LshSigs(exprs.head,
+        planes,
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue())
+    }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
-      exprs => {
-        require(exprs.length == 4 && exprs.tail.forall(_.foldable),
-          s"$FunctionName(v, planes_flat, rows_per_band, dim): trailing args must be literals")
-        val planes = exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray()
-        LshSigs(exprs.head,
-          planes,
-          exprs(2).eval().asInstanceOf[Number].intValue(),
-          exprs(3).eval().asInstanceOf[Number].intValue())
-      },
-      "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   /** Band signature array of `v` for `numBands × rowsPerBand` seeded
     * hyperplanes of dimension `dim` (planes from [[graft.ops.Similarity.planeVec]]). */

@@ -82,11 +82,12 @@ object MinHash {
 
   val FunctionName = "graft_minhash_md5"
 
+  val builder: Seq[Expression] => Expression =
+    exprs => Md5MinHashSigs(exprs.head, exprs(1).eval().asInstanceOf[Int])
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
-      exprs => Md5MinHashSigs(exprs.head, exprs(1).eval().asInstanceOf[Int]),
-      "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   /** Portable MinHash signature array of a shingle-array column. */
   def sigsMd5(shingles: Column, numPerm: Int): Column = {

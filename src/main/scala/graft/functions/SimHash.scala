@@ -72,9 +72,12 @@ object Md5SimHashChunks {
 object SimHash {
   val FunctionName = "graft_simhash_md5"
 
+  val builder: Seq[Expression] => Expression =
+    exprs => Md5SimHashChunks(exprs.head)
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => Md5SimHashChunks(exprs.head), "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   /** [c0,c1,c2,c3] portable SimHash chunks of a shingle-array column. */
   def chunksMd5(shingles: Column): Column = {

@@ -158,12 +158,13 @@ object Md5WinnowFingerprints {
 object Winnow {
   val FunctionName = "graft_winnow"
 
+  val builder: Seq[Expression] => Expression =
+    exprs => WinnowFingerprints(exprs.head,
+      k = exprs(1).eval().asInstanceOf[Int], w = exprs(2).eval().asInstanceOf[Int])
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName,
-      exprs => WinnowFingerprints(exprs.head,
-        k = exprs(1).eval().asInstanceOf[Int], w = exprs(2).eval().asInstanceOf[Int]),
-      "scala_udf")
+      FunctionName, builder, "scala_udf")
 
   /** Winnowed fingerprint set of a text column. */
   def fingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
@@ -174,12 +175,13 @@ object Winnow {
 
   val Md5FunctionName = "graft_winnow_md5"
 
+  val md5Builder: Seq[Expression] => Expression =
+    exprs => Md5WinnowFingerprints(exprs.head,
+      k = exprs(1).eval().asInstanceOf[Int], w = exprs(2).eval().asInstanceOf[Int])
+
   def registerMd5(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Md5FunctionName,
-      exprs => Md5WinnowFingerprints(exprs.head,
-        k = exprs(1).eval().asInstanceOf[Int], w = exprs(2).eval().asInstanceOf[Int]),
-      "scala_udf")
+      Md5FunctionName, md5Builder, "scala_udf")
 
   /** Portable (md5-hash) winnowed fingerprint set — one native pass. */
   def fingerprintsMd5(text: Column, k: Int = 16, w: Int = 4): Column = {
