@@ -530,4 +530,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
   }
+
+  /** Tier 2c: fuzzy dedup via blocking + edit-distance verification — the
+    * classic entity-resolution pipeline shape. Candidates come from a LOOSE
+    * n-gram Jaccard block (any pair sharing a meaningful shingle fraction);
+    * verification is normalized Levenshtein similarity
+    * `1 - dist/max(len_a, len_b)` on the full texts, which catches
+    * reorder-free edits (typos, small insertions) that set-based Jaccard
+    * over-penalizes and ranks.
+    *
+    * Scale shape: the candidate block is the same shingle equi-join
+    * geometry as the exact tier (at production scale, block tighter or
+    * swap in the MinHash/prefix candidate generators — any (id_a, id_b)
+    * source composes); `levenshtein` is O(|a|·|b|) per CANDIDATE only,
+    * inside codegen, never all-pairs. The verdict compares the ROUNDED
+    * similarity so both engines agree at the threshold boundary.
+    */
+  def fuzzyDedupPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, blockThreshold: Double = 0.02,
+                      simThreshold: Double = 0.75): DataFrame = {
+    val cand = ngramJaccardPairs(docs, idCol, textCol, n, blockThreshold)
+    val da = docs.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val db = docs.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    cand.join(da, "id_a").join(db, "id_b")
+      .withColumn("edit_dist",
+        levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("edit_sim",
+        round(lit(1.0) - col("edit_dist").cast("double")
+          / greatest(length(col("text_a")), length(col("text_b"))), 6))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("edit_dist"),
+        col("edit_sim"), (col("edit_sim") >= simThreshold).as("is_dup"))
+  }
 }

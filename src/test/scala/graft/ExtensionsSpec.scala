@@ -8,6 +8,25 @@ import graft.sources.Tables
 class DedupSpec extends SparkSpecBase {
   private lazy val docs = Tables.documents(spark, sf0001)
 
+  test("fuzzy dedup verifies blocked candidates with normalized edit distance") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"), // one-word edit
+      (3L, "the quick brown cat sat on a very warm mat today and then left"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyDedupPairs(d, "doc_id", "text",
+        n = 3, blockThreshold = 0.01, simThreshold = 0.8)
+      .orderBy("id_a", "id_b").collect()
+    // (1,2) blocked AND verified; (1,3)/(2,3) share the opening shingle so
+    // they block, but fail edit-distance verification
+    val verdicts = out.map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Boolean]("is_dup"))).toMap
+    assert(verdicts((1L, 2L)))
+    assert(verdicts.contains((1L, 3L)) && !verdicts((1L, 3L)))
+    val r12 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(r12.getAs[Long]("edit_dist") === 2L) // jumps -> jumped: sub + insert
+  }
+
   private lazy val exactPairs =
     Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -85,11 +85,12 @@ class PlanSpec extends SparkSpecBase {
 
   test("no declared query plans an unintended product join") {
     // quadratic-by-design baselines and the tiny-dim range join are the
-    // ONLY places a nested-loop/cartesian plan is acceptable; q_tf_idf and
-    // q_bm25_search broadcast a ONE-ROW aggregate (corpus stats) — a scalar
-    // broadcast, not a data-dependent product
+    // ONLY places a nested-loop/cartesian plan is acceptable; q_tf_idf,
+    // q_bm25_search and q_lm_perplexity broadcast a ONE-ROW aggregate
+    // (corpus stats) — a scalar broadcast, not a data-dependent product
     val intended = Set("q_range_join", "q_sim_cosine_topk", "q_sim_near_dup",
-      "q_sim_lsh_topk", "q_sim_ivf_topk", "q_tf_idf", "q_bm25_search")
+      "q_sim_lsh_topk", "q_sim_ivf_topk", "q_tf_idf", "q_bm25_search",
+      "q_lm_perplexity")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>
