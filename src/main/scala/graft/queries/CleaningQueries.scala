@@ -13,6 +13,24 @@ import graft.sources.Tables
   */
 object CleaningQueries {
 
+  /** Deterministic fixture-derived synthetic PII appended to the text (the
+    * corpus itself carries none): md5-local-part emails, doc_id-derived
+    * dotted quads and short phone numbers. Shared by q_pii_redact and the
+    * streaming parity spec. */
+  def plantedPiiText(docId: org.apache.spark.sql.Column,
+                     text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      text,
+      when(docId % 3 === 0,
+        concat(lit(" contact "), substring(md5(docId.cast("string")), 1, 8),
+          lit("@example.com"))).otherwise(lit("")),
+      when(docId % 4 === 1,
+        concat(lit(" from 10."), (docId % 256).cast("string"),
+          lit(".0."), (docId % 100).cast("string"))).otherwise(lit("")),
+      when(docId % 5 === 2,
+        concat(lit(" call 555-"),
+          lpad((docId % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+
   def defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------- segment-level exact dedup
@@ -106,19 +124,8 @@ object CleaningQueries {
     // no-match branches are exercised (~1/3, 1/4, 1/5 of docs each).
     "q_pii_redact" -> QueryDef.sql(
       (s, dir) => {
-        val aug = Tables.documents(s, dir).select(col("doc_id"), concat(
-          col("text"),
-          when(col("doc_id") % 3 === 0,
-            concat(lit(" contact "),
-              substring(md5(col("doc_id").cast("string")), 1, 8),
-              lit("@example.com"))).otherwise(lit("")),
-          when(col("doc_id") % 4 === 1,
-            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
-              lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
-          when(col("doc_id") % 5 === 2,
-            concat(lit(" call 555-"),
-              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
-          .as("aug"))
+        val aug = Tables.documents(s, dir).select(col("doc_id"),
+          plantedPiiText(col("doc_id"), col("text")).as("aug"))
         aug.select(col("doc_id"),
             CleanOps.piiCount(col("aug"), CleanOps.EmailRe).as("n_email"),
             CleanOps.piiCount(col("aug"), CleanOps.Ipv4Re).as("n_ip"),

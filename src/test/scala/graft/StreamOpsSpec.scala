@@ -136,4 +136,49 @@ class StreamOpsSpec extends SparkSpecBase {
     val streamFinal = rows.groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).max }
     streamFinal.foreach { case (u, m) => assert(math.abs(m - batchMax(u)) < 1e-9) }
   }
+
+  private lazy val docsMicro = {
+    val dir = Files.createTempDirectory("graft_sops_docs").toString
+    Tables.documents(spark, sf0001).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def docStream: DataFrame = spark.readStream
+    .format("graft.streaming.KeysetTailProvider")
+    .option("path", docsMicro)
+    .option("updateColumn", "doc_id")
+    .option("maxRowsPerBatch", "40")
+    .load()
+
+  test("corpus cleaning is streamable: PII redaction equals batch row-for-row") {
+    import graft.ops.CleanOps
+    import graft.queries.CleaningQueries
+    def shape(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      CleanOps.redactPii(
+        CleaningQueries.plantedPiiText(col("doc_id"), col("text"))).as("red"))
+    val streamed = runToMemory(shape(docStream), "s_pii", "append")
+    val batch = shape(Tables.documents(spark, sf0001))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(streamed.filter(col("red").contains("<EMAIL>")).count() > 0)
+  }
+
+  test("streaming segment dedup: per-doc surviving counts equal the batch operator") {
+    import graft.ops.CleanOps
+    // keyset tail replays docs in doc_id order, so stream-lifetime
+    // first-occurrence dedup on the segment hash attributes each segment
+    // to the same (min doc_id) winner as the batch groupBy/min
+    val segs = docStream.select(col("doc_id"),
+      posexplode(CleanOps.tokenSegments(col("text"), 8)).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val streamed = runToMemory(
+      StreamOps.dedupStream(segs, Seq("h")).select("doc_id", "h"), "s_segdedup", "append")
+    val batch = CleanOps.segmentDedup(Tables.documents(spark, sf0001), "doc_id",
+      CleanOps.tokenSegments(col("text"), 8))
+    val streamCounts = streamed.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchCounts = batch.filter(col("n_kept") > 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    assert(streamCounts === batchCounts)
+  }
 }
