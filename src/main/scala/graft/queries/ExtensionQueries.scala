@@ -149,31 +149,30 @@ object ExtensionQueries {
       doc = "near-dup pairs -> connected components (min-label propagation); " +
         "cluster id = min reachable doc id, oracle via recursive-CTE closure"),
 
-    // Fuzzy dedup: LOOSE n-gram blocking (jaccard >= 0.02 admits 312
-    // candidate pairs at sf0.01) then normalized-Levenshtein verification
-    // (25 survive) — both verdict branches exercised; levenshtein runs per
+    // Fuzzy dedup: RARE-KEY blocking (pairs sharing >= 4 shingles of
+    // corpus df <= 16 — 34 candidates at sf0.01, fan-out hard-bounded by
+    // maxDf²/2 per key) then normalized-Levenshtein verification (25
+    // survive) — both verdict branches exercised; levenshtein runs per
     // candidate only, never all-pairs.
     "q_dedup_fuzzy" -> QueryDef.sql(
       (s, dir) => Dedup.fuzzyDedupPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, blockThreshold = 0.02, simThreshold = 0.75).orderBy("id_a", "id_b"),
+        n = 3, maxDf = 16, minShared = 4, simThreshold = 0.75).orderBy("id_a", "id_b"),
       s"""WITH sh AS ($ShingleSqlFragment),
-         |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
-         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
-         |j AS (SELECT id_a, id_b,
-         |        ROUND(CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
-         |      FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b),
-         |cand AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.02),
-         |lev AS (SELECT id_a, id_b, jaccard,
+         |df AS (SELECT s, COUNT(*) AS d FROM sh GROUP BY 1),
+         |rare AS (SELECT id, sh.s FROM sh JOIN df USING (s) WHERE d <= 16),
+         |cand AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+         |         FROM rare a JOIN rare b ON a.s = b.s AND a.id < b.id
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= 4),
+         |lev AS (SELECT id_a, id_b, shared,
          |          CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
          |          ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
          |            / greatest(len(da.text), len(db.text)), 6) AS edit_sim
          |        FROM cand JOIN documents da ON da.doc_id = id_a
          |                  JOIN documents db ON db.doc_id = id_b)
-         |SELECT id_a, id_b, jaccard, edit_dist, edit_sim,
+         |SELECT id_a, id_b, shared, edit_dist, edit_sim,
          |  edit_sim >= 0.75 AS is_dup
          |FROM lev ORDER BY id_a, id_b""".stripMargin,
-      doc = "fuzzy dedup: loose shingle blocking + normalized-Levenshtein " +
+      doc = "fuzzy dedup: rare-shingle blocking + normalized-Levenshtein " +
         "verification (entity-resolution pipeline shape)"),
 
     // MinHash-LSH / SimHash: engine-specific hash functions → rows-only;

@@ -16,7 +16,7 @@ class DedupSpec extends SparkSpecBase {
       (3L, "the quick brown cat sat on a very warm mat today and then left"))
       .toDF("doc_id", "text")
     val out = Dedup.fuzzyDedupPairs(d, "doc_id", "text",
-        n = 3, blockThreshold = 0.01, simThreshold = 0.8)
+        n = 3, maxDf = 16, minShared = 1, simThreshold = 0.8)
       .orderBy("id_a", "id_b").collect()
     // (1,2) blocked AND verified; (1,3)/(2,3) share the opening shingle so
     // they block, but fail edit-distance verification
