@@ -166,6 +166,64 @@ object RelationalQueries {
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
       doc = "multi-join enrichment; dims broadcast"),
 
+    // -------------------------------------------------------- outer joins
+    // Left outer: keep every customer, including those without a
+    // high-value order (the null side COALESCEs to zero). Aggregate-then-
+    // join keeps the outer join at customer cardinality instead of
+    // row-multiplying orders first.
+    "q_left_outer" -> QueryDef.sql(
+      (s, dir) => {
+        val big = Tables.orders(s, dir).filter(col("o_totalprice") > 300000)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_big"), moneySum(col("o_totalprice")).as("big_spent"))
+        Tables.customer(s, dir)
+          .join(big, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(col("c_custkey"),
+            coalesce(col("n_big"), lit(0L)).as("n_big"),
+            coalesce(col("big_spent"), lit(0.0)).as("big_spent"),
+            col("n_big").isNotNull.as("has_big_order"))
+          .orderBy("c_custkey")
+      },
+      s"""WITH big AS (
+         |  SELECT o_custkey, COUNT(*) AS n_big, ${oSum("o_totalprice", "big_spent")}
+         |  FROM orders WHERE o_totalprice > 300000 GROUP BY 1)
+         |SELECT c_custkey, COALESCE(n_big, 0) AS n_big,
+         |  COALESCE(big_spent, 0.0) AS big_spent,
+         |  n_big IS NOT NULL AS has_big_order
+         |FROM customer LEFT JOIN big ON c_custkey = o_custkey
+         |ORDER BY c_custkey""".stripMargin,
+      doc = "left outer join at customer cardinality; null side coalesced"),
+
+    // Full outer: heavy clickers vs heavy purchasers — users on either
+    // side survive, and all three branches (left-only, right-only, both)
+    // are populated at every test scale.
+    "q_full_outer" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def heavy(t: String, as: String) = ev.filter(col("event_type") === t)
+          .groupBy(col("user_id").as(as + "_user"))
+          .agg(count(lit(1)).cast("long").as("n_" + as))
+          .filter(col("n_" + as) >= 14)
+        heavy("click", "cl").join(heavy("purchase", "pu"),
+            col("cl_user") === col("pu_user"), "full_outer")
+          .select(
+            coalesce(col("cl_user"), col("pu_user")).as("user_id"),
+            coalesce(col("n_cl"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_pu"), lit(0L)).as("n_purchases"),
+            (col("cl_user").isNotNull && col("pu_user").isNotNull).as("both_types"))
+          .orderBy("user_id")
+      },
+      """WITH cl AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_cl
+        |            FROM events WHERE event_type = 'click' GROUP BY 1 HAVING COUNT(*) >= 14),
+        |pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pu
+        |       FROM events WHERE event_type = 'purchase' GROUP BY 1 HAVING COUNT(*) >= 14)
+        |SELECT COALESCE(cl.user_id, pu.user_id) AS user_id,
+        |  COALESCE(n_cl, 0) AS n_clicks, COALESCE(n_pu, 0) AS n_purchases,
+        |  cl.user_id IS NOT NULL AND pu.user_id IS NOT NULL AS both_types
+        |FROM cl FULL OUTER JOIN pu ON cl.user_id = pu.user_id
+        |ORDER BY user_id""".stripMargin,
+      doc = "full outer join of two filtered aggregates; all three branches populated"),
+
     // Theta/range join against a tiny banding dim: broadcast nested-loop is
     // the RIGHT plan here (build side is 3 rows; a shuffle would be waste).
     "q_range_join" -> QueryDef.sql(
