@@ -224,6 +224,63 @@ object RelationalQueries {
         |ORDER BY user_id""".stripMargin,
       doc = "full outer join of two filtered aggregates; all three branches populated"),
 
+    // CDC-style compaction: latest row per key (ts desc, unique tie-break)
+    // — the upsert/latest-wins view a change stream collapses to.
+    "q_latest_by_key" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"), col("ts").as("last_ts"))
+          .orderBy("user_id")
+      },
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  CAST(ts AS TIMESTAMP) AS last_ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+      doc = "latest-wins compaction per key (CDC upsert view)"),
+
+    // Numeric histogram: explicit floor-division bucketing (DuckDB has no
+    // width_bucket; the manual form is FP-identical in both engines) —
+    // one partially-aggregable groupBy.
+    "q_histogram" -> QueryDef.sql(
+      (s, dir) => Tables.orders(s, dir)
+        .select(least(floor(col("o_totalprice") / 25000d) + 1, lit(25))
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      """SELECT CAST(LEAST(FLOOR(o_totalprice / 25000) + 1, 25) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      doc = "24-bucket histogram of order totals via floor-division binning"),
+
+    // ntile quartiles within each nation (partitioned — no global-sort
+    // window), total order fixed by the unique custkey tie-break.
+    "q_ntile" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        Tables.customer(s, dir)
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy(col("c_nationkey"), col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("c_acctbal")).cast("double").as("lo"),
+            max(col("c_acctbal")).cast("double").as("hi"))
+          .orderBy("c_nationkey", "quartile")
+      },
+      """SELECT c_nationkey, quartile, COUNT(*) AS n,
+        |  CAST(MIN(c_acctbal) AS DOUBLE) AS lo, CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+        |FROM (SELECT c_nationkey, c_acctbal, c_custkey,
+        |        ntile(4) OVER (PARTITION BY c_nationkey
+        |          ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+        |      FROM customer)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      doc = "per-nation account-balance quartiles via ntile"),
+
     // Theta/range join against a tiny banding dim: broadcast nested-loop is
     // the RIGHT plan here (build side is 3 rows; a shuffle would be waste).
     "q_range_join" -> QueryDef.sql(
