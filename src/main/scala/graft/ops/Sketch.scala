@@ -120,4 +120,66 @@ object Sketch {
        |       ELSE ROUND(${(k - 1).toDouble} / h, 4) END AS est
        |FROM r WHERE rnk = LEAST($k, n_exact)
        |ORDER BY $groupCol""".stripMargin
+
+  // ------------------------------------------------------------ count-min
+
+  /** Count-min cell index of `item` for hash row `d`: first 8 md5 hex
+    * chars of `"d:item"` mod `width` — the same engine-reproducible
+    * md5-hash-family trick as the portable MinHash/KMV tiers. */
+  def cmCell(item: Column, d: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$d:"), item)), 1, 8), 16, 10)
+      .cast("long") % width
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) built RELATIONALLY:
+    * one row per (hash row, cell) with the summed count — `depth × width`
+    * rows of state total, regardless of item cardinality. The groupBy is
+    * partially aggregable, which IS the sketch's mergeability: map-side
+    * partial cells are per-partition sketches and the shuffle merges them
+    * by addition. Estimates (min over rows of the item's cell counts) are
+    * biased high, never low — `est >= exact` always. */
+  def countMinCells(items: DataFrame, itemCol: String,
+                    width: Int, depth: Int): DataFrame =
+    items.select(posexplode(
+        array((0 until depth).map(d => cmCell(col(itemCol), d, width)): _*))
+        .as(Seq("d", "cell")))
+      .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+
+  /** Count-min estimate vs exact count for every distinct item, the top-k
+    * by estimate. Candidates here are all distinct items (the vocabulary
+    * is small next to the corpus); at production scale the sketch answers
+    * point queries for SUSPECTED heavy hitters without rebuilding —
+    * exactly what the fixed-size cell table is for. */
+  def countMinTopK(items: DataFrame, itemCol: String, width: Int, depth: Int,
+                   k: Int): DataFrame = {
+    val cells = countMinCells(items, itemCol, width, depth)
+    val cand = items.groupBy(itemCol).agg(count(lit(1)).as("exact"))
+    val lookups = cand.select(col(itemCol), col("exact"), posexplode(
+        array((0 until depth).map(d => cmCell(col(itemCol), d, width)): _*))
+        .as(Seq("d", "cell")))
+    lookups.join(broadcast(cells), Seq("d", "cell")) // cells ≤ depth×width rows
+      .groupBy(col(itemCol), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col(itemCol), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(col("est").desc, col(itemCol).asc)
+      .limit(k)
+  }
+
+  /** DuckDB SQL reproducing `countMinTopK` bit-for-bit (`itemsSql` must
+    * yield one row per item occurrence in a column named `item`). */
+  def countMinTopKOracle(itemsSql: String, width: Int, depth: Int,
+                         k: Int): String =
+    s"""WITH tok AS ($itemsSql),
+       |dd AS (SELECT unnest(range($depth)) AS d),
+       |cells AS (SELECT d, ('0x'||substr(md5(CAST(d AS VARCHAR)||':'||item),1,8))::BIGINT % $width AS cell,
+       |            CAST(COUNT(*) AS BIGINT) AS cnt
+       |          FROM tok CROSS JOIN dd GROUP BY 1, 2),
+       |cand AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact FROM tok GROUP BY 1),
+       |est AS (SELECT item, exact, MIN(cnt) AS est
+       |        FROM cand CROSS JOIN dd
+       |        JOIN cells ON cells.d = dd.d
+       |          AND cells.cell = ('0x'||substr(md5(CAST(dd.d AS VARCHAR)||':'||item),1,8))::BIGINT % $width
+       |        GROUP BY 1, 2)
+       |SELECT item, exact, est, est - exact AS overcount
+       |FROM est ORDER BY est DESC, item LIMIT $k""".stripMargin
 }

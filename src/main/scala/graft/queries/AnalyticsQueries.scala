@@ -443,6 +443,22 @@ object AnalyticsQueries {
       doc = "KMV/bottom-k distinct estimate with an md5 hash family both " +
         "engines compute bit-for-bit (mergeable sketch, full oracle)"),
 
+    // Count-min heavy hitters: frequency estimation from depth×width cells
+    // of fixed state (here 4×32 so hash collisions actually occur against
+    // the 31-token vocabulary — 5 of 31 estimates overcount, the rest are
+    // exact). The relational groupBy-sum construction is the sketch's
+    // mergeability; estimates are min-over-rows, biased high never low.
+    "q_count_min" -> QueryDef.sql(
+      (s, dir) => graft.ops.Sketch.countMinTopK(
+          Tables.documents(s, dir)
+            .select(explode(graft.ops.TextOps.tokens(col("text"))).as("item")),
+          "item", width = 32, depth = 4, k = 20),
+      graft.ops.Sketch.countMinTopKOracle(
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item FROM documents",
+        width = 32, depth = 4, k = 20),
+      doc = "count-min sketch heavy hitters with an md5 hash family both " +
+        "engines compute bit-for-bit (est >= exact always; full oracle)"),
+
     "q_dedup_winnow_portable" -> QueryDef.sql(
       (s, dir) => Dedup.winnowOverlapPairsPortable(Tables.documents(s, dir),
         "doc_id", "text", k = 16, w = 4, minShared = 10, maxDf = 50)

@@ -18,6 +18,18 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got === exact, s"missed: ${exact -- got}")
   }
 
+  test("count-min estimates never undercount and are partitioning-invariant") {
+    import graft.ops.{Sketch, TextOps}
+    val items = docs.select(explode(TextOps.tokens(col("text"))).as("item"))
+    val base = Sketch.countMinTopK(items, "item", width = 32, depth = 4, k = 1000).collect()
+    assert(base.nonEmpty && base.forall(_.getAs[Long]("overcount") >= 0L))
+    // groupBy-sum construction == mergeable sketch: any partitioning of the
+    // input merges to the identical cell table and estimates
+    val reparted = Sketch.countMinTopK(items.repartition(13), "item",
+      width = 32, depth = 4, k = 1000).collect()
+    assert(base.map(_.toString).toSeq === reparted.map(_.toString).toSeq)
+  }
+
   test("portable MinHash permutation constants are deterministic and bounded") {
     val (a1, b1) = Dedup.permConsts(32)
     val (a2, _) = Dedup.permConsts(32)
