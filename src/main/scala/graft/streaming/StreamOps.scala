@@ -44,6 +44,25 @@ object StreamOps {
         .apply(col("h")).as("est_distinct"))
       .select(col("w.start").as("w_start"), col("est_distinct"))
 
+  /** Windowed count-min cells (`graft.ops.Sketch.cmCell`): per tumbling
+    * window, the depth×width frequency-sketch cell table over `keyCol`.
+    * Like the windowed KMV, the construction is a partially-aggregable
+    * count — each micro-batch's partial cells merge into window state by
+    * addition, so the emitted table equals the batch sketch over the same
+    * rows (asserted stream==batch in StreamOpsSpec). Downstream consumers
+    * answer point queries with min-over-rows against the emitted cells. */
+  def tumblingCountMin(events: DataFrame, tsCol: String, watermarkDelay: String,
+                       windowDur: String, keyCol: String,
+                       width: Int = 32, depth: Int = 4): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), posexplode(
+          array((0 until depth).map(d =>
+            graft.ops.Sketch.cmCell(col(keyCol), d, width)): _*))
+        .as(Seq("d", "cell")))
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("d"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("d"), col("cell"), col("cnt"))
+
   /** Gap-based session windows (native `session_window`): per user, sessions
     * close after `gap` of event-time silence. */
   def sessionAgg(events: DataFrame, tsCol: String, watermarkDelay: String,

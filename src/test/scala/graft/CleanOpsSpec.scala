@@ -64,6 +64,31 @@ class CleanOpsSpec extends SparkSpecBase {
     assert(math.abs(out(0).getAs[Double]("avg_nll") - expected) < 1e-9)
   }
 
+  test("segmentDedup conservation laws hold on a randomized corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val corpus = (1L to 40L).map(i =>
+      (i, Seq.fill(rnd.nextInt(30) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val df = corpus.toDF("doc_id", "text")
+    val segs = CleanOps.tokenSegments(col("text"), 3)
+    val out = CleanOps.segmentDedup(df, "doc_id", segs).collect()
+    val distinctSegs = df.select(explode(segs).as("s")).distinct().count()
+    // conservation: every distinct segment survives exactly once
+    assert(out.map(_.getAs[Long]("n_kept")).sum === distinctSegs)
+    out.foreach { r =>
+      val (nSegs, nKept) = (r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"))
+      assert(nKept >= 0 && nKept <= nSegs)
+      val frac = r.getAs[Double]("retained_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      // rebuilt text token count equals 3x full segments + the remainder:
+      // just check it never exceeds the original and parses back to tokens
+      val keptToks = r.getAs[String]("kept_text").split(" ").filter(_.nonEmpty).length
+      assert(keptToks <= nSegs * 3 && (nKept == 0 || keptToks > 0))
+    }
+    // every document is present in the output exactly once
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === (1L to 40L).toSet)
+  }
+
   test("redactPii masks emails, IPs, and phones; counts match") {
     val df = Seq((1L, "write bob.smith+x@mail.example.org or ping 192.168.0.1 or call 555-0199 twice 555-0200"),
                  (2L, "nothing sensitive here")).toDF("id", "text")

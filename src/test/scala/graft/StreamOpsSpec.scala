@@ -64,6 +64,20 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(s === b)
   }
 
+  test("windowed count-min cells: stream equals batch (additive merge)") {
+    val streamed = runToMemory(
+      StreamOps.tumblingCountMin(eventStream, "ts", "1 hour", "1 day", "event_type"),
+      "s_cmin", "append")
+    val batch = StreamOps.tumblingCountMin(
+      Tables.events(spark, sf0001), "ts", "1 hour", "1 day", "event_type")
+    val emitted = streamed.select("w_start").distinct().collect().map(_.get(0)).toSet
+    assert(emitted.nonEmpty, "watermark never closed any window")
+    val b = batch.filter(col("w_start").isInCollection(emitted))
+      .orderBy("w_start", "d", "cell").collect().toSeq
+    val s = streamed.orderBy("w_start", "d", "cell").collect().toSeq
+    assert(s === b)
+  }
+
   test("session windows close after the gap and count every event") {
     val sessions = runToMemory(
       StreamOps.sessionAgg(eventStream, "ts", "1 hour", "30 minutes"), "s_sessions", "append")
