@@ -459,6 +459,43 @@ object AnalyticsQueries {
       doc = "count-min sketch heavy hitters with an md5 hash family both " +
         "engines compute bit-for-bit (est >= exact always; full oracle)"),
 
+    // Exponential smoothing over the daily event-rate series, alpha = 1/2.
+    // The recurrence is unrolled to 20 lag terms (weight 2^-21 < 1e-6
+    // beyond that), and EVERY quantity is an exact dyadic rational: counts
+    // are integers, the weights are powers of two (embedded as exact
+    // decimal literals, not POWER() calls), each product and the
+    // left-associated sum stay well under 53 mantissa bits — so both
+    // engines compute the identical double before the final round.
+    "q_ewma" -> QueryDef.sql(
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+        val ewma = (0 until 20).map { k =>
+          val wgt = java.math.BigDecimal.valueOf(0.5).pow(k + 1).toPlainString
+          coalesce(lag(col("n"), k).over(w), lit(0L)).cast("double") * lit(wgt.toDouble)
+        }.reduce(_ + _)
+        daily.withColumn("ewma", round(ewma, 6))
+          .select(col("event_type"), col("day"), col("n"), col("ewma"))
+          .orderBy("event_type", "day")
+      }, {
+        val terms = (0 until 20).map { k =>
+          val wgt = java.math.BigDecimal.valueOf(0.5).pow(k + 1).toPlainString
+          s"COALESCE(lag(n, $k) OVER w, 0) * $wgt"
+        }.mkString(" + ")
+        s"""WITH daily AS (
+           |  SELECT event_type,
+           |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, day, n, ROUND($terms, 6) AS ewma
+           |FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+           |ORDER BY event_type, day""".stripMargin
+      },
+      doc = "EWMA (alpha=1/2) of daily event rates: 20-lag unrolled " +
+        "recurrence in exact dyadic arithmetic — no FP divergence possible"),
+
     "q_dedup_winnow_portable" -> QueryDef.sql(
       (s, dir) => Dedup.winnowOverlapPairsPortable(Tables.documents(s, dir),
         "doc_id", "text", k = 16, w = 4, minShared = 10, maxDf = 50)

@@ -119,6 +119,55 @@ object PipelineQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS created_at, 'db.' || event_type AS tag,
         |       props AS message, CAST(NULL AS VARCHAR) AS host
         |FROM events ORDER BY event_id""".stripMargin,
-      doc = "out_sql.rb:61-72,140-148 column_mapping; inject out_sql.rb:96")
+      doc = "out_sql.rb:61-72,140-148 column_mapping; inject out_sql.rb:96"),
+
+    // Data-contract report (the dbt-test / great-expectations shape a
+    // landing zone gates on): each check is one independent aggregate —
+    // null keys, duplicate PKs, FK orphans (anti-join count), range and
+    // staleness warns. Hard checks pass at 0 on the clean fixture; the
+    // warn checks count real distribution tails so both report branches
+    // carry signal. Each check scans once; the union is check-count rows.
+    "q_data_quality" -> QueryDef.sql(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val ev = Tables.events(s, dir)
+        def one(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(name).as("check_name"), col("n").cast("long").as("n_violations"))
+        one("fk_lineitem_orders_orphans",
+            li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+              .agg(count(lit(1)).as("n")))
+          .union(one("pk_orders_duplicates",
+            o.agg((count(lit(1)) - count_distinct(col("o_orderkey"))).as("n"))))
+          .union(one("not_null_l_quantity",
+            li.agg(count(when(col("l_quantity").isNull, 1)).as("n"))))
+          .union(one("pk_events_duplicates",
+            ev.agg((count(lit(1)) - count_distinct(col("event_id"))).as("n"))))
+          .union(one("warn_totalprice_gt_450k",
+            o.agg(count(when(col("o_totalprice") > 450000, 1)).as("n"))))
+          .union(one("warn_events_before_jan10",
+            ev.agg(count(when(col("ts") < lit("2024-01-10").cast("timestamp"), 1)).as("n"))))
+          .withColumn("passed", col("n_violations") === 0L)
+          .orderBy("check_name")
+      },
+      """SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS passed FROM (
+        |  SELECT 'fk_lineitem_orders_orphans' AS check_name, COUNT(*) AS n_violations
+        |  FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'pk_orders_duplicates', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'not_null_l_quantity', COUNT(*) FILTER (WHERE l_quantity IS NULL) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'pk_events_duplicates', COUNT(*) - COUNT(DISTINCT event_id) FROM events
+        |  UNION ALL
+        |  SELECT 'warn_totalprice_gt_450k', COUNT(*) FILTER (WHERE o_totalprice > 450000) FROM orders
+        |  UNION ALL
+        |  SELECT 'warn_events_before_jan10',
+        |    COUNT(*) FILTER (WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10') FROM events
+        |) ORDER BY check_name""".stripMargin,
+      doc = "data-contract report: PK/FK/null/range/staleness checks, one " +
+        "aggregate each (dbt-test shape)")
   )
 }
