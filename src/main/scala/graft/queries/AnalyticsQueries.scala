@@ -496,6 +496,63 @@ object AnalyticsQueries {
       doc = "EWMA (alpha=1/2) of daily event rates: 20-lag unrolled " +
         "recurrence in exact dyadic arithmetic — no FP divergence possible"),
 
+    // Cohort retention: users grouped by first-activity week, counted
+    // distinct per weeks-since-cohort offset. Two partially-aggregable
+    // aggregates + one join back on the user — the classic retention
+    // matrix in long form.
+    "q_retention" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+        ev.distinct().join(cohort, "user_id")
+          .withColumn("offset_weeks", // day diff is an exact multiple of 7
+            (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+          .groupBy("cohort_week", "offset_weeks")
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "offset_weeks")
+      },
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week
+        |            FROM events),
+        |cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT cohort_week, CAST(datediff('day', cohort_week, week) AS BIGINT) // 7 AS offset_weeks,
+        |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      doc = "weekly cohort retention matrix in long form"),
+
+    // Conversion funnel: users whose first view precedes their first
+    // click precedes their first purchase — per-user min-timestamp
+    // aggregates (one shuffle), then one global verdict row per stage.
+    "q_funnel" -> QueryDef.sql(
+      (s, dir) => {
+        val firsts = Tables.events(s, dir).groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        firsts.agg(
+            count(when(col("t_view").isNotNull, 1)).as("n_viewed"),
+            count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+            count(when(col("t_view") < col("t_click") &&
+              col("t_click") < col("t_purchase"), 1)).as("n_full_funnel"))
+          .select(col("n_viewed").cast("long").as("n_viewed"),
+            col("n_view_click").cast("long").as("n_view_click"),
+            col("n_full_funnel").cast("long").as("n_full_funnel"))
+      },
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    MIN(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'view') AS t_view,
+        |    MIN(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'click') AS t_click,
+        |    MIN(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_viewed,
+        |  CAST(COUNT(*) FILTER (WHERE t_view < t_click) AS BIGINT) AS n_view_click,
+        |  CAST(COUNT(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase) AS BIGINT) AS n_full_funnel
+        |FROM firsts""".stripMargin,
+      doc = "ordered view->click->purchase conversion funnel from per-user " +
+        "first-occurrence timestamps"),
+
     "q_dedup_winnow_portable" -> QueryDef.sql(
       (s, dir) => Dedup.winnowOverlapPairsPortable(Tables.documents(s, dir),
         "doc_id", "text", k = 16, w = 4, minShared = 10, maxDf = 50)
