@@ -102,6 +102,26 @@ class PlanSpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"product joins in: ${offenders.mkString(", ")}")
   }
 
+  test("count-min lookup broadcasts the fixed-size cell table") {
+    val plan = SparkEntry.queries("q_count_min")(spark, sf0001)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cells (depth x width rows) must broadcast:\n$plan")
+  }
+
+  test("segment dedup picks winners via partial-agg min, not a window sort") {
+    import org.apache.spark.sql.functions.col
+    val plan = graft.ops.CleanOps.segmentDedup(
+        sources.Tables.documents(spark, sf0001), "doc_id",
+        graft.ops.CleanOps.tokenSegments(col("text"), 8))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"hot-segment skew: winner selection must not be a window sort:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial min") ||
+      plan.toLowerCase.contains("hashaggregate"),
+      s"winner min must be partially aggregable:\n$plan")
+  }
+
   test("winnow-portable window shuffles only (id,pos,enc) — never the document text") {
     // the per-char gram explode amplifies rows ~300x; if the normalized text
     // column survived into the window exchange, the shuffle would carry the
