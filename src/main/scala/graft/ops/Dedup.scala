@@ -399,6 +399,47 @@ object Dedup {
     verifyJaccard(candidates, arrays, threshold)
   }
 
+  /** Incremental MinHash dedup: near-dup pairs that INVOLVE the new batch
+    * (`isNew` over the id column), against new ∪ history — without ever
+    * generating history×history pairs. This is the production ingest
+    * shape: each day's crawl joins its band signatures against the full
+    * band index, so the cost is |new batch| × bucket width, not
+    * |corpus|². Implemented as an asymmetric bucket join (new side ⋈ all
+    * sides) instead of the symmetric bucket-then-pair; the same
+    * hot-bucket cap applies via a size filter on the bucket key, and
+    * candidates are exact-verified as always (precision 1.0).
+    * Output equals the full portable tier filtered to pairs with at
+    * least one new id — the oracle checks exactly that equivalence. */
+  def minhashIncrementalPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                                      isNew: Column => Column,
+                                      n: Int = 3, numPerm: Int = 32, rowsPerBand: Int = 2,
+                                      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    require(numPerm % rowsPerBand == 0, "numPerm must be divisible by rowsPerBand")
+    require(threshold > 0.0, "threshold must be positive")
+    val numBands = numPerm / rowsPerBand
+    val arrays = cachedPersist(docs, idCol + ":" + textCol, n, hashed = false)(
+      shingleArrays(docs, idCol, textCol, n))
+    val sigs = arrays.filter(size(col("shs")) > 0)
+      .select(col("id"), graft.functions.MinHash.sigsMd5(col("shs"), numPerm).as("sig"))
+    val bandCols = (0 until numBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r).cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", slice: _*).as("bk"))
+    }
+    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bk").as("bk"))
+    val sized = banded.groupBy("band", "bk").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+    val bandedOk = banded.join(sized.select("band", "bk"), Seq("band", "bk"))
+    val candidates = bandedOk.filter(isNew(col("id"))).as("x")
+      .join(bandedOk.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, arrays, threshold)
+  }
+
   /** Exploded-shingle relational formulation of the portable signatures —
     * the shape the DuckDB oracle mirrors; cross-check twin of the native
     * expression. Output: (id, h0..h{numPerm-1}). */

@@ -27,10 +27,25 @@ object AnalyticsQueries {
       |FROM (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks FROM documents)""".stripMargin
 
   private def minhashPortableOracle(numPerm: Int, rowsPerBand: Int, threshold: Double,
-                                    maxBucket: Int): String = {
+                                    maxBucket: Int,
+                                    incrementalNewSql: Option[String] = None): String = {
     val (as, bs) = Dedup.permConsts(numPerm)
     val aList = as.mkString("[", ",", "]")
     val bList = bs.mkString("[", ",", "]")
+    // incremental variant: the left join side is restricted to the NEW
+    // batch (asymmetric join — no history×history pairs), so pairs are
+    // normalized via LEAST/GREATEST instead of l.id < r2.id
+    val candSql = incrementalNewSql match {
+      case None =>
+        """cand AS (SELECT DISTINCT l.id AS id_a, r2.id AS id_b
+          |         FROM b l JOIN b r2 ON l.band = r2.band AND l.bk = r2.bk AND l.id < r2.id
+          |         JOIN bsz ON bsz.band = l.band AND bsz.bk = l.bk),""".stripMargin
+      case Some(newPred) =>
+        s"""cand AS (SELECT DISTINCT LEAST(l.id, r2.id) AS id_a, GREATEST(l.id, r2.id) AS id_b
+           |         FROM b l JOIN b r2 ON l.band = r2.band AND l.bk = r2.bk AND l.id <> r2.id
+           |         JOIN bsz ON bsz.band = l.band AND bsz.bk = l.bk
+           |         WHERE ${newPred.replace("?", "l.id")}),""".stripMargin
+    }
     s"""WITH sh AS ($ShingleSqlFragment),
        |h AS (SELECT id, s, ('0x'||substr(md5(s),1,7))::BIGINT AS h FROM sh),
        |m AS (SELECT id, CAST(p AS INTEGER) AS p,
@@ -40,9 +55,7 @@ object AnalyticsQueries {
        |      FROM m GROUP BY id, p//$rowsPerBand),
        |bsz AS (SELECT band, bk FROM b GROUP BY band, bk
        |        HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
-       |cand AS (SELECT DISTINCT l.id AS id_a, r2.id AS id_b
-       |         FROM b l JOIN b r2 ON l.band = r2.band AND l.bk = r2.bk AND l.id < r2.id
-       |         JOIN bsz ON bsz.band = l.band AND bsz.bk = l.bk),
+       |$candSql
        |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
        |inter AS (SELECT id_a, id_b, COUNT(*) AS n_inter
        |          FROM cand JOIN sh sa ON sa.id = cand.id_a
@@ -422,6 +435,22 @@ object AnalyticsQueries {
       minhashPortableOracle(numPerm = 32, rowsPerBand = 2, threshold = 0.5, maxBucket = 64),
       doc = "MinHash-LSH with an md5/universal-hash family both engines " +
         "compute bit-for-bit: the approximate tier, fully oracle-checked"),
+
+    // Incremental ingest dedup: the 20% "new batch" (doc_id % 5 = 0) joins
+    // its band signatures asymmetrically against the full band index —
+    // history×history pairs are never generated (at sf0.01, 14 of the 25
+    // near-dup pairs involve a new doc; the 11 history-only pairs are
+    // correctly absent). The production daily-crawl shape.
+    "q_dedup_incremental" -> QueryDef.sql(
+      (s, dir) => Dedup.minhashIncrementalPairsPortable(
+          Tables.documents(s, dir), "doc_id", "text",
+          isNew = id => id % 5 === 0,
+          n = 3, numPerm = 32, rowsPerBand = 2, threshold = 0.5, maxBucket = 64)
+        .orderBy("id_a", "id_b"),
+      minhashPortableOracle(numPerm = 32, rowsPerBand = 2, threshold = 0.5,
+        maxBucket = 64, incrementalNewSql = Some("? % 5 = 0")),
+      doc = "incremental MinHash dedup of a new batch against the full " +
+        "band index — asymmetric bucket join, no history×history pairs"),
 
     "q_dedup_simhash_portable" -> QueryDef.sql(
       (s, dir) => Dedup.simhashNearDupPairsPortable(Tables.documents(s, dir),

@@ -8,6 +8,17 @@ import graft.sources.Tables
 class DedupSpec extends SparkSpecBase {
   private lazy val docs = Tables.documents(spark, sf0001)
 
+  test("incremental dedup equals the full portable tier filtered to new-batch pairs") {
+    val full = Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text", 3, 32, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    val got = Dedup.minhashIncrementalPairsPortable(docs, "doc_id", "text",
+        isNew = id => id % 5 === 0, 3, 32, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(expected.size < full.size, "history-only pairs must exist and be excluded")
+  }
+
   test("fuzzy dedup verifies blocked candidates with normalized edit distance") {
     import spark.implicits._
     val d = Seq(
