@@ -55,6 +55,34 @@ object RelationalQueries {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
       doc = "hash agg, exact decimal measures"),
 
+    // TPC-H Q3 (shipping priority): selective dim filter → two shuffle
+    // joins → top-10 by exact revenue (TakeOrderedAndProject, no global
+    // sort). The recognizable OLAP flagship shape.
+    "q_tpch_q3" -> QueryDef.sql(
+      (s, dir) => {
+        val cutoff = lit("1998-03-15").cast("timestamp")
+        Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < cutoff)
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > cutoff)
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(decSum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10)
+      },
+      """SELECT l_orderkey,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))),2) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      doc = "TPC-H Q3 shipping priority: exact decimal revenue, top-10"),
+
     "q_agg_distinct" -> QueryDef.sql(
       (s, dir) => Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
