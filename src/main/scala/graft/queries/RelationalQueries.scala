@@ -83,6 +83,28 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
       doc = "TPC-H Q3 shipping priority: exact decimal revenue, top-10"),
 
+    // Z-order clustering key: Morton-interleave (customer bucket × epoch
+    // day bucket) — the sort key that bounds BOTH dimensions' min/max per
+    // row group for 2-D data skipping (see ops/ZOrder). Pure bitwise
+    // column arithmetic, reproduced exactly by the oracle.
+    "q_zorder" -> QueryDef.sql(
+      (s, dir) => {
+        val x = col("o_custkey") % 1024
+        val y = (unix_date(col("o_orderdate").cast("date")).cast("long")) % 1024
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), x.as("xb"), y.as("yb"),
+            graft.ops.ZOrder.interleave2(x, y, bits = 10).as("zval"))
+          .orderBy(col("zval").asc, col("o_orderkey").asc)
+          .limit(200)
+      },
+      s"""SELECT o_orderkey, o_custkey % 1024 AS xb,
+         |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 1024 AS yb,
+         |  ${graft.ops.ZOrder.interleave2Sql("(o_custkey % 1024)",
+              "(CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 1024)", 10)} AS zval
+         |FROM orders ORDER BY zval ASC, o_orderkey ASC LIMIT 200""".stripMargin,
+      doc = "Morton z-order clustering key over (custkey, day) buckets — " +
+        "the 2-D data-skipping sort key, bit-for-bit oracle"),
+
     "q_agg_distinct" -> QueryDef.sql(
       (s, dir) => Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
