@@ -42,6 +42,22 @@ object FileSources {
       .option("sep", delimiter)
       .csv(path)
 
+  /** ORC reader/writer pair: the other splittable columnar format Spark
+    * ships natively (predicate pushdown, column pruning, and min/max
+    * row-group skipping all work as with parquet). ORC is binary and
+    * self-describing, so there is no corrupt-record lane — schema is
+    * still explicit to keep reads single-pass and layout-checked. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               sortCols: Seq[String] = Nil): Unit = {
+    val arranged =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
+    arranged.write.mode("overwrite").orc(path)
+  }
+
   /** Split a permissive read into (clean rows without the corrupt column,
     * dead-letter rows carrying the raw record text). Mirrors the JDBC
     * sink's dead-letter contract: nothing is silently lost.

@@ -30,6 +30,22 @@ class FileSourcesSpec extends SparkSpecBase {
     assert(a === b) // lossless round trip for the clean rows
   }
 
+  test("ORC round-trips the documents table and pushes filters into the scan") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = Files.createTempDirectory("graft_orc").toString + "/docs"
+    FileSources.writeOrc(docs, dir, sortCols = Seq("doc_id"))
+    val back = FileSources.orc(spark, dir,
+      org.apache.spark.sql.types.StructType(docs.schema.fields))
+    val a = back.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // predicate + projection reach the ORC scan
+    val plan = back.filter(col("doc_id") > 10).select("doc_id", "lang")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,10)"), plan)
+    assert(plan.contains("struct<doc_id:bigint,lang:string>"), plan)
+  }
+
   test("CSV with explicit schema round-trips a projection; bad row dead-letters") {
     val li = Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_linenumber", "l_quantity").limit(200)
