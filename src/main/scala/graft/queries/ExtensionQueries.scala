@@ -42,6 +42,35 @@ object ExtensionQueries {
        |SELECT qid, nid, cos, rn, bucket FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
+  /** Combined oracle for the ANN recall report: the brute-force and LSH
+    * top-k pipelines as CTE chains over the same normalized vectors, then
+    * a per-query hit count — recall@k measured, not guessed. */
+  private def annRecallOracle(k: Int, numPlanes: Int, dim: Int): String = {
+    val bucketExpr = (0 until numPlanes).map { p =>
+      val plane = graft.ops.Similarity.planeVec(p, dim).mkString("[", ",", "]")
+      s"(CASE WHEN list_inner_product(v, $plane) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm,
+       |        $bucketExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id < 5),
+       |bfr AS (SELECT qid, nid FROM (
+       |    SELECT qid, n.vec_id AS nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |        ROUND(list_inner_product(qv, n.v)/(qnrm*n.nrm), 6) DESC, n.vec_id) AS rn
+       |    FROM q JOIN n ON n.vec_id <> qid) WHERE rn <= $k),
+       |lshr AS (SELECT qid, nid FROM (
+       |    SELECT qid, n.vec_id AS nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |        ROUND(list_inner_product(qv, n.v)/(qnrm*n.nrm), 6) DESC, n.vec_id) AS rn
+       |    FROM q JOIN n ON n.bucket = q.bucket AND n.vec_id <> qid) WHERE rn <= $k)
+       |SELECT bfr.qid, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(COUNT(lshr.nid) AS BIGINT) AS n_hits,
+       |  ROUND(CAST(COUNT(lshr.nid) AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM bfr LEFT JOIN lshr ON lshr.qid = bfr.qid AND lshr.nid = bfr.nid
+       |GROUP BY bfr.qid ORDER BY bfr.qid""".stripMargin
+  }
+
   /** DuckDB reproduction of `Similarity.ivfTopKFixed`: centroids and their
     * squared norms embedded as literals (the norm is the Scala-computed
     * double, NOT recomputed in SQL — summation order must not differ),
@@ -276,6 +305,31 @@ object ExtensionQueries {
       },
       lshTopKOracle(k = 10, numPlanes = 4, dim = 64),
       doc = "random-hyperplane LSH ANN: bucket equi-join instead of cross join"),
+
+    // Recall@k of the LSH tier against the brute-force ground truth, per
+    // query — the ANN quality metric MEASURED as a declared query (and
+    // oracle-checked), not asserted in prose. At 4 planes the buckets are
+    // coarse, so recall is high but not trivially 1.0.
+    "q_ann_recall" -> QueryDef.sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+        val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
+          .select(col("qid"), col("nid"))
+        val lsh = Similarity.lshTopK(emb, queries, k = 10, numPlanes = 4)
+          .select(col("qid").as("l_qid"), col("nid").as("l_nid"))
+        bf.join(lsh, col("qid") === col("l_qid") && col("nid") === col("l_nid"),
+            "left_outer")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("kk"), count(col("l_nid")).as("n_hits"))
+          .select(col("qid"), col("kk").cast("long").as("k"),
+            col("n_hits").cast("long").as("n_hits"),
+            round(col("n_hits").cast("double") / col("kk"), 6).as("recall"))
+          .orderBy("qid")
+      },
+      annRecallOracle(k = 10, numPlanes = 4, dim = 64),
+      doc = "recall@10 of LSH ANN vs brute-force ground truth, per query " +
+        "(measured quality metric, full oracle)"),
 
     // -------------------------------------------------------- text analysis
     "q_text_stats" -> QueryDef.sql(
