@@ -308,8 +308,12 @@ object ExtensionQueries {
 
     // Recall@k of the LSH tier against the brute-force ground truth, per
     // query — the ANN quality metric MEASURED as a declared query (and
-    // oracle-checked), not asserted in prose. At 4 planes the buckets are
-    // coarse, so recall is high but not trivially 1.0.
+    // oracle-checked), not asserted in prose. The measurement is honest
+    // about single-table sign-LSH: on quasi-orthogonal synthetic
+    // embeddings one 16-bucket table recalls only 0.1-0.3 of the true
+    // top-10 — which is exactly why the production near-dup tier
+    // (q_sim_near_dup_lsh) uses 48 BANDED tables, and why this report
+    // belongs in the pipeline: recall is a number you watch, not assume.
     "q_ann_recall" -> QueryDef.sql(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
