@@ -90,7 +90,10 @@ class PlanSpec extends SparkSpecBase {
     // (corpus stats) — a scalar broadcast, not a data-dependent product
     val intended = Set("q_range_join", "q_sim_cosine_topk", "q_sim_near_dup",
       "q_sim_lsh_topk", "q_sim_ivf_topk", "q_tf_idf", "q_bm25_search",
-      "q_lm_perplexity")
+      "q_lm_perplexity",
+      // recall is MEASURED against brute-force ground truth, so the
+      // quadratic baseline is embedded by definition
+      "q_ann_recall")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>
