@@ -14,9 +14,11 @@ object SparkEntry {
     PipelineQueries.defs ++ RelationalQueries.defs ++ ExtensionQueries.defs ++
       AnalyticsQueries.defs ++ TrainingQueries.defs ++ CleaningQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q3: dim filter → two joins → exact-decimal top-10 (136 grouped
+    * orders pre-limit at sf0.001, so the smoke check has headroom). */
   def entry(spark: SparkSession): DataFrame =
-    registry("q_incr_scan_first").fn(spark, "/root/testdata/sf0.001")
+    registry("q_tpch_q3").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
