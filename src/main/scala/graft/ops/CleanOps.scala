@@ -100,12 +100,16 @@ object CleanOps {
     * from the corpus mode). p(w) = (c(w)+1) / (T+V).
     *
     * Determinism across engines: each per-term surprisal is ROUNDED to 6
-    * decimals *before* the per-document sum, and the sum runs in exact
-    * decimals (`tf * DECIMAL(18,6)`), so the result never depends on
-    * double summation order (Spark partial aggregation vs DuckDB's
-    * sequential scan). Corpus totals (T, V) reduce to one broadcast row;
-    * the term-count join is a plain shuffle join on the term (vocabulary
-    * per split is Zipf — orders of magnitude smaller than the corpus). */
+    * decimals *before* the per-document sum, scaled to exact BIGINT
+    * micro-bits, and the per-doc mean is INTEGER division — `sum div n`
+    * has no rounding law for the engines to disagree on. (The first
+    * version rounded a double quotient to 6 decimals; at sf0.1, 2 of
+    * ~5000 documents landed exactly on the halfway digit, where Spark's
+    * BigDecimal HALF_UP and DuckDB's double rounding split — the same
+    * trap FIXTURES.md catalogues for PageRank.) Corpus totals (T, V)
+    * reduce to one broadcast row; the term-count join is a plain shuffle
+    * join on the term (vocabulary per split is Zipf — orders of magnitude
+    * smaller than the corpus). */
   def lmUnigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("term"))
@@ -118,15 +122,18 @@ object CleanOps {
       count(lit(1)).cast("long").as("v_size"))
     docTf.join(termC, "term")
       .crossJoin(broadcast(stats))
-      .withColumn("nll6",
-        round(-log2((col("c") + 1).cast("double") /
-          (col("t_total") + col("v_size")).cast("double")), 6))
+      // micro-bits: round(-log2(p), 6) * 1e6 is within 1e-9 of an integer
+      // (same double in both engines), so round-to-int is exact
+      .withColumn("nll_micro",
+        round(round(-log2((col("c") + 1).cast("double") /
+          (col("t_total") + col("v_size")).cast("double")), 6) * 1000000d)
+          .cast("long"))
       .groupBy(idCol)
       .agg(
         sum(col("tf")).cast("long").as("n_tok"),
-        sum(col("tf") * Exact.dec(col("nll6"), 18, 6)).as("nll_sum"))
+        sum(col("tf") * col("nll_micro")).cast("long").as("nll_sum_micro"))
       .select(col(idCol), col("n_tok"),
-        round(col("nll_sum").cast("double") / col("n_tok"), 6).as("avg_nll"))
+        (expr("nll_sum_micro div n_tok").cast("double") / 1000000d).as("avg_nll"))
   }
 
   /** PII patterns: the common ASCII subset expressible identically in Java

@@ -94,9 +94,11 @@ object CleaningQueries {
 
     // ------------------------------------------ unigram LM quality score
     // CCNet-shaped perplexity gate on a self-fit add-one unigram model.
-    // Per-term surprisals are rounded to 6 decimals BEFORE the per-doc sum
-    // and summed in exact decimals, so neither engine's double summation
-    // order can leak into the hash (FIXTURES.md double-sum trap).
+    // Per-term surprisals are rounded to 6 decimals BEFORE the per-doc
+    // sum, scaled to exact BIGINT micro-bits, and the per-doc mean is
+    // INTEGER division — no double summation order and no halfway-digit
+    // rounding for the engines to disagree on (a rounded double quotient
+    // diverged on 2/5000 docs at sf0.1; FIXTURES.md pagerank trap).
     "q_lm_perplexity" -> QueryDef.sql(
       (s, dir) => CleanOps.lmUnigramScore(
           Tables.documents(s, dir), "doc_id", "text")
@@ -107,14 +109,14 @@ object CleaningQueries {
         |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
         |st AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total, CAST(COUNT(*) AS BIGINT) AS v_size FROM tc),
         |sc AS (SELECT doc_id, tf.tf,
-        |         ROUND(-log2(CAST(c + 1 AS DOUBLE) / CAST(t_total + v_size AS DOUBLE)), 6) AS nll6
+        |         CAST(ROUND(ROUND(-log2(CAST(c + 1 AS DOUBLE) / CAST(t_total + v_size AS DOUBLE)), 6) * 1000000) AS BIGINT) AS nll_micro
         |       FROM tf JOIN tc USING (term) CROSS JOIN st)
         |SELECT doc_id,
         |  CAST(SUM(tf) AS BIGINT) AS n_tok,
-        |  ROUND(CAST(SUM(tf * CAST(nll6 AS DECIMAL(18,6))) AS DOUBLE) / SUM(tf), 6) AS avg_nll
+        |  CAST(CAST(SUM(tf * nll_micro) AS BIGINT) // SUM(tf) AS DOUBLE) / 1000000.0 AS avg_nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       doc = "mean per-token surprisal under a corpus-fit add-one unigram " +
-        "model (cheap CCNet-style perplexity gate)"),
+        "model (cheap CCNet-style perplexity gate, integer micro-bit mean)"),
 
     // ------------------------------------------------------ PII redaction
     // The fixture corpus carries no PII, so the query PLANTS deterministic

@@ -57,11 +57,13 @@ class CleanOpsSpec extends SparkSpecBase {
     // p(a)=(3+1)/(4+2)=2/3, p(b)=(1+1)/6=1/3
     val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val out = CleanOps.lmUnigramScore(df, "doc_id", "text").collect()
-    val nllA = BigDecimal(-math.log(2.0 / 3) / math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val nllB = BigDecimal(-math.log(1.0 / 3) / math.log(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val expected = ((nllA * 3 + nllB) / 4).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def micro(p: Double): Long =
+      math.round(BigDecimal(-math.log(p) / math.log(2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    // integer micro-bit mean: (3*nll(a) + nll(b)) div 4, truncating
+    val expected = ((micro(2.0 / 3) * 3 + micro(1.0 / 3)) / 4).toDouble / 1e6
     assert(out(0).getAs[Long]("n_tok") === 4)
-    assert(math.abs(out(0).getAs[Double]("avg_nll") - expected) < 1e-9)
+    assert(math.abs(out(0).getAs[Double]("avg_nll") - expected) < 1e-12)
   }
 
   test("segmentDedup conservation laws hold on a randomized corpus") {
