@@ -67,8 +67,8 @@ object CleanOps {
             array_sort(collect_list(when(col("keep"), struct(col("pos"), col("seg"))))),
             s => s.getField("seg")),
           " ").as("kept_text"))
-      .withColumn("retained_frac",
-        round(col("n_kept").cast("double") / col("n_segs"), 6))
+      .withColumn("retained_frac", // truncating micro-units: no halfway
+        (expr("(n_kept * 1000000) div n_segs").cast("double") / 1000000d))
   }
 
   /** Cross-document n-gram duplication fraction (RefinedWeb's
@@ -89,8 +89,8 @@ object CleanOps {
       .agg(
         count(lit(1)).cast("long").as("n_grams"),
         count(when(col("gram_df") > 1, lit(1))).cast("long").as("n_dup"))
-      .withColumn("dup_frac",
-        round(col("n_dup").cast("double") / col("n_grams"), 6))
+      .withColumn("dup_frac", // truncating micro-units: no halfway
+        (expr("(n_dup * 1000000) div n_grams").cast("double") / 1000000d))
   }
 
   /** Unigram language-model quality score: the mean per-token negative

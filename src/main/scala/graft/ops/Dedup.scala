@@ -612,9 +612,13 @@ object Dedup {
     cand.join(da, "id_a").join(db, "id_b")
       .withColumn("edit_dist",
         levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("mx",
+        greatest(length(col("text_a")), length(col("text_b"))).cast("long"))
+      // truncating micro-units ((mx-d)*1e6 div mx): a rounded double
+      // quotient can land exactly on the halfway digit where the engines'
+      // rounding laws split (FIXTURES.md)
       .withColumn("edit_sim",
-        round(lit(1.0) - col("edit_dist").cast("double")
-          / greatest(length(col("text_a")), length(col("text_b"))), 6))
+        expr("((mx - edit_dist) * 1000000) div mx").cast("double") / 1000000d)
       .select(col("id_a"), col("id_b"), col("shared"), col("edit_dist"),
         col("edit_sim"), (col("edit_sim") >= simThreshold).as("is_dup"))
   }

@@ -62,7 +62,7 @@ object CleaningQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_segs,
         |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
         |  COALESCE(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS kept_text,
-        |  ROUND(CAST(COUNT(*) FILTER (WHERE keep) AS DOUBLE) / COUNT(*), 6) AS retained_frac
+        |  CAST((COUNT(*) FILTER (WHERE keep) * 1000000) // COUNT(*) AS DOUBLE) / 1000000.0 AS retained_frac
         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       doc = "corpus-wide segment (pseudo-line) exact dedup with first-" +
         "occurrence winners and in-order document rebuild"),
@@ -86,7 +86,7 @@ object CleaningQueries {
         |SELECT doc_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_grams,
         |  CAST(COUNT(*) FILTER (WHERE gram_df > 1) AS BIGINT) AS n_dup,
-        |  ROUND(CAST(COUNT(*) FILTER (WHERE gram_df > 1) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+        |  CAST((COUNT(*) FILTER (WHERE gram_df > 1) * 1000000) // COUNT(*) AS DOUBLE) / 1000000.0 AS dup_frac
         |FROM sh JOIN df USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       doc = "fraction of each doc's distinct 4-grams shared with another " +

@@ -194,8 +194,8 @@ object ExtensionQueries {
          |         GROUP BY 1, 2 HAVING COUNT(*) >= 4),
          |lev AS (SELECT id_a, id_b, shared,
          |          CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
-         |          ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-         |            / greatest(len(da.text), len(db.text)), 6) AS edit_sim
+         |          CAST(((greatest(len(da.text), len(db.text)) - levenshtein(da.text, db.text)) * 1000000)
+         |            // greatest(len(da.text), len(db.text)) AS DOUBLE) / 1000000.0 AS edit_sim
          |        FROM cand JOIN documents da ON da.doc_id = id_a
          |                  JOIN documents db ON db.doc_id = id_b)
          |SELECT id_a, id_b, shared, edit_dist, edit_sim,

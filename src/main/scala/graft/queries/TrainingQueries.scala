@@ -53,8 +53,12 @@ object TrainingQueries {
     // fraction of duplicate 2-grams, mean token length, token count — and
     // the keep/drop verdict a pipeline gates on. Thresholds sit inside the
     // corpus distribution (frac_top p90≈0.14, dup2 p90≈0.065) so both
-    // branches of the verdict are exercised. Comparisons use the ROUNDED
-    // metrics so the two engines can't disagree at a threshold boundary.
+    // branches of the verdict are exercised. Metrics are truncating
+    // integer micro-unit quotients (`a*10^k div b`, then /10^k back to
+    // double) — a rounded double quotient can land exactly on the halfway
+    // digit where the engines' rounding laws split (seen live in
+    // q_lm_perplexity at sf0.1; FIXTURES.md), while integer division has
+    // no rounding law, and the verdict compares the same computed number.
     "q_quality_gopher" -> QueryDef.sql(
       (s, dir) => {
         val t = Tables.documents(s, dir)
@@ -69,9 +73,9 @@ object TrainingQueries {
         base.join(top, "doc_id")
           .filter(col("n_tok") >= 2)
           .select(col("doc_id"), col("n_tok"),
-            round(col("top_c").cast("double") / col("n_tok"), 6).as("frac_top"),
-            round(lit(1.0) - col("n_d2").cast("double") / (col("n_tok") - 1), 6).as("dup2_frac"),
-            round(col("sum_len").cast("double") / col("n_tok"), 4).as("mean_len"))
+            (expr("(top_c * 1000000) div n_tok").cast("double") / 1000000d).as("frac_top"),
+            (expr("((n_tok - 1 - n_d2) * 1000000) div (n_tok - 1)").cast("double") / 1000000d).as("dup2_frac"),
+            (expr("(sum_len * 10000) div n_tok").cast("double") / 10000d).as("mean_len"))
           .withColumn("keep",
             col("n_tok").between(20, 100000) && col("frac_top") <= 0.12 &&
               col("dup2_frac") <= 0.05 && col("mean_len").between(3.0, 10.0))
@@ -88,9 +92,9 @@ object TrainingQueries {
         |          (SELECT doc_id, term, COUNT(*) AS c FROM tt GROUP BY 1, 2)
         |        GROUP BY doc_id),
         |m AS (SELECT doc_id, n_tok,
-        |    ROUND(CAST(top_c AS DOUBLE) / n_tok, 6) AS frac_top,
-        |    ROUND(1.0 - CAST(n_d2 AS DOUBLE) / (n_tok - 1), 6) AS dup2_frac,
-        |    ROUND(CAST(sum_len AS DOUBLE) / n_tok, 4) AS mean_len
+        |    CAST((top_c * 1000000) // n_tok AS DOUBLE) / 1000000.0 AS frac_top,
+        |    CAST(((n_tok - 1 - n_d2) * 1000000) // (n_tok - 1) AS DOUBLE) / 1000000.0 AS dup2_frac,
+        |    CAST((sum_len * 10000) // n_tok AS DOUBLE) / 10000.0 AS mean_len
         |  FROM base JOIN top USING (doc_id) WHERE n_tok >= 2)
         |SELECT doc_id, n_tok, frac_top, dup2_frac, mean_len,
         |  (n_tok BETWEEN 20 AND 100000 AND frac_top <= 0.12
