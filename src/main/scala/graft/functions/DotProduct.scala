@@ -60,7 +60,10 @@ object DotProduct {
   val FunctionName = "graft_dot"
 
   val builder: Seq[Expression] => Expression =
-    exprs => DotProduct(exprs.head, exprs(1))
+    exprs => {
+      require(exprs.length == 2, s"$FunctionName(a, b): expects 2 arguments, got ${exprs.length}")
+      DotProduct(exprs.head, exprs(1))
+    }
 
   /** Idempotent per-session registration; exposes the expression through the
     * public `call_function` API (and to SQL as `graft_dot(a, b)`). */

@@ -59,7 +59,10 @@ object FirstEqIndex {
   val FunctionName = "graft_first_eq"
 
   val builder: Seq[Expression] => Expression =
-    exprs => FirstEqIndex(exprs.head, exprs(1))
+    exprs => {
+      require(exprs.length == 2, s"$FunctionName(a, b): expects 2 arguments, got ${exprs.length}")
+      FirstEqIndex(exprs.head, exprs(1))
+    }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

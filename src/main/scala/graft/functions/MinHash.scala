@@ -83,7 +83,11 @@ object MinHash {
   val FunctionName = "graft_minhash_md5"
 
   val builder: Seq[Expression] => Expression =
-    exprs => Md5MinHashSigs(exprs.head, exprs(1).eval().asInstanceOf[Int])
+    exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        s"$FunctionName(shingles, num_perm): num_perm must be a literal")
+      Md5MinHashSigs(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
+    }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -73,7 +73,10 @@ object SimHash {
   val FunctionName = "graft_simhash_md5"
 
   val builder: Seq[Expression] => Expression =
-    exprs => Md5SimHashChunks(exprs.head)
+    exprs => {
+      require(exprs.length == 1, s"$FunctionName(shingles): expects 1 argument, got ${exprs.length}")
+      Md5SimHashChunks(exprs.head)
+    }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -159,8 +159,13 @@ object Winnow {
   val FunctionName = "graft_winnow"
 
   val builder: Seq[Expression] => Expression =
-    exprs => WinnowFingerprints(exprs.head,
-      k = exprs(1).eval().asInstanceOf[Int], w = exprs(2).eval().asInstanceOf[Int])
+    exprs => {
+      require(exprs.length == 3 && exprs.tail.forall(_.foldable),
+        s"$FunctionName(text, k, w): k and w must be literals")
+      WinnowFingerprints(exprs.head,
+        k = exprs(1).eval().asInstanceOf[Number].intValue(),
+        w = exprs(2).eval().asInstanceOf[Number].intValue())
+    }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -176,8 +181,13 @@ object Winnow {
   val Md5FunctionName = "graft_winnow_md5"
 
   val md5Builder: Seq[Expression] => Expression =
-    exprs => Md5WinnowFingerprints(exprs.head,
-      k = exprs(1).eval().asInstanceOf[Int], w = exprs(2).eval().asInstanceOf[Int])
+    exprs => {
+      require(exprs.length == 3 && exprs.tail.forall(_.foldable),
+        s"$Md5FunctionName(text, k, w): k and w must be literals")
+      Md5WinnowFingerprints(exprs.head,
+        k = exprs(1).eval().asInstanceOf[Number].intValue(),
+        w = exprs(2).eval().asInstanceOf[Number].intValue())
+    }
 
   def registerMd5(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

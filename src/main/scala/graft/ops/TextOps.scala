@@ -52,9 +52,14 @@ object TextOps {
   val StopwordsFr = Seq("le", "la", "les", "et", "est", "dans")
   val StopwordsEs = Seq("el", "los", "las", "y", "es", "en")
 
-  /** Whitespace-collapsed, trimmed, lowercased canonical form. */
+  /** Whitespace-collapsed, trimmed, lowercased canonical form. The
+    * whitespace class is EXPLICIT ASCII, not `\s`: Java's `\s` includes
+    * U+000B (vertical tab) but RE2's does not, so an oracle mirroring
+    * `\s` silently diverges on VT-bearing text. `\x0B` parses identically
+    * in both engines. */
+  val WsClassRe = "[ \\t\\n\\r\\f\\x0B]+"
   def normalizedText(text: Column): Column =
-    lower(trim(regexp_replace(text, "\\s+", " ")))
+    lower(trim(regexp_replace(text, WsClassRe, " ")))
 
   /** Content fingerprint of the normalized text (normalization-invariant
     * exact-dup key). */

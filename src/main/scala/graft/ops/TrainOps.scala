@@ -106,8 +106,12 @@ object TrainOps {
     // iteration falls back to sort-merge — re-sorting the full edge list
     // per round. While n is broadcast-sized, hint it; beyond that the
     // shuffle join is the right plan and the edge side dominates anyway.
+    // The cutoff is ~1M nodes (~tens of MB as a HashedRelation) — each
+    // round COLLECTS the hinted table to the driver, so a multi-hundred-MB
+    // broadcast near a larger cutoff would OOM small drivers where the
+    // shuffle join merely runs slower.
     def maybeBcast(df: DataFrame): DataFrame =
-      if (n <= 5000000L) broadcast(df) else df
+      if (n <= 1000000L) broadcast(df) else df
     var ranks = deg.select(col("src").as("id"), lit(S / n).as("pr_micro"))
     for (_ <- 1 to iters) {
       val contrib = maybeBcast(

@@ -110,7 +110,7 @@ object AnalyticsQueries {
   private def winnowPortableOracle(k: Int, w: Int, minShared: Int, maxDf: Int): String = {
     val div = 1L << 22
     s"""WITH norm AS (SELECT doc_id AS id,
-       |        lower(trim(regexp_replace(text,'\\s+',' ','g'))) AS t FROM documents),
+       |        lower(trim(regexp_replace(text,'[ \\t\\n\\r\\f\\x0B]+',' ','g'))) AS t FROM documents),
        |lens AS (SELECT id, t, length(t) - $k + 1 AS n_grams FROM norm
        |         WHERE length(t) >= $k),
        |g AS (SELECT id, t, n_grams, unnest(range(1, n_grams + 1)) AS pos FROM lens),
@@ -568,6 +568,7 @@ object AnalyticsQueries {
           .select(col("n_viewed").cast("long").as("n_viewed"),
             col("n_view_click").cast("long").as("n_view_click"),
             col("n_full_funnel").cast("long").as("n_full_funnel"))
+          .orderBy("n_viewed") // single row; ORDER BY per oracle convention
       },
       """WITH firsts AS (
         |  SELECT user_id,
@@ -578,7 +579,7 @@ object AnalyticsQueries {
         |SELECT CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_viewed,
         |  CAST(COUNT(*) FILTER (WHERE t_view < t_click) AS BIGINT) AS n_view_click,
         |  CAST(COUNT(*) FILTER (WHERE t_view < t_click AND t_click < t_purchase) AS BIGINT) AS n_full_funnel
-        |FROM firsts""".stripMargin,
+        |FROM firsts ORDER BY n_viewed""".stripMargin,
       doc = "ordered view->click->purchase conversion funnel from per-user " +
         "first-occurrence timestamps"),
 

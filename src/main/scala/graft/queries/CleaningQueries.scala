@@ -50,7 +50,7 @@ object CleaningQueries {
       },
       """WITH raw AS (
         |  SELECT doc_id,
-        |    regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |    regexp_extract_all(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))),
         |                       '(?:[a-z0-9]+ ){0,7}[a-z0-9]+') AS arr
         |  FROM documents),
         |ex AS (SELECT doc_id, unnest(arr) AS seg, unnest(range(len(arr))) AS pos

@@ -412,7 +412,7 @@ object ExtensionQueries {
           .orderBy("doc_id")
       },
       """SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same
-        |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS fp
+        |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text,'[ \t\n\r\f\x0B]+',' ','g')))) AS fp
         |      FROM documents) ORDER BY doc_id""".stripMargin,
       doc = "normalization-invariant content fingerprint"),
 

@@ -157,11 +157,16 @@ class StreamOpsSpec extends SparkSpecBase {
     dir
   }
 
+  /** One doc per micro-batch: cross-document duplicate attribution in the
+    * segment-dedup parity test must match the batch groupBy/min winner,
+    * and within one micro-batch the state store offers no cross-row order
+    * guarantee after the shuffle — one-doc batches ENFORCE doc_id-ordered
+    * arrival instead of merely relying on it. */
   private def docStream: DataFrame = spark.readStream
     .format("graft.streaming.KeysetTailProvider")
     .option("path", docsMicro)
     .option("updateColumn", "doc_id")
-    .option("maxRowsPerBatch", "40")
+    .option("maxRowsPerBatch", "1")
     .load()
 
   test("corpus cleaning is streamable: PII redaction equals batch row-for-row") {
