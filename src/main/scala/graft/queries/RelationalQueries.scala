@@ -83,6 +83,42 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
       doc = "TPC-H Q3 shipping priority: exact decimal revenue, top-10"),
 
+    // TPC-H Q5 (local supplier volume): the 6-table join with the
+    // local-supplier correlation (customer and supplier share a nation) —
+    // dims broadcast, facts shuffle on their keys, exact decimal revenue.
+    "q_tpch_q5" -> QueryDef.sql(
+      (s, dir) => {
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, dir),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(decSum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+      },
+      """SELECT n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))),2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      doc = "TPC-H Q5 local supplier volume: 6-table join, exact decimal revenue"),
+
     // Z-order clustering key: Morton-interleave (customer bucket × epoch
     // day bucket) — the sort key that bounds BOTH dimensions' min/max per
     // row group for 2-D data skipping (see ops/ZOrder). Pure bitwise
