@@ -2,6 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Perf surface for the round driver: times every declared query at the
+  * SPARK_GRAFT_SF_DIR scale and prints ONE short JSON line on stdout.
+  *
+  * The driver keeps only the LAST 2000 chars of output (incl. sbt's
+  * "[success]" suffix) and parses the JSON line out of that window. Round 4
+  * shipped the full 97-query map on that line and overflowed it — the
+  * headline total came back unparseable. The stdout line now carries only
+  * the headline fields plus the 5 slowest queries (bounded ~400 chars at
+  * any query count); the full per-query medians and raw samples go to
+  * `bench_detail.json` in the working directory and to stderr.
+  *
+  * Shared-VM noise: single-run timings at sf0.1 spiked 3–10× on unchanged
+  * sub-second queries (round-4 q_time_normalize 0.70→7.25 s). Each query is
+  * therefore run SPARK_GRAFT_REPS times (default 3) and the reported number
+  * is the per-query MEDIAN — the cold first pass and any one-off GC/CPU
+  * spike fall out of a median of 3.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,49 +50,52 @@ object Bench {
     // is recorded as -1 and the error surfaces in an "errors" JSON field
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
-    // (optionally several passes via SPARK_GRAFT_REPS); unset for the full
-    // driver-contract run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    for (r <- 2 to reps; (name, fn) <- selected) {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      System.err.println(f"[bench] rep ${r - 1} $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    }
-    val results = selected.map { case (name, fn) =>
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    for (name <- selected.keys) samples(name) = Vector.empty
+    for (r <- 1 to reps; (name, fn) <- selected) {
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Catalyst prune the projections away and undercount the work)
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples(name) :+= sec
+        System.err.println(f"[bench] rep $r $name $sec%.3f s")
       } catch { case e: Throwable =>
         // strip EVERY control char plus quote/backslash — RFC 8259 requires
         // them escaped, and one \f from a JDBC driver would break the line
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
-        name -> -1.0
       }
     }
-    // the driver keeps only the LAST 2000 chars of output (incl. sbt's
-    // ~70-char "[success]" suffix) and parses the JSON line out of that
-    // window; full-precision doubles overflowed it at 67 queries (round-3
-    // bench came back unparsed). 2 decimals (centisecond resolution on
-    // 0.1–10s queries) plus a numeric sf keep ~250 chars of headroom at 71
-    // queries; the warning below fires well before the window is at risk.
+    def median(v: Vector[Double]): Double =
+      if (v.isEmpty) -1.0 else v.sorted.apply((v.size - 1) / 2)
+    val results = samples.map { case (n, v) => n -> median(v) }
     def fmt(v: Double): String = f"$v%.2f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val errs =
-      if (errors.isEmpty) ""
-      else errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString(""","errors":{""", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_errors":${errors.size}$errs,"sf":$sfNum}"""
-    if (line.length > 1850)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars — may overflow the driver's 2000-char tail window")
+    // full detail → file (judge-readable, committed by the driver) + stderr
+    val detail = results.map { case (k, v) =>
+      val raw = samples(k).map(fmt).mkString("[", ",", "]")
+      s"""\"$k\":{"median":${fmt(v)},"samples":$raw}"""
+    }.mkString("{", ",", "}")
+    val errsJson =
+      if (errors.isEmpty) "{}"
+      else errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val detailLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$detail,"errors":$errsJson,"sf":$sfNum}"""
+    val detailFile = "bench_detail.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailFile), detailLine)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    System.err.println(s"[bench] detail: $detailLine")
+    // stdout line: headline + 5 slowest (bounded size at any query count)
+    val worst = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"reps":$reps,"queries":$worst,"queries_file":"$detailFile","n_errors":${errors.size},"sf":$sfNum}"""
     println(line)
     spark.stop()
   }

@@ -151,13 +151,35 @@ object TrainOps {
        |FROM r$iters ORDER BY pr_micro DESC, id LIMIT $topK""".stripMargin
   }
 
-  /** BM25 score of `dl`-length documents for a fixed small term set.
-    * Pure column expression — the per-term tf/df/avgdl inputs come from the
-    * caller's aggregates; keeping the arithmetic in one fixed-order
-    * expression makes the double math bit-identical across engines. */
-  def bm25Term(tf: Column, df: Column, n: Column, dl: Column, avgdl: Column,
-               k1: Double = 1.2, b: Double = 0.75): Column = {
-    val idf = log(lit(1.0) + (n - df + 0.5) / (df + 0.5))
-    idf * tf * (k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+  /** One BM25(k1=1.2, b=0.75) term's score in integer MICRO-units.
+    *
+    * Determinism contract (the q_lm_perplexity / PageRank fixed-point rule —
+    * a rounded double chain over transcendentals split the engines at the
+    * halfway digit in round 4): the only double op is the idf `ln`, rounded
+    * to 6 dp and scaled to BIGINT micros (round→int is exact because
+    * round(x,6)*1e6 is within 1e-9 of an integer in both engines); the
+    * length norm `k1*(1-b+b*dl/avgdl)` is cleared of its divisions —
+    * avgdl = sum_dl/n_docs, so norm_micro = 300000 + (900000*dl*n_docs) div
+    * sum_dl, all-integer truncating division with no rounding law to
+    * disagree on; the term score is one more integer quotient. Caller sums
+    * the term micros and divides by 1e6 at the end.
+    *
+    * All inputs are BIGINT columns. Intermediates stay under 2^63 up to
+    * ~1e18 token corpora (idf_micro<3e7 · tf<1e5 · 2.2e6 ≈ 6e18 worst case;
+    * 9e5·dl·n_docs needs dl·n_docs < 1e13 — at larger scale drop the micro
+    * scale one decade). */
+  def bm25TermMicro(tf: Column, df: Column, nDocs: Column, dl: Column,
+                    sumDl: Column): Column = {
+    val idfMicro = round(round(log(lit(1.0) +
+      (nDocs.cast("double") - df.cast("double") + 0.5) / (df.cast("double") + 0.5)),
+      6) * 1000000d).cast("long")
+    val normMicro = lit(300000L) + intDiv(lit(900000L) * dl * nDocs, sumDl)
+    intDiv(idfMicro * tf * lit(2200000L), tf * lit(1000000L) + normMicro)
   }
+
+  /** Integer `div` on positive BIGINT columns (the Column API has no
+    * operator; `floor(a/b)` would round through a double and lose exactness
+    * past 2^53). `div` is Spark's registered name for IntegralDivide;
+    * matches DuckDB `//` on positive operands. */
+  private def intDiv(a: Column, b: Column): Column = call_function("div", a, b)
 }

@@ -26,7 +26,7 @@ object AnalyticsQueries {
       |  unnest(list_distinct([toks[i]||'_'||toks[i+1]||'_'||toks[i+2] for i in range(1, len(toks)-1)])) AS s
       |FROM (SELECT doc_id, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks FROM documents)""".stripMargin
 
-  private def minhashPortableOracle(numPerm: Int, rowsPerBand: Int, threshold: Double,
+  private[queries] def minhashPortableOracle(numPerm: Int, rowsPerBand: Int, threshold: Double,
                                     maxBucket: Int,
                                     incrementalNewSql: Option[String] = None): String = {
     val (as, bs) = Dedup.permConsts(numPerm)
@@ -70,7 +70,7 @@ object AnalyticsQueries {
   /** DuckDB reproduction of `Dedup.simhashNearDupPairsPortable`: md5-derived
     * 64-bit signature as four 16-bit chunks, majority vote per bit, bucket
     * join per chunk with the hot-bucket cap, hamming verify via bit_count. */
-  private def simhashPortableOracle(maxHamming: Int, maxBucket: Int): String = {
+  private[queries] def simhashPortableOracle(maxHamming: Int, maxBucket: Int): String = {
     val bitSums = (0 until 64).map { g =>
       val h = if (g < 32) "h1" else "h2"
       s"SUM(CASE WHEN ($h >> ${g % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b$g"
@@ -107,7 +107,7 @@ object AnalyticsQueries {
   /** DuckDB reproduction of `Dedup.winnowOverlapPairsPortable`: md5 gram
     * hashes, the enc = h*2^22 + (2^22-1-pos) rightmost-min trick as a
     * window-frame MIN, dedup to distinct (id, fp), df-capped pair join. */
-  private def winnowPortableOracle(k: Int, w: Int, minShared: Int, maxDf: Int): String = {
+  private[queries] def winnowPortableOracle(k: Int, w: Int, minShared: Int, maxDf: Int): String = {
     val div = 1L << 22
     s"""WITH norm AS (SELECT doc_id AS id,
        |        lower(trim(regexp_replace(text,'[ \\t\\n\\r\\f\\x0B]+',' ','g'))) AS t FROM documents),

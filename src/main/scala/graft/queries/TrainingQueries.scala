@@ -143,11 +143,14 @@ object TrainingQueries {
 
     // --------------------------------------------------- BM25 retrieval
     // Top-20 BM25(k1=1.2, b=0.75) ranking for a fixed 3-term query. All
-    // corpus statistics (N, avgdl, per-term df) reduce to ONE broadcast row;
+    // corpus statistics (N, Σdl, per-term df) reduce to ONE broadcast row;
     // per-document term frequencies are conditional aggregates over one
-    // exploded pass; the score is a single fixed-order double expression —
-    // bit-identical across engines, ordered by the ROUNDED score so ulp
-    // noise can't reorder the top-k.
+    // exploded pass. The score follows the integer micro-unit contract
+    // (TrainOps.bm25TermMicro): the round-4 rounded-double version split
+    // the engines at the halfway digit of round(score, 4) — the same trap
+    // q_lm_perplexity hit and fixed (FIXTURES.md). Only the idf `ln` stays
+    // a double (rounded to 6 dp, exactly scaled to micros); the length
+    // norm and the per-term score are truncating integer quotients.
     "q_bm25_search" -> QueryDef.sql(
       (s, dir) => {
         val terms = Seq("spark", "join", "filter")
@@ -159,71 +162,77 @@ object TrainingQueries {
         val tfCols = terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
         val tf = tt.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
         val dfCols = terms.map(t =>
-          count_distinct(when(col("term") === t, col("doc_id"))).cast("double").as(s"df_$t"))
-        val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
-          avg(col("dl")).as("avgdl"))
+          count_distinct(when(col("term") === t, col("doc_id"))).cast("long").as(s"df_$t"))
+        val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("dl")).cast("long").as("sum_dl"))
           .crossJoin(tt.groupBy().agg(dfCols.head, dfCols.tail: _*))
         val scored = lens.join(tf, "doc_id")
           .crossJoin(broadcast(stats))
-        val score = terms.map(t => TrainOps.bm25Term(
-          col(s"tf_$t").cast("double"), col(s"df_$t"), col("n_docs"),
-          col("dl").cast("double"), col("avgdl"))).reduce(_ + _)
+        val scoreMicro = terms.map(t => TrainOps.bm25TermMicro(
+          col(s"tf_$t"), col(s"df_$t"), col("n_docs"),
+          col("dl"), col("sum_dl"))).reduce(_ + _)
         scored.select(col("doc_id"), col("dl"),
           col("tf_spark"), col("tf_join"), col("tf_filter"),
-          round(score, 4).as("score"))
+          (scoreMicro.cast("double") / 1000000d).as("score"))
           .orderBy(col("score").desc, col("doc_id")).limit(20)
       },
-      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |              FROM documents),
-        |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
-        |tt AS (SELECT doc_id, unnest(t) AS term FROM toks
-        |       WHERE TRUE) ,
-        |tf AS (SELECT doc_id,
-        |    SUM(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS tf_spark,
-        |    SUM(CASE WHEN term = 'join'   THEN 1 ELSE 0 END) AS tf_join,
-        |    SUM(CASE WHEN term = 'filter' THEN 1 ELSE 0 END) AS tf_filter
-        |  FROM tt WHERE term IN ('spark', 'join', 'filter') GROUP BY doc_id),
-        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-        |    AVG(dl) AS avgdl FROM lens),
-        |dfs AS (SELECT
-        |    CAST(COUNT(DISTINCT CASE WHEN term = 'spark'  THEN doc_id END) AS DOUBLE) AS df_spark,
-        |    CAST(COUNT(DISTINCT CASE WHEN term = 'join'   THEN doc_id END) AS DOUBLE) AS df_join,
-        |    CAST(COUNT(DISTINCT CASE WHEN term = 'filter' THEN doc_id END) AS DOUBLE) AS df_filter
-        |  FROM tt WHERE term IN ('spark', 'join', 'filter'))
-        |SELECT doc_id, dl, tf_spark, tf_join, tf_filter,
-        |  ROUND(
-        |    ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
-        |      * tf_spark * 2.2 / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |  + ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5))
-        |      * tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |  + ln(1.0 + (n_docs - df_filter + 0.5) / (df_filter + 0.5))
-        |      * tf_filter * 2.2 / (tf_filter + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS score
-        |FROM lens JOIN tf USING (doc_id) CROSS JOIN stats CROSS JOIN dfs
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
-      doc = "BM25 top-20 for a fixed term set; one broadcast stats row"),
+      {
+        def bmTerm(t: String): String =
+          s"""(CAST(round(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+             |        / (CAST(df_$t AS DOUBLE) + 0.5)), 6) * 1000000) AS BIGINT)
+             |     * tf_$t * 2200000)
+             |    // (tf_$t * 1000000 + 300000 + (900000 * dl * n_docs) // sum_dl)""".stripMargin
+        s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          |              FROM documents),
+          |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+          |tt AS (SELECT doc_id, unnest(t) AS term FROM toks),
+          |tf AS (SELECT doc_id,
+          |    SUM(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS tf_spark,
+          |    SUM(CASE WHEN term = 'join'   THEN 1 ELSE 0 END) AS tf_join,
+          |    SUM(CASE WHEN term = 'filter' THEN 1 ELSE 0 END) AS tf_filter
+          |  FROM tt WHERE term IN ('spark', 'join', 'filter') GROUP BY doc_id),
+          |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens),
+          |dfs AS (SELECT
+          |    COUNT(DISTINCT CASE WHEN term = 'spark'  THEN doc_id END) AS df_spark,
+          |    COUNT(DISTINCT CASE WHEN term = 'join'   THEN doc_id END) AS df_join,
+          |    COUNT(DISTINCT CASE WHEN term = 'filter' THEN doc_id END) AS df_filter
+          |  FROM tt WHERE term IN ('spark', 'join', 'filter'))
+          |SELECT doc_id, dl, tf_spark, tf_join, tf_filter,
+          |  CAST(${bmTerm("spark")}
+          |   + ${bmTerm("join")}
+          |   + ${bmTerm("filter")} AS DOUBLE) / 1000000.0 AS score
+          |FROM lens JOIN tf USING (doc_id) CROSS JOIN stats CROSS JOIN dfs
+          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      },
+      doc = "BM25 top-20 for a fixed term set; one broadcast stats row; " +
+        "integer micro-unit score contract"),
 
     // ----------------------------------------------- temperature mixing
     // Temperature-weighted source mixing (T=2, the multilingual-sampling
     // rule): target share per source ∝ (n_s/N)^(1/T); documents accepted by
     // a deterministic content hash against the per-source rate, so the mix
-    // is reproducible under re-partitioning and re-runs. The sqrt weights
-    // are rounded to 9 dp and summed EXACTLY as decimals so both engines
-    // derive identical rates; acceptance compares the md5 uniform against
-    // the ROUNDED rate.
+    // is reproducible under re-partitioning and re-runs. Determinism: the
+    // sqrt weight is the ONLY rounded double (transcendental — never lands
+    // on a halfway digit), exactly scaled to BIGINT nano-units; the share
+    // p, the rate, and the achieved ratio are all truncating integer
+    // micro-unit quotients (`a*10^6 div b`). The round-4 version rounded
+    // the rate/achieved double quotients and split the engines at the
+    // halfway digit (same trap as q_lm_perplexity; FIXTURES.md).
     "q_mix_temperature" -> QueryDef.sql(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val nTarget = 200L
-        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-        val weighted = counts.withColumn("w",
-          round(sqrt(col("n_docs").cast("double") /
+        val counts = docs.groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+        val weighted = counts.withColumn("w_nano",
+          round(round(sqrt(col("n_docs").cast("double") /
             sum("n_docs").over(Window.partitionBy()).cast("double")), 9)
-            .cast("decimal(18,9)"))
-        val rates = weighted.withColumn("p",
-          round(col("w").cast("double") /
-            sum("w").over(Window.partitionBy()).cast("double"), 9))
-          .withColumn("rate",
-            round(least(lit(1.0), col("p") * nTarget / col("n_docs")), 6))
+            * 1000000000d).cast("long"))
+        val rates = weighted
+          .withColumn("sum_w_nano", sum("w_nano").over(Window.partitionBy()))
+          .withColumn("p_micro", expr("(w_nano * 1000000) div sum_w_nano"))
+          .withColumn("rate_micro",
+            least(lit(1000000L), expr(s"(p_micro * $nTarget) div n_docs")))
+          .withColumn("rate", col("rate_micro").cast("double") / 1000000d)
           .select("source", "n_docs", "rate")
         val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") / lit(4294967296.0)
@@ -232,23 +241,24 @@ object TrainingQueries {
           .groupBy("source", "n_docs", "rate")
           .agg(sum("kept").as("n_kept"))
           .select(col("source"), col("n_docs"), col("rate"), col("n_kept"),
-            round(col("n_kept").cast("double") / col("n_docs"), 6).as("achieved"))
+            (expr("(n_kept * 1000000) div n_docs").cast("double") / 1000000d)
+              .as("achieved"))
           .orderBy("source")
       },
       s"""WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
         |w AS (SELECT source, n_docs,
-        |    CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE) /
-        |      CAST(SUM(n_docs) OVER () AS DOUBLE)), 9) AS DECIMAL(18,9)) AS w
+        |    CAST(ROUND(ROUND(sqrt(CAST(n_docs AS DOUBLE) /
+        |      CAST(SUM(n_docs) OVER () AS DOUBLE)), 9) * 1000000000) AS BIGINT) AS w_nano
         |  FROM counts),
         |r AS (SELECT source, n_docs,
-        |    ROUND(LEAST(1.0,
-        |      ROUND(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 9)
-        |        * 200 / n_docs), 6) AS rate
+        |    CAST(LEAST(1000000,
+        |      (((w_nano * 1000000) // SUM(w_nano) OVER ()) * 200) // n_docs)
+        |      AS DOUBLE) / 1000000.0 AS rate
         |  FROM w)
         |SELECT d.source, r.n_docs, r.rate,
         |  SUM(CASE WHEN ${hashUniform("d.doc_id")} < r.rate THEN 1 ELSE 0 END) AS n_kept,
-        |  ROUND(CAST(SUM(CASE WHEN ${hashUniform("d.doc_id")} < r.rate THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / r.n_docs, 6) AS achieved
+        |  CAST((SUM(CASE WHEN ${hashUniform("d.doc_id")} < r.rate THEN 1 ELSE 0 END)
+        |    * 1000000) // r.n_docs AS DOUBLE) / 1000000.0 AS achieved
         |FROM documents d JOIN r USING (source)
         |GROUP BY d.source, r.n_docs, r.rate ORDER BY d.source""".stripMargin,
       doc = "temperature-weighted (T=2) deterministic source mixing report"),

@@ -111,13 +111,29 @@ class SimilaritySpec extends SparkSpecBase {
     val brute = Similarity.bruteForceTopK(emb, q, 50)
       .select("qid", "nid", "cos").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
-    val lsh = Similarity.lshTopK(emb, q, 10, numPlanes = 4).collect()
+    val lsh = Similarity.lshTopK(emb, q, 10).collect()
     assert(lsh.nonEmpty)
     lsh.foreach { r =>
       val key = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
       // exact cosine of an LSH candidate must agree with the brute-force value
       brute.get(key).foreach(c => assert(math.abs(c - r.getAs[Double]("cos")) < 1e-9))
     }
+    // one rn per (qid, rank), ranks contiguous from 1 — the multi-band
+    // candidate union must not leak duplicate (qid, nid) rows
+    lsh.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to rs.length))
+      assert(rs.map(_.getAs[Long]("nid")).distinct.length === rs.length)
+    }
+  }
+
+  test("banded LSH top-k recall@10 >= 0.8 against brute force") {
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, q, 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val lsh = Similarity.lshTopK(emb, q, 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"banded LSH recall@10 = $recall")
   }
 
   test("IVF top-k: cosines exact, ranking consistent, recall over brute force") {
@@ -223,13 +239,45 @@ class MultimodalSpec extends SparkSpecBase {
     assert(schema("meta").dataType.typeName === "struct")
     assert(assets.count() === 500)
   }
-  test("partition-batched feature extraction is deterministic with fixed dim") {
-    val assets = Multimodal.asAssets(Tables.documents(spark, sf0001), "doc_id", "text", "text/plain")
-    val f1 = Multimodal.extractFeatures(assets).orderBy("asset_id").limit(5).collect()
-    val f2 = Multimodal.extractFeatures(assets.repartition(7)).orderBy("asset_id").limit(5).collect()
-    assert(f1.map(_.getSeq[Float](2).toList).toSeq ===
-      f2.map(_.getSeq[Float](2).toList).toSeq) // partitioning-invariant
-    assert(f1.forall(_.getSeq[Float](2).length === Multimodal.FeatureDim))
+  test("WAV codec: encode is a valid RIFF container, decode round-trips the stats") {
+    val samples = "hello WAV world, 0123".getBytes("US-ASCII")
+    val wav = Multimodal.encodeWav8(samples)
+    assert(wav.length === 44 + samples.length)
+    assert(new String(wav, 0, 4, "US-ASCII") === "RIFF")
+    assert(new String(wav, 8, 4, "US-ASCII") === "WAVE")
+    val st = Multimodal.decodeWav8(wav)
+    assert(st.sampleRate === Multimodal.SampleRate)
+    assert(st.nSamples === samples.length.toLong)
+    val u = samples.map(_ & 0xff)
+    assert(st.peak === u.max && st.trough === u.min)
+    assert(st.meanMicro === u.map(_.toLong).sum * 1000000L / u.length)
+    assert(st.energy === u.map(s => (s - 128L) * (s - 128L)).sum)
+  }
+  test("WAV decode walks extra chunks and rejects non-PCM-u8 payloads") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val samples = Array[Byte](1, 2, 3, 127, -128) // -128 = 0x80 = sample 128
+    val base = Multimodal.encodeWav8(samples)
+    // splice a LIST chunk (odd size → word-aligned walk) between fmt and data
+    val junk = Array[Byte](9, 9, 9)
+    val bb = ByteBuffer.allocate(base.length + 8 + junk.length + 1).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(base, 0, 36) // RIFF..fmt chunk end
+    bb.put("LIST".getBytes("US-ASCII")).putInt(junk.length).put(junk).put(0.toByte)
+    bb.put(base, 36, base.length - 36)
+    val spliced = bb.array()
+    assert(Multimodal.decodeWav8(spliced) === Multimodal.decodeWav8(base))
+    // 16-bit flag must be rejected
+    val bad = base.clone(); bad(34) = 16
+    intercept[IllegalArgumentException](Multimodal.decodeWav8(bad))
+  }
+  test("partition-batched WAV feature extraction is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf0001)
+    val f1 = Multimodal.extractWavFeatures(Multimodal.asWavAssets(docs, "doc_id", "text"))
+      .orderBy("asset_id").limit(5).collect().toSeq
+    val f2 = Multimodal.extractWavFeatures(
+        Multimodal.asWavAssets(docs.repartition(7), "doc_id", "text"))
+      .orderBy("asset_id").limit(5).collect().toSeq
+    assert(f1 === f2)
+    assert(f1.forall(_.getAs[Int]("sample_rate") === Multimodal.SampleRate))
   }
   test("frame sampling explodes deterministic frames") {
     val assets = Multimodal.asAssets(Tables.documents(spark, sf0001).limit(3), "doc_id", "text", "video/fake")

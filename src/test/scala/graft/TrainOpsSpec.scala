@@ -86,13 +86,32 @@ class TrainOpsSpec extends SparkSpecBase {
 
   // ---------------------------------------------------------------- BM25
 
-  test("bm25Term rises with tf and falls with df") {
+  test("bm25TermMicro rises with tf and falls with df") {
     val row = Seq(1).toDF("i")
-    def score(tf: Double, df: Double): Double = row.select(
-      TrainOps.bm25Term(lit(tf), lit(df), lit(100.0), lit(50.0), lit(50.0))
-        .as("s")).head.getDouble(0)
+    // n_docs=100, dl=50, sum_dl=5000 (avgdl=50 → length norm is neutral)
+    def score(tf: Long, df: Long): Long = row.select(
+      TrainOps.bm25TermMicro(lit(tf), lit(df), lit(100L), lit(50L), lit(5000L))
+        .as("s")).head.getLong(0)
     assert(score(3, 10) > score(1, 10))
     assert(score(2, 5) > score(2, 50))
-    assert(score(0, 10) === 0.0)
+    assert(score(0, 10) === 0L)
+  }
+
+  test("bm25TermMicro matches the textbook double formula within 2 micro") {
+    val row = Seq(1).toDF("i")
+    def micro(tf: Long, df: Long, n: Long, dl: Long, sumDl: Long): Long =
+      row.select(TrainOps.bm25TermMicro(lit(tf), lit(df), lit(n), lit(dl),
+        lit(sumDl)).as("s")).head.getLong(0)
+    for ((tf, df, n, dl, sumDl) <- Seq(
+        (3L, 10L, 100L, 50L, 5000L), (1L, 2L, 500L, 17L, 91234L),
+        (7L, 499L, 500L, 300L, 91234L))) {
+      val avgdl = sumDl.toDouble / n
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val exact = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      // final truncating div ≤1 micro; idf rounding and the truncated
+      // denominator micro each shift the score by O(score · 1e-6)
+      assert(math.abs(micro(tf, df, n, dl, sumDl) - exact * 1e6) <= 2 +
+        2e-6 * math.abs(exact) * 1e6)
+    }
   }
 }
