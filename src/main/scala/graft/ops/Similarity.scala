@@ -195,6 +195,41 @@ object Similarity {
   private[graft] def fixedCentroid(c: Int, dim: Int): Array[Double] =
     planeVec(1000 + c, dim)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * bounded by a coarse quantizer — near-duplicate search runs INSIDE
+    * each k-means cell only, and every dup group keeps its smallest id.
+    *
+    * Scale shape: cell assignment is one codegen'd map pass (literal
+    * centroids); the pair search is an EQUI-join on the cell id — the
+    * quadratic is confined to a cell (the paper's documented trade:
+    * cross-cell dups are missed by construction), so the knob is `nList`:
+    * size cells to keep |cell|² per-task work bounded (SemDeDup runs
+    * ~100k cells at web scale). Fixed seeded centroids keep the whole
+    * pipeline oracle-reproducible; swap in the learned `lloyd` fit for
+    * adaptive cells when driver-proof isn't required.
+    *
+    * @return (vec_id, cid, keep) — keep = no same-cell near-dup with a
+    *         smaller id survives it. */
+  def semDedup(corpus: DataFrame, threshold: Double, nList: Int = 16,
+               dim: Int = 64): DataFrame = {
+    val centers = Array.tabulate(nList)(fixedCentroid(_, dim))
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("cid", nearestCid(col("v"), centers))
+    val a = base.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dup", lit(1))
+    base.join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
+  }
+
   /** IVF search with FIXED seeded centroids instead of a learned quantizer:
     * identical machinery to `ivfTopK` (nearest-centroid inverted lists,
     * nProbe-bounded probe, exact cosine rank) but every constant is a

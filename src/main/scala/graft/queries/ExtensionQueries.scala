@@ -114,6 +114,35 @@ object ExtensionQueries {
        |SELECT qid, nid, cos, rn FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
   }
 
+  /** DuckDB reproduction of `Similarity.semDedup`: the same fixed seeded
+    * centroids as [[ivfFixedOracle]] (literal arrays + Scala-computed
+    * squared norms), nearest-cell assignment with the (dist2, cid)
+    * tie-break, within-cell cosine pairs, keep = no smaller same-cell
+    * near-dup. */
+  private def semDedupOracle(threshold: Double, nList: Int, dim: Int): String = {
+    val centRows = (0 until nList).map { c =>
+      val ctr = graft.ops.Similarity.fixedCentroid(c, dim)
+      s"($c, ${ctr.mkString("[", ",", "]")}, ${ctr.map(x => x * x).sum})"
+    }.mkString(",\n|    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |cent(cid, cv, cc) AS (VALUES
+       |    $centRows),
+       |ca AS (SELECT vec_id, cid FROM (
+       |    SELECT n.vec_id, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        (list_inner_product(v, v) - 2.0*list_inner_product(v, cv) + cc), cid) AS rnk
+       |    FROM n CROSS JOIN cent) WHERE rnk = 1),
+       |dropped AS (SELECT DISTINCT jb.vec_id
+       |    FROM ca ja JOIN ca jb ON ja.cid = jb.cid AND ja.vec_id < jb.vec_id
+       |         JOIN n a ON a.vec_id = ja.vec_id
+       |         JOIN n b ON b.vec_id = jb.vec_id
+       |    WHERE ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) >= $threshold)
+       |SELECT ca.vec_id, ca.cid,
+       |  ca.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+       |FROM ca ORDER BY vec_id""".stripMargin
+  }
+
   private val JaccardOracleSql =
     s"""WITH sh AS ($ShingleSqlFragment),
        |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
@@ -343,14 +372,35 @@ object ExtensionQueries {
         "geometry pays off where n^2 is infeasible and thresholds are tight " +
         "(cos>=0.9 => a few bands suffice and buckets are sparse)"),
 
-    "q_sim_ivf_topk" -> QueryDef.rowsOnly(
+    // The learned k-means fit (Lloyd over a hash-ordered sample) is
+    // engine-internal, so — like the raw dedup tiers above — the declared
+    // output is a BOUND-CHECK REPORT the oracle verifies exactly: the
+    // fast path must return a full top-k per query and recover at least
+    // 40% of the brute-force top-10 while probing only nProbe/nList = 1/4
+    // of the corpus (measured: 0.50/0.52/0.58 at sf0.001/0.01/0.1; the
+    // fixed-centroid twin q_sim_ivf_portable keeps row-level oracle
+    // coverage of the same inverted-list machinery).
+    "q_sim_ivf_topk" -> QueryDef.sql(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
-            nList = 16, nProbe = 4)
-          .orderBy("qid", "rn")
+        val queries = emb.filter(col("vec_id") < 5)
+        val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
+          .select(col("qid"), col("nid"), lit(1).as("bf_hit"))
+        val ivf = Similarity.ivfTopK(emb, queries, k = 10, nList = 16, nProbe = 4)
+          .select(col("qid"), col("nid"), lit(1).as("ivf_hit"))
+        bf.join(ivf, Seq("qid", "nid"), "full_outer").agg(
+          count_distinct(col("qid")).cast("long").as("n_queries"),
+          (count(when(col("bf_hit") === 1 && col("ivf_hit") === 1, 1)) * 10L >=
+            count(col("bf_hit")) * 4L).as("recall_ge_40"),
+          (count(col("ivf_hit")) ===
+            count_distinct(when(col("ivf_hit") === 1, col("qid"))) * 10L)
+            .as("returned_full_k"))
       },
-      doc = "IVF-flat ANN: k-means inverted lists, nProbe/nList of corpus scanned per query"),
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  TRUE AS recall_ge_40, TRUE AS returned_full_k
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+      doc = "IVF-flat ANN (k-means inverted lists, nProbe/nList of corpus " +
+        "scanned per query), bound-checked against brute-force ground truth"),
 
     // Same IVF machinery with fixed seeded centroids — every constant is a
     // driver literal, so the inverted-list assignment, bounded probe, and
@@ -365,6 +415,17 @@ object ExtensionQueries {
       ivfFixedOracle(k = 10, nList = 16, nProbe = 4, dim = 64),
       doc = "IVF search with seeded literal centroids: inverted lists + " +
         "bounded probe + exact rank, fully oracle-checked"),
+
+    // SemDeDup (Abbas et al. 2023): embedding near-dup confined to coarse
+    // k-means cells — the pair quadratic is bounded by the cell, each dup
+    // group keeps its smallest id. Fixed seeded centroids make the whole
+    // keep/drop decision oracle-reproducible.
+    "q_sim_semdedup" -> QueryDef.sql(
+      (s, dir) => Similarity.semDedup(Tables.embeddings(s, dir), threshold = 0.4,
+        nList = 16).orderBy("vec_id"),
+      semDedupOracle(threshold = 0.4, nList = 16, dim = 64),
+      doc = "SemDeDup: cell-bounded semantic dedup with keep/drop verdicts " +
+        "(pairs only within a k-means cell; smallest id survives)"),
 
     // The hyperplanes are deterministic driver-side literals (splitmix64
     // doubles), and both engines evaluate dot products in the same

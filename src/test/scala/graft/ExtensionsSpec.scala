@@ -126,6 +126,18 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("semDedup drops exactly the non-minimal members of same-cell near-dup groups") {
+    val out = Similarity.semDedup(emb, threshold = 0.4, nList = 16).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"), r.getAs[Boolean]("keep")))
+    val cid = out.map(t => t._1 -> t._2).toMap
+    // ground truth from the exact all-pairs baseline, restricted to cells
+    val dropExpected = Similarity.nearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .filter { case (a, b) => cid(a) == cid(b) }.map(_._2).toSet
+    out.foreach { case (id, _, keep) => assert(keep === !dropExpected.contains(id)) }
+    assert(dropExpected.nonEmpty, "test data must exercise the drop branch")
+  }
+
   test("banded LSH top-k recall@10 >= 0.8 against brute force") {
     val q = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(emb, q, 10).collect()
