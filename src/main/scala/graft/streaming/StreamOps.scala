@@ -103,6 +103,92 @@ object StreamOps {
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $upper"))
   }
 
+  /** One emitted near-dup candidate from [[minhashNearDupStream]]:
+    * `est_jaccard` is the fraction of agreeing permutations as an exact
+    * micro-unit value (agree·10^6 div numPerm — the repo's truncating
+    * integer contract, so the emitted double is reproducible). A pair
+    * sharing several band buckets is emitted once per shared band
+    * (the stateful op can't see other buckets' state); `band` rides along
+    * so consumers dedup with a distinct over (id_a, id_b) in their sink
+    * window — the streaming stand-in for the batch tier's distinct(). */
+  final case class StreamPair(id_a: Long, id_b: Long, band: Int, est_jaccard: Double)
+
+  /** Parallel-list state (ids(i) ↔ sigs(i)): a List[(Long, List[Long])]
+    * would be the natural shape, but the tuple-inside-collection encoder
+    * fails janino codegen in the state store — flat ArrayType fields
+    * encode cleanly. Public because the state-store codegen resolves the
+    * accessors reflectively (a `private` nested class fails janino with a
+    * misleading "no applicable method" error). */
+  final case class BucketState(ids: List[Long], sigs: List[List[Long]])
+
+  /** Streaming MinHash-LSH near-dup — the stateful streaming twin of
+    * `Dedup.minhashIncrementalPairsPortable`: documents stream in, each
+    * band bucket `(band, bk)` keeps a CAPPED member list (doc id + full
+    * signature) in keyed state, and a new arrival emits one candidate per
+    * stored member whose ESTIMATED Jaccard (agreeing permutations /
+    * numPerm) clears the threshold.
+    *
+    * Differences from the batch tier, both forced by streaming state
+    * bounds and documented rather than hidden: (a) verification is the
+    * signature estimate, not exact shingle Jaccard — exact verify would
+    * need unbounded text state; precision tunes with numPerm (the batch
+    * tier remains the precision-1.0 path for backfills); (b) `maxBucket`
+    * caps state per bucket by ARRIVAL order (first `maxBucket` members
+    * stay; later arrivals still pair against them but are not stored),
+    * where the batch tier drops oversized buckets wholesale.
+    *
+    * State per bucket ≤ maxBucket × (8 + 8·numPerm) bytes; bucket count is
+    * bounded by the distinct band-key space actually seen. Signatures come
+    * from the same native one-pass md5 expression as the batch portable
+    * tier, so for identical input the candidate structure matches
+    * bit-for-bit (asserted stream==batch in StreamOpsSpec). */
+  def minhashNearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, numPerm: Int = 32, rowsPerBand: Int = 2,
+                           threshold: Double = 0.5, maxBucket: Int = 64): Dataset[StreamPair] = {
+    require(numPerm % rowsPerBand == 0, "numPerm must be divisible by rowsPerBand")
+    val numBands = numPerm / rowsPerBand
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).cast("long").as("id"),
+        graft.ops.TextOps.shingles(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), graft.functions.MinHash.sigsMd5(col("shs"), numPerm).as("sig"))
+    val bandCols = (0 until numBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r).cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", slice: _*).as("bk"))
+    }
+    val banded = sigs.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("e"))
+      .select(col("e.band").as("band"), col("e.bk").as("bk"), col("id"), col("sig"))
+      .as[(Int, String, Long, List[Long])]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketState, StreamPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state) =>
+          val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          var ids = st.ids
+          var sigsStored = st.sigs
+          val out = scala.collection.mutable.ListBuffer.empty[StreamPair]
+          // id-sorted within the batch: emission and the arrival-order cap
+          // are deterministic under micro-batch re-partitioning
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+            if (!ids.contains(id)) {
+              ids.iterator.zip(sigsStored.iterator).foreach { case (mid, msig) =>
+                var agree = 0
+                var i = 0
+                while (i < numPerm) { if (sig(i) == msig(i)) agree += 1; i += 1 }
+                val estMicro = agree.toLong * 1000000L / numPerm
+                if (estMicro.toDouble / 1000000d >= threshold)
+                  out += StreamPair(math.min(id, mid), math.max(id, mid), band,
+                    estMicro.toDouble / 1000000d)
+              }
+              if (ids.size < maxBucket) { ids = ids :+ id; sigsStored = sigsStored :+ sig }
+            }
+          }
+          state.update(BucketState(ids, sigsStored))
+          out.iterator
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: per-key high-watermark
     * monitor that emits one row per micro-batch per key whose running max
     * `value` advanced. State = one double per key (timeout-free here;

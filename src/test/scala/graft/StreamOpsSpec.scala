@@ -200,4 +200,71 @@ class StreamOpsSpec extends SparkSpecBase {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
     assert(streamCounts === batchCounts)
   }
+
+  test("streaming minhash near-dup: distinct pairs equal the batch bucket reference") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val stream = StreamOps.minhashNearDupStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", maxBucket = 1 << 20)
+    val q = stream.writeStream.format("memory").queryName("s_mh")
+      .outputMode("append").start()
+    // two micro-batches so candidate pairs cross the state boundary (the
+    // incremental new-vs-history shape)
+    val (late, early) = docs.partition(_._1 % 5 == 0)
+    try {
+      ms.addData(early.toSeq); q.processAllAvailable()
+      ms.addData(late.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_mh").select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    // batch reference: identical signatures + banding; a pair qualifies if
+    // it shares any band bucket and >= threshold x numPerm perms agree
+    val numPerm = 32; val rowsPerBand = 2
+    val sigs = Tables.documents(spark, sf0001)
+      .select(col("doc_id").cast("long").as("id"),
+        graft.ops.TextOps.shingles(col("text"), 3).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), graft.functions.MinHash.sigsMd5(col("shs"), numPerm).as("sig"))
+    val bandCols = (0 until numPerm / rowsPerBand).map { b =>
+      struct(lit(b).as("band"), concat_ws(",",
+        (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r).cast("string")): _*)
+        .as("bk"))
+    }
+    val banded = sigs.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("e"))
+      .select(col("e.band").as("band"), col("e.bk").as("bk"), col("id"), col("sig"))
+    val ref = banded.select(col("band"), col("bk"), col("id").as("id_a"), col("sig").as("siga"))
+      .join(banded.select(col("band"), col("bk"), col("id").as("id_b"), col("sig").as("sigb")),
+        Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("agree",
+        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), z -> z))"))
+      .filter(col("agree") * 2 >= numPerm) // est jaccard >= 0.5
+      .select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === ref)
+    assert(streamed.nonEmpty, "test data must produce near-dup pairs")
+  }
+
+  test("streaming minhash near-dup honors the per-bucket state cap by arrival order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // three identical docs, cap 1: doc 1 is stored; docs 2 and 3 pair with
+    // the stored doc 1 but are never stored, so (2,3) is NOT emitted
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val stream = StreamOps.minhashNearDupStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", maxBucket = 1)
+    val q = stream.writeStream.format("memory").queryName("s_mh_cap")
+      .outputMode("append").start()
+    try { ms.addData(Seq((1L, text), (2L, text), (3L, text))); q.processAllAvailable() }
+    finally q.stop()
+    val pairs = spark.table("s_mh_cap").select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L)))
+  }
 }
