@@ -88,8 +88,11 @@ class PlanSpec extends SparkSpecBase {
     // ONLY places a nested-loop/cartesian plan is acceptable; q_tf_idf,
     // q_bm25_search and q_lm_perplexity broadcast a ONE-ROW aggregate
     // (corpus stats) — a scalar broadcast, not a data-dependent product
+    // round 5: q_sim_lsh_topk left this list — the banded rewrite replaced
+    // the bucket scan with a (band, bits) equi-join, so a product plan
+    // there is a regression again
     val intended = Set("q_range_join", "q_sim_cosine_topk", "q_sim_near_dup",
-      "q_sim_lsh_topk", "q_sim_ivf_topk", "q_tf_idf", "q_bm25_search",
+      "q_sim_ivf_topk", "q_tf_idf", "q_bm25_search",
       "q_lm_perplexity",
       // recall is MEASURED against brute-force ground truth, so the
       // quadratic baseline is embedded by definition
@@ -103,6 +106,22 @@ class PlanSpec extends SparkSpecBase {
         else None
       }
     assert(offenders.isEmpty, s"product joins in: ${offenders.mkString(", ")}")
+  }
+
+  test("banded LSH top-k broadcasts the query side and joins on (band, bits)") {
+    val plan = planString(SparkEntry.queries("q_sim_lsh_topk")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast into the band equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded top-k must not plan a product join:\n$plan")
+  }
+
+  test("semDedup pair search is an equi-join on the cell id, no product join") {
+    val plan = planString(SparkEntry.queries("q_sim_semdedup")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell-bounded pairs must come from an equi-join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"keep/drop must not sort a window over the corpus:\n$plan")
   }
 
   test("count-min lookup broadcasts the fixed-size cell table") {
