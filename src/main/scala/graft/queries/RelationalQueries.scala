@@ -180,6 +180,32 @@ object RelationalQueries {
       doc = "approx_count_distinct (HyperLogLog++) per group, bound-checked " +
         "against exact distinct counts (|est - exact| <= 5%)"),
 
+    // Approx-percentile twin of q_percentile, declared as an ESTIMATE-BOUNDS
+    // report like q_agg_approx_distinct: Spark's approx_percentile
+    // (Greenwald-Khanna, engine-internal state) must land within 2% of the
+    // exact interpolated percentile per group. Constant memory per group at
+    // 100 TB vs the exact sort-based percentile; deterministic for a fixed
+    // dataset, so a sketch-accuracy regression flips a boolean.
+    "q_percentile_approx" -> QueryDef.sql(
+      (s, dir) => Tables.orders(s, dir).groupBy("o_orderstatus").agg(
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("ap50"),
+          expr("percentile(o_totalprice, 0.5)").as("ep50"),
+          expr("approx_percentile(o_totalprice, 0.95, 10000)").as("ap95"),
+          expr("percentile(o_totalprice, 0.95)").as("ep95"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          round(col("ep50"), 2).as("p50"), round(col("ep95"), 2).as("p95"),
+          col("n"),
+          (abs(col("ap50") - col("ep50")) * 50d <= col("ep50")).as("p50_within_2pct"),
+          (abs(col("ap95") - col("ep95")) * 50d <= col("ep95")).as("p95_within_2pct"))
+        .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95, COUNT(*) AS n,
+        |  TRUE AS p50_within_2pct, TRUE AS p95_within_2pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      doc = "approx_percentile (Greenwald-Khanna) per group, bound-checked " +
+        "within 2% of the exact interpolated percentile"),
+
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // quantile_cont). At 100 TB swap for approx_percentile (t-digest) —
     // same query shape, bounded memory.
