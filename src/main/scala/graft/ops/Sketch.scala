@@ -104,6 +104,84 @@ object Sketch {
   def portableUnitHashLong(v: Column): Column =
     conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** KMV set algebra (Beyer et al. 2007, "On synopses for distinct-value
+    * estimation"): distinct-value estimates for two subsets A and B of
+    * `valueCol` rows, their UNION, and their INTERSECTION — all from
+    * bottom-k sketches. Union: the bottom-k of K(A) ∪ K(B) IS the sketch
+    * of A ∪ B (mergeability). Intersection: with M the merged sketch,
+    * ρ = |{v ∈ M : v ∈ K(A) ∧ v ∈ K(B)}| / |M| and est = ρ · est_union —
+    * computed in exact e4 integer units (`est_union_e4 · i_m div k_m`) so
+    * the quotient never meets a rounding law (the repo's micro-unit
+    * contract); when the union has fewer than k values every estimate
+    * degenerates to the exact count.
+    *
+    * Scale shape: one distinct shuffle over the qualifying values, then
+    * k-sized windows/joins (k ≤ 64 rows); the scalar aggregates meet on a
+    * constant-key broadcast equi-join, not a nested-loop product.
+    *
+    * @return one row: n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+    *         est_a, est_b, est_union, est_inter */
+  def kmvSetOps(df: DataFrame, valueCol: String, condA: Column, condB: Column,
+                k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val flags = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("v"), condA.as("ia"), condB.as("ib"))
+      .groupBy("v").agg(max("ia").as("ia"), max("ib").as("ib"))
+      .filter(col("ia") || col("ib"))
+      .withColumn("h", portableUnitHash(col("v")))
+    val exact = flags.agg(
+      count(when(col("ia"), 1)).as("n_a_exact"),
+      count(when(col("ib"), 1)).as("n_b_exact"),
+      count(lit(1)).as("n_union_exact"),
+      count(when(col("ia") && col("ib"), 1)).as("n_inter_exact"))
+    // sort+limit (NOT a row_number window): plans TakeOrderedAndProject —
+    // per-partition bottom-k + driver merge, no single-task global sort
+    def bottomK(c: Column): DataFrame = flags.filter(c).select(col("v"), col("h"))
+      .orderBy(col("h").asc, col("v").asc).limit(k)
+    val ka = bottomK(col("ia"))
+    val kb = bottomK(col("ib"))
+    val m = ka.union(kb).distinct()
+      .orderBy(col("h").asc, col("v").asc).limit(k)
+    def sketchAgg(s: DataFrame, kName: String, tauName: String): DataFrame =
+      s.agg(count(lit(1)).as(kName), max(col("h")).as(tauName))
+    val im = m.join(ka.select(col("v"), lit(1).as("in_a")), Seq("v"), "left_outer")
+      .join(kb.select(col("v"), lit(1).as("in_b")), Seq("v"), "left_outer")
+      .agg(count(when(col("in_a") === 1 && col("in_b") === 1, 1)).as("i_m"))
+    // the scalar one-row aggregates meet via pad→union→max, NOT a join — a
+    // join on a constant key constant-folds into a nested-loop product
+    val longCols = Seq("n_a_exact", "n_b_exact", "n_union_exact", "n_inter_exact",
+      "k_a", "k_b", "k_m", "i_m")
+    val dblCols = Seq("tau_a", "tau_b", "tau_m")
+    def pad(s: DataFrame): DataFrame = s.select(
+      (longCols ++ dblCols).map { c =>
+        if (s.columns.contains(c)) col(c).as(c)
+        else lit(null).cast(if (dblCols.contains(c)) "double" else "long").as(c)
+      }: _*)
+    val all = pad(exact).union(pad(sketchAgg(ka, "k_a", "tau_a")))
+      .union(pad(sketchAgg(kb, "k_b", "tau_b")))
+      .union(pad(sketchAgg(m, "k_m", "tau_m")))
+      .union(pad(im))
+      .agg(max("n_a_exact").as("n_a_exact"), max("n_b_exact").as("n_b_exact"),
+        max("n_union_exact").as("n_union_exact"), max("n_inter_exact").as("n_inter_exact"),
+        max("k_a").as("k_a"), max("k_b").as("k_b"), max("k_m").as("k_m"),
+        max("i_m").as("i_m"), max("tau_a").as("tau_a"), max("tau_b").as("tau_b"),
+        max("tau_m").as("tau_m"))
+    def est(nExact: Column, tau: Column): Column =
+      when(nExact < k, nExact.cast("double"))
+        .otherwise(round(lit((k - 1).toDouble) / tau, 4))
+    val estUnionE4 = when(col("n_union_exact") < k, col("n_union_exact") * 10000L)
+      .otherwise(round(round(lit((k - 1).toDouble) / col("tau_m"), 4) * 10000d).cast("long"))
+    val estInter = when(col("k_m") === 0, lit(0d))
+      .otherwise(call_function("div", estUnionE4 * col("i_m"), col("k_m"))
+        .cast("double") / 10000d)
+    all.select(
+      col("n_a_exact"), col("n_b_exact"), col("n_union_exact"), col("n_inter_exact"),
+      est(col("n_a_exact"), col("tau_a")).as("est_a"),
+      est(col("n_b_exact"), col("tau_b")).as("est_b"),
+      est(col("n_union_exact"), col("tau_m")).as("est_union"),
+      estInter.as("est_inter"))
+  }
+
   /** DuckDB SQL reproducing `kmvDistinct` bit-for-bit over a table. */
   def kmvDistinctOracle(table: String, groupCol: String, valueCol: String,
                         k: Int = 64): String =

@@ -472,6 +472,54 @@ object AnalyticsQueries {
       doc = "KMV/bottom-k distinct estimate with an md5 hash family both " +
         "engines compute bit-for-bit (mergeable sketch, full oracle)"),
 
+    // KMV set algebra (Beyer et al. 2007): distinct-part estimates for two
+    // shipping years, their union, and their intersection — all from
+    // mergeable bottom-k sketches (union sketch = bottom-k of the merged
+    // sketches; intersection via the ρ·est_union estimator in exact e4
+    // integer units). The md5 hash family makes every estimate
+    // bit-reproducible, so the whole sketch-algebra tier carries a full
+    // oracle next to the exact counts.
+    "q_agg_kmv_setops" -> QueryDef.sql(
+      (s, dir) => graft.ops.Sketch.kmvSetOps(
+        Tables.lineitem(s, dir), "l_partkey",
+        year(col("l_shipdate")) === 1996, year(col("l_shipdate")) === 1997,
+        k = 64),
+      s"""WITH base AS (SELECT l_partkey AS v,
+         |    BOOL_OR(year(l_shipdate) = 1996) AS ia,
+         |    BOOL_OR(year(l_shipdate) = 1997) AS ib
+         |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         |f AS (SELECT v, ia, ib,
+         |    ('0x'||substr(md5(v::VARCHAR),1,15))::BIGINT / 1152921504606846976.0 AS h
+         |  FROM base WHERE ia OR ib),
+         |ex AS (SELECT COUNT(*) FILTER (ia) AS n_a_exact,
+         |    COUNT(*) FILTER (ib) AS n_b_exact,
+         |    COUNT(*) AS n_union_exact,
+         |    COUNT(*) FILTER (ia AND ib) AS n_inter_exact FROM f),
+         |ka AS (SELECT v, h FROM f WHERE ia ORDER BY h, v LIMIT 64),
+         |kb AS (SELECT v, h FROM f WHERE ib ORDER BY h, v LIMIT 64),
+         |m AS (SELECT v, h FROM (SELECT v, h FROM ka UNION SELECT v, h FROM kb)
+         |      ORDER BY h, v LIMIT 64),
+         |ska AS (SELECT COUNT(*) AS k_a, MAX(h) AS tau_a FROM ka),
+         |skb AS (SELECT COUNT(*) AS k_b, MAX(h) AS tau_b FROM kb),
+         |skm AS (SELECT COUNT(*) AS k_m, MAX(h) AS tau_m FROM m),
+         |im AS (SELECT COUNT(*) AS i_m FROM m
+         |       JOIN ka USING (v) JOIN kb USING (v))
+         |SELECT n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+         |  CASE WHEN n_a_exact < 64 THEN CAST(n_a_exact AS DOUBLE)
+         |       ELSE ROUND(63.0 / tau_a, 4) END AS est_a,
+         |  CASE WHEN n_b_exact < 64 THEN CAST(n_b_exact AS DOUBLE)
+         |       ELSE ROUND(63.0 / tau_b, 4) END AS est_b,
+         |  CASE WHEN n_union_exact < 64 THEN CAST(n_union_exact AS DOUBLE)
+         |       ELSE ROUND(63.0 / tau_m, 4) END AS est_union,
+         |  CASE WHEN k_m = 0 THEN 0.0
+         |       ELSE CAST((CASE WHEN n_union_exact < 64 THEN n_union_exact * 10000
+         |                       ELSE CAST(round(ROUND(63.0 / tau_m, 4) * 10000) AS BIGINT)
+         |                  END * i_m) // k_m AS DOUBLE) / 10000.0 END AS est_inter
+         |FROM ex, ska, skb, skm, im""".stripMargin,
+      doc = "KMV sketch set algebra: distinct estimates for two years, " +
+        "union (merged sketch) and intersection (rho estimator, e4 integer " +
+        "units), full oracle next to exact counts"),
+
     // Count-min heavy hitters: frequency estimation from depth×width cells
     // of fixed state (here 4×32 so hash collisions actually occur against
     // the 31-token vocabulary — 5 of 31 estimates overcount, the rest are

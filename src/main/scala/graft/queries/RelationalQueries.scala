@@ -83,6 +83,41 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
       doc = "TPC-H Q3 shipping priority: exact decimal revenue, top-10"),
 
+    // TPC-H Q10 (returned-item reporting): which customers returned the
+    // most revenue in a quarter — customer⋈orders⋈lineitem with the nation
+    // dim broadcast, exact decimal revenue, top-20 by revenue. The fact
+    // join shuffles on the order/customer keys; TakeOrderedAndProject
+    // bounds the sort.
+    "q_tpch_q10" -> QueryDef.sql(
+      (s, dir) => {
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_returnflag") === "R")
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(decSum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"),
+            col("c_acctbal"), col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc).limit(20)
+      },
+      """SELECT c_custkey, c_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))),2) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+      doc = "TPC-H Q10 returned-item reporting: exact decimal revenue, " +
+        "broadcast nation dim, top-20"),
+
     // TPC-H Q5 (local supplier volume): the 6-table join with the
     // local-supplier correlation (customer and supplier share a nation) —
     // dims broadcast, facts shuffle on their keys, exact decimal revenue.
