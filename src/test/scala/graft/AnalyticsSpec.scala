@@ -105,6 +105,32 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(viaAggShuffled === viaRelational)
   }
 
+  test("KMV set algebra: estimates bracket the exact counts and degenerate exactly under k") {
+    val li = Tables.lineitem(spark, sf0001)
+    import org.apache.spark.sql.functions.{col, year}
+    val r = graft.ops.Sketch.kmvSetOps(li, "l_partkey",
+      year(col("l_shipdate")) === 1996, year(col("l_shipdate")) === 1997, k = 64)
+      .collect().head
+    def d(n: String) = r.getAs[Double](n)
+    def l(n: String) = r.getAs[Long](n)
+    // estimator sanity: ~1/sqrt(k-2) relative error, generous 4-sigma band
+    for ((est, exact) <- Seq(("est_a", "n_a_exact"), ("est_b", "n_b_exact"),
+        ("est_union", "n_union_exact"))) {
+      assert(math.abs(d(est) - l(exact)) <= 0.55 * l(exact),
+        s"$est=${d(est)} far from $exact=${l(exact)}")
+    }
+    assert(math.abs(d("est_inter") - l("n_inter_exact")) <= 0.6 * l("n_inter_exact"))
+    // structural invariants of the merged-sketch estimators
+    assert(d("est_union") >= math.max(d("est_a"), d("est_b")) - 1e-9 ||
+      l("n_union_exact") < 64)
+    assert(d("est_inter") <= d("est_union") + 1e-9)
+    // under-k degeneration: a condition with < k distinct values is exact
+    val small = graft.ops.Sketch.kmvSetOps(li.limit(40), "l_partkey",
+      col("l_quantity") >= 0, col("l_quantity") >= 0, k = 64).collect().head
+    assert(small.getAs[Double]("est_a") === small.getAs[Long]("n_a_exact").toDouble)
+    assert(small.getAs[Double]("est_inter") === small.getAs[Long]("n_inter_exact").toDouble)
+  }
+
   test("tf-idf ranks at most 3 terms per doc, deterministically") {
     val df = AnalyticsQueries.defs("q_tf_idf").fn(spark, sf0001)
     val perDoc = df.groupBy("doc_id").count().collect()
