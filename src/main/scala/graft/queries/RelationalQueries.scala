@@ -559,6 +559,27 @@ object RelationalQueries {
          |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
       doc = "event-time tumbling buckets"),
 
+    // Sliding (hopping) event-time windows via Spark's native epoch-aligned
+    // `window(ts, size, slide)` — each event lands in size/slide windows.
+    // The oracle explodes every event into its two covering day-aligned
+    // windows (for 2d/1d, window starts day(ts) and day(ts)−1 always cover
+    // ts — no filter needed); session TZ is UTC so epoch alignment ==
+    // day alignment in both engines.
+    "q_window_sliding" -> QueryDef.sql(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy("w_start", "event_type"),
+      s"""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         |    - i * INTERVAL 1 DAY AS w_start,
+         |  event_type, COUNT(*) AS n_events, ${oSum("value", "total_value")}
+         |FROM events, unnest([0, 1]) AS u(i)
+         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+      doc = "sliding 2-day/1-day event-time windows (native window(); " +
+        "oracle explodes each event into its covering windows)"),
+
     // Gap-based sessionization (batch form of session windows).
     "q_sessionize" -> QueryDef.sql(
       (s, dir) => {
