@@ -614,10 +614,10 @@ object ExtensionQueries {
         |  COUNT(*) AS n_samples,
         |  MAX(v) AS peak,
         |  MIN(v) AS trough,
-        |  (SUM(v) * 1000000) // COUNT(*) AS mean_micro,
-        |  SUM((v - 128) * (v - 128)) AS energy,
-        |  SUM(CASE WHEN vn IS NOT NULL AND ((v < 128) <> (vn < 128))
-        |      THEN 1 ELSE 0 END) AS zero_cross
+        |  CAST((SUM(v) * 1000000) // COUNT(*) AS BIGINT) AS mean_micro,
+        |  CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN vn IS NOT NULL AND ((v < 128) <> (vn < 128))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
         |FROM w GROUP BY doc_id ORDER BY asset_id""".stripMargin,
       doc = "real pure-JVM WAV codec round-trip: RIFF encode + chunk-walk " +
         "decode + integer-exact PCM stats, fully oracle-checked"),

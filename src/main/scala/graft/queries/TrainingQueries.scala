@@ -187,9 +187,9 @@ object TrainingQueries {
           |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
           |tt AS (SELECT doc_id, unnest(t) AS term FROM toks),
           |tf AS (SELECT doc_id,
-          |    SUM(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS tf_spark,
-          |    SUM(CASE WHEN term = 'join'   THEN 1 ELSE 0 END) AS tf_join,
-          |    SUM(CASE WHEN term = 'filter' THEN 1 ELSE 0 END) AS tf_filter
+          |    CAST(SUM(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+          |    CAST(SUM(CASE WHEN term = 'join'   THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
+          |    CAST(SUM(CASE WHEN term = 'filter' THEN 1 ELSE 0 END) AS BIGINT) AS tf_filter
           |  FROM tt WHERE term IN ('spark', 'join', 'filter') GROUP BY doc_id),
           |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens),
           |dfs AS (SELECT
@@ -256,7 +256,8 @@ object TrainingQueries {
         |      AS DOUBLE) / 1000000.0 AS rate
         |  FROM w)
         |SELECT d.source, r.n_docs, r.rate,
-        |  SUM(CASE WHEN ${hashUniform("d.doc_id")} < r.rate THEN 1 ELSE 0 END) AS n_kept,
+        |  CAST(SUM(CASE WHEN ${hashUniform("d.doc_id")} < r.rate THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
         |  CAST((SUM(CASE WHEN ${hashUniform("d.doc_id")} < r.rate THEN 1 ELSE 0 END)
         |    * 1000000) // r.n_docs AS DOUBLE) / 1000000.0 AS achieved
         |FROM documents d JOIN r USING (source)

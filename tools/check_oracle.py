@@ -45,6 +45,22 @@ for name in sorted(oracle):
         print(f"{name:28s} ROWS got={len(got)} exp={len(exp)}")
         fails += 1
         continue
+    # Driver-faithful dtype check: the driver's hasher normalizes int widths
+    # and datetime units but NOT numeric kind, so a DuckDB HUGEINT column
+    # (materialized as float64 by duckdb-python) against a Spark int64
+    # parquet hash-mismatches even when values are numerically equal. Flag
+    # any kind-level divergence (int vs float, numeric vs object, ...)
+    # before the value compare. Fix the oracle with CAST(... AS BIGINT).
+    def kind(dt):
+        k = dt.kind  # i/u -> int, f -> float, M -> datetime, O -> object
+        return {"u": "i"}.get(k, k)
+    bad = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+           if kind(got[c].dtype) != kind(exp[c].dtype)]
+    if bad:
+        det = ", ".join(f"{c}: spark={g} oracle={e}" for c, g, e in bad)
+        print(f"{name:28s} DTYPE {det}")
+        fails += 1
+        continue
     try:
         pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
         print(f"{name:28s} OK rows={len(got)}")
