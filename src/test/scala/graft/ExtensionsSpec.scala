@@ -205,6 +205,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh === exact) // recall 1.0 on real data, precision 1.0 by verify
   }
 
+  test("tight-geometry LSH recovers the planted clusters sub-quadratically") {
+    val corpus = graft.queries.ExtensionQueries.plantedCorpus(spark, sf0001)
+    val exact = Similarity.nearDupPairs(corpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(corpus, 0.9, rowsPerBand = 16, numBands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 5 planted clusters of 6 (source + 5 copies) = 75 pairs; nothing else
+    // in the quasi-orthogonal corpus reaches cos 0.9
+    assert(exact.size === 75, s"planting must create exactly the clusters, got ${exact.size}")
+    assert(lsh.subsetOf(exact), "precision must be 1.0 (exact cosine verify)")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"planted recall = $recall")
+  }
+
   test("cosine of a vector with itself is 1") {
     val self = Similarity.nearDupPairs(
       emb.limit(1).union(emb.limit(1).withColumn("vec_id", col("vec_id") + 1000000)), 0.99)

@@ -116,6 +116,15 @@ class PlanSpec extends SparkSpecBase {
       s"banded top-k must not plan a product join:\n$plan")
   }
 
+  test("tight-geometry LSH near-dup candidates come from a (band, bits) equi-join") {
+    val plan = planString(SparkEntry.queries("q_sim_near_dup_lsh_tight")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"tight-threshold LSH must not plan a product join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"candidates must come from an equi-join on (band, bits):\n$plan")
+  }
+
   test("semDedup pair search is an equi-join on the cell id, no product join") {
     val plan = planString(SparkEntry.queries("q_sim_semdedup")(spark, sf0001))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
