@@ -47,8 +47,12 @@ object Bench {
       System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
     }
     // a failed query must be visible, never a near-zero "speedup": its time
-    // is recorded as -1 and the error surfaces in an "errors" JSON field
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // is recorded as -1 and the error surfaces in an "errors" JSON field.
+    // Per-query failure COUNTS are kept so the JSON distinguishes a flaky
+    // rep (median of the surviving samples still reported) from a query
+    // that failed every rep — without the count, a one-rep failure would
+    // read as both "clean total" and "n_errors > 0" at once.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
     // local iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
@@ -67,8 +71,9 @@ object Bench {
       } catch { case e: Throwable =>
         // strip EVERY control char plus quote/backslash — RFC 8259 requires
         // them escaped, and one \f from a JDBC driver would break the line
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
+        errors(name) = (errors.get(name).map(_._1).getOrElse(0) + 1, msg)
       }
     }
     def median(v: Vector[Double]): Double =
@@ -84,7 +89,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val errsJson =
       if (errors.isEmpty) "{}"
-      else errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+      else errors.map { case (k, (n, m)) =>
+        s"""\"$k\":\"$n/$reps reps failed: $m\"""" }.mkString("{", ",", "}")
     val detailLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$detail,"errors":$errsJson,"sf":$sfNum}"""
     val detailFile = "bench_detail.json"

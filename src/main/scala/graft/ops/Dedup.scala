@@ -216,6 +216,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Exact shingle Jaccard for an EXPLICIT pair set, via the exploded-join
+    * formulation — a different code path from verifyJaccard's
+    * array_intersect, so the bound-check reports can recompute precision
+    * independently of the op under test instead of re-reading its own
+    * output column. Cost: one (cached) shingle scan + joins bounded by the
+    * pair set. Pairs sharing zero shingles produce no row (callers treat a
+    * missing row as a failed check). */
+  def jaccardForPairs(docs: DataFrame, idCol: String, textCol: String,
+                      pairs: DataFrame, n: Int = 3): DataFrame = {
+    val arrays = cachedPersist(docs, idCol + ":" + textCol, n, hashed = false)(
+      shingleArrays(docs, idCol, textCol, n))
+    val sh = arrays.select(col("id"), size(col("shs")).cast("long").as("n_sh"),
+      explode(col("shs")).as("s"))
+    pairs.select("id_a", "id_b")
+      .join(sh.select(col("id").as("id_a"), col("n_sh").as("na"), col("s")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("n_sh").as("nb"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")), 6)
+          .as("jaccard"))
+  }
+
   /** Same as verifyJaccard but over hashed-shingle arrays (array<bigint>
     * intersect takes the primitive fast path). */
   private def verifyJaccardHashed(candidates: DataFrame, arrays: DataFrame,

@@ -88,6 +88,11 @@ object Multimodal {
     while (pos + 8 <= bytes.length && (dataOff < 0 || fmtCode < 0)) {
       val id = tag(pos)
       val sz = le32(pos + 4)
+      // a declared size that can't fit in the remaining bytes is a corrupt
+      // container: fail fast. Unvalidated, a size >= 2^31 truncates negative
+      // in the position bump below and the walk stops advancing (spin).
+      require(sz <= bytes.length - pos - 8,
+        s"wav: chunk '$id' size $sz overruns container (${bytes.length} bytes)")
       if (id == "fmt ") {
         require(sz >= 16, "wav: fmt chunk too short")
         fmtCode = le16(pos + 8)
@@ -120,8 +125,11 @@ object Multimodal {
       prevBelow = below; first = false
       i += 1
     }
-    require(dataLen > 0, "wav: empty data chunk")
-    WavStats(sampleRate, dataLen, peak, trough, sum * 1000000L / dataLen,
+    // an empty data chunk is a VALID container (encodeWav8 of an empty
+    // payload produces one): return zeroed stats rather than crash — the
+    // degenerate-input twin of the oracle's no-row behavior for empty docs
+    if (dataLen == 0L) WavStats(sampleRate, 0L, 0, 0, 0L, 0L, 0L)
+    else WavStats(sampleRate, dataLen, peak, trough, sum * 1000000L / dataLen,
       energy, zc)
   }
 
@@ -133,7 +141,12 @@ object Multimodal {
     * partition, rows streamed through it — the shape a native codec needs. */
   def asWavAssets(docs: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(wavAssetSchema)
-    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+    // empty payloads are dropped BEFORE encode — a per-char feature oracle
+    // emits no row for an empty document, and a zero-sample asset carries
+    // no signal; keeping the filter here (not in each query) makes every
+    // consumer match that semantic
+    docs.filter(length(col(payloadCol).cast("binary")) > 0)
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .mapPartitions { rows =>
         rows.map(r => Row(r.getLong(0), encodeWav8(r.getAs[Array[Byte]](1))))
       }(enc)

@@ -305,9 +305,13 @@ object ExtensionQueries {
     // (the round-4 judge's estimate-bounds pattern): the reference pair
     // count comes from the portable twin (same algorithm, md5 hash family —
     // fully oracle-computable), and the raw tier must (a) recover at least
-    // the declared fraction of the twin's pairs and (b) emit only pairs its
-    // own exact verification step accepts. All quantities are deterministic
-    // for a fixed dataset (seeded hashes — no run-to-run variance), so a
+    // the declared fraction of the twin's pairs and (b) emit only pairs
+    // whose quality metric an INDEPENDENT recomputation confirms — jaccard
+    // via the exploded-join formulation, shared winnow fingerprints via
+    // array_intersect, hamming re-derived from the signature table — never
+    // the op's own output column, which would make the boolean tautological
+    // (round-5 advisor finding). All quantities are deterministic for a
+    // fixed dataset (seeded hashes — no run-to-run variance), so a
     // regression in the raw tier flips a boolean and the driver goes red.
     // Measured at sf0.01: minhash 25/25, simhash 22/24, winnow 26/26.
     "q_dedup_minhash" -> QueryDef.sql(
@@ -315,16 +319,20 @@ object ExtensionQueries {
         val docs = Tables.documents(s, dir)
         val raw = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
             n = 3, numPerm = 64, rowsPerBand = 2, threshold = 0.5)
-          .select(col("id_a"), col("id_b"), col("jaccard"), lit(1).as("raw_hit"))
+          .select(col("id_a"), col("id_b"), lit(1).as("raw_hit"))
+        val ind = Dedup.jaccardForPairs(docs, "doc_id", "text",
+            raw.select("id_a", "id_b"), n = 3)
+          .select(col("id_a"), col("id_b"), col("jaccard").as("ind_j"))
+        val rawJ = raw.join(ind, Seq("id_a", "id_b"), "left_outer")
         val ref = Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text",
             n = 3, numPerm = 32, rowsPerBand = 2, threshold = 0.5)
           .select(col("id_a"), col("id_b"), lit(1).as("ref_hit"))
-        ref.join(raw, Seq("id_a", "id_b"), "full_outer").agg(
+        ref.join(rawJ, Seq("id_a", "id_b"), "full_outer").agg(
           count(col("ref_hit")).cast("long").as("n_ref_pairs"),
           (count(when(col("ref_hit") === 1 && col("raw_hit") === 1, 1)) * 10L >=
             count(col("ref_hit")) * 9L).as("recall_ge_90"),
-          coalesce(bool_and(when(col("raw_hit") === 1, col("jaccard") >= 0.5)),
-            lit(true)).as("precision_ok"))
+          coalesce(bool_and(when(col("raw_hit") === 1,
+            coalesce(col("ind_j") >= 0.5, lit(false)))), lit(true)).as("precision_ok"))
       },
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_ref_pairs,
          |  TRUE AS recall_ge_90, TRUE AS precision_ok
@@ -339,16 +347,30 @@ object ExtensionQueries {
         val docs = Tables.documents(s, dir)
         val raw = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
             k = 16, w = 4, minShared = 10, maxDf = 50)
-          .select(col("id_a"), col("id_b"), col("n_shared"), lit(1).as("raw_hit"))
+          .select(col("id_a"), col("id_b"), lit(1).as("raw_hit"))
+        // independent recount: direct array_intersect over per-doc
+        // fingerprint sets (no bucket join, no groupBy count). The op counts
+        // only df<=maxDf fingerprints, so its n_shared >= 10 implies the
+        // uncapped intersection is >= 10 too — a necessary condition checked
+        // without reading the op's own column.
+        val fpArr = docs.select(col("doc_id").as("id"),
+          array_distinct(graft.functions.Winnow.fingerprints(
+            TextOps.normalizedText(col("text")), 16, 4)).as("fps"))
+        val ind = raw.select("id_a", "id_b")
+          .join(fpArr.select(col("id").as("id_a"), col("fps").as("fa")), Seq("id_a"))
+          .join(fpArr.select(col("id").as("id_b"), col("fps").as("fb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("fa"), col("fb"))).cast("long").as("ind_shared"))
+        val rawJ = raw.join(ind, Seq("id_a", "id_b"), "left_outer")
         val ref = Dedup.winnowOverlapPairsPortable(docs, "doc_id", "text",
             k = 16, w = 4, minShared = 10, maxDf = 50)
           .select(col("id_a"), col("id_b"), lit(1).as("ref_hit"))
-        ref.join(raw, Seq("id_a", "id_b"), "full_outer").agg(
+        ref.join(rawJ, Seq("id_a", "id_b"), "full_outer").agg(
           count(col("ref_hit")).cast("long").as("n_ref_pairs"),
           (count(when(col("ref_hit") === 1 && col("raw_hit") === 1, 1)) * 10L >=
             count(col("ref_hit")) * 9L).as("recall_ge_90"),
-          coalesce(bool_and(when(col("raw_hit") === 1, col("n_shared") >= 10)),
-            lit(true)).as("precision_ok"))
+          coalesce(bool_and(when(col("raw_hit") === 1,
+            coalesce(col("ind_shared") >= 10L, lit(false)))), lit(true)).as("precision_ok"))
       },
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_ref_pairs,
          |  TRUE AS recall_ge_90, TRUE AS precision_ok
@@ -362,16 +384,27 @@ object ExtensionQueries {
         val docs = Tables.documents(s, dir)
         val raw = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
             n = 3, maxHamming = 16)
-          .select(col("id_a"), col("id_b"), col("hamming"), lit(1).as("raw_hit"))
+          .select(col("id_a"), col("id_b"), lit(1).as("raw_hit"))
+        // independent hamming: re-derived by joining the pair back to the
+        // signature table and xor-popcounting — catches a corrupted
+        // signature carry in the bucket-collect path, which re-reading the
+        // op's own hamming column never could
+        val sig = Dedup.simhash64(docs, "doc_id", "text", n = 3)
+        val ind = raw.select("id_a", "id_b")
+          .join(sig.select(col("id").as("id_a"), col("simhash").as("sa")), Seq("id_a"))
+          .join(sig.select(col("id").as("id_b"), col("simhash").as("sb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sa").bitwiseXOR(col("sb"))).as("ind_ham"))
+        val rawJ = raw.join(ind, Seq("id_a", "id_b"), "left_outer")
         val ref = Dedup.simhashNearDupPairsPortable(docs, "doc_id", "text",
             n = 3, maxHamming = 16, maxBucket = 64)
           .select(col("id_a"), col("id_b"), lit(1).as("ref_hit"))
-        ref.join(raw, Seq("id_a", "id_b"), "full_outer").agg(
+        ref.join(rawJ, Seq("id_a", "id_b"), "full_outer").agg(
           count(col("ref_hit")).cast("long").as("n_ref_pairs"),
           (count(when(col("ref_hit") === 1 && col("raw_hit") === 1, 1)) * 4L >=
             count(col("ref_hit")) * 3L).as("recall_ge_75"),
-          coalesce(bool_and(when(col("raw_hit") === 1, col("hamming") <= 16)),
-            lit(true)).as("precision_ok"))
+          coalesce(bool_and(when(col("raw_hit") === 1,
+            coalesce(col("ind_ham") <= 16, lit(false)))), lit(true)).as("precision_ok"))
       },
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_ref_pairs,
          |  TRUE AS recall_ge_75, TRUE AS precision_ok
@@ -470,8 +503,11 @@ object ExtensionQueries {
           count_distinct(col("qid")).cast("long").as("n_queries"),
           (count(when(col("bf_hit") === 1 && col("ivf_hit") === 1, 1)) * 10L >=
             count(col("bf_hit")) * 4L).as("recall_ge_40"),
-          (count(col("ivf_hit")) ===
-            count_distinct(when(col("ivf_hit") === 1, col("qid"))) * 10L)
+          // compare against ALL queries (qid from the full_outer join covers
+          // the bf side), so a query for which IVF silently returns zero
+          // rows flips the boolean — counting only qids WITH ivf rows would
+          // keep it vacuously true (round-5 advisor finding)
+          (count(col("ivf_hit")) === count_distinct(col("qid")) * 10L)
             .as("returned_full_k"))
       },
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,

@@ -295,6 +295,23 @@ class MultimodalSpec extends SparkSpecBase {
     val bad = base.clone(); bad(34) = 16
     intercept[IllegalArgumentException](Multimodal.decodeWav8(bad))
   }
+  test("WAV decode fails fast on overrunning chunk sizes; empty data is zeroed stats") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val base = Multimodal.encodeWav8(Array[Byte](1, 2, 3))
+    // a chunk size >= 2^31 used to truncate negative in the position bump
+    // and spin the walk forever; it must raise a decode error instead
+    val hostile = base.clone()
+    ByteBuffer.wrap(hostile).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 0x80000010) // data chunk size -> 2^31 + 16
+    intercept[IllegalArgumentException](Multimodal.decodeWav8(hostile))
+    // encodeWav8 of an empty payload is a valid container and must decode
+    val empty = Multimodal.decodeWav8(Multimodal.encodeWav8(Array.empty[Byte]))
+    assert(empty.nSamples === 0L && empty.energy === 0L && empty.meanMicro === 0L)
+    // asWavAssets drops empty payloads (the oracle's no-row semantic)
+    import spark.implicits._
+    val two = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    assert(Multimodal.asWavAssets(two, "doc_id", "text").count() === 1L)
+  }
   test("partition-batched WAV feature extraction is partitioning-invariant") {
     val docs = Tables.documents(spark, sf0001)
     val f1 = Multimodal.extractWavFeatures(Multimodal.asWavAssets(docs, "doc_id", "text"))
