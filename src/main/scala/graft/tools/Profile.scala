@@ -29,39 +29,54 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val docs = Tables.documents(spark, sfDir)
-    val n = 3; val threshold = 0.5
-
     def noop(df: DataFrame): Long = { df.write.format("noop").mode("overwrite").save(); df.count() }
 
-    val arrays = docs.select(col("doc_id").as("id"), TextOps.shingles(col("text"), n).as("shs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = arrays.select(col("id"), size(col("shs")).cast("long").as("n_sh"), explode(col("shs")).as("s"))
+    if (args.contains("--stream")) {
+      // streaming MinHash-LSH drain probe: the spec harness shape (memory
+      // stream -> flatMapGroupsWithState -> memory sink) at bench scale,
+      // production bucket cap, 10 micro-batches
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)].collect()
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      val stream = graft.streaming.StreamOps.minhashNearDupStream(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      val q = stream.writeStream.format("memory").queryName("p_mh")
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      try {
+        docs.grouped(math.max(1, docs.length / 10)).foreach { chunk =>
+          ms.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      println(f"PROFILE stream minhash drain       ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  docs=${docs.length} pairs=${spark.table("p_mh").count()}")
+      spark.stop()
+      return
+    }
 
-    time("arrays (cache load)")(noop(arrays))
-    time("exploded from cache")(noop(sh))
-    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    time("freq")(noop(freq))
-    val ranked = sh.join(freq, "s")
-      .withColumn("pos", row_number().over(Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
-    time("ranked (join+window)")(noop(ranked))
-    val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
-    val prefix = ranked.filter(col("pos") <= prefixLen).select("id", "n_sh", "s")
-    time("prefix")(noop(prefix))
-    val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-        col("a.n_sh") * lit(threshold) <= col("b.n_sh") &&
-        col("b.n_sh") * lit(threshold) <= col("a.n_sh"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    time("candidates")(noop(candidates))
-    val verified = candidates
-      .join(arrays.select(col("id").as("id_a"), col("shs").as("shs_a")), Seq("id_a"))
-      .join(arrays.select(col("id").as("id_b"), col("shs").as("shs_b")), Seq("id_b"))
-      .withColumn("n_inter", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
-      .withColumn("jaccard", round(col("n_inter").cast("double")
-        / (size(col("shs_a")) + size(col("shs_b")) - col("n_inter")), 6))
-      .filter(col("jaccard") >= threshold)
-    time("verify (end-to-end)")(noop(verified))
+    // current target: the tight-geometry banded LSH near-dup stages
+    import graft.ops.Similarity
+    val corpus = graft.queries.ExtensionQueries.plantedCorpus(spark, sfDir)
+    time("plantedCorpus")(noop(corpus))
+    val base = Similarity.corpusBase(corpus)
+    time("corpusBase (persist)")(noop(base))
+    val sigs = Similarity.sigTable(corpus, rowsPerBand = 16, numBands = 8, dim = 64)
+    time("sigTable (persist)")(noop(sigs))
+    val banded = Similarity.bandedSigs(corpus, rowsPerBand = 16, numBands = 8, dim = 64)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+        col("a.id") < col("b.id") &&
+        graft.functions.FirstEqIndex.firstEqIndex(col("a.sig"), col("b.sig"))
+          === col("a.band"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    time("candidates")(noop(cand))
+    time("full lshNearDupPairs")(noop(
+      Similarity.lshNearDupPairs(corpus, threshold = 0.9, rowsPerBand = 16, numBands = 8)))
+    if (args.contains("--exact"))
+      time("exact nearDupPairs 0.9")(noop(Similarity.nearDupPairs(corpus, threshold = 0.9)))
 
     spark.stop()
   }
