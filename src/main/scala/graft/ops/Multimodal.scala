@@ -183,4 +183,189 @@ object Multimodal {
         explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
       .withColumn("frame_fp", md5(concat(col("asset_id").cast("string"),
         lit(":"), col("frame_idx").cast("string"))))
+
+  // ------------------------------------------------------------ BMP codec
+
+  /** Image tier: the same real-codec discipline as the WAV tier, for the
+    * simplest real image container — Windows BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, 24-bit uncompressed, bottom-up rows padded to 4-byte
+    * boundaries). Grayscale pixels are stored B=G=R; the decoder validates
+    * the magic/format fields, honors the pixel-array offset from the file
+    * header, un-reverses the bottom-up row order, and skips row padding —
+    * all the things a naive "pixels start at byte 54 in reading order"
+    * parser gets wrong. */
+  val ImgWidth = 16
+
+  /** Byte-exact 24-bit BMP around a row-major top-down grayscale pixel
+    * array (`pixels(y*width + x)`). */
+  def encodeBmp24(pixels: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"bmp: bad dims ${width}x$height for ${pixels.length} pixels")
+    val rowBytes = (width * 3 + 3) & ~3
+    val imgSize = rowBytes * height
+    val bb = ByteBuffer.allocate(54 + imgSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putShort(0).putShort(0)           // reserved
+      .putInt(54)                        // pixel array offset
+    bb.putInt(40)                        // BITMAPINFOHEADER size
+      .putInt(width).putInt(height)      // positive height = bottom-up
+      .putShort(1)                       // planes
+      .putShort(24)                      // bits per pixel
+      .putInt(0)                         // BI_RGB (uncompressed)
+      .putInt(imgSize)
+      .putInt(2835).putInt(2835)         // 72 DPI in pixels/metre
+      .putInt(0).putInt(0)               // palette unused at 24bpp
+    var y = height - 1
+    while (y >= 0) {                     // rows bottom-up
+      var x = 0
+      while (x < width) {
+        val v = pixels(y * width + x)
+        bb.put(v).put(v).put(v)          // B, G, R
+        x += 1
+      }
+      var p = width * 3
+      while (p < rowBytes) { bb.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** Real BMP reader: validates 'BM' + header fields (24bpp, BI_RGB,
+    * bottom-up), then walks the padded bottom-up rows into a row-major
+    * top-down grayscale array (red channel — the encoder writes B=G=R).
+    * Returns (width, height, pixels). */
+  def decodeBmp24(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    require(bytes.length >= 54, s"bmp: truncated header (${bytes.length} bytes)")
+    require(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte, "bmp: bad magic")
+    val pixOff = le32(10)
+    require(le32(14) >= 40, "bmp: info header too short")
+    val width = le32(18).toInt           // signed in the format; must be > 0
+    val height = le32(22).toInt          // negative would mean top-down
+    require(width > 0 && height > 0, s"bmp: unsupported dims ${width}x$height")
+    require(le16(26) == 1 && le16(28) == 24 && le32(30) == 0,
+      s"bmp: unsupported format (planes=${le16(26)} bpp=${le16(28)} comp=${le32(30)}); only 24bpp BI_RGB")
+    val rowBytes = (width * 3 + 3) & ~3
+    require(pixOff >= 54 && pixOff + rowBytes.toLong * height <= bytes.length,
+      s"bmp: pixel array overruns container (${bytes.length} bytes)")
+    val px = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      val src = pixOff.toInt + (height - 1 - y) * rowBytes
+      var x = 0
+      while (x < width) {
+        px(y * width + x) = bytes(src + x * 3 + 2) // red channel
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, px)
+  }
+
+  /** Integer-exact statistics of one decoded image: extrema, truncating
+    * micro-unit mean, centered second moment, and horizontal edge count
+    * (row-wise neighbor pairs with |Δv| ≥ 32 — a real gradient feature that
+    * only a correct row/padding walk computes right). */
+  final case class BmpStats(width: Int, height: Int, nPx: Long, peak: Int,
+                            trough: Int, meanMicro: Long, energy: Long,
+                            hEdges: Long)
+
+  def bmpStats(width: Int, height: Int, px: Array[Byte]): BmpStats = {
+    var peak = 0; var trough = 255
+    var sum = 0L; var energy = 0L; var edges = 0L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = px(y * width + x) & 0xff
+        if (v > peak) peak = v
+        if (v < trough) trough = v
+        sum += v
+        val c = v - 128L
+        energy += c * c
+        if (x > 0) {
+          val prev = px(y * width + x - 1) & 0xff
+          if (math.abs(v - prev) >= 32) edges += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    BmpStats(width, height, n, peak, trough, sum * 1000000L / n, energy, edges)
+  }
+
+  private val bmpAssetSchema = new StructType()
+    .add("asset_id", LongType).add("content", BinaryType, nullable = false)
+
+  /** Encode each document's ASCII payload as a real BMP asset: the bytes
+    * become row-major grayscale pixels of a `width`-wide image (trailing
+    * partial row truncated; docs shorter than one row dropped — the oracle
+    * computes the same truncation from `length(text)`). Partition-batched
+    * like the WAV path. */
+  def asBmpAssets(docs: DataFrame, idCol: String, payloadCol: String,
+                  width: Int = ImgWidth): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(bmpAssetSchema)
+    docs.filter(length(col(payloadCol).cast("binary")) >= width)
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val h = bytes.length / width
+          Row(r.getLong(0), encodeBmp24(java.util.Arrays.copyOf(bytes, width * h), width, h))
+        }
+      }(enc)
+  }
+
+  /** Nearest-neighbor ×`factor` downsample as a codec-to-codec transform:
+    * decode, pick `out(x,y) = in(factor·x, factor·y)`, re-encode. Images
+    * whose output would be empty are dropped (matching the oracle's
+    * row-count floor). */
+  def resizeBmpAssets(assets: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"bmp: bad resize factor $factor")
+    val enc = org.apache.spark.sql.Encoders.row(bmpAssetSchema)
+    assets.select(col("asset_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (w, h, px) = decodeBmp24(r.getAs[Array[Byte]](1))
+        val ow = w / factor; val oh = h / factor
+        if (ow == 0 || oh == 0) None
+        else {
+          val out = new Array[Byte](ow * oh)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              out(y * ow + x) = px(y * factor * w + x * factor)
+              x += 1
+            }
+            y += 1
+          }
+          Some(Row(r.getLong(0), encodeBmp24(out, ow, oh)))
+        }
+      }
+    }(enc)
+  }
+
+  private val bmpFeatureSchema = new StructType()
+    .add("asset_id", LongType).add("n_bytes", LongType)
+    .add("width", IntegerType).add("height", IntegerType)
+    .add("n_px", LongType).add("peak", IntegerType).add("trough", IntegerType)
+    .add("mean_micro", LongType).add("energy", LongType).add("h_edges", LongType)
+
+  /** Partition-batched decode + feature extraction over BMP assets. */
+  def extractBmpFeatures(assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(bmpFeatureSchema)
+    assets.select(col("asset_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, px) = decodeBmp24(bytes)
+        val s = bmpStats(w, h, px)
+        Row(r.getLong(0), bytes.length.toLong, s.width, s.height, s.nPx,
+          s.peak, s.trough, s.meanMicro, s.energy, s.hEdges)
+      }
+    }(enc)
+  }
 }

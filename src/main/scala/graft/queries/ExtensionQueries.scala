@@ -749,6 +749,76 @@ object ExtensionQueries {
         |FROM documents CROSS JOIN range(4) r(f)
         |ORDER BY asset_id, frame_idx""".stripMargin,
       doc = "frame sampling shape for video payloads: deterministic " +
-        "per-frame explode + fingerprint, fully oracle-checked")
+        "per-frame explode + fingerprint, fully oracle-checked"),
+
+    // REAL image codec round-trip, the BMP twin of q_multimodal_features:
+    // each document's ASCII bytes become row-major grayscale pixels of a
+    // 16-wide 24bpp BMP (bottom-up rows, 4-byte padding — encodeBmp24),
+    // decoded back by a real header-validating, padding-aware, row-order-
+    // reversing reader (decodeBmp24). The oracle reproduces every feature
+    // from the text's code points; h_edges (row-wise |Δv| ≥ 32) is the
+    // feature that goes wrong under any row/padding mistake, because it
+    // pairs bytes that are non-adjacent in the container.
+    "q_multimodal_image" -> QueryDef.sql(
+      (s, dir) => Multimodal.extractBmpFeatures(
+          Multimodal.asBmpAssets(Tables.documents(s, dir), "doc_id", "text"))
+        .orderBy("asset_id"),
+      """WITH px AS (SELECT doc_id, (i-1) // 16 AS y, (i-1) % 16 AS x,
+        |    ord(substr(text, CAST(i AS INTEGER), 1)) AS v
+        |  FROM documents, unnest(range(1, (length(text) // 16) * 16 + 1)) AS t(i)
+        |  WHERE length(text) >= 16),
+        |w AS (SELECT doc_id, y, x, v,
+        |    LEAD(v) OVER (PARTITION BY doc_id, y ORDER BY x) AS vr FROM px)
+        |SELECT doc_id AS asset_id,
+        |  CAST(54 + 48 * (COUNT(*) // 16) AS BIGINT) AS n_bytes,
+        |  16 AS width,
+        |  CAST(COUNT(*) // 16 AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  MAX(v) AS peak,
+        |  MIN(v) AS trough,
+        |  CAST((SUM(v) * 1000000) // COUNT(*) AS BIGINT) AS mean_micro,
+        |  CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN vr IS NOT NULL AND abs(v - vr) >= 32
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS h_edges
+        |FROM w GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+      doc = "real pure-JVM BMP codec round-trip: 24bpp bottom-up encode + " +
+        "header-validating decode + integer-exact pixel stats, fully " +
+        "oracle-checked"),
+
+    // Codec-to-codec transform: encode → decode → nearest-neighbor ×2
+    // downsample → re-encode → decode → features. Proves the two codec
+    // directions COMPOSE (the resized container is itself a valid BMP that
+    // the same reader parses), and the resample arithmetic out(x,y) =
+    // in(2x,2y) is oracle-checked pixel-for-pixel from the source text.
+    "q_multimodal_resize" -> QueryDef.sql(
+      (s, dir) => Multimodal.extractBmpFeatures(
+          Multimodal.resizeBmpAssets(
+            Multimodal.asBmpAssets(Tables.documents(s, dir), "doc_id", "text"),
+            factor = 2))
+        .orderBy("asset_id"),
+      """WITH px AS (SELECT doc_id, length(text) // 16 AS h,
+        |    (i-1) // 16 AS y, (i-1) % 16 AS x,
+        |    ord(substr(text, CAST(i AS INTEGER), 1)) AS v
+        |  FROM documents, unnest(range(1, (length(text) // 16) * 16 + 1)) AS t(i)
+        |  WHERE length(text) >= 32),
+        |sel AS (SELECT doc_id, h, y // 2 AS y2, x // 2 AS x2, v FROM px
+        |        WHERE x % 2 = 0 AND y % 2 = 0 AND y < 2 * (h // 2)),
+        |w AS (SELECT doc_id, h, y2, x2, v,
+        |    LEAD(v) OVER (PARTITION BY doc_id, y2 ORDER BY x2) AS vr FROM sel)
+        |SELECT doc_id AS asset_id,
+        |  CAST(54 + 24 * (COUNT(*) // 8) AS BIGINT) AS n_bytes,
+        |  8 AS width,
+        |  CAST(COUNT(*) // 8 AS INTEGER) AS height,
+        |  CAST(COUNT(*) AS BIGINT) AS n_px,
+        |  MAX(v) AS peak,
+        |  MIN(v) AS trough,
+        |  CAST((SUM(v) * 1000000) // COUNT(*) AS BIGINT) AS mean_micro,
+        |  CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN vr IS NOT NULL AND abs(v - vr) >= 32
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS h_edges
+        |FROM w GROUP BY doc_id ORDER BY asset_id""".stripMargin,
+      doc = "nearest-neighbor ×2 image downsample as a decode→resample→" +
+        "re-encode codec composition, every resized pixel oracle-checked " +
+        "from the source bytes")
   )
 }

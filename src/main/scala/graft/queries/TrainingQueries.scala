@@ -18,6 +18,10 @@ object TrainingQueries {
   private def hashUniform(idSql: String): String =
     s"(('0x'||substr(md5(CAST($idSql AS VARCHAR)),1,8))::BIGINT / 4294967296.0)"
 
+  /** Word-boundary alternation regex over a stopword list (the q_lang_id
+    * oracle's `langRe`, rebuilt here for the pipeline composition). */
+  private def wordsRe(ws: Seq[String]) = "\\b(" + ws.mkString("|") + ")\\b"
+
   def defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------- sequence packing
@@ -286,6 +290,76 @@ object TrainingQueries {
                      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
         iters = 5, topK = 50),
       doc = "5-iteration PageRank on the customer-supplier graph, " +
-        "bit-identical decimal-sum contract, top 50")
+        "bit-identical decimal-sum contract, top 50"),
+
+    // -------------------------------------------- end-to-end assembly
+    // The flagship composition: the whole corpus→training-batches funnel as
+    // ONE declared query — exact dedup (normalization fingerprint, min-id
+    // winner via groupBy/min + semi join, never a window sort), language
+    // gate (English stopword argmax), quality gate (integer points >= 2),
+    // then concat-and-chunk packing of the survivors via the distributed
+    // two-phase prefix sum. Every stage reuses the same operator the
+    // stage's standalone query declares, so a regression anywhere in the
+    // chain flips this hash too; the oracle is the equivalent CTE chain.
+    "q_pipeline_assemble" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val keep = docs
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+          .groupBy("fp").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
+        def score(ws: Seq[String]) = TextOps.stopwordCount(col("text"), ws)
+        val scored = deduped
+          .withColumn("en_c", score(TextOps.StopwordsEn))
+          .withColumn("de_c", score(TextOps.StopwordsDe))
+          .withColumn("fr_c", score(TextOps.StopwordsFr))
+          .withColumn("es_c", score(TextOps.StopwordsEs))
+          .filter(col("en_c") >= col("de_c") && col("en_c") >= col("fr_c") &&
+            col("en_c") >= col("es_c"))
+        val toks = TextOps.tokens(col("text"))
+        val nToks = size(toks)
+        val points =
+          when(nToks.between(20, 2000), 1).otherwise(0) +
+          when(col("en_c") * 20 >= nToks, 1).otherwise(0) +
+          when(size(array_distinct(toks)) * 4 >= nToks, 1).otherwise(0) +
+          when(length(col("text")).between(100, 10000), 1).otherwise(0)
+        val kept = scored.withColumn("points", points)
+          .filter(col("points") >= 2)
+          .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_tok"))
+        TrainOps.packConcatChunk(kept, "doc_id", "n_tok",
+          window = 512L, shardSize = 64L).orderBy("doc_id")
+      },
+      s"""WITH f AS (SELECT doc_id, text,
+         |    md5(lower(trim(regexp_replace(text,'[ \\t\\n\\r\\f\\x0B]+',' ','g')))) AS fp
+         |  FROM documents),
+         |d AS (SELECT doc_id, text FROM f
+         |      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+         |m AS (SELECT doc_id, text, regexp_extract_all(lower(text),'[a-z0-9]+') AS toks,
+         |    len(regexp_extract_all(lower(text),'${wordsRe(TextOps.StopwordsEn)}')) AS en_c,
+         |    len(regexp_extract_all(lower(text),'${wordsRe(TextOps.StopwordsDe)}')) AS de_c,
+         |    len(regexp_extract_all(lower(text),'${wordsRe(TextOps.StopwordsFr)}')) AS fr_c,
+         |    len(regexp_extract_all(lower(text),'${wordsRe(TextOps.StopwordsEs)}')) AS es_c
+         |  FROM d),
+         |q AS (SELECT doc_id, text,
+         |    (CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1 ELSE 0 END +
+         |     CASE WHEN en_c*20 >= len(toks) THEN 1 ELSE 0 END +
+         |     CASE WHEN len(list_distinct(toks))*4 >= len(toks) THEN 1 ELSE 0 END +
+         |     CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1 ELSE 0 END) AS points
+         |  FROM m
+         |  WHERE en_c >= de_c AND en_c >= fr_c AND en_c >= es_c),
+         |k AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tok
+         |      FROM q WHERE points >= 2),
+         |o AS (SELECT doc_id, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM k WHERE n_tok > 0)
+         |SELECT doc_id, n_tok, tok_offset,
+         |  tok_offset // 512 AS first_win,
+         |  (tok_offset + n_tok - 1) // 512 AS last_win,
+         |  (tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1 AS n_wins
+         |FROM o ORDER BY doc_id""".stripMargin,
+      doc = "end-to-end assembly funnel: exact dedup → language gate → " +
+        "quality gate → sequence packing, one oracle-checked composition")
   )
 }

@@ -328,4 +328,66 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.count() === 12)
     assert(frames.select("frame_fp").distinct().count() === 12)
   }
+  test("BMP codec: container layout + decode round-trips pixels exactly") {
+    // 3x2 image with distinct pixels: row order + padding both matter
+    val px = Array[Byte](10, 20, 30, 40, 50, 60)
+    val bmp = Multimodal.encodeBmp24(px, 3, 2)
+    assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+    // rowBytes = (3*3+3) & ~3 = 12 -> file is 54 + 24 bytes
+    assert(bmp.length === 54 + 12 * 2)
+    // bottom-up: first stored row is the LAST logical row (40,50,60)
+    assert((bmp(54) & 0xff) === 40 && (bmp(57) & 0xff) === 50)
+    val (w, h, back) = Multimodal.decodeBmp24(bmp)
+    assert(w === 3 && h === 2 && back.toSeq === px.toSeq)
+  }
+  test("BMP decode honors pixel offset and rejects malformed containers") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val px = Array.tabulate(8)(i => (i * 30).toByte)
+    val base = Multimodal.encodeBmp24(px, 4, 2)
+    // a gap between header and pixel array is legal if the offset says so
+    val gap = 6
+    val shifted = new Array[Byte](base.length + gap)
+    System.arraycopy(base, 0, shifted, 0, 54)
+    System.arraycopy(base, 54, shifted, 54 + gap, base.length - 54)
+    ByteBuffer.wrap(shifted).order(ByteOrder.LITTLE_ENDIAN).putInt(10, 54 + gap)
+    val (_, _, viaOffset) = Multimodal.decodeBmp24(shifted)
+    assert(viaOffset.toSeq === px.toSeq)
+    // 8bpp flag, RLE compression, and overrunning pixel arrays all fail fast
+    val bpp = base.clone(); bpp(28) = 8
+    intercept[IllegalArgumentException](Multimodal.decodeBmp24(bpp))
+    val rle = base.clone(); rle(30) = 1
+    intercept[IllegalArgumentException](Multimodal.decodeBmp24(rle))
+    val overrun = base.clone()
+    ByteBuffer.wrap(overrun).order(ByteOrder.LITTLE_ENDIAN).putInt(22, 99999)
+    intercept[IllegalArgumentException](Multimodal.decodeBmp24(overrun))
+  }
+  test("BMP stats: h_edges pairs in-row neighbors only; resize picks in(2x,2y)") {
+    // 4x2: |Δ|>=32 edges within rows; the row boundary (13->200) must NOT count
+    val px = Array[Byte](10, 50, 60, 13, 200.toByte, 210.toByte, 1, 2)
+    val s = Multimodal.bmpStats(4, 2, px)
+    assert(s.hEdges === 3L) // 10->50, 60->13, 210->1
+    assert(s.peak === 210 && s.trough === 1)
+    import spark.implicits._
+    val docs = Seq((7L, "abcdefghijklmnopABCDEFGHIJKLMNOPzz")).toDF("doc_id", "text")
+    val assets = Multimodal.asBmpAssets(docs, "doc_id", "text") // 16x2, "zz" truncated
+    val rs = Multimodal.resizeBmpAssets(assets, factor = 2)
+    val (w2, h2, rpx) = Multimodal.decodeBmp24(
+      rs.collect().head.getAs[Array[Byte]]("content"))
+    assert(w2 === 8 && h2 === 1)
+    assert(new String(rpx, "US-ASCII") === "acegikmo") // in(2x, 0)
+    // a 16..31-char doc (height 1) resizes to zero rows and is dropped
+    val short = Seq((8L, "0123456789abcdef")).toDF("doc_id", "text")
+    assert(Multimodal.resizeBmpAssets(
+      Multimodal.asBmpAssets(short, "doc_id", "text")).count() === 0L)
+  }
+  test("partition-batched BMP feature extraction is partitioning-invariant") {
+    val docs = Tables.documents(spark, sf0001)
+    val f1 = Multimodal.extractBmpFeatures(Multimodal.asBmpAssets(docs, "doc_id", "text"))
+      .orderBy("asset_id").limit(5).collect().toSeq
+    val f2 = Multimodal.extractBmpFeatures(
+        Multimodal.asBmpAssets(docs.repartition(7), "doc_id", "text"))
+      .orderBy("asset_id").limit(5).collect().toSeq
+    assert(f1 === f2)
+    assert(f1.forall(_.getAs[Int]("width") === Multimodal.ImgWidth))
+  }
 }
