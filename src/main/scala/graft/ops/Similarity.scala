@@ -343,6 +343,174 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  // ------------------------------------------------ product quantization
+  //
+  // PQ (Jegou, Douze, Schmid 2011, "Product Quantization for Nearest
+  // Neighbor Search", IEEE TPAMI): split the `dim`-dimensional vector into
+  // `numSub` subvectors, quantize each against its own `numCodes`-entry
+  // codebook, and rank candidates by ASYMMETRIC DISTANCE (ADC): the query
+  // precomputes a (numSub x numCodes) table of exact subspace distances,
+  // and a candidate's approximate L2 distance is numSub table lookups +
+  // adds — no per-candidate float math on the raw vector at all.
+  //
+  // Scale shape (the reason PQ is the 100 TB memory tier): a 64-dim float
+  // corpus vector is 256 bytes raw; its PQ code is numSub small ints
+  // (8 bytes at numSub=8 before bit-packing, 4 after) — a 32-64x working-set
+  // compression, so the scan tier holds codes in memory where raw vectors
+  // would spill. The LUT build is O(numSub x numCodes x subDim) per QUERY
+  // (trivial, broadcast side); the scan is O(numSub) per candidate.
+
+  /** Seeded PQ codeword (subspace m, code k): splitmix index family 3000+,
+    * disjoint from the LSH planes (0+), IVF centroids (1000+) and planted
+    * deltas (2000+). */
+  private[graft] def pqCodeword(m: Int, k: Int, subDim: Int): Array[Double] =
+    planeVec(3000 + m * 256 + k, subDim)
+
+  private[graft] def fixedCodebooks(numSub: Int, numCodes: Int,
+                                    dim: Int): Array[Array[Array[Double]]] = {
+    val subDim = dim / numSub
+    Array.tabulate(numSub)(m => Array.tabulate(numCodes)(k => pqCodeword(m, k, subDim)))
+  }
+
+  /** Per-row PQ code (array<int>, one entry per subspace): argmin_k of the
+    * subspace L2 distance (comparator `|c|^2 - 2<sub, c>`, ties → smaller
+    * k) via the native [[graft.functions.PqEncode]] loop kernel — one
+    * codegen'd map pass over the corpus, no shuffle, compile cost
+    * independent of numCodes (the composed least-over-literal-structs
+    * formulation was a janino monster at the classic K=256). */
+  private def pqCode(v: Column, books: Array[Array[Array[Double]]], dim: Int): Column = {
+    val numSub = books.length
+    graft.functions.Pq.encode(v, books.flatten.flatten, numSub,
+      books.head.length, dim / numSub)
+  }
+
+  /** Per-query ADC lookup table, flattened to array<double> of
+    * numSub*numCodes entries (entry m*numCodes+k = exact L2 distance from
+    * query subvector m to codeword (m,k)). Built once per query row —
+    * the broadcast side ([[graft.functions.PqLut]] loop kernel). */
+  private def pqLut(qv: Column, books: Array[Array[Array[Double]]], dim: Int): Column = {
+    val numSub = books.length
+    graft.functions.Pq.lut(qv, books.flatten.flatten, numSub,
+      books.head.length, dim / numSub)
+  }
+
+  /** ADC distance: numSub 0-based array lookups, summed left-to-right
+    * (fixed FP order — the oracle adds in the same order). GetArrayItem
+    * stays in whole-stage codegen. */
+  private def adc(lut: Column, code: Column, numSub: Int, numCodes: Int): Column =
+    (0 until numSub).map(m => lut(lit(m * numCodes) + code(lit(m)))).reduce(_ + _)
+
+  /** Shared PQ-flat ADC scan: codes stream once past the broadcast LUTs.
+    * Linear in corpus size per query BY DESIGN (like bruteForceTopK — PQ's
+    * win is the 32-64x smaller scan working set, not sub-linearity; see
+    * ivfPqTopKFixed for the sub-linear combination). */
+  private def pqSearch(codes: DataFrame, luts: DataFrame, k: Int,
+                       numSub: Int, numCodes: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    codes.crossJoin(broadcast(luts))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("adist", round(adc(col("lut"), col("code"), numSub, numCodes), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "adist", "rn")
+  }
+
+  private def pqCodesTable(corpus: DataFrame, books: Array[Array[Array[Double]]],
+                           dim: Int): DataFrame =
+    corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+      .select(col("nid"), pqCode(col("nv"), books, dim).as("code"))
+
+  private def pqLutTable(queries: DataFrame, books: Array[Array[Array[Double]]],
+                         dim: Int): DataFrame =
+    queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .select(col("qid"), pqLut(col("qv"), books, dim).as("lut"))
+
+  /** PQ-flat ADC top-k with FIXED seeded codebooks — every constant is a
+    * driver-side literal, so encode, LUT, and the ADC ranking are all
+    * reproduced bit-for-bit by a DuckDB oracle (the PQ tier's driver-proven
+    * variant, exactly like ivfTopKFixed for IVF). */
+  def pqTopKFixed(corpus: DataFrame, queries: DataFrame, k: Int,
+                  numSub: Int = 8, numCodes: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim must divide into $numSub subspaces")
+    val books = fixedCodebooks(numSub, numCodes, dim)
+    pqSearch(pqCodesTable(corpus, books, dim), pqLutTable(queries, books, dim),
+      k, numSub, numCodes)
+  }
+
+  /** PQ-flat ADC top-k with LEARNED per-subspace codebooks: the same
+    * bounded hash-ordered driver sample as ivfTopK, split into subvectors,
+    * one Lloyd fit per subspace (the classic PQ training — numSub
+    * independent small k-means, NOT one big one). Quality path; the fixed
+    * twin keeps row-level oracle coverage of the same machinery. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             numSub: Int = 8, numCodes: Int = 16, dim: Int = 64,
+             fitSample: Int = 4096): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim must divide into $numSub subspaces")
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+    val sample = c.orderBy(xxhash64(col("nid")), col("nid")).limit(fitSample)
+      .select(col("nv")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.length < numCodes) return bruteForceTopKL2(corpus, queries, k)
+    val subDim = dim / numSub
+    val books = Array.tabulate(numSub) { m =>
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)),
+        numCodes, iters = 3)
+    }
+    pqSearch(pqCodesTable(corpus, books, dim), pqLutTable(queries, books, dim),
+      k, numSub, numCodes)
+  }
+
+  /** IVF-PQ (the FAISS IVFPQ geometry, non-residual variant): coarse seeded
+    * centroids prune the scan to nProbe inverted lists, and candidates
+    * within a probed list are ranked by PQ ADC instead of exact cosine —
+    * sub-linear candidate volume AND compressed per-candidate work. The
+    * search is an equi-join on the cell id against the broadcast
+    * (qid, cid, lut) probe table: corpus raw vectors are read once at
+    * encode time and never again. Fully literal-driven ⇒ full oracle. */
+  def ivfPqTopKFixed(corpus: DataFrame, queries: DataFrame, k: Int,
+                     nList: Int = 16, nProbe: Int = 4,
+                     numSub: Int = 8, numCodes: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim must divide into $numSub subspaces")
+    val centers = Array.tabulate(nList)(fixedCentroid(_, dim))
+    val books = fixedCodebooks(numSub, numCodes, dim)
+    val assigned = corpus
+      .select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+      .select(col("nid"), nearestCid(col("nv"), centers).as("cid"),
+        pqCode(col("nv"), books, dim).as("code"))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val probeCands = centers.zipWithIndex.map { case (ctr, cid) =>
+      val ctrCol = typedLit(ctr)
+      struct((dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), ctrCol)
+        + lit(ctr.map(x => x * x).sum)).as("dist2"), lit(cid).as("cid"))
+    }
+    val probes = q
+      .withColumn("pc", slice(sort_array(array(probeCands: _*)), 1, nProbe))
+      .select(col("qid"), col("qv"), explode(col("pc")).as("p"))
+      .select(col("qid"), pqLut(col("qv"), books, dim).as("lut"), col("p.cid").as("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("adist", round(adc(col("lut"), col("code"), numSub, numCodes), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "adist", "rn")
+  }
+
+  /** Exact L2 top-k (squared euclidean, asc) — the ground truth PQ's ADC
+    * approximates; cosine's bruteForceTopK is the wrong referee for an
+    * L2 quantizer. Same broadcast-queries scan shape. */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("adist", round(dot(col("qv"), col("qv"))
+        - lit(2.0) * dot(col("qv"), col("nv")) + dot(col("nv"), col("nv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "adist", "rn")
+  }
+
   /** Approximate top-k: BANDED multi-table LSH — `numBands` independent
     * hash tables of `rowsPerBand` sign bits each; a corpus vector is a
     * candidate for a query when they share ANY band's bucket, and

@@ -96,7 +96,12 @@ class PlanSpec extends SparkSpecBase {
       "q_lm_perplexity",
       // recall is MEASURED against brute-force ground truth, so the
       // quadratic baseline is embedded by definition
-      "q_ann_recall")
+      "q_ann_recall",
+      // PQ-flat is a linear scan of compressed codes BY DESIGN (PQ's win is
+      // the 32-64x smaller working set, not sub-linearity); the learned
+      // report also embeds the exact-L2 ground truth. The sub-linear
+      // combination is q_sim_ivfpq_portable, asserted equi-join below.
+      "q_sim_pq_topk", "q_sim_pq_portable")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>
@@ -123,6 +128,14 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"),
       s"candidates must come from an equi-join on (band, bits):\n$plan")
+  }
+
+  test("IVF-PQ candidates come from a broadcast equi-join on the cell id") {
+    val plan = planString(SparkEntry.queries("q_sim_ivfpq_portable")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe table must broadcast into the cid equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ must not plan a product join:\n$plan")
   }
 
   test("semDedup pair search is an equi-join on the cell id, no product join") {
