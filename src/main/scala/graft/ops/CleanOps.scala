@@ -157,4 +157,131 @@ object CleanOps {
   /** Count of matches of a PII pattern in the original text. */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Exact substring-level dedup (the ExactSubstr shape of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * every character position opening a `gram`-char substring that also
+    * occurs in ANOTHER document is marked, overlapping marks merge into
+    * maximal ranges (gaps-and-islands), and the document is rebuilt with
+    * the duplicated ranges cut out. Character granularity, cross-document
+    * only (within-document repetition is q_quality_gopher's signal);
+    * ALL copies of a duplicated substring are removed — the conservative
+    * "boilerplate is noise in every document" policy (the paper's
+    * suffix-array variant keeps one occurrence; keeping the min-doc copy
+    * here would just re-rank the winners, the range machinery is
+    * identical).
+    *
+    * Scale shape: instead of a global suffix array (which does not
+    * distribute), every position hashes its gram — O(total chars) rows,
+    * partially aggregable on the hash, so a boilerplate string repeated in
+    * 10^9 documents combines map-side. The dup-hash set joins back as a
+    * left-semi (no payload carried); range merge is a per-document window
+    * whose partition is bounded by document length; the rebuild walks the
+    * per-document range array (bounded the same way) with one
+    * `aggregate()` HOF — per-row arrays of a few structs, NOT the
+    * per-corpus lambda-reevaluation trap. At 100 TB the md5-per-position
+    * hashing is the cost knob: stride the positions or swap in the
+    * [[graft.functions.Winnow]] rolling-hash kernel; the oracle-parity
+    * tier here hashes every position.
+    *
+    * Output: idCol, n_ranges, dup_chars, clean_text (one row per input
+    * document; untouched documents pass through with 0/0/original). */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+                     gram: Int = 64): DataFrame = {
+    require(gram >= 2, s"substringDedup: gram must be >= 2, got $gram")
+    val base = docs.select(col(idCol), col(textCol).as("t"),
+      length(col(textCol)).as("len"))
+    // the gram hash never reaches the output — only dup VERDICTS do — so
+    // the engines need not share a hash family: Spark uses xxhash64
+    // (codegen'd, 8-byte shuffle keys), the oracle md5; outputs agree
+    // absent collisions (~n_grams^2 / 2^64 — measured 13.0 -> 5.1 s at
+    // sf0.1 over the md5 formulation, which paid MessageDigest + 32-char
+    // hex shuffle keys three times over the branch reuse)
+    val grams = base.filter(col("len") >= gram)
+      .select(col(idCol), explode(sequence(lit(0), col("len") - gram)).as("p"),
+        col("t"))
+      .withColumn("h", xxhash64(col("t").substr(col("p") + 1, lit(gram))))
+      .select(col(idCol), col("p"), col("h"))
+    val dupHashes = grams.groupBy("h")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    val dupPos = grams.join(dupHashes, Seq("h"), "left_semi")
+      .select(col(idCol), col("p"))
+    // gaps-and-islands: a new island opens when this mark starts past the
+    // furthest end seen so far in the document
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("p"))
+    val prevMaxEnd = max(col("p") + gram)
+      .over(w.rowsBetween(Long.MinValue, -1))
+    val ranges = dupPos
+      .withColumn("ni", when(prevMaxEnd.isNull || col("p") > prevMaxEnd, 1)
+        .otherwise(0))
+      .withColumn("island", sum(col("ni")).over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("p")).cast("long").as("s"),
+        (max(col("p")) + gram).cast("long").as("e"))
+    val perDoc = ranges.groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_ranges"),
+        sum(col("e") - col("s")).cast("long").as("dup_chars"),
+        array_sort(collect_list(struct(col("s"), col("e")))).as("rs"))
+    base
+      .join(perDoc, Seq(idCol), "left_outer")
+      .withColumn("acc", aggregate(
+        coalesce(col("rs"), array().cast("array<struct<s:bigint,e:bigint>>")),
+        struct(lit(0L).as("pos"), lit("").as("txt")),
+        (acc, r) => struct(
+          r.getField("e").as("pos"),
+          concat(acc.getField("txt"),
+            col("t").substr((acc.getField("pos") + 1).cast("int"),
+              (r.getField("s") - acc.getField("pos")).cast("int"))).as("txt"))))
+      .select(col(idCol),
+        coalesce(col("n_ranges"), lit(0L)).as("n_ranges"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        concat(col("acc.txt"),
+          col("t").substr((col("acc.pos") + 1).cast("int"),
+            (col("len") - col("acc.pos")).cast("int"))).as("clean_text"))
+  }
+
+  /** DuckDB SQL reproducing [[substringDedup]] bit-for-bit over the
+    * `documents` table. */
+  def substringDedupOracle(gram: Int = 64): String =
+    s"""WITH base AS (SELECT doc_id, text, LENGTH(text) AS len FROM documents),
+       |g AS (SELECT doc_id, p, md5(substr(text, CAST(p+1 AS INT), $gram)) AS h
+       |      FROM (SELECT doc_id, text, unnest(range(len-$gram+1)) AS p
+       |            FROM base WHERE len >= $gram)),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+       |d AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (h)),
+       |i0 AS (SELECT doc_id, p,
+       |         CASE WHEN p > COALESCE(MAX(p+$gram) OVER (PARTITION BY doc_id
+       |              ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |              -1) THEN 1 ELSE 0 END AS ni
+       |       FROM d),
+       |i1 AS (SELECT doc_id, p,
+       |         SUM(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island FROM i0),
+       |rng AS (SELECT doc_id, MIN(p) AS s, MAX(p)+$gram AS e
+       |        FROM i1 GROUP BY doc_id, island),
+       |seg AS (SELECT doc_id,
+       |          COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+       |          s AS ke
+       |        FROM rng
+       |        UNION ALL
+       |        SELECT doc_id, MAX(e) AS ks, NULL AS ke FROM rng GROUP BY doc_id),
+       |kept AS (SELECT seg.doc_id, ks,
+       |           CASE WHEN ke IS NULL THEN substr(b.text, CAST(ks+1 AS INT))
+       |                ELSE substr(b.text, CAST(ks+1 AS INT), CAST(ke-ks AS INT))
+       |           END AS st
+       |         FROM seg JOIN base b USING (doc_id)),
+       |agg AS (SELECT doc_id, string_agg(st, '' ORDER BY ks) AS clean_text
+       |        FROM kept GROUP BY doc_id),
+       |stats AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ranges,
+       |            CAST(SUM(e-s) AS BIGINT) AS dup_chars
+       |          FROM rng GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  COALESCE(stats.n_ranges, 0) AS n_ranges,
+       |  COALESCE(stats.dup_chars, 0) AS dup_chars,
+       |  COALESCE(agg.clean_text, b.text) AS clean_text
+       |FROM base b
+       |LEFT JOIN stats USING (doc_id) LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -260,4 +260,139 @@ object Sketch {
        |        GROUP BY 1, 2)
        |SELECT item, exact, est, est - exact AS overcount
        |FROM est ORDER BY est DESC, item LIMIT $k""".stripMargin
+
+  // --------------------------------------------------------- bloom filter
+
+  /** Bloom bit position of `v` for hash function `t` (0-based): the t-th
+    * 8-hex-char chunk of md5 mod `m` — the same engine-reproducible md5
+    * hash family as the KMV/count-min tiers. j <= 4 (md5 yields 32 hex). */
+  def bloomPos(v: Column, t: Int, m: Int): Column =
+    conv(substring(md5(v.cast("string")), t * 8 + 1, 8), 16, 10)
+      .cast("long") % m
+
+  /** Bloom filter (Bloom 1970) built RELATIONALLY: the set-bit positions
+    * as DISTINCT rows — at most `m` rows of state regardless of build-side
+    * cardinality, and the distinct IS the sketch's idempotent OR-merge
+    * (map-side partials union bit-sets per partition). This row form is
+    * what the DuckDB oracle checks; [[BloomAgg]] is the packed-bitmap
+    * production twin (one m/64-long array, bitwise-OR merge — what Spark's
+    * own `InjectRuntimeFilter` builds internally for runtime join pruning).
+    */
+  def bloomBits(build: DataFrame, keyCol: String, m: Int, j: Int): DataFrame = {
+    require(j >= 1 && j <= 4, "md5 yields 32 hex chars => at most 4 chunks")
+    build.filter(col(keyCol).isNotNull)
+      .select(explode(array((0 until j).map(t => bloomPos(col(keyCol), t, m)): _*))
+        .as("pos"))
+      .distinct()
+  }
+
+  /** Membership report: every probe key against the bits of the build
+    * side, alongside exact membership. `in_bloom` has NO false negatives
+    * by construction (asserted in SketchSpec); `is_fp` rows quantify the
+    * (1-e^(-jn/m))^j false-positive trade. Output: probeKey, in_bloom,
+    * in_build, is_fp.
+    *
+    * Scale shape: the bit set is <= m rows (broadcast), the probe side
+    * explodes to j rows per key and aggregates back partially — the exact
+    * pre-shuffle pruning shape: at 100 TB the probe filter
+    * `in_bloom` drops non-joining rows BEFORE the expensive shuffle join,
+    * with the build scan reduced to one m-bit broadcast. The exact
+    * `in_build` column (a broadcast left join here) exists only for the
+    * report's FP accounting — production pruning needs no exact side. */
+  def bloomMembership(build: DataFrame, buildKey: String,
+                      probe: DataFrame, probeKey: String,
+                      m: Int = 1024, j: Int = 3): DataFrame = {
+    val bits = bloomBits(build, buildKey, m, j).withColumn("hit", lit(1))
+    val buildSet = build.filter(col(buildKey).isNotNull)
+      .select(col(buildKey).as(probeKey)).distinct().withColumn("ex", lit(1))
+    probe.filter(col(probeKey).isNotNull)
+      .select(col(probeKey),
+        explode(array((0 until j).map(t => bloomPos(col(probeKey), t, m)): _*))
+          .as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left_outer")
+      .groupBy(probeKey)
+      // a key whose j positions collide still probes j rows, so == j is
+      // exact membership-of-all-positions even under within-key collisions
+      .agg((count(when(col("hit") === 1, 1)) === j).as("in_bloom"))
+      .join(broadcast(buildSet), Seq(probeKey), "left_outer")
+      .withColumn("in_build", col("ex") === 1)
+      .select(col(probeKey), col("in_bloom"),
+        coalesce(col("in_build"), lit(false)).as("in_build"),
+        (col("in_bloom") && coalesce(col("in_build"), lit(false)) === false)
+          .as("is_fp"))
+  }
+
+  /** DuckDB SQL reproducing `bloomMembership` bit-for-bit. `buildSql` /
+    * `probeSql` must yield one column named `k`. */
+  def bloomMembershipOracle(buildSql: String, probeSql: String, outKey: String,
+                            m: Int = 1024, j: Int = 3): String =
+    s"""WITH build AS ($buildSql),
+       |probe AS ($probeSql),
+       |tt AS (SELECT unnest(range($j)) AS t),
+       |bits AS (SELECT DISTINCT ('0x'||substr(md5(k::VARCHAR), t*8+1, 8))::BIGINT % $m AS pos
+       |         FROM build CROSS JOIN tt WHERE k IS NOT NULL),
+       |pp AS (SELECT k, ('0x'||substr(md5(k::VARCHAR), t*8+1, 8))::BIGINT % $m AS pos
+       |       FROM probe CROSS JOIN tt WHERE k IS NOT NULL),
+       |hits AS (SELECT pp.k, COUNT(bits.pos) = $j AS in_bloom
+       |         FROM pp LEFT JOIN bits USING (pos) GROUP BY pp.k),
+       |ex AS (SELECT DISTINCT k FROM build WHERE k IS NOT NULL)
+       |SELECT hits.k AS $outKey, in_bloom,
+       |  ex.k IS NOT NULL AS in_build,
+       |  in_bloom AND ex.k IS NULL AS is_fp
+       |FROM hits LEFT JOIN ex ON hits.k = ex.k
+       |ORDER BY $outKey""".stripMargin
+
+  /** The packed-bitmap Bloom as a typed `Aggregator` — the PRODUCTION
+    * form: input is the key rendered to its hash string, buffer is the
+    * m-bit filter as m/64 longs, merge is bitwise OR (one fixed-size array
+    * per partition crosses the wire, never the keys). Membership of key k
+    * = all j bits set. Spec-proven to produce identical verdicts to the
+    * relational [[bloomMembership]] path. */
+  final class BloomAgg(m: Int, j: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Array[Long]] {
+    require(m % 64 == 0 && m > 0, "m must be a positive multiple of 64")
+    require(j >= 1 && j <= 4, "md5 yields 32 hex chars => at most 4 chunks")
+    override def zero: Array[Long] = new Array[Long](m / 64)
+
+    override def reduce(buf: Array[Long], key: String): Array[Long] = {
+      var t = 0
+      while (t < j) {
+        val pos = BloomAgg.position(key, t, m)
+        buf(pos >> 6) |= (1L << (pos & 63))
+        t += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  object BloomAgg {
+    /** JVM twin of [[bloomPos]]: t-th 8-hex chunk of md5(key) mod m. */
+    def position(key: String, t: Int, m: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      // hex chars [t*8, t*8+8) = bytes [t*4, t*4+4), big-endian unsigned
+      var v = 0L
+      var i = t * 4
+      while (i < t * 4 + 4) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      (v % m).toInt
+    }
+
+    def contains(bits: Array[Long], key: String, j: Int, m: Int): Boolean =
+      (0 until j).forall { t =>
+        val pos = position(key, t, m)
+        (bits(pos >> 6) & (1L << (pos & 63))) != 0
+      }
+  }
 }

@@ -525,6 +525,28 @@ object AnalyticsQueries {
     // the 31-token vocabulary — 5 of 31 estimates overcount, the rest are
     // exact). The relational groupBy-sum construction is the sketch's
     // mergeability; estimates are min-over-rows, biased high never low.
+    // Bloom membership (Bloom 1970): the bit set over event-active user
+    // ids (150 keys), probed by the whole customer dim (1500 keys — 1350
+    // true negatives exercise the FP trade at m=1024/j=3, expected
+    // (1-e^(-jn/m))^j ~ 4.5%). The production use is probe-side shuffle
+    // pruning (what Spark's InjectRuntimeFilter builds internally); this
+    // report makes the sketch's guarantees driver-checkable: in_bloom has
+    // no false negatives (SketchSpec asserts), is_fp counts the lie rate.
+    "q_bloom_membership" -> QueryDef.sql(
+      (s, dir) => graft.ops.Sketch.bloomMembership(
+          Tables.events(s, dir).select(col("user_id")),
+          "user_id",
+          Tables.customer(s, dir).select(col("c_custkey")),
+          "c_custkey", m = 1024, j = 3)
+        .orderBy("c_custkey"),
+      graft.ops.Sketch.bloomMembershipOracle(
+        "SELECT user_id AS k FROM events",
+        "SELECT c_custkey AS k FROM customer",
+        outKey = "c_custkey", m = 1024, j = 3),
+      doc = "Bloom-filter membership over event-active users probed by " +
+        "the customer dim: md5 bit positions both engines compute " +
+        "bit-for-bit; no false negatives, FP rate measured (full oracle)"),
+
     "q_count_min" -> QueryDef.sql(
       (s, dir) => graft.ops.Sketch.countMinTopK(
           Tables.documents(s, dir)

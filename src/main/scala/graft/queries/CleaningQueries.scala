@@ -67,6 +67,22 @@ object CleaningQueries {
       doc = "corpus-wide segment (pseudo-line) exact dedup with first-" +
         "occurrence winners and in-order document rebuild"),
 
+    // --------------------------------------- substring-level exact dedup
+    // ExactSubstr (Lee et al. 2022) at character granularity: positions
+    // opening a 64-char substring shared with ANOTHER document merge into
+    // maximal ranges (gaps-and-islands) and are cut out of the rebuilt
+    // text. The fixture's planted near-dup docs carry real cross-doc runs
+    // (45 docs, ~10k duplicate positions at sf0.01), so ranges, counts,
+    // and the surgically-cleaned text are all exercised non-trivially.
+    "q_dedup_substring" -> QueryDef.sql(
+      (s, dir) => CleanOps.substringDedup(
+          Tables.documents(s, dir), "doc_id", "text", gram = 64)
+        .orderBy("doc_id"),
+      CleanOps.substringDedupOracle(gram = 64),
+      doc = "exact substring-level dedup (ExactSubstr shape): cross-doc " +
+        "64-char duplicate runs merged into ranges and removed from the " +
+        "rebuilt text"),
+
     // -------------------------------- cross-document n-gram duplication
     // RefinedWeb's duplicated-n-gram quality signal: the fraction of a
     // document's distinct 4-gram shingles that occur in >= 1 other

@@ -139,4 +139,55 @@ class AnalyticsSpec extends SparkSpecBase {
     val r2 = AnalyticsQueries.defs("q_tf_idf").fn(spark, sf0001).collect().toSeq
     assert(r1 === r2)
   }
+
+  test("Bloom membership: zero false negatives, FP rate inside the formula band") {
+    val rows = AnalyticsQueries.defs("q_bloom_membership").fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // the defining guarantee: a member is NEVER reported absent
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("in_build")) assert(r.getAs[Boolean]("in_bloom"),
+        s"false negative for ${r.get(0)}")
+      assert(r.getAs[Boolean]("is_fp") ===
+        (r.getAs[Boolean]("in_bloom") && !r.getAs[Boolean]("in_build")))
+    }
+    val negatives = rows.count(r => !r.getAs[Boolean]("in_build"))
+    val fps = rows.count(_.getAs[Boolean]("is_fp"))
+    if (negatives > 100) {
+      // (1 - e^(-jn/m))^j with n = build cardinality; generous 3x envelope
+      val n = rows.count(_.getAs[Boolean]("in_build"))
+      val p = math.pow(1 - math.exp(-3.0 * n / 1024), 3)
+      assert(fps.toDouble / negatives <= 3 * p + 0.02,
+        s"FP rate ${fps.toDouble / negatives} vs expected $p")
+    }
+  }
+
+  test("Bloom packed-bitmap Aggregator matches the relational bit set exactly") {
+    import org.apache.spark.sql.functions.udaf
+    val (m, j) = (1024, 3)
+    val ev = Tables.events(spark, sf0001).select(col("user_id"))
+    val bitmap = ev
+      .agg(udaf(new graft.ops.Sketch.BloomAgg(m, j))
+        .apply(col("user_id").cast("string")).as("bits"))
+      .collect().head.getSeq[Long](0).toArray
+    // identical set bits as the relational DISTINCT-positions form
+    val relBits = graft.ops.Sketch.bloomBits(ev, "user_id", m, j)
+      .collect().map(_.getLong(0)).toSet
+    val packedBits = (0 until m).filter(p =>
+      (bitmap(p >> 6) & (1L << (p & 63))) != 0).map(_.toLong).toSet
+    assert(packedBits === relBits)
+    // merge invariance: partials OR to the same filter
+    val shuffled = ev.repartition(13)
+      .agg(udaf(new graft.ops.Sketch.BloomAgg(m, j))
+        .apply(col("user_id").cast("string")).as("bits"))
+      .collect().head.getSeq[Long](0).toArray
+    assert(shuffled.toSeq === bitmap.toSeq)
+    // membership verdicts equal the relational report for every probe key
+    val report = graft.ops.Sketch.bloomMembership(
+        ev, "user_id", Tables.customer(spark, sf0001).select(col("c_custkey")),
+        "c_custkey", m, j)
+      .collect().map(r => r.getAs[Long]("c_custkey") -> r.getAs[Boolean]("in_bloom"))
+    report.foreach { case (k, verdict) =>
+      assert(graft.ops.Sketch.BloomAgg.contains(bitmap, k.toString, j, m) === verdict)
+    }
+  }
 }

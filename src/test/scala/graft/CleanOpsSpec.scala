@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.ops.CleanOps
+import graft.sources.Tables
 
 class CleanOpsSpec extends SparkSpecBase {
   import spark.implicits._
@@ -89,6 +90,51 @@ class CleanOpsSpec extends SparkSpecBase {
     }
     // every document is present in the output exactly once
     assert(out.map(_.getAs[Long]("doc_id")).toSet === (1L to 40L).toSet)
+  }
+
+  test("substringDedup cuts exactly the planted shared run, in every copy") {
+    // two docs share one 80-char run embedded at different offsets; a third
+    // is untouched. gram=64 => marked positions are the 17 openings of the
+    // run, merging into ONE 80-char range per doc.
+    val run = (0 until 80).map(i => ('a' + (i * 7 % 26)).toChar).mkString
+    val a = "AAAA" + run + "BBBBBBBB"
+    val b = "CCCCCCCCCCCC" + run + "D"
+    val c = "totally unique content that is long enough to clear the gram " +
+      "threshold but shares nothing with the others at all............."
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = CleanOps.substringDedup(df, "doc_id", "text", gram = 64)
+      .orderBy("doc_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n_ranges") === 1)
+    assert(out(0).getAs[Long]("dup_chars") === 80)
+    assert(out(0).getAs[String]("clean_text") === "AAAA" + "BBBBBBBB")
+    assert(out(1).getAs[Long]("n_ranges") === 1)
+    assert(out(1).getAs[Long]("dup_chars") === 80)
+    assert(out(1).getAs[String]("clean_text") === "CCCCCCCCCCCC" + "D")
+    assert(out(2).getAs[Long]("n_ranges") === 0)
+    assert(out(2).getAs[String]("clean_text") === c)
+  }
+
+  test("substringDedup invariants on the fixture corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = CleanOps.substringDedup(docs, "doc_id", "text", gram = 64)
+    val rows = out.collect()
+    val orig = docs.select(col("doc_id"), length(col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length === orig.size) // every doc passes through
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val dup = r.getAs[Long]("dup_chars")
+      val clean = r.getAs[String]("clean_text")
+      // conservation: cleaned length + removed chars == original length
+      assert(clean.length + dup === orig(id),
+        s"doc $id: ${clean.length} + $dup != ${orig(id)}")
+      assert(r.getAs[Long]("n_ranges") >= 0 && dup >= 0)
+      // every merged range is at least one gram long
+      assert(dup >= 64L * r.getAs[Long]("n_ranges"))
+    }
+    // the fixture's planted near-dups must actually trigger the operator
+    assert(rows.count(_.getAs[Long]("n_ranges") > 0) > 0)
   }
 
   test("redactPii masks emails, IPs, and phones; counts match") {
