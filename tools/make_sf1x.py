@@ -1,0 +1,153 @@
+#!/usr/bin/env python3
+"""Deterministic 10x amplification of sf0.1 -> the "sf1x" stretch-probe
+fixture (BASELINE.md's scale probes run against it).
+
+Round-5/6 history: the original amplification was built ad-hoc in /tmp and
+the script was never committed, so the fixture died with the VM — this file
+closes that reproducibility gap. It also fixes the round-5 embedding-noise
+defect BASELINE.md documents: the old per-dim noise
+`((vec_id*64+i)*2654435761 + k*40503) % 1000` is linear in i modulo 1000 (a
+sawtooth), so noise vectors of different (vec_id, k) were shifted copies of
+one periodic ramp and correlated strongly — the amplified corpus was DENSE
+(4.63M pairs at cos >= 0.9). Here the noise is a splitmix64 hash of
+(k, vec_id, dim): properly decorrelated, cross-copy cosine < 0.4 by
+construction, so near-dup structure scales ~10x linearly as designed.
+Probe rows measured on the regenerated fixture are marked in BASELINE.md.
+
+Construction (copy k = 0..9; k=0 is the original rows):
+- documents:  doc_id += k*1e6; k>0 inserts the copy token f"c{k}q" after
+              every 5th token (every 64-char gram then spans an insertion
+              => no cross-copy exact substrings; 3-gram Jaccard ~ 0.35).
+- embeddings: vec_id += k*1e6; e_i += U(-0.6, 0.6) from splitmix64(k,id,i)
+              (unit-norm inputs => cross-copy cos ~ 0.34 expected).
+- events:     event_id += k*1e7; user_id += k*1e6; ts += k days
+              (TIMESTAMP_NANOS physical type preserved).
+- customer:   c_custkey += k*1e6.
+- orders:     o_orderkey += k*1e7; o_custkey += k*1e6.
+- lineitem:   l_orderkey += k*1e7; l_partkey/l_suppkey += k*1e6.
+- part/supplier: keys += k*1e6.
+- region/nation: copied unchanged (shared dims across the 10 sub-stars).
+
+Usage: python tools/make_sf1x.py [src_dir] [dst_dir]
+       (defaults: /root/testdata/sf0.1 -> /tmp/sf1x)
+"""
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+K = 10
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1x"
+
+
+def splitmix64(x):
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = x
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return z ^ (z >> np.uint64(31))
+
+
+def amplified(table, fn):
+    """Concatenate fn(table, k) for k in 0..K-1."""
+    return pa.concat_tables([fn(table, k) for k in range(K)])
+
+
+def offset_cols(t, k, offsets):
+    cols = {}
+    for name in t.column_names:
+        c = t.column(name)
+        if name in offsets:
+            c = pa.chunked_array([pa.compute.add(ch, offsets[name] * k) for ch in c.chunks])
+        cols[name] = c
+    return pa.table(cols, schema=t.schema)
+
+
+def copy_documents(t, k):
+    if k == 0:
+        return t
+    doc_id = pa.compute.add(t.column("doc_id"), 1_000_000 * k)
+    tok = f"c{k}q"
+    texts = []
+    for s in t.column("text").to_pylist():
+        ws = s.split(" ")
+        out = []
+        for i, w in enumerate(ws):
+            out.append(w)
+            if i % 5 == 4:
+                out.append(tok)
+        texts.append(" ".join(out))
+    text = pa.array(texts, type=pa.string())
+    n_chars = pa.array([len(s) for s in texts], type=pa.int64())
+    return pa.table({"doc_id": doc_id, "text": text,
+                     "lang": t.column("lang"), "source": t.column("source"),
+                     "n_chars": n_chars}, schema=t.schema)
+
+
+def copy_embeddings(t, k):
+    if k == 0:
+        return t
+    vec_id = t.column("vec_id").to_numpy()
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float32)  # (n, 64)
+    n, d = emb.shape
+    idx = (np.uint64(k) * np.uint64(1 << 40)
+           + vec_id.astype(np.uint64)[:, None] * np.uint64(64)
+           + np.arange(d, dtype=np.uint64)[None, :])
+    noise = ((splitmix64(idx) % np.uint64(2001)).astype(np.float64) - 1000.0) / 1000.0 * 0.6
+    out = (emb + noise).astype(np.float32)
+    return pa.table(
+        {"vec_id": pa.array(vec_id + 1_000_000 * k, type=pa.int64()),
+         "embedding": pa.array(list(out), type=pa.list_(pa.float32())),
+         "label": t.column("label")}, schema=t.schema)
+
+
+def copy_events(t, k):
+    if k == 0:
+        return t
+    cols = {}
+    for name in t.column_names:
+        c = t.column(name)
+        if name == "event_id":
+            c = pa.compute.add(c, 10_000_000 * k)
+        elif name == "user_id":
+            c = pa.compute.add(c, 1_000_000 * k)
+        elif name == "ts":
+            day_ns = 86_400_000_000_000
+            ns = c.cast(pa.int64())
+            ns = pa.compute.add(ns, day_ns * k)
+            c = ns.cast(pa.timestamp("ns"))
+        cols[name] = c
+    return pa.table(cols, schema=t.schema)
+
+
+def main():
+    import os
+    os.makedirs(DST, exist_ok=True)
+    plans = {
+        "documents": copy_documents,
+        "embeddings": copy_embeddings,
+        "events": copy_events,
+        "customer": lambda t, k: offset_cols(t, k, {"c_custkey": 1_000_000}),
+        "orders": lambda t, k: offset_cols(t, k, {"o_orderkey": 10_000_000,
+                                                  "o_custkey": 1_000_000}),
+        "lineitem": lambda t, k: offset_cols(t, k, {"l_orderkey": 10_000_000,
+                                                    "l_partkey": 1_000_000,
+                                                    "l_suppkey": 1_000_000}),
+        "part": lambda t, k: offset_cols(t, k, {"p_partkey": 1_000_000}),
+        "supplier": lambda t, k: offset_cols(t, k, {"s_suppkey": 1_000_000}),
+        "region": None,
+        "nation": None,
+    }
+    for name, fn in plans.items():
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        out = t if fn is None else amplified(t, fn)
+        # preserve the source's physical timestamp type (events: ns)
+        pq.write_table(out, f"{DST}/{name}.parquet",
+                       coerce_timestamps=None, use_deprecated_int96_timestamps=False)
+        print(f"{name}: {t.num_rows} -> {out.num_rows}")
+
+
+if __name__ == "__main__":
+    main()
