@@ -182,4 +182,127 @@ object TrainOps {
     * past 2^53). `div` is Spark's registered name for IntegralDivide;
     * matches DuckDB `//` on positive operands. */
   private def intDiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  // ------------------------------------------------------------ BPE merges
+
+  /** Byte-pair-encoding merge learning (Sennrich, Haddow, Birch 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units") at
+    * token granularity: `rounds` iterations of "count adjacent pairs, pick
+    * the most frequent, merge every occurrence greedily left-to-right" —
+    * the tokenizer-induction step of an LLM data pipeline, here inducing
+    * word-level merges over the corpus token stream.
+    *
+    * Greedy LTR without sequential scanning: a merge at position i consumes
+    * i+1, so of a RUN of consecutive candidate positions only alternate
+    * ones merge (runs longer than 1 arise only for self-pairs a==b, e.g.
+    * "a a a" -> "aa a"). Runs are gaps-and-islands (pos - row_number is
+    * constant within a run) and "alternate" is rank-odd within the island —
+    * all window work partitioned by document, bounded by document length.
+    *
+    * Scale shape per round: one lead() window per document partition, one
+    * PARTIALLY AGGREGABLE pair count (state = vocab-squared at worst, Zipf
+    * in practice), a ONE-ROW argmax collect (the bounded-driver-fit
+    * pattern of [[packConcatChunk]]'s shard table — the merged pair then
+    * re-enters the plan as a LITERAL, so the rewrite is pure codegen with
+    * no constant-key join), two equi-joins on (id, pos) against the kept
+    * set, and a localCheckpoint to keep the plan O(1)-deep across rounds
+    * (the [[pageRank]] contract). `rounds` full passes is BPE's inherent
+    * cost — production tokenizers fit on a corpus SAMPLE; pair counts are
+    * deterministic, ties broken (count desc, a asc, b asc).
+    *
+    * @return one row per learned merge: round (1-based), tok_a, tok_b,
+    *         pair_count — ordered by round. */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+                rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32], got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var toks = docs
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+      .localCheckpoint()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pairs = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      val best = pairs.filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc, col("nxt").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((r.toLong, a, b, c))
+        val kept = pairs
+          .filter(col("tok") === a && col("nxt") === b)
+          .withColumn("grp", col("pos") - row_number().over(w))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col(idCol), col("grp")).orderBy(col("pos"))))
+          .filter(col("rn") % 2 === 1)
+          .select(col(idCol), col("pos"))
+        // positions are dense before the rewrite, so "my predecessor was a
+        // kept merge start" is lag(m1) over the same (id, pos) sort the
+        // re-rank needs anyway — one join per round, not two
+        toks = toks
+          .join(kept.withColumn("m1", lit(1)), Seq(idCol, "pos"), "left_outer")
+          .withColumn("m2", lag(col("m1"), 1).over(w))
+          .filter(col("m2").isNull)
+          .select(col(idCol),
+            (row_number().over(w) - 1).as("pos"),
+            when(col("m1") === 1, lit(a + b)).otherwise(col("tok")).as("tok"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "tok_a", "tok_b", "pair_count")
+      .orderBy("round")
+  }
+
+  /** DuckDB oracle for [[bpeMerges]]: each round unrolled as chained CTEs
+    * (the [[pageRankOracle]] convention) — pair lead, one-row argmax,
+    * island-alternation merge, position re-rank. `docsSql` must yield
+    * (doc_id, text). */
+  def bpeMergesOracle(docsSql: String, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT doc_id, pos, tok,
+         |  LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |FROM t${i - 1}),
+         |b$i AS MATERIALIZED (SELECT tok AS a, nxt AS b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM p$i WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |k$i AS MATERIALIZED (SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, ROW_NUMBER() OVER (PARTITION BY doc_id, grp
+         |        ORDER BY pos) AS rn
+         |    FROM (SELECT p.doc_id, p.pos,
+         |            p.pos - ROW_NUMBER() OVER (PARTITION BY p.doc_id
+         |              ORDER BY p.pos) AS grp
+         |          FROM p$i p JOIN b$i ON p.tok = b$i.a AND p.nxt = b$i.b))
+         |  WHERE rn % 2 = 1),
+         |t$i AS MATERIALIZED (SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN m1 THEN (SELECT a || b FROM b$i) ELSE tok END AS tok
+         |  FROM (SELECT t.doc_id, t.pos, t.tok,
+         |          k1.pos IS NOT NULL AS m1, k2.pos IS NOT NULL AS m2
+         |        FROM t${i - 1} t
+         |        LEFT JOIN k$i k1 ON k1.doc_id = t.doc_id AND k1.pos = t.pos
+         |        LEFT JOIN k$i k2 ON k2.doc_id = t.doc_id AND k2.pos + 1 = t.pos)
+         |  WHERE NOT m2)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS round, a AS tok_a, b AS tok_b, c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH d AS ($docsSql),
+       |t0 AS MATERIALIZED (SELECT doc_id, CAST(pos AS INT) AS pos, tok FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+       |      unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+       |    FROM d)),
+       |$roundCtes
+       |$union
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -292,6 +292,23 @@ object TrainingQueries {
       doc = "5-iteration PageRank on the customer-supplier graph, " +
         "bit-identical decimal-sum contract, top 50"),
 
+    // ----------------------------------------------- tokenizer induction
+    // BPE merge learning (Sennrich 2016) over the corpus token stream: 6
+    // rounds of most-frequent-adjacent-pair + greedy LTR merge. The
+    // learned merge table IS the output (round, pair, count) — the
+    // deterministic artifact a tokenizer build step ships. The oracle
+    // re-derives all 6 rounds from scratch as chained CTEs, so argmax
+    // tie-breaks, island alternation, and the re-ranked rewrite are all
+    // driver-checked.
+    "q_bpe_merges" -> QueryDef.sql(
+      (s, dir) => TrainOps.bpeMerges(
+        Tables.documents(s, dir), "doc_id", "text", rounds = 6),
+      TrainOps.bpeMergesOracle("SELECT doc_id, text FROM documents",
+        rounds = 6),
+      doc = "BPE tokenizer induction: 6 most-frequent-pair merge rounds " +
+        "with greedy left-to-right application (island alternation), " +
+        "full unrolled-CTE oracle"),
+
     // -------------------------------------------- end-to-end assembly
     // The flagship composition: the whole corpus→training-batches funnel as
     // ONE declared query — exact dedup (normalization fingerprint, min-id

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.TrainOps
+import graft.sources.Tables
 
 /** Sequence packing, fixed-point PageRank, and the BM25 scoring column. */
 class TrainOpsSpec extends SparkSpecBase {
@@ -113,5 +114,32 @@ class TrainOpsSpec extends SparkSpecBase {
       assert(math.abs(micro(tf, df, n, dl, sumDl) - exact * 1e6) <= 2 +
         2e-6 * math.abs(exact) * 1e6)
     }
+  }
+
+  // ---------------------------------------------------------- BPE merges
+
+  test("bpeMerges learns the hand-computed merge sequence, LTR alternation included") {
+    // doc1 "x x x x ..." exercises the self-pair run: candidates at
+    // positions 0,1,2 must merge ALTERNATELY (0 and 2) -> "xx xx", exactly
+    // greedy left-to-right
+    val docs = Seq((1L, "x x x x y z y z"), (2L, "x x y z")).toDF("doc_id", "text")
+    val got = TrainOps.bpeMerges(docs, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "x", "x", 4L),   // 3 overlapping in doc1 + 1 in doc2
+      (2L, "y", "z", 3L),   // after xx-merge: (y,z) x2 in doc1 + 1 in doc2
+      (3L, "xx", "yz", 2L)))
+  }
+
+  test("bpeMerges ties break lexicographically and results survive repartition") {
+    val tie = Seq((1L, "b a"), (2L, "a b")).toDF("doc_id", "text")
+    val m = TrainOps.bpeMerges(tie, "doc_id", "text", rounds = 1).collect().head
+    assert((m.getString(1), m.getString(2)) === ("a", "b")) // (a,b) < (b,a)
+    val docs = Tables.documents(spark, sf0001)
+    val r1 = TrainOps.bpeMerges(docs, "doc_id", "text", rounds = 4).collect().toSeq
+    val r2 = TrainOps.bpeMerges(docs.repartition(7), "doc_id", "text", rounds = 4)
+      .collect().toSeq
+    assert(r1 === r2)
+    assert(r1.length === 4)
   }
 }
