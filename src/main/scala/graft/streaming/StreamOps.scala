@@ -213,4 +213,63 @@ object StreamOps {
           } else Iterator.empty
       }
   }
+
+  /** Packed Bloom bitmap per bucket (mPerBucket/64 longs). Public flat-List
+    * state for the same janino state-store reasons as [[BucketState]]. */
+  final case class BloomBucketState(bits: List[Long])
+  final case class BloomSeen(key: Long, bucket: Int, dup: Boolean)
+
+  /** FIXED-STATE approximate stream dedup via bucketed Bloom filters — the
+    * bounded-forever alternative to [[dedupStream]] (whose exact state
+    * grows with every distinct key) and [[dedupStreamBounded]] (bounded
+    * only because the watermark forgets, re-admitting old keys): total
+    * state is `buckets × mPerBucket` bits FOR THE LIFETIME of the query,
+    * the per-key cost of never forgetting. The price is approximate
+    * verdicts in one direction only — a repeat is NEVER missed (no false
+    * negatives), but a first arrival can be falsely flagged dup with the
+    * standard (1-e^(-jn/m))^j probability as its bucket fills; size
+    * buckets × mPerBucket to the expected key cardinality. Keys partition
+    * by `floorMod(key, buckets)`, so bucket filters fill evenly under any
+    * roughly-uniform key space and the stateful work spreads across
+    * executors like any keyed aggregation.
+    *
+    * Bit positions come from [[graft.ops.Sketch.BloomAgg.position]] — the
+    * SAME md5 family as the batch bloom tier, so verdicts are spec-proven
+    * equal to a sequential reference fold on identical arrival order
+    * (within a micro-batch, arrivals process in key order — the
+    * determinism discipline of [[minhashNearDupStream]]). */
+  def bloomDedupStream(events: DataFrame, keyCol: String, buckets: Int = 32,
+                       mPerBucket: Int = 1024, j: Int = 3): Dataset[BloomSeen] = {
+    require(mPerBucket % 64 == 0 && mPerBucket > 0, "mPerBucket must be a multiple of 64")
+    require(buckets >= 1 && j >= 1 && j <= 4, "buckets >= 1; md5 allows j <= 4")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long").as("k"),
+        pmod(col(keyCol).cast("long"), lit(buckets)).cast("int").as("bucket"))
+      .as[(Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[BloomBucketState, BloomSeen](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Int, rows: Iterator[(Long, Int)], state: GroupState[BloomBucketState]) =>
+          val bits = state.getOption
+            .map(_.bits.toArray)
+            .getOrElse(new Array[Long](mPerBucket / 64))
+          val out = scala.collection.mutable.ListBuffer.empty[BloomSeen]
+          rows.map(_._1).toSeq.sorted.foreach { k =>
+            val ks = k.toString
+            val dup = graft.ops.Sketch.BloomAgg.contains(bits, ks, j, mPerBucket)
+            if (!dup) {
+              var t = 0
+              while (t < j) {
+                val pos = graft.ops.Sketch.BloomAgg.position(ks, t, mPerBucket)
+                bits(pos >> 6) |= (1L << (pos & 63))
+                t += 1
+              }
+            }
+            out += BloomSeen(k, bucket, dup)
+          }
+          state.update(BloomBucketState(bits.toList))
+          out.iterator
+      }
+  }
 }

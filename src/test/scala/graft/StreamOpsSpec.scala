@@ -267,4 +267,44 @@ class StreamOpsSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L), (1L, 3L)))
   }
+
+  test("bloom dedup stream: verdicts equal the sequential reference fold, no false negatives") {
+    import spark.implicits._
+    val (buckets, m, j) = (8, 256, 3)
+    val streamed = runToMemory(
+      StreamOps.bloomDedupStream(
+        eventStream.withColumn("dup_key", col("event_id") % 200),
+        "dup_key", buckets, m, j).toDF(), "s_bloom", "append")
+      .select(col("key"), col("dup"))
+      .as[(Long, Boolean)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // reference: same keyset pages (400 rows by event_id), same in-batch
+    // key sort (buckets are disjoint, so a global sort is equivalent),
+    // same md5 bit positions
+    val ids = Tables.events(spark, sf0001).select(col("event_id"))
+      .orderBy("event_id").collect().map(_.getLong(0))
+    val bits = Array.fill(buckets)(new Array[Long](m / 64))
+    val expected = scala.collection.mutable.Map.empty[(Long, Boolean), Int]
+    ids.grouped(400).foreach { page =>
+      page.map(_ % 200).sorted.foreach { k =>
+        val b = java.lang.Math.floorMod(k, buckets.toLong).toInt
+        val dup = graft.ops.Sketch.BloomAgg.contains(bits(b), k.toString, j, m)
+        if (!dup) {
+          (0 until j).foreach { t =>
+            val pos = graft.ops.Sketch.BloomAgg.position(k.toString, t, m)
+            bits(b)(pos >> 6) |= (1L << (pos & 63))
+          }
+        }
+        expected((k, dup)) = expected.getOrElse((k, dup), 0) + 1
+      }
+    }
+    assert(streamed === expected.toMap)
+    // one-sided error: after a key's first arrival, EVERY later arrival is
+    // flagged (a bloom never forgets) — at most one dup=false per key
+    streamed.keys.groupBy(_._1).foreach { case (k, vs) =>
+      assert(streamed.filter { case ((kk, d), _) => kk == k && !d }.values.sum <= 1,
+        s"key $k emitted more than one first-arrival verdict")
+    }
+    assert(streamed.exists { case ((_, d), _) => d }, "no duplicates flagged at all")
+  }
 }
