@@ -395,4 +395,156 @@ object Sketch {
         (bits(pos >> 6) & (1L << (pos & 63))) != 0
       }
   }
+
+  // ---------------------------------------------------------- HyperLogLog
+
+  /** HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007) with m = 32
+    * registers over the portable 60-bit md5 hash: register = top 5 hash
+    * bits, rho = leading-zero rank of the remaining 55 bits (capped at 32
+    * so the scaled harmonic sum stays in exact BIGINT range). The whole
+    * estimate — harmonic mean in 2^32-scaled integer units, alpha_32
+    * bias correction in micro-units, and the small-range linear-counting
+    * switch (raw <= 2.5m with empty registers, the paper's rule) — is
+    * integer or 6-dp-rounded-ln arithmetic, so DuckDB reproduces it
+    * bit-for-bit and the tier gets a FULL oracle (the same reason the KMV
+    * tier exists next to `approx_count_distinct`).
+    *
+    * Scale shape: rho extraction is pure codegen projection; the register
+    * table is a PARTIALLY AGGREGABLE groupBy (state <= m rows per group
+    * crosses the shuffle, map-side combined), folded to one row per group.
+    * The exact count joins in only because the oracle compares both —
+    * production uses [[HllAgg]], whose fixed m-int buffer is the only
+    * per-partition state.
+    *
+    * Output: groupCol, n_exact, est, within_3sigma. */
+  val HllB = 5
+  val HllM = 32                    // 2^HllB
+  val HllRhoCap = 32
+  val HllAlphaMicro = 697000L      // alpha_32 = 0.697 (Flajolet 2007, Fig. 3)
+
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val remMod = 1L << (60 - HllB)                // low 55 bits
+    val h = portableUnitHashLong(col(valueCol))
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol),
+        call_function("div", h, lit(remMod)).as("j"), (h % remMod).as("rem"))
+      .withColumn("rho",
+        when(col("rem") === 0L, lit(HllRhoCap))
+          .otherwise(least(lit(HllRhoCap),
+            lit(60 - HllB + 1) - length(ltrim(bin(col("rem")), "0")))))
+    val regs = base.groupBy(col(groupCol), col("j"))
+      .agg(max("rho").as("m_j"))
+    val est = regs.groupBy(col(groupCol)).agg(
+        sum(call_function("shiftleft", lit(1L), lit(HllRhoCap) - col("m_j")))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .withColumn("s_scaled",
+        col("s_present") + (lit(HllM.toLong) - col("n_present")) * lit(1L << HllRhoCap))
+      .withColumn("v_zero", lit(HllM.toLong) - col("n_present"))
+      .withColumn("raw_micro",
+        call_function("div", lit(HllAlphaMicro * (1L << HllRhoCap)), col("s_scaled")) *
+          lit(HllM.toLong * HllM))
+      .withColumn("est_micro",
+        when(col("raw_micro") <= lit(5L * HllM * 1000000L / 2) && col("v_zero") > 0,
+          lit(HllM.toLong) *
+            round(round(log(lit(HllM.toDouble) / col("v_zero")), 6) * 1000000d)
+              .cast("long"))
+          .otherwise(col("raw_micro")))
+    val exact = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol)).agg(countDistinct(col(valueCol)).as("n_exact"))
+    exact.join(est, groupCol)
+      .select(col(groupCol), col("n_exact"),
+        (col("est_micro").cast("double") / 1000000d).as("est"),
+        // 3 sigma = 3 * 1.04 / sqrt(32) = 55.2% relative, +2 absolute slack
+        (abs(col("est_micro") - col("n_exact") * 1000000L) <=
+          lit(552000L) * col("n_exact") + lit(2000000L)).as("within_3sigma"))
+  }
+
+  /** DuckDB twin of [[hllDistinct]] — identical integer pipeline. */
+  def hllDistinctOracle(table: String, groupCol: String, valueCol: String): String = {
+    val remMod = 1L << (60 - HllB)
+    s"""WITH v AS (SELECT $groupCol,
+       |        ('0x'||substr(md5($valueCol::VARCHAR),1,15))::BIGINT AS h
+       |      FROM $table WHERE $valueCol IS NOT NULL),
+       |r AS (SELECT $groupCol, h // $remMod AS j, h % $remMod AS rem FROM v),
+       |rho AS (SELECT $groupCol, j,
+       |        CASE WHEN rem = 0 THEN $HllRhoCap
+       |             ELSE LEAST($HllRhoCap,
+       |                        ${60 - HllB + 1} - LENGTH(LTRIM(bin(rem), '0')))
+       |        END AS rho
+       |      FROM r),
+       |regs AS (SELECT $groupCol, j, MAX(rho) AS m_j FROM rho GROUP BY $groupCol, j),
+       |agg AS (SELECT $groupCol,
+       |        SUM(CAST(1 AS BIGINT) << ($HllRhoCap - m_j))
+       |          + ($HllM - COUNT(*)) * (CAST(1 AS BIGINT) << $HllRhoCap) AS s_scaled,
+       |        $HllM - COUNT(*) AS v_zero
+       |      FROM regs GROUP BY $groupCol),
+       |est AS (SELECT $groupCol, v_zero,
+       |        (${HllAlphaMicro * (1L << HllRhoCap)} // s_scaled) * ${HllM.toLong * HllM}
+       |          AS raw_micro
+       |      FROM agg),
+       |em AS (SELECT $groupCol,
+       |        CASE WHEN raw_micro <= ${5L * HllM * 1000000L / 2} AND v_zero > 0
+       |             THEN $HllM * CAST(ROUND(ROUND(LN(${HllM.toDouble} / v_zero), 6)
+       |                                    * 1000000) AS BIGINT)
+       |             ELSE raw_micro END AS est_micro
+       |      FROM est),
+       |ex AS (SELECT $groupCol, CAST(COUNT(DISTINCT $valueCol) AS BIGINT) AS n_exact
+       |      FROM $table WHERE $valueCol IS NOT NULL GROUP BY $groupCol)
+       |SELECT ex.$groupCol, ex.n_exact,
+       |  CAST(em.est_micro AS DOUBLE) / 1000000.0 AS est,
+       |  ABS(em.est_micro - ex.n_exact * 1000000) <= 552000 * ex.n_exact + 2000000
+       |    AS within_3sigma
+       |FROM ex JOIN em ON ex.$groupCol = em.$groupCol
+       |ORDER BY ex.$groupCol""".stripMargin
+  }
+
+  /** The same HLL as a typed `Aggregator` — the PRODUCTION form: buffer is
+    * the fixed m-int register array (elementwise-max merge; the ONLY state
+    * that ever crosses a partition boundary), input is the raw 60-bit
+    * portable hash. `finish` reproduces [[hllDistinct]]'s integer estimate
+    * exactly (same div/shift/6-dp-ln arithmetic), which the spec asserts. */
+  final class HllAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Int], Double] {
+    override def zero: Array[Int] = new Array[Int](HllM)
+
+    override def reduce(buf: Array[Int], h: Long): Array[Int] = {
+      val j = (h >>> (60 - HllB)).toInt
+      val rem = h & ((1L << (60 - HllB)) - 1)
+      // LENGTH(bin(rem)) = 64 - nlz(rem); rho = 56 - that = nlz - 8
+      val rho =
+        if (rem == 0L) HllRhoCap
+        else math.min(HllRhoCap, java.lang.Long.numberOfLeadingZeros(rem) - 8)
+      if (rho > buf(j)) buf(j) = rho
+      buf
+    }
+
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < HllM) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Int]): Double = {
+      var s = 0L; var vZero = 0L; var i = 0
+      while (i < HllM) {
+        s += 1L << (HllRhoCap - buf(i))
+        if (buf(i) == 0) vZero += 1
+        i += 1
+      }
+      val rawMicro = (HllAlphaMicro * (1L << HllRhoCap)) / s * (HllM.toLong * HllM)
+      val estMicro =
+        if (rawMicro <= 5L * HllM * 1000000L / 2 && vZero > 0) {
+          val ln6 = java.math.BigDecimal.valueOf(math.log(HllM.toDouble / vZero))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          HllM * math.round(ln6 * 1000000d)
+        } else rawMicro
+      estMicro.toDouble / 1000000d
+    }
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
 }

@@ -305,4 +305,62 @@ object TrainOps {
        |$union
        |ORDER BY round""".stripMargin
   }
+
+  // ------------------------------------------------------ sliding chunks
+
+  /** Overlapping token-window chunking — the SPLIT side of context-window
+    * assembly ([[packConcatChunk]] is the CONCAT side): each document is cut
+    * into windows of `window` tokens every `stride` tokens (overlap =
+    * window - stride), the standard long-document treatment when training
+    * sequences must not lose cross-boundary context. Chunk identity is the
+    * md5 of the space-joined window, so downstream exact-dedup can collapse
+    * identical chunks across documents.
+    *
+    * Scale shape: tokenization and the chunk-count arithmetic are codegen'd
+    * scan projections; the only fan-out is `posexplode` over the per-doc
+    * chunk-start sequence — bounded by ceil(len/stride), i.e. linear in
+    * corpus token count, no shuffle at all until a downstream consumer
+    * aggregates. Empty documents produce zero chunks (nothing to window).
+    *
+    * @return doc_id, chunk_idx (0-based), chunk_len, chunk_hash */
+  def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val toks = TextOps.tokens(col(textCol))
+    val n = size(col("toks")).cast("long")
+    val nChunks = lit(1L) + when(n > window,
+      call_function("div", n - window + (stride - 1), lit(stride.toLong)))
+      .otherwise(lit(0L))
+    docs.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_chunks", nChunks)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("chunk",
+        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(window)))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
+  /** DuckDB oracle for [[chunkSliding]]. `docsSql` must yield (doc_id, text). */
+  def chunkSlidingOracle(docsSql: String, window: Int = 64,
+                         stride: Int = 48): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |        regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |      FROM ($docsSql)),
+       |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks
+       |      WHERE len(t) > 0),
+       |idx AS (SELECT doc_id, t,
+       |        unnest(range(0, 1 + CASE WHEN n > $window
+       |                                 THEN (n - $window + ${stride - 1}) // $stride
+       |                                 ELSE 0 END)) AS chunk_idx
+       |      FROM n),
+       |c AS (SELECT doc_id, chunk_idx,
+       |        t[(chunk_idx * $stride + 1):(chunk_idx * $stride + $window)] AS chunk
+       |      FROM idx)
+       |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 }

@@ -472,6 +472,20 @@ object AnalyticsQueries {
       doc = "KMV/bottom-k distinct estimate with an md5 hash family both " +
         "engines compute bit-for-bit (mergeable sketch, full oracle)"),
 
+    // HyperLogLog with the portable md5 hash: unlike the built-in HLL++
+    // (engine-internal sketch bits), the m=32-register estimate is pure
+    // integer / 6-dp-ln arithmetic, so the register table, harmonic sum,
+    // alpha_32 correction, and linear-counting switch are ALL reproduced by
+    // DuckDB bit-for-bit. Production form is Sketch.HllAgg (fixed 32-int
+    // mergeable buffer), spec-proven equal to this relational twin.
+    "q_agg_hll_distinct" -> QueryDef.sql(
+      (s, dir) => graft.ops.Sketch.hllDistinct(
+          Tables.lineitem(s, dir), "l_returnflag", "l_partkey")
+        .orderBy("l_returnflag"),
+      graft.ops.Sketch.hllDistinctOracle("lineitem", "l_returnflag", "l_partkey"),
+      doc = "HyperLogLog distinct estimate (32 registers, portable md5 " +
+        "hash) with the full integer estimate pipeline oracle-checked"),
+
     // KMV set algebra (Beyer et al. 2007): distinct-part estimates for two
     // shipping years, their union, and their intersection — all from
     // mergeable bottom-k sketches (union sketch = bottom-k of the merged

@@ -309,6 +309,20 @@ object TrainingQueries {
         "with greedy left-to-right application (island alternation), " +
         "full unrolled-CTE oracle"),
 
+    // Sliding-window chunking — the SPLIT side of context-window assembly
+    // (q_pack_sequences is the CONCAT side): overlapping 64-token windows
+    // every 48 tokens, chunk identity = md5 of the joined window so
+    // downstream exact dedup collapses repeated chunks. Pure codegen
+    // projection + a bounded per-doc explode; no shuffle in the operator.
+    "q_chunk_sliding" -> QueryDef.sql(
+      (s, dir) => TrainOps.chunkSliding(
+          Tables.documents(s, dir), "doc_id", "text", window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"),
+      TrainOps.chunkSlidingOracle("SELECT doc_id, text FROM documents",
+        window = 64, stride = 48),
+      doc = "overlapping token-window chunking (64/48): the long-document " +
+        "split step of training-sequence assembly, chunk md5 for dedup"),
+
     // -------------------------------------------- end-to-end assembly
     // The flagship composition: the whole corpus→training-batches funnel as
     // ONE declared query — exact dedup (normalization fingerprint, min-id

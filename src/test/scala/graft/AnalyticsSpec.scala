@@ -105,6 +105,29 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(viaAggShuffled === viaRelational)
   }
 
+  test("HLL Aggregator (fixed 32-int mergeable buffer) equals the relational HLL") {
+    import org.apache.spark.sql.functions.udaf
+    val li = Tables.lineitem(spark, sf0001)
+    val viaRelational = graft.ops.Sketch.hllDistinct(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    def viaAgg(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("l_returnflag"),
+        graft.ops.Sketch.portableUnitHashLong(col("l_partkey")).as("h"))
+      .groupBy("l_returnflag")
+      .agg(udaf(new graft.ops.Sketch.HllAgg).apply(col("h")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaAgg(li) === viaRelational)
+    // repartitioning must not change a mergeable sketch's result
+    assert(viaAgg(li.repartition(13)) === viaRelational)
+    // the estimate is within the asserted 3-sigma band for every group
+    graft.ops.Sketch.hllDistinct(li, "l_returnflag", "l_partkey")
+      .collect().foreach { r =>
+        assert(r.getAs[Boolean]("within_3sigma"),
+          s"${r.getString(0)}: est=${r.getAs[Double]("est")} " +
+            s"exact=${r.getAs[Long]("n_exact")}")
+      }
+  }
+
   test("KMV set algebra: estimates bracket the exact counts and degenerate exactly under k") {
     val li = Tables.lineitem(spark, sf0001)
     import org.apache.spark.sql.functions.{col, year}
