@@ -32,6 +32,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail FIRST with one named "fixture schema changed" error on testdata
+    // drift the loaders can't absorb — not N× per-query rep failures
+    graft.sources.Preflight.check(spark, sfDir)
     // warm the session (executor threads, codegen compiler, parquet footer
     // reader, regex/codegen paths of the big tables) so the first timed
     // query doesn't pay one-time JVM costs. Warm-up failure must not kill

@@ -15,6 +15,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail FIRST with one named "fixture schema changed" error on testdata
+    // drift the loaders can't absorb — not 25 scattered analysis failures
+    graft.sources.Preflight.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // local iteration aid (same contract as Bench): SPARK_GRAFT_ONLY=q_a,q_b
     // dumps just those queries and their oracles; unset for the driver run

@@ -532,25 +532,14 @@ object ExtensionQueries {
         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
       doc = "embedding-cosine near-dup pairs (exact baseline)"),
 
-    // Scale-path twin of q_sim_near_dup: SAME oracle (the exact all-pairs
-    // SQL), so the driver hash-proves the banded-LSH candidates + exact
-    // verify lose no qualifying pair on real data — the dedup-tier pattern
-    // applied to embeddings, killing the last unpaired quadratic.
-    "q_sim_near_dup_lsh" -> QueryDef.sql(
-      (s, dir) => Similarity.lshNearDupPairs(Tables.embeddings(s, dir), threshold = 0.4,
-        rowsPerBand = 3, numBands = 48).orderBy("id_a", "id_b"),
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |        ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS cos
-        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
-      doc = "banded-LSH near-dup candidates + exact cosine verify (scale path; " +
-        "oracle-proven equal to the exact baseline). Crossover note: at this " +
-        "corpus size and loose threshold the exact baseline is faster — the " +
-        "band count is sized for recall at cos>=0.4 (p=0.63); the LSH " +
-        "geometry pays off where n^2 is infeasible and thresholds are tight " +
-        "(cos>=0.9 => a few bands suffice and buckets are sparse)"),
+    // NOTE (round 7): the former q_sim_near_dup_lsh — banded LSH at the
+    // LOOSE threshold (cos>=0.4, r=3 x L=48) against the exact all-pairs
+    // oracle — was retired. Oracle recall 1.0 at a loose threshold forces
+    // r=3, and r=3 x L=48 collides ~99.8% of RANDOM pairs (0.5^3 per band),
+    // i.e. the candidate set degenerates to all-pairs and ran 5.9x SLOWER
+    // than the exact baseline at sf1x. The regime where banded LSH pays off
+    // is the tight-threshold geometry below (6.2x FASTER than exact at
+    // sf1x); the lesson is recorded in BASELINE.md round-7 context.
 
     // The favorable regime itself, as a declared query: tight threshold
     // (cos >= 0.9), r=16 sign bits per band (2^16 buckets/band ⇒ sparse

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 import graft.core.SystemTables
 
@@ -20,24 +21,49 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table. `events.ts` is stored as parquet TIMESTAMP(NANOS),
-    * which Spark does not model; we read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to Spark's
-    * microsecond TimestampType — the same truncation DuckDB's
-    * `CAST(ts AS TIMESTAMP)` performs, keeping both engines bit-identical. */
+  /** Load one table. `events.ts` has shipped under multiple physical
+    * encodings across fixture generations (TIMESTAMP(NANOS), then
+    * timestamp[us] without UTC adjustment); a real lake mixes encodings the
+    * same way, so the loader branches on the schema it actually read instead
+    * of hard-coding one:
+    *
+    *   - `LongType` — a TIMESTAMP(NANOS) fixture read under
+    *     `spark.sql.legacy.parquet.nanosAsLong`; truncate ns→µs into
+    *     TimestampType, the same truncation DuckDB's `CAST(ts AS TIMESTAMP)`
+    *     performs.
+    *   - `TimestampNTZType` — a timestamp[us] (isAdjustedToUTC=false)
+    *     fixture; cast to TimestampType, a pure re-tag under the UTC session
+    *     zone (wall clock preserved — identical to DuckDB's read).
+    *   - `TimestampType` — already Spark's µs instant; pass through.
+    *
+    * Anything else is fixture drift and fails with one named error rather
+    * than 25 scattered analysis exceptions downstream. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // Sessions we build (Verify/Bench/specs) set this at construction;
-      // this guarded set is a safety net for externally-built sessions
-      // (e.g. the driver's smoke check) and is a no-op on ours — parquet
+      // nanosAsLong must be on BEFORE the footer is read or a NANOS fixture
+      // throws at schema conversion; it is a no-op for µs fixtures. Sessions
+      // we build set it at construction; this guarded set is a safety net for
+      // externally-built sessions (e.g. the driver's smoke check) — parquet
       // has no per-read option for it (SQLConf-only, schema-converter level).
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      adaptEventTs(raw, raw.schema("ts").dataType)
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
+  }
+
+  /** Normalize an events-shaped frame's `ts` to TimestampType (see
+    * [[table]] for the encoding contract). Exposed so other events readers
+    * (streaming provider inputs, specs) share one adaptive path. */
+  def adaptEventTs(df: DataFrame, tsType: DataType): DataFrame = tsType match {
+    case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType    => df
+    case other => throw new IllegalStateException(
+      s"fixture schema changed: events.ts is now ${other.simpleString} " +
+        "(expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
