@@ -321,6 +321,14 @@ object TrainOps {
     * chunk-start sequence — bounded by ceil(len/stride), i.e. linear in
     * corpus token count, no shuffle at all until a downstream consumer
     * aggregates. Empty documents produce zero chunks (nothing to window).
+    * LONG-DOC CAVEAT: the explode carries each doc's FULL token array into
+    * every chunk row until the final slice, i.e. O(len²/stride) transient
+    * bytes per document — fine for web-scale docs (len ≤ ~10⁴ tokens ⇒ MBs),
+    * but a book-length outlier (10⁶ tokens ⇒ ~TB transient) must be
+    * pre-split or length-capped upstream. The per-chunk-row re-tokenize
+    * alternative avoids the carry but re-runs the regex len/stride times
+    * (the known-slow HOF path, CLAUDE.md); at typical doc lengths the carry
+    * is the right trade.
     *
     * @return doc_id, chunk_idx (0-based), chunk_len, chunk_hash */
   def chunkSliding(docs: DataFrame, idCol: String, textCol: String,

@@ -484,7 +484,11 @@ object AnalyticsQueries {
         .orderBy("l_returnflag"),
       graft.ops.Sketch.hllDistinctOracle("lineitem", "l_returnflag", "l_partkey"),
       doc = "HyperLogLog distinct estimate (32 registers, portable md5 " +
-        "hash) with the full integer estimate pipeline oracle-checked"),
+        "hash) with the full integer estimate pipeline oracle-checked. " +
+        "ORACLE/DEMONSTRATION-ONLY cost profile: the declared query also " +
+        "runs an exact countDistinct and joins it in for the within-3sigma " +
+        "check, so its bench time measures the exact path, not sketch " +
+        "speed — production form is HllAgg alone"),
 
     // KMV set algebra (Beyer et al. 2007): distinct-part estimates for two
     // shipping years, their union, and their intersection — all from

@@ -141,21 +141,28 @@ object ExtensionQueries {
     * squared norms embedded as literals (the norm is the Scala-computed
     * double, NOT recomputed in SQL — summation order must not differ),
     * assignment/probe via ROW_NUMBER with the same (dist2, cid) tie-break
-    * as Spark's struct ordering. */
-  private def ivfFixedOracle(k: Int, nList: Int, nProbe: Int, dim: Int): String = {
+    * as Spark's struct ordering. `corpusWhere` (a predicate over embeddings
+    * columns, e.g. "label IN (1, 3)") restricts which vectors are INDEXED —
+    * the filtered-search variant; queries still come from the full set.
+    * Assignment is per-vector (nearest centroid), so filtering before vs
+    * after assignment is equivalent — both engines filter first. */
+  private def ivfFixedOracle(k: Int, nList: Int, nProbe: Int, dim: Int,
+                             corpusWhere: String = ""): String = {
     val centRows = (0 until nList).map { c =>
       val ctr = graft.ops.Similarity.fixedCentroid(c, dim)
       s"($c, ${ctr.mkString("[", ",", "]")}, ${ctr.map(x => x * x).sum})"
     }.mkString(",\n|    ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    val whereClause = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |fc AS (SELECT vec_id, v FROM e$whereClause),
        |cent(cid, cv, cc) AS (VALUES
        |    $centRows),
        |ca AS (SELECT vec_id, cid FROM (
-       |    SELECT n.vec_id, cent.cid,
-       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |    SELECT fc.vec_id, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY fc.vec_id ORDER BY
        |        (list_inner_product(v, v) - 2.0*list_inner_product(v, cv) + cc), cid) AS rnk
-       |    FROM n CROSS JOIN cent) WHERE rnk = 1),
+       |    FROM fc CROSS JOIN cent) WHERE rnk = 1),
        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
        |pr AS (SELECT qid, cid FROM (
        |    SELECT q.qid, cent.cid,
@@ -607,6 +614,31 @@ object ExtensionQueries {
       ivfFixedOracle(k = 10, nList = 16, nProbe = 4, dim = 64),
       doc = "IVF search with seeded literal centroids: inverted lists + " +
         "bounded probe + exact rank, fully oracle-checked"),
+
+    // Filtered vector search — ANN under a metadata predicate, the
+    // retrieval-with-constraints shape every production vector store
+    // exposes (e.g. "nearest passages FROM THIS SOURCE"). Pre-filter
+    // strategy: the predicate restricts which vectors are indexed/probed,
+    // composed BEFORE the IVF machinery so Catalyst pushes it into the
+    // parquet scan (PushedFilters, asserted in PlanSpec) and the inverted
+    // lists only ever hold qualifying vectors — at 100 TB the filter prunes
+    // the scan, not a post-rank result set (post-filtering a top-k starves
+    // k under selective predicates; pre-filtering keeps k exact within the
+    // filtered universe). Same fixed-centroid machinery as
+    // q_sim_ivf_portable, so the DuckDB oracle reproduces filter +
+    // assignment + probe + rank bit-for-bit.
+    "q_sim_filtered_topk" -> QueryDef.sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopKFixed(emb.filter(col("label").isin(1, 3)),
+            emb.filter(col("vec_id") < 5), k = 10, nList = 16, nProbe = 4)
+          .orderBy("qid", "rn")
+      },
+      ivfFixedOracle(k = 10, nList = 16, nProbe = 4, dim = 64,
+        corpusWhere = "label IN (1, 3)"),
+      doc = "metadata-filtered ANN: IVF probe over only the vectors " +
+        "satisfying a label predicate (pre-filter pushed to the scan), " +
+        "exact cosine rank within the filtered lists, fully oracle-checked"),
 
     // SemDeDup (Abbas et al. 2023): embedding near-dup confined to coarse
     // k-means cells — the pair quadratic is bounded by the cell, each dup

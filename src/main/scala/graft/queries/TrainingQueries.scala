@@ -391,6 +391,99 @@ object TrainingQueries {
          |  (tok_offset + n_tok - 1) // 512 - tok_offset // 512 + 1 AS n_wins
          |FROM o ORDER BY doc_id""".stripMargin,
       doc = "end-to-end assembly funnel: exact dedup → language gate → " +
-        "quality gate → sequence packing, one oracle-checked composition")
+        "quality gate → sequence packing, one oracle-checked composition"),
+
+    // ------------------------------------------------- split hygiene
+    // Train/val/test leakage audit: the content-addressed split
+    // (q_stratified_split's md5 bucket) is keyed on doc_id, so two docs
+    // with IDENTICAL text can land in different splits — exactly the
+    // contamination that inflates eval scores. Per split: docs,
+    // distinct content fingerprints, and how many of those fingerprints
+    // also appear in another split (with the doc count they cover).
+    // Scale shape: one partial-aggregable groupBy(split, fp), a window
+    // over fp (per-fp groups are ≤ #splits rows after the pre-aggregate,
+    // so the window sort is bounded), and a 3-row final rollup — no join
+    // back to the corpus, no quadratic anywhere.
+    "q_split_leakage" -> QueryDef.sql(
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val a = Tables.documents(s, dir).select(
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+            .as("split"),
+          md5(col("text")).as("fp"))
+        val perSplitFp = a.groupBy("split", "fp").agg(count(lit(1)).as("n"))
+        val withNs = perSplitFp.withColumn("ns",
+          count(lit(1)).over(Window.partitionBy(col("fp"))))
+        withNs.groupBy("split").agg(
+          sum(col("n")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_fps"),
+          count(when(col("ns") >= 2, 1)).cast("long").as("n_leaked_fps"),
+          coalesce(sum(when(col("ns") >= 2, col("n"))), lit(0L)).cast("long")
+            .as("n_leaked_docs"))
+          .orderBy("split")
+      },
+      """WITH a AS (SELECT
+        |    CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4))::BIGINT % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |s AS (SELECT split, fp, COUNT(*) AS n FROM a GROUP BY split, fp),
+        |w AS (SELECT split, fp, n, COUNT(*) OVER (PARTITION BY fp) AS ns FROM s)
+        |SELECT split,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_fps,
+        |  CAST(COUNT(CASE WHEN ns >= 2 THEN 1 END) AS BIGINT) AS n_leaked_fps,
+        |  CAST(COALESCE(SUM(CASE WHEN ns >= 2 THEN n END), 0) AS BIGINT) AS n_leaked_docs
+        |FROM w GROUP BY split ORDER BY split""".stripMargin,
+      doc = "cross-split exact-content leakage audit: fingerprints shared " +
+        "between train/val/test under the content-addressed hash split"),
+
+    // ------------------------------------------------- dataset card
+    // The per-(source, lang) summary a pipeline publishes with a dataset
+    // release: volume (docs/chars/tokens), exact-dup density (docs whose
+    // content fingerprint appears more than once ANYWHERE in the corpus),
+    // mean length. Scale shape: pre-aggregate to (source, lang, fp) FIRST
+    // (partial-aggregable, collapses a viral duplicate to one row per
+    // group), then a window over fp whose partitions are bounded by the
+    // number of (source, lang) groups — never by the dup count — then a
+    // tiny final rollup. Two bounded shuffles at any corpus size.
+    "q_dataset_card" -> QueryDef.sql(
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(
+          col("source"), col("lang"), col("n_chars"),
+          TextOps.wsTokenCount(col("text")).as("n_tok"),
+          md5(col("text")).as("fp"))
+        val perFp = base.groupBy("source", "lang", "fp").agg(
+          count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
+          sum(col("n_tok")).as("st"))
+        val withDup = perFp.withColumn("n_same",
+          sum(col("n")).over(Window.partitionBy(col("fp"))))
+        withDup.groupBy("source", "lang").agg(
+          sum(col("n")).cast("long").as("n_docs"),
+          sum(col("sc")).cast("long").as("total_chars"),
+          sum(col("st")).cast("long").as("total_tokens"),
+          coalesce(sum(when(col("n_same") >= 2, col("n"))), lit(0L)).cast("long")
+            .as("n_dup_docs"),
+          round(sum(col("st")).cast("double") / sum(col("n")), 4).as("avg_tokens"))
+          .orderBy("source", "lang")
+      },
+      """WITH b AS (SELECT source, lang, n_chars,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tok, md5(text) AS fp
+        |  FROM documents),
+        |g AS (SELECT source, lang, fp, COUNT(*) AS n, SUM(n_chars) AS sc,
+        |        SUM(n_tok) AS st
+        |      FROM b GROUP BY source, lang, fp),
+        |w AS (SELECT *, SUM(n) OVER (PARTITION BY fp) AS n_same FROM g)
+        |SELECT source, lang,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(sc) AS BIGINT) AS total_chars,
+        |  CAST(SUM(st) AS BIGINT) AS total_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN n_same >= 2 THEN n END), 0) AS BIGINT) AS n_dup_docs,
+        |  ROUND(CAST(SUM(st) AS DOUBLE) / SUM(n), 4) AS avg_tokens
+        |FROM w GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+      doc = "per-(source, lang) dataset card: volume, token counts, " +
+        "exact-dup density, mean length — the release-summary query")
   )
 }

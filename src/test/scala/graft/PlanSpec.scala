@@ -130,6 +130,16 @@ class PlanSpec extends SparkSpecBase {
       s"candidates must come from an equi-join on (band, bits):\n$plan")
   }
 
+  test("filtered ANN pushes the label predicate into the parquet scan") {
+    val plan = planString(SparkEntry.queries("q_sim_filtered_topk")(spark, sf0001))
+    assert(plan.contains("In(label, [1,3])"),
+      s"label pre-filter must reach the scan as a pushed filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe table must broadcast into the cid equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"filtered ANN must not plan a product join:\n$plan")
+  }
+
   test("IVF-PQ candidates come from a broadcast equi-join on the cell id") {
     val plan = planString(SparkEntry.queries("q_sim_ivfpq_portable")(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"),
