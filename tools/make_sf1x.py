@@ -21,7 +21,7 @@ Construction (copy k = 0..9; k=0 is the original rows):
 - embeddings: vec_id += k*1e6; e_i += U(-0.6, 0.6) from splitmix64(k,id,i)
               (unit-norm inputs => cross-copy cos ~ 0.34 expected).
 - events:     event_id += k*1e7; user_id += k*1e6; ts += k days
-              (TIMESTAMP_NANOS physical type preserved).
+              (physical timestamp type preserved, unit-adaptive).
 - customer:   c_custkey += k*1e6.
 - orders:     o_orderkey += k*1e7; o_custkey += k*1e6.
 - lineitem:   l_orderkey += k*1e7; l_partkey/l_suppkey += k*1e6.
@@ -114,10 +114,15 @@ def copy_events(t, k):
         elif name == "user_id":
             c = pa.compute.add(c, 1_000_000 * k)
         elif name == "ts":
-            day_ns = 86_400_000_000_000
-            ns = c.cast(pa.int64())
-            ns = pa.compute.add(ns, day_ns * k)
-            c = ns.cast(pa.timestamp("ns"))
+            # unit-adaptive: the fixture's ts encoding drifts between rounds
+            # (ns through r5, us since r6) — offset by k days in whatever
+            # unit the source actually uses, preserving its type exactly
+            unit = t.schema.field(name).type.unit
+            per_day = {"s": 86_400, "ms": 86_400_000,
+                       "us": 86_400_000_000, "ns": 86_400_000_000_000}[unit]
+            iv = c.cast(pa.int64())
+            iv = pa.compute.add(iv, per_day * k)
+            c = iv.cast(t.schema.field(name).type)
         cols[name] = c
     return pa.table(cols, schema=t.schema)
 
@@ -143,7 +148,7 @@ def main():
     for name, fn in plans.items():
         t = pq.read_table(f"{SRC}/{name}.parquet")
         out = t if fn is None else amplified(t, fn)
-        # preserve the source's physical timestamp type (events: ns)
+        # preserve the source's physical timestamp type (events: unit-adaptive)
         pq.write_table(out, f"{DST}/{name}.parquet",
                        coerce_timestamps=None, use_deprecated_int96_timestamps=False)
         print(f"{name}: {t.num_rows} -> {out.num_rows}")
