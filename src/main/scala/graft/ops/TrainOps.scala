@@ -306,6 +306,53 @@ object TrainOps {
        |ORDER BY round""".stripMargin
   }
 
+  // ------------------------------------------------------- BPE encoding
+
+  /** Greedy BPE APPLICATION — the encode side of [[bpeMerges]]: apply a
+    * fixed, rank-ordered merge table to a word, returning its subword
+    * tokens (Sennrich et al. 2016's sequential-merge application: each
+    * merge is applied fully, in rank order).
+    *
+    * Pure codegen'd string work, no UDF, via a delimiter rendering that
+    * makes ONE `replace` pass per merge exact:
+    *
+    *   - each symbol is rendered `<sym>` (chars `<`/`>` never occur inside
+    *     a symbol), so the pattern `<x><y>` can only match a genuine
+    *     adjacent symbol pair — never mid-symbol;
+    *   - adjacent occurrences share no characters (unlike space-separated
+    *     renderings, where the shared boundary space hides every second
+    *     occurrence from a single pass), so `replace`'s left-to-right
+    *     non-overlapping scan merges a self-pair run leftmost-first in one
+    *     pass — the same greedy-LTR convention as [[bpeMerges]]' island
+    *     alternation;
+    *   - a replacement cannot create a NEW occurrence of the SAME pair
+    *     (neighboring symbols are untouched and `xy` differs from both `x`
+    *     and `y`), so one pass IS the fixpoint for that merge.
+    *
+    * Scale shape: a per-row chain of `merges.size` codegen'd string
+    * replaces inside the scan projection — linear in corpus bytes, no
+    * shuffle, no lambda re-evaluation (the HOF trap in CLAUDE.md).
+    *
+    * @return array column of subword tokens for the word. */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty && merges.forall { case (x, y) =>
+      x.nonEmpty && y.nonEmpty && !(x + y).exists(c => c == '<' || c == '>') },
+      "merges must be non-empty symbol pairs without delimiter chars")
+    val rendered = regexp_replace(word, "(.)", "<$1>")
+    val encoded = merges.foldLeft(rendered) { case (c, (x, y)) =>
+      call_function("replace", c, lit(s"<$x><$y>"), lit(s"<$x$y>"))
+    }
+    regexp_extract_all(encoded, lit("<([^>]+)>"), lit(1))
+  }
+
+  /** DuckDB twin of [[bpeEncode]]: the same render + replace chain over a
+    * word-valued SQL expression, returning the ENCODED STRING (callers
+    * extract tokens with `regexp_extract_all(..., '<([^>]+)>', 1)`). */
+  def bpeEncodeSql(wordExpr: String, merges: Seq[(String, String)]): String =
+    merges.foldLeft(s"regexp_replace($wordExpr, '(.)', '<\\1>', 'g')") {
+      case (s0, (x, y)) => s"replace($s0, '<$x><$y>', '<$x$y>')"
+    }
+
   // ------------------------------------------------------ sliding chunks
 
   /** Overlapping token-window chunking — the SPLIT side of context-window

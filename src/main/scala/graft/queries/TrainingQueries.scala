@@ -22,6 +22,15 @@ object TrainingQueries {
     * oracle's `langRe`, rebuilt here for the pipeline composition). */
   private def wordsRe(ws: Seq[String]) = "\\b(" + ws.mkString("|") + ")\\b"
 
+  /** Fixed rank-ordered merge table for q_bpe_encode (common-English
+    * pairs; earlier rank = applied first, so "i"+"n" precedes "in"+"g"
+    * and "a"+"n" precedes "an"+"d" — the dependency order a learned table
+    * would have). Shared verbatim by the Spark plan and the DuckDB oracle. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "e" -> "r",
+    "a" -> "n", "an" -> "d", "o" -> "n", "r" -> "e", "a" -> "t",
+    "e" -> "n", "o" -> "r", "s" -> "t", "e" -> "s", "o" -> "u")
+
   def defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------- sequence packing
@@ -308,6 +317,74 @@ object TrainingQueries {
       doc = "BPE tokenizer induction: 6 most-frequent-pair merge rounds " +
         "with greedy left-to-right application (island alternation), " +
         "full unrolled-CTE oracle"),
+
+    // The ENCODE side of the tokenizer story (q_bpe_merges is the LEARN
+    // side): apply a fixed rank-ordered merge table to every corpus word
+    // and report the top-20 subword vocabulary by usage. The merge chain
+    // is a per-row codegen'd replace sequence inside the scan projection
+    // (delimiter rendering makes one pass per merge exact — see
+    // TrainOps.bpeEncode); the only shuffle is the final partial-aggregable
+    // token count, and limit() runs before the rank window
+    // (TakeOrderedAndProject, the q_vocab_topk pattern).
+    "q_bpe_encode" -> QueryDef.sql(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .select(explode(TrainOps.bpeEncode(col("w"), BpeMerges)).as("token"))
+        val g = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        g.orderBy(col("cnt").desc, col("token").asc).limit(20)
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("token").asc)))
+          .select("rnk", "token", "cnt")
+      },
+      s"""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |           FROM documents),
+        |e AS (SELECT ${TrainOps.bpeEncodeSql("w", BpeMerges)} AS s FROM t),
+        |tok AS (SELECT unnest(regexp_extract_all(s, '<([^>]+)>', 1)) AS token FROM e),
+        |g AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        |top AS (SELECT token, cnt FROM g ORDER BY cnt DESC, token LIMIT 20)
+        |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk, token, cnt
+        |FROM top ORDER BY rnk""".stripMargin,
+      doc = "greedy BPE application of a fixed 15-merge table over the " +
+        "corpus word stream; top-20 subword vocabulary, fully " +
+        "oracle-checked (codegen'd replace chain, no UDF)"),
+
+    // Tokenizer FERTILITY (subword tokens per word) per language — the
+    // standard tokenizer-quality metric (a merge table induced on English
+    // should show fertility near 1 on English and higher elsewhere).
+    // Token counts come from the encoded string's size without exploding
+    // subwords: per-word token count = size of the extracted array, summed
+    // in the scan projection — ONE partial-aggregable groupBy(lang), no
+    // explode-induced row blowup at all.
+    "q_bpe_fertility" -> QueryDef.sql(
+      (s, dir) => {
+        val perDoc = Tables.documents(s, dir).select(
+          col("lang"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        val counted = perDoc.select(col("lang"),
+          size(TrainOps.bpeEncode(col("w"), BpeMerges)).cast("long").as("n_sub"))
+        counted.groupBy("lang").agg(
+          count(lit(1)).cast("long").as("n_words"),
+          sum(col("n_sub")).cast("long").as("n_subwords"),
+          round(sum(col("n_sub")).cast("double") / count(lit(1)), 4)
+            .as("fertility"))
+          .orderBy("lang")
+      },
+      s"""WITH t AS (SELECT lang,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |c AS (SELECT lang,
+        |    len(regexp_extract_all(${TrainOps.bpeEncodeSql("w", BpeMerges)},
+        |        '<([^>]+)>', 1)) AS n_sub
+        |  FROM t)
+        |SELECT lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+        |  ROUND(CAST(SUM(n_sub) AS DOUBLE) / COUNT(*), 4) AS fertility
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+      doc = "per-language tokenizer fertility (subwords per word) under " +
+        "the fixed merge table — the tokenizer-quality metric, " +
+        "oracle-checked with no subword explode"),
 
     // Sliding-window chunking — the SPLIT side of context-window assembly
     // (q_pack_sequences is the CONCAT side): overlapping 64-token windows

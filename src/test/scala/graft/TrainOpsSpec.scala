@@ -142,4 +142,32 @@ class TrainOpsSpec extends SparkSpecBase {
     assert(r1 === r2)
     assert(r1.length === 4)
   }
+
+  // --------------------------------------------------------- BPE encoding
+
+  test("bpeEncode applies merges in rank order with greedy-LTR runs") {
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "a")
+    val words = Seq("the", "thing", "threethe", "aaaa", "aaa", "bath")
+      .toDF("w")
+    val got = words
+      .select(col("w"), TrainOps.bpeEncode(col("w"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got("the") === List("the"))                    // t+h then th+e
+    assert(got("thing") === List("th", "ing"))            // i+n before in+g
+    assert(got("threethe") === List("th", "r", "e", "e", "the"))
+    assert(got("aaaa") === List("aa", "aa"))              // self-pair run: leftmost-first
+    assert(got("aaa") === List("aa", "a"))                // odd run leaves the tail
+    assert(got("bath") === List("b", "a", "th"))          // mid-word merge only at symbol boundary
+  }
+
+  test("bpeEncode merged symbols never re-split and unknown chars pass through") {
+    val merges = Seq("a" -> "b", "ab" -> "c")
+    val words = Seq("abc", "cab", "xyz").toDF("w")
+    val got = words
+      .select(col("w"), TrainOps.bpeEncode(col("w"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(got("abc") === List("abc"))     // a+b -> ab, then ab+c -> abc
+    assert(got("cab") === List("c", "ab")) // pattern matches only the (a,b) pair
+    assert(got("xyz") === List("x", "y", "z"))
+  }
 }
