@@ -437,6 +437,36 @@ object Similarity {
       k, numSub, numCodes)
   }
 
+  /** Semantic dedup by PQ-code equality: two vectors whose 8-subspace
+    * product-quantization codes coincide are near-duplicates at codebook
+    * resolution — the cheapest semantic-dedup tier (SemDeDup's idea pushed
+    * all the way down: no pair comparisons AT ALL, just a group-by on the
+    * compressed code). Precision is tunable via codebook size (16 codes ×
+    * 8 subspaces ⇒ 2^32 cells here); recall is partial by design (a
+    * near-dup pair straddling one cell boundary survives) — the
+    * cell-bounded [[semDedup]] is the higher-recall tier above this one.
+    *
+    * Scale shape: one codegen'd encode pass over the corpus (no shuffle),
+    * then ONE shuffle on the code string for the group window (per-group
+    * rows = duplicate-cluster size, bounded in practice) — strictly
+    * cheaper than any pairing tier at any corpus size.
+    *
+    * @return (vec_id, pq_code, n_same, keep) — keep = smallest id in its
+    *         code group (the [[semDedup]] keep/drop convention). */
+  def pqDedup(corpus: DataFrame, numSub: Int = 8, numCodes: Int = 16,
+              dim: Int = 64): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim must divide into $numSub subspaces")
+    val books = fixedCodebooks(numSub, numCodes, dim)
+    val coded = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        concat_ws("-", pqCode(col("v"), books, dim).cast("array<string>"))
+          .as("pq_code"))
+    val byCode = Window.partitionBy(col("pq_code"))
+    coded.select(col("vec_id"), col("pq_code"),
+      count(lit(1)).over(byCode).cast("long").as("n_same"),
+      (col("vec_id") === min(col("vec_id")).over(byCode)).as("keep"))
+  }
+
   /** PQ-flat ADC top-k with LEARNED per-subspace codebooks: the same
     * bounded hash-ordered driver sample as ivfTopK, split into subvectors,
     * one Lloyd fit per subspace (the classic PQ training — numSub

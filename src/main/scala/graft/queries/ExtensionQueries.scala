@@ -764,6 +764,29 @@ object ExtensionQueries {
         "PQ codes + per-query LUTs rank it — sub-linear candidates at " +
         "compressed per-candidate cost, fully oracle-checked"),
 
+    // PQ-code dedup over the PLANTED corpus (the raw synthetic embeddings
+    // are quasi-orthogonal, so only the planted clusters can collide at
+    // codebook resolution): the cheapest semantic-dedup tier — no pair
+    // comparisons at all, one encode pass + one group-by on the 8-byte
+    // code. Fixed seeded codebooks make every verdict oracle-reproducible.
+    "q_sim_pq_dedup" -> QueryDef.sql(
+      (s, dir) => Similarity.pqDedup(plantedCorpus(s, dir)).orderBy("vec_id"),
+      s"""WITH $plantedCorpusSql,
+         |${pqCtes(numSub = 8, numCodes = 16, dim = 64)},
+         |cs AS (SELECT vec_id,
+         |    array_to_string(list_transform(code, x -> CAST(x AS VARCHAR)), '-')
+         |      AS pq_code
+         |  FROM codes),
+         |w AS (SELECT vec_id, pq_code,
+         |    COUNT(*) OVER (PARTITION BY pq_code) AS n_same,
+         |    MIN(vec_id) OVER (PARTITION BY pq_code) AS keeper FROM cs)
+         |SELECT vec_id, pq_code, CAST(n_same AS BIGINT) AS n_same,
+         |  vec_id = keeper AS keep
+         |FROM w ORDER BY vec_id""".stripMargin,
+      doc = "PQ-code-equality semantic dedup over planted near-dup " +
+        "clusters: zero pair comparisons, keep = smallest id per code " +
+        "cell, fully oracle-checked"),
+
     // -------------------------------------------------------- text analysis
     "q_text_stats" -> QueryDef.sql(
       (s, dir) => {
