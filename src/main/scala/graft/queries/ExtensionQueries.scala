@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Graph, Multimodal, Similarity, TextOps}
+import graft.ops.{Cluster, Dedup, Graph, Multimodal, Similarity, TextOps}
 import graft.sources.Tables
 
 /** North-star training-data-pipeline operators (BASELINE.json): dedup,
@@ -786,6 +786,20 @@ object ExtensionQueries {
       doc = "PQ-code-equality semantic dedup over planted near-dup " +
         "clusters: zero pair comparisons, keep = smallest id per code " +
         "cell, fully oracle-checked"),
+
+    // ------------------------------------------------- embedding clustering
+    // Distributed Lloyd k-means in fixed-point integer space (Cluster
+    // .kmeansFixedPoint): map-only assignment against literal centroids
+    // (no join), one k·dim-bounded partial-agg shuffle per update, k·dim
+    // rows of driver state. Every iteration is integer-exact, so the
+    // oracle unrolls the SAME two Lloyd rounds as chained DuckDB CTEs and
+    // hash-checks sizes, mean quantized distances and centroid sums.
+    "q_kmeans_clusters" -> QueryDef.sql(
+      (s, dir) => Cluster.kmeansFixedPoint(Tables.embeddings(s, dir), k = 8, iters = 2),
+      Cluster.kmeansOracle(k = 8, iters = 2),
+      doc = "distributed fixed-point Lloyd k-means (k=8, 2 unrolled " +
+        "iterations): broadcast-literal assignment, bounded-shuffle " +
+        "centroid update, fully oracle-checked"),
 
     // -------------------------------------------------------- text analysis
     "q_text_stats" -> QueryDef.sql(
