@@ -48,6 +48,13 @@ import graft.functions.DotProduct
   */
 object Cluster {
 
+  /** Shift-positive quantization: `round((x + 1) · scale)` per component,
+    * kept as integer-valued `array<double>` so the codegen'd `graft_dot`
+    * kernel consumes it directly. Shared by the k-means and PCA tiers. */
+  private[graft] def quantizeShift(vec: org.apache.spark.sql.Column,
+                                   scale: Double): org.apache.spark.sql.Column =
+    transform(vec.cast("array<double>"), x => round((x + lit(1.0)) * lit(scale), 0))
+
   /** One row per surviving cluster after `iters` Lloyd updates and a final
     * assignment: `cid, size, avg_qdist (mean quantized squared L2, integer
     * div), centroid_sum (Σ of the final centroid's quantized components)`.
@@ -63,9 +70,7 @@ object Cluster {
     // kernel ranks it directly. The lambda body is two primitive ops, so
     // the transform() interpreter overhead stays negligible (the known-hot
     // HOF trap is non-trivial embedded expressions, not arithmetic).
-    val q = emb.select(col("vec_id"),
-        transform(col("embedding").cast("array<double>"),
-          x => round((x + lit(1.0)) * lit(scale), 0)).as("q"))
+    val q = emb.select(col("vec_id"), quantizeShift(col("embedding"), scale).as("q"))
       .withColumn("qq", DotProduct.dot(col("q"), col("q")))
 
     // Deterministic seed: the k lowest-id vectors, quantized through the

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Top principal direction of the embedding corpus — distributed covariance
+  * (Gram) accumulation + fixed-point power iteration.
+  *
+  * Dimensionality reduction is the standard precursor to embedding curation
+  * (OPQ rotation fits, whitening before cosine thresholds, low-rank energy
+  * checks); its distributed core is the d×d second-moment matrix, which is
+  * exactly one mergeable aggregation. Everything downstream of that matrix
+  * is O(d²) driver work.
+  *
+  * Fixed-point contract (FIXTURES.md): components quantize shift-positive
+  * (`round((x+1)·10^5)` — [[Cluster.quantizeShift]]); one [[Pca.GramAgg]]
+  * pass accumulates exact integer Σ qᵢqⱼ (upper triangle), Σ qᵢ and n;
+  * centered covariance comes from the integer identity
+  * `Cov_ij = Σqᵢqⱼ − mᵢSⱼ − mⱼSᵢ + n·mᵢmⱼ` with `mᵢ = Sᵢ // n` — EXACT for
+  * any integer constants mᵢ, so the oracle's explicit `(qᵢ−mᵢ)(qⱼ−mⱼ)`
+  * self-join reproduces it bit-for-bit. Power iteration stays integer:
+  * matrix scaled down by 10^6, w₀ = 1000, per-step renorm
+  * `w = u // (max|u| // 1000 + 1)` — truncating division agrees between
+  * Spark/JVM and DuckDB on negatives too (both truncate toward zero).
+  *
+  * Scale shape (100 TB): ONE corpus scan, no join, no explode — the
+  * aggregation buffer is d(d+1)/2 + d + 1 longs (d=64 → ~2 KB), partially
+  * aggregated map-side and merged associatively like the KMV/Bloom/HLL
+  * aggregators, so the only exchange carries one buffer per partition.
+  * Driver state is O(d²). Exactness bound: quantized products are ≤ 4·10¹⁰,
+  * so Long accumulation is exact to ~2·10⁸ rows per cluster at scale 10^5;
+  * beyond that, drop scaleExp to 4 (buys 100×) or split the corpus and merge
+  * the integer buffers — the aggregator's merge is exact either way.
+  */
+object Pca {
+
+  /** Mergeable exact-integer second-moment aggregator over quantized
+    * vectors: buffer = upper-triangle Σ qᵢqⱼ ++ Σ qᵢ ++ [n]. */
+  final class GramAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Double], Array[Long], Array[Long]] {
+    private val tri = dim * (dim + 1) / 2
+    override def zero: Array[Long] = new Array[Long](tri + dim + 1)
+
+    override def reduce(buf: Array[Long], v: Seq[Double]): Array[Long] = {
+      val a = v.toArray
+      require(a.length == dim, s"GramAgg(dim=$dim) got a ${a.length}-dim vector")
+      var i = 0
+      var idx = 0
+      while (i < dim) {
+        val ai = a(i)
+        var j = i
+        while (j < dim) {
+          buf(idx) += (ai * a(j)).toLong
+          idx += 1
+          j += 1
+        }
+        buf(tri + i) += ai.toLong
+        i += 1
+      }
+      buf(tri + dim) += 1L
+      buf
+    }
+
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** One row per dimension: `pos, var_diag (exact integer Cov_pp),
+    * w (fixed-point top-eigenvector component after `iters` power steps)`. */
+  def pcaPowerFixedPoint(emb: DataFrame, dim: Int, iters: Int = 2,
+                         scaleExp: Int = 5): DataFrame = {
+    require(iters >= 1)
+    val spark = emb.sparkSession
+    val scale = math.pow(10.0, scaleExp)
+    val tri = dim * (dim + 1) / 2
+
+    val q = emb.select(Cluster.quantizeShift(col("embedding"), scale).as("q"))
+    val buf = q.select(udaf(new GramAgg(dim)).apply(col("q")).as("g"))
+      .head().getSeq[Long](0).toArray
+
+    val n = buf(tri + dim)
+    require(n > 0, "pca: empty corpus")
+    val s = Array.tabulate(dim)(i => buf(tri + i))
+    val m = s.map(_ / n) // positive integer means, truncating like // and div
+    // full covariance from the upper triangle + the exact integer identity
+    val cov = Array.ofDim[Long](dim, dim)
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = buf(idx) - m(i) * s(j) - m(j) * s(i) + n * m(i) * m(j)
+      cov(i)(j) = c; cov(j)(i) = c
+      idx += 1
+    }
+
+    // fixed-point power iteration on the driver (O(d²) per step)
+    val mv = cov.map(_.map(_ / 1000000L))
+    var w = Array.fill(dim)(1000L)
+    for (_ <- 1 to iters) {
+      val u = Array.tabulate(dim) { j =>
+        var acc = 0L; var i = 0
+        while (i < dim) { acc += mv(i)(j) * w(i); i += 1 }
+        acc
+      }
+      val sc = u.map(math.abs).max / 1000L + 1L
+      w = u.map(_ / sc)
+    }
+
+    val rows = (0 until dim).map(p => (p.toLong, cov(p)(p), w(p)))
+    spark.createDataFrame(rows).toDF("pos", "var_diag", "w").orderBy("pos")
+  }
+
+  /** DuckDB oracle for [[pcaPowerFixedPoint]]: explicit centered self-join
+    * covariance + the same unrolled integer power steps as chained CTEs. */
+  def pcaOracle(dim: Int, iters: Int = 2, scaleExp: Int = 5): String = {
+    require(scaleExp == 5, "oracle literal is written for scaleExp = 5")
+    val steps = (1 to iters).map { t =>
+      s"""u$t AS (
+         |  SELECT gm.j AS pos, SUM(gm.mv * w${t - 1}.w) AS u
+         |  FROM gm JOIN w${t - 1} ON gm.i = w${t - 1}.pos GROUP BY 1),
+         |s$t AS (SELECT MAX(ABS(u)) // 1000 + 1 AS s FROM u$t),
+         |w$t AS (SELECT pos, CAST(u // (SELECT s FROM s$t) AS BIGINT) AS w FROM u$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+       |         CAST(round((unnest(CAST(embedding AS DOUBLE[])) + 1.0) * 100000.0) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |mn AS (SELECT pos, CAST(SUM(qv) // COUNT(*) AS BIGINT) AS m FROM v GROUP BY pos),
+       |d AS (SELECT vec_id, v.pos, qv - m AS dv FROM v JOIN mn ON v.pos = mn.pos),
+       |g AS (SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.dv * b.dv) AS BIGINT) AS gv
+       |      FROM d a JOIN d b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |gm AS (SELECT i, j, gv // 1000000 AS mv FROM g),
+       |w0 AS (SELECT pos, CAST(1000 AS BIGINT) AS w FROM mn),
+       |$steps
+       |SELECT CAST(g.i AS BIGINT) AS pos, g.gv AS var_diag, w$iters.w AS w
+       |FROM g JOIN w$iters ON g.i = w$iters.pos
+       |WHERE g.i = g.j ORDER BY pos""".stripMargin
+  }
+}

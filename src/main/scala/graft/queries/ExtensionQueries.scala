@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cluster, Dedup, Graph, Multimodal, Similarity, TextOps}
+import graft.ops.{Cluster, Dedup, Graph, Multimodal, Pca, Similarity, TextOps}
 import graft.sources.Tables
 
 /** North-star training-data-pipeline operators (BASELINE.json): dedup,
@@ -800,6 +800,17 @@ object ExtensionQueries {
       doc = "distributed fixed-point Lloyd k-means (k=8, 2 unrolled " +
         "iterations): broadcast-literal assignment, bounded-shuffle " +
         "centroid update, fully oracle-checked"),
+
+    // Top principal direction: ONE corpus scan through the mergeable
+    // integer GramAgg (d(d+1)/2+d+1 longs of state, partial-agg'd map-side
+    // like the KMV/Bloom sketches), then O(d²) driver-side fixed-point
+    // power iteration. The oracle recomputes the covariance via an explicit
+    // centered self-join and unrolls the same integer power steps.
+    "q_pca_power" -> QueryDef.sql(
+      (s, dir) => Pca.pcaPowerFixedPoint(Tables.embeddings(s, dir), dim = 64, iters = 2),
+      Pca.pcaOracle(dim = 64, iters = 2),
+      doc = "top principal direction via single-pass integer Gram " +
+        "aggregation + fixed-point power iteration, fully oracle-checked"),
 
     // -------------------------------------------------------- text analysis
     "q_text_stats" -> QueryDef.sql(
