@@ -61,8 +61,27 @@ object Cluster {
     */
   def kmeansFixedPoint(emb: DataFrame, k: Int, iters: Int,
                        scaleExp: Int = 5): DataFrame = {
-    require(k > 0 && iters >= 0)
     val spark = emb.sparkSession
+    val (assigned, centers) = fitAssign(emb, k, iters, scaleExp)
+
+    val centroidSums = centers.map { case (cid, c) => (cid, c.map(_.toLong).sum) }
+    val csum = spark.createDataFrame(centroidSums).toDF("cid", "centroid_sum")
+
+    assigned
+      .groupBy("cid")
+      .agg(count(lit(1)).as("size"), sum(col("qdist")).as("sd"))
+      .join(broadcast(csum), "cid")
+      .select(col("cid").cast("long").as("cid"), col("size"),
+        call_function("div", col("sd"), col("size")).as("avg_qdist"),
+        col("centroid_sum"))
+      .orderBy("cid")
+  }
+
+  /** The fitted final assignment (`vec_id, cid, qdist` + the quantized
+    * vector columns) and the final centroids. */
+  private def fitAssign(emb: DataFrame, k: Int, iters: Int,
+                        scaleExp: Int): (DataFrame, Seq[(Int, Array[Double])]) = {
+    require(k > 0 && iters >= 0)
     val scale = math.pow(10.0, scaleExp)
 
     // Quantized corpus: q = round((x + 1) * 10^scaleExp) per component,
@@ -112,17 +131,34 @@ object Cluster {
       }
     }
 
-    val centroidSums = centers.map { case (cid, c) => (cid, c.map(_.toLong).sum) }
-    val csum = spark.createDataFrame(centroidSums).toDF("cid", "centroid_sum")
+    (assign(centers), centers)
+  }
 
-    assign(centers)
-      .groupBy("cid")
-      .agg(count(lit(1)).as("size"), sum(col("qdist")).as("sd"))
-      .join(broadcast(csum), "cid")
-      .select(col("cid").cast("long").as("cid"), col("size"),
-        call_function("div", col("sd"), col("size")).as("avg_qdist"),
-        col("centroid_sum"))
-      .orderBy("cid")
+  /** Cluster-balanced exemplar selection: the `m` vectors closest to each
+    * final centroid (ties to the smaller vec_id) — the "pick representative
+    * documents per cluster" step of cluster-proportional data curation.
+    *
+    * Scale shape: a single `row_number` window partitioned by cid would
+    * shuffle the whole corpus into k partitions — a skew cliff for small k.
+    * Instead the top-m runs in TWO phases: phase 1 ranks within
+    * (cid, vec_id % salts) — k·salts balanced partitions — and keeps m per
+    * salt; phase 2 ranks the surviving ≤ k·salts·m candidate rows. The
+    * global per-cid top-m is contained in the union of per-salt top-ms, so
+    * the result is IDENTICAL to the naive single-window form (which is what
+    * the oracle runs) at any salts count. */
+  def clusterExemplars(emb: DataFrame, k: Int, iters: Int, m: Int,
+                       salts: Int = 8, scaleExp: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, _) = fitAssign(emb, k, iters, scaleExp)
+    val salted = assigned.select(col("vec_id"), col("cid"), col("qdist"))
+      .withColumn("salt", pmod(col("vec_id"), lit(salts)))
+    val w1 = Window.partitionBy("cid", "salt").orderBy(col("qdist"), col("vec_id"))
+    val cand = salted.withColumn("r1", row_number().over(w1)).filter(col("r1") <= m)
+    val w2 = Window.partitionBy("cid").orderBy(col("qdist"), col("vec_id"))
+    cand.withColumn("rn", row_number().over(w2)).filter(col("rn") <= m)
+      .select(col("cid").cast("long").as("cid"), col("rn").cast("long").as("rn"),
+        col("vec_id"), col("qdist"))
+      .orderBy("cid", "rn")
   }
 
   /** DuckDB oracle for [[kmeansFixedPoint]]: the identical quantization,
@@ -130,8 +166,10 @@ object Cluster {
     * in recursive CTE terms — FIXTURES.md), argmin via `MIN(d·k + cid)`,
     * centroid update via `SUM // COUNT` on the always-positive quantized
     * values. */
-  def kmeansOracle(k: Int, iters: Int, scaleExp: Int = 5): String = {
-    val scale = s"100000.0" // 10^scaleExp with scaleExp = 5
+  /** Shared oracle WITH-body: quantized long-form corpus `v`, seed
+    * centroids `c0`, and the unrolled Lloyd layers through the final
+    * assignment `a{iters+1}` (enc = dist·k + cid). */
+  private def kmeansCtes(k: Int, iters: Int, scaleExp: Int): String = {
     require(scaleExp == 5, "oracle literal is written for scaleExp = 5")
     val layers = (1 to iters + 1).map { i =>
       val prev = s"c${i - 1}"
@@ -152,13 +190,17 @@ object Cluster {
            |  GROUP BY 1, 2)""".stripMargin
       else dist
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id,
        |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
-       |         CAST(round((unnest(CAST(embedding AS DOUBLE[])) + 1.0) * $scale) AS BIGINT) AS qv
+       |         CAST(round((unnest(CAST(embedding AS DOUBLE[])) + 1.0) * 100000.0) AS BIGINT) AS qv
        |  FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, qv AS cv FROM v WHERE vec_id < $k),
-       |$layers,
+       |$layers""".stripMargin
+  }
+
+  def kmeansOracle(k: Int, iters: Int, scaleExp: Int = 5): String = {
+    s"""WITH ${kmeansCtes(k, iters, scaleExp)},
        |stats AS (
        |  SELECT enc % $k AS cid, COUNT(*) AS size, SUM(enc // $k) AS sd
        |  FROM a${iters + 1} GROUP BY 1),
@@ -169,4 +211,17 @@ object Cluster {
        |FROM stats s JOIN csum m ON s.cid = m.cid
        |ORDER BY cid""".stripMargin
   }
+
+  /** DuckDB oracle for [[clusterExemplars]]: the NAIVE single-window
+    * per-cluster top-m (the salted two-phase engine form is provably
+    * equivalent). */
+  def exemplarsOracle(k: Int, iters: Int, m: Int, scaleExp: Int = 5): String =
+    s"""WITH ${kmeansCtes(k, iters, scaleExp)},
+       |sel AS (SELECT vec_id, enc % $k AS cid, enc // $k AS qd FROM a${iters + 1}),
+       |r AS (SELECT vec_id, cid, qd,
+       |        ROW_NUMBER() OVER (PARTITION BY cid ORDER BY qd, vec_id) AS rn
+       |      FROM sel)
+       |SELECT CAST(cid AS BIGINT) AS cid, CAST(rn AS BIGINT) AS rn,
+       |       vec_id, CAST(qd AS BIGINT) AS qdist
+       |FROM r WHERE rn <= $m ORDER BY cid, rn""".stripMargin
 }

@@ -801,6 +801,20 @@ object ExtensionQueries {
         "iterations): broadcast-literal assignment, bounded-shuffle " +
         "centroid update, fully oracle-checked"),
 
+    // Per-cluster exemplars (the m vectors closest to each final centroid)
+    // via a SALTED two-phase top-m: ranking inside (cid, vec_id % 8) keeps
+    // every window partition balanced — the naive single window over k=8
+    // cids is a skew cliff at corpus scale — then a second rank over the
+    // ≤ k·salts·m survivors. Provably identical to the naive form, which
+    // is exactly what the oracle runs.
+    "q_cluster_exemplars" -> QueryDef.sql(
+      (s, dir) => Cluster.clusterExemplars(Tables.embeddings(s, dir),
+        k = 8, iters = 2, m = 5),
+      Cluster.exemplarsOracle(k = 8, iters = 2, m = 5),
+      doc = "cluster-balanced exemplar selection: salted two-phase " +
+        "per-cluster top-m over the k-means assignment, fully " +
+        "oracle-checked against the naive single-window form"),
+
     // Top principal direction: ONE corpus scan through the mergeable
     // integer GramAgg (d(d+1)/2+d+1 longs of state, partial-agg'd map-side
     // like the KMV/Bloom sketches), then O(d²) driver-side fixed-point

@@ -32,6 +32,27 @@ class ClusterSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("salted two-phase exemplars == naive form at any salts count") {
+    val baseline = Cluster.clusterExemplars(emb, k = 8, iters = 1, m = 5, salts = 1)
+      .collect().map(_.toString).toSeq
+    Seq(3, 8, 16).foreach { s =>
+      val got = Cluster.clusterExemplars(emb, k = 8, iters = 1, m = 5, salts = s)
+        .collect().map(_.toString).toSeq
+      assert(got === baseline, s"salts=$s diverged")
+    }
+  }
+
+  test("exemplars: at most m per cluster, ranks contiguous, qdist ascending") {
+    val out = Cluster.clusterExemplars(emb, k = 8, iters = 2, m = 5).collect()
+    out.groupBy(_.getAs[Long]("cid")).foreach { case (cid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.length <= 5, s"cid $cid")
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq === (1L to sorted.length).toSeq)
+      val ds = sorted.map(_.getAs[Long]("qdist")).toSeq
+      assert(ds === ds.sorted, s"cid $cid distances not ascending")
+    }
+  }
+
   test("assignment is map-only: final plan has no sort-merge join, broadcasts the centroid-sum table") {
     val plan = Cluster.kmeansFixedPoint(emb, k = 8, iters = 1)
       .queryExecution.executedPlan.toString
