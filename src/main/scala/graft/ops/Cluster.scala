@@ -19,9 +19,13 @@ import graft.functions.DotProduct
   * Fixed-point contract (FIXTURES.md round-4 rules):
   *  - quantize each component to `round((x + 1) · 10^scaleExp)` BIGINT —
   *    the +1 shift keeps every quantized value, centroid sum and mean
-  *    POSITIVE, so integer division (Spark `div` / DuckDB `//`, both
-  *    truncating) never sees a negative operand, and the shift cancels in
-  *    every distance difference;
+  *    POSITIVE for unit-normalized inputs (|x| < 1), so integer division
+  *    (Spark `div` / DuckDB `//`) never sees a negative operand, and the
+  *    shift cancels in every distance difference. (Inputs that stray past
+  *    −1 — e.g. the noise-amplified sf1x probe fixture — stay correct
+  *    regardless: both engines truncate division toward zero on negatives
+  *    too; the shift just removes the sign question entirely on the
+  *    driver-checked fixtures.);
   *  - centroid update is `sum div count` on exact integer sums — no
   *    float mean, nothing order-dependent;
   *  - assignment encodes argmin as `min(dist·k + cid)`: distances are
