@@ -378,6 +378,79 @@ object TrainOps {
     * is the right trade.
     *
     * @return doc_id, chunk_idx (0-based), chunk_len, chunk_hash */
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed-bigram profile is under a TARGET
+    * distribution than under the RAW corpus distribution,
+    * `score(d) = Σ_grams log(p_target[bucket] / p_raw[bucket])` with
+    * Laplace-smoothed bucket probabilities over `buckets` hashed bins.
+    * Positive score → resample toward the target. Here the target slice is
+    * a predicate over the corpus itself (the fixture has no separate
+    * target corpus); the estimator is unchanged.
+    *
+    * Engine-parity contract: the gram hash is the md5/`conv` portable
+    * family, the per-bucket log-ratio is the ONLY transcendental — rounded
+    * to integer micro-units (ln never lands on a rounding half-digit,
+    * FIXTURES.md) — and per-document scores are exact BIGINT sums of those
+    * micro-units, so the DuckDB twin matches bit-for-bit.
+    *
+    * Scale shape (100 TB): one explode pass over bigrams; the bucket
+    * statistics table is ≤ `buckets` rows (conditional partial-agg counts)
+    * and the totals are ONE row — both broadcast; the per-doc score is one
+    * doc-keyed partial-agg'd shuffle. Nothing holds more than O(buckets)
+    * driver/executor state, and no join key exceeds doc cardinality. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 256): DataFrame = {
+    val joined = array_join(TextOps.tokens(col(textCol)), "_")
+    val bigramPat = "(?<![a-z0-9])(?=([a-z0-9]+_[a-z0-9]+))"
+    val grams = docs.select(col(idCol), targetPred.as("is_t"),
+        explode(regexp_extract_all(joined, lit(bigramPat), lit(1))).as("s"))
+      .withColumn("b", conv(substring(md5(col("s")), 1, 7), 16, 10)
+        .cast("long") % buckets)
+    val cnt = grams.groupBy("b").agg(
+      count(lit(1)).as("cr"), count(when(col("is_t"), 1)).as("ct"))
+    val tot = grams.agg(count(lit(1)).as("nr"), count(when(col("is_t"), 1)).as("nt"))
+    val bTbl = cnt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(((col("ct") + lit(1.0)) * (col("nr") + lit(buckets.toDouble))) /
+          ((col("cr") + lit(1.0)) * (col("nt") + lit(buckets.toDouble)))) * lit(1e6), 0)
+          .cast("long").as("rm"))
+    val sc = grams.join(broadcast(bTbl), "b")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("rm")).as("s"))
+    docs.select(col(idCol), col("lang"))
+      .join(sc, Seq(idCol), "left_outer")
+      .select(col(idCol), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("s"), lit(0L)).as("score_micro"),
+        (coalesce(col("s"), lit(0L)) > 0L).as("keep"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB oracle for [[dsirWeights]] over the `documents` table with
+    * target predicate `lang = 'en'`. */
+  def dsirOracle(buckets: Int = 256): String =
+    s"""WITH t0 AS (SELECT doc_id, lang,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |g AS (SELECT doc_id, lang = 'en' AS is_t,
+       |    unnest([toks[i]||'_'||toks[i+1] for i in range(1, len(toks))]) AS s
+       |  FROM t0),
+       |bl AS (SELECT doc_id, is_t,
+       |    ('0x'||substr(md5(s),1,7))::BIGINT % $buckets AS b FROM g),
+       |cnt AS (SELECT b, COUNT(*) AS cr,
+       |    COUNT(*) FILTER (WHERE is_t) AS ct FROM bl GROUP BY b),
+       |tot AS (SELECT COUNT(*) AS nr, COUNT(*) FILTER (WHERE is_t) AS nt FROM bl),
+       |r AS (SELECT b, CAST(round(ln(((ct + 1.0) * (nr + $buckets.0)) /
+       |      ((cr + 1.0) * (nt + $buckets.0))) * 1000000.0) AS BIGINT) AS rm
+       |  FROM cnt, tot),
+       |sc AS (SELECT bl.doc_id, COUNT(*) AS n_bigrams, SUM(rm) AS s
+       |  FROM bl JOIN r USING (b) GROUP BY bl.doc_id)
+       |SELECT d.doc_id, d.lang, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       |  CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_micro,
+       |  COALESCE(sc.s, 0) > 0 AS keep
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
                    window: Int = 64, stride: Int = 48): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,

@@ -400,6 +400,20 @@ object TrainingQueries {
       doc = "overlapping token-window chunking (64/48): the long-document " +
         "split step of training-sequence assembly, chunk md5 for dedup"),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed-bigram
+    // importance weights of every document against the target slice
+    // (lang = 'en'). The bucket log-ratio table (≤ 256 rows) and the
+    // one-row totals broadcast; the only transcendental (ln) is rounded to
+    // integer micro-units, so per-doc scores are exact BIGINT sums and the
+    // DuckDB twin matches bit-for-bit.
+    "q_dsir_weights" -> QueryDef.sql(
+      (s, dir) => TrainOps.dsirWeights(Tables.documents(s, dir),
+        "doc_id", "text", targetPred = col("lang") === "en", buckets = 256),
+      TrainOps.dsirOracle(buckets = 256),
+      doc = "DSIR hashed-bigram importance weights vs the en target " +
+        "slice: broadcast bucket log-ratios in integer micro-units, " +
+        "fully oracle-checked"),
+
     // -------------------------------------------- end-to-end assembly
     // The flagship composition: the whole corpus→training-batches funnel as
     // ONE declared query — exact dedup (normalization fingerprint, min-id

@@ -170,4 +170,32 @@ class TrainOpsSpec extends SparkSpecBase {
     assert(got("cab") === List("c", "ab")) // pattern matches only the (a,b) pair
     assert(got("xyz") === List("x", "y", "z"))
   }
+
+  test("dsir: target-slice docs score higher on average than off-target docs") {
+    val docs = sources.Tables.documents(spark, sf0001)
+    val out = TrainOps.dsirWeights(docs, "doc_id", "text",
+      targetPred = col("lang") === "en").collect()
+    assert(out.length === docs.count())
+    def mean(lang: String): Double = {
+      val xs = out.filter(_.getAs[String]("lang") == lang)
+        .map(_.getAs[Long]("score_micro").toDouble)
+      xs.sum / xs.length
+    }
+    // the estimator must rank the target language above every other slice
+    Seq("de", "fr", "es", "zh").foreach { l =>
+      assert(mean("en") > mean(l), s"en mean not above $l mean")
+    }
+    // bigram counts: docs with >= 2 tokens carry len-1 bigrams
+    val probe = out.find(_.getAs[Long]("n_bigrams") > 0).get
+    assert(probe.getAs[Long]("n_bigrams") > 0)
+  }
+
+  test("dsir weights are partitioning-invariant") {
+    val docs = sources.Tables.documents(spark, sf0001)
+    val a = TrainOps.dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(_.toString).toSeq
+    val b = TrainOps.dsirWeights(docs.repartition(13), "doc_id", "text",
+      col("lang") === "en").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
 }
