@@ -47,7 +47,10 @@ object GraftFunctions {
       Winnow.md5Builder),
     (LshSigs.FunctionName,
       "graft_lsh_sigs(v, planes_flat, rows_per_band, dim) - sign-LSH band signature array",
-      LshSigs.builder)
+      LshSigs.builder),
+    (TopKPairs.FunctionName,
+      "graft_topk(ord, id, k) - k smallest (ord, id) pairs per group as a sorted struct array",
+      TopKPairs.builder)
   )
 
   /** Register every graft function in an existing session (idempotent). */

@@ -408,6 +408,35 @@ object RelationalQueries {
         |ORDER BY user_id""".stripMargin,
       doc = "latest-wins compaction per key (CDC upsert view)"),
 
+    // Latest-k per key through the NATIVE bounded top-k aggregate
+    // (graft.functions.TopKPairs): partial aggregation keeps <= k pairs
+    // per group per mapper and the exchange carries only those — unlike
+    // the row_number window (q_latest_by_key's shape), which must shuffle
+    // and SORT every input row before discarding all but k. Ranks are
+    // (ts desc, event_id asc): ord = -unix_micros(ts), id tie ascending.
+    "q_topk_native" -> QueryDef.sql(
+      (s, dir) => {
+        val tk = graft.functions.TopKPairs.topK(
+          -unix_micros(col("ts")), col("event_id"), k = 3)
+        Tables.events(s, dir)
+          .groupBy("user_id").agg(tk.as("tk"))
+          .select(col("user_id"), posexplode(col("tk")).as(Seq("i", "e")))
+          .select(col("user_id"), (col("i") + 1).cast("long").as("rn"),
+            col("e.id").as("event_id"),
+            timestamp_micros(-col("e.ord")).as("ts"))
+          .orderBy("user_id", "rn")
+      },
+      """SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id,
+        |  CAST(ts AS TIMESTAMP) AS ts
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id ASC) AS rn
+        |      FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+      doc = "latest-3 events per user via the native bounded top-k " +
+        "aggregate: no input sort, <= k pairs per group cross the " +
+        "exchange; oracle is the naive window form"),
+
     // Numeric histogram: explicit floor-division bucketing (DuckDB has no
     // width_bucket; the manual form is FP-identical in both engines) —
     // one partially-aggregable groupBy.
