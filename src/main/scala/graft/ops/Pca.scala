@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.DotProduct
+
 /** Top principal direction of the embedding corpus — distributed covariance
   * (Gram) accumulation + fixed-point power iteration.
   *
@@ -74,12 +76,11 @@ object Pca {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** One row per dimension: `pos, var_diag (exact integer Cov_pp),
-    * w (fixed-point top-eigenvector component after `iters` power steps)`. */
-  def pcaPowerFixedPoint(emb: DataFrame, dim: Int, iters: Int = 2,
-                         scaleExp: Int = 5): DataFrame = {
+  /** Driver-side fit: exact integer covariance matrix + the fixed-point
+    * top direction after `iters` power steps. One distributed pass. */
+  private[graft] def fitDirection(emb: DataFrame, dim: Int, iters: Int,
+      scaleExp: Int): (Array[Array[Long]], Array[Long]) = {
     require(iters >= 1)
-    val spark = emb.sparkSession
     val scale = math.pow(10.0, scaleExp)
     val tri = dim * (dim + 1) / 2
 
@@ -112,14 +113,47 @@ object Pca {
       val sc = u.map(math.abs).max / 1000L + 1L
       w = u.map(_ / sc)
     }
-
-    val rows = (0 until dim).map(p => (p.toLong, cov(p)(p), w(p)))
-    spark.createDataFrame(rows).toDF("pos", "var_diag", "w").orderBy("pos")
+    (cov, w)
   }
 
-  /** DuckDB oracle for [[pcaPowerFixedPoint]]: explicit centered self-join
-    * covariance + the same unrolled integer power steps as chained CTEs. */
-  def pcaOracle(dim: Int, iters: Int = 2, scaleExp: Int = 5): String = {
+  /** One row per dimension: `pos, var_diag (exact integer Cov_pp),
+    * w (fixed-point top-eigenvector component after `iters` power steps)`. */
+  def pcaPowerFixedPoint(emb: DataFrame, dim: Int, iters: Int = 2,
+                         scaleExp: Int = 5): DataFrame = {
+    val (cov, w) = fitDirection(emb, dim, iters, scaleExp)
+    val rows = (0 until dim).map(p => (p.toLong, cov(p)(p), w(p)))
+    emb.sparkSession.createDataFrame(rows).toDF("pos", "var_diag", "w").orderBy("pos")
+  }
+
+  /** Per-label distribution of the principal score `q · w` (exact integer
+    * dot of the quantized vector with the fitted fixed-point direction):
+    * `label, n_vecs, mean_score (integer div), min_score, max_score`.
+    *
+    * The fit collects nothing but the Gram buffer; the projection is a
+    * map-only codegen'd dot against the literal direction followed by one
+    * label-keyed partial-agg shuffle — the "order the corpus along its
+    * dominant axis" primitive (curriculum sort keys, diversity strata,
+    * whitening checks). */
+  def pcaProjectByLabel(emb: DataFrame, dim: Int, iters: Int = 2,
+                        scaleExp: Int = 5): DataFrame = {
+    val (_, w) = fitDirection(emb, dim, iters, scaleExp)
+    val scale = math.pow(10.0, scaleExp)
+    val score = DotProduct.dot(Cluster.quantizeShift(col("embedding"), scale),
+      typedLit(w.map(_.toDouble).toSeq)).cast("long")
+    emb.select(col("label").cast("long").as("label"), score.as("score"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("score")).as("ss"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .select(col("label"), col("n_vecs"),
+        call_function("div", col("ss"), col("n_vecs")).as("mean_score"),
+        col("min_score"), col("max_score"))
+      .orderBy("label")
+  }
+
+  /** Shared oracle WITH-body: quantized long-form corpus `v`, centered
+    * self-join covariance `g`, and the unrolled integer power steps
+    * through `w{iters}`. */
+  private def pcaCtes(iters: Int, scaleExp: Int): String = {
     require(scaleExp == 5, "oracle literal is written for scaleExp = 5")
     val steps = (1 to iters).map { t =>
       s"""u$t AS (
@@ -128,7 +162,7 @@ object Pca {
          |s$t AS (SELECT MAX(ABS(u)) // 1000 + 1 AS s FROM u$t),
          |w$t AS (SELECT pos, CAST(u // (SELECT s FROM s$t) AS BIGINT) AS w FROM u$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id,
        |         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
        |         CAST(round((unnest(CAST(embedding AS DOUBLE[])) + 1.0) * 100000.0) AS BIGINT) AS qv
@@ -139,9 +173,27 @@ object Pca {
        |      FROM d a JOIN d b ON a.vec_id = b.vec_id GROUP BY 1, 2),
        |gm AS (SELECT i, j, gv // 1000000 AS mv FROM g),
        |w0 AS (SELECT pos, CAST(1000 AS BIGINT) AS w FROM mn),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  /** DuckDB oracle for [[pcaPowerFixedPoint]]: explicit centered self-join
+    * covariance + the same unrolled integer power steps as chained CTEs. */
+  def pcaOracle(dim: Int, iters: Int = 2, scaleExp: Int = 5): String =
+    s"""WITH ${pcaCtes(iters, scaleExp)}
        |SELECT CAST(g.i AS BIGINT) AS pos, g.gv AS var_diag, w$iters.w AS w
        |FROM g JOIN w$iters ON g.i = w$iters.pos
        |WHERE g.i = g.j ORDER BY pos""".stripMargin
-  }
+
+  /** DuckDB oracle for [[pcaProjectByLabel]]: the same fit CTEs, then the
+    * per-vector integer score join and a per-label aggregate. */
+  def pcaProjectOracle(iters: Int = 2, scaleExp: Int = 5): String =
+    s"""WITH ${pcaCtes(iters, scaleExp)},
+       |sc AS (SELECT v.vec_id, CAST(SUM(v.qv * w$iters.w) AS BIGINT) AS score
+       |       FROM v JOIN w$iters ON v.pos = w$iters.pos GROUP BY 1)
+       |SELECT CAST(e.label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(sc.score) // COUNT(*) AS BIGINT) AS mean_score,
+       |  CAST(MIN(sc.score) AS BIGINT) AS min_score,
+       |  CAST(MAX(sc.score) AS BIGINT) AS max_score
+       |FROM sc JOIN embeddings e ON sc.vec_id = e.vec_id
+       |GROUP BY 1 ORDER BY label""".stripMargin
 }

@@ -409,8 +409,14 @@ object TrainOps {
         .cast("long") % buckets)
     val cnt = grams.groupBy("b").agg(
       count(lit(1)).as("cr"), count(when(col("is_t"), 1)).as("ct"))
-    val tot = grams.agg(count(lit(1)).as("nr"), count(when(col("is_t"), 1)).as("nt"))
-    val bTbl = cnt.crossJoin(broadcast(tot))
+    // corpus totals = sums over the bucket table itself: an unpartitioned
+    // window over ≤ `buckets` rows (bounded state at any corpus size) —
+    // NOT a join against a one-row aggregate, which constant-folds into a
+    // nested-loop product (see Sketch.kmvSetOps)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bTbl = cnt
+      .withColumn("nr", sum(col("cr")).over(wAll))
+      .withColumn("nt", sum(col("ct")).over(wAll))
       .select(col("b"),
         round(log(((col("ct") + lit(1.0)) * (col("nr") + lit(buckets.toDouble))) /
           ((col("cr") + lit(1.0)) * (col("nt") + lit(buckets.toDouble)))) * lit(1e6), 0)

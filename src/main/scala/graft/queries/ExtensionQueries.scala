@@ -826,6 +826,16 @@ object ExtensionQueries {
       doc = "top principal direction via single-pass integer Gram " +
         "aggregation + fixed-point power iteration, fully oracle-checked"),
 
+    // Principal-score projection: every vector's exact integer dot with
+    // the fitted direction (map-only against the literal w), one
+    // label-keyed partial-agg shuffle — the "order the corpus along its
+    // dominant axis" primitive (curriculum sort keys, diversity strata).
+    "q_pca_project" -> QueryDef.sql(
+      (s, dir) => Pca.pcaProjectByLabel(Tables.embeddings(s, dir), dim = 64, iters = 2),
+      Pca.pcaProjectOracle(iters = 2),
+      doc = "per-label principal-score distribution: integer projection " +
+        "onto the fitted top direction, fully oracle-checked"),
+
     // -------------------------------------------------------- text analysis
     "q_text_stats" -> QueryDef.sql(
       (s, dir) => {
