@@ -63,6 +63,25 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col("d"), col("cell"), col("cnt"))
 
+  /** Tumbling-window latest-k per key through the NATIVE bounded top-k
+    * aggregate ([[graft.functions.TopKPairs]]): per (window, key), the k
+    * latest `(ts, id)` pairs as a sorted struct array. State per group is
+    * HARD-bounded at k pairs regardless of window traffic — the streaming
+    * property the aggregate was built for (a row_number ranking is not
+    * even expressible on a streaming Dataset). Append-mode emission on
+    * watermark close, like the other tumbling aggregates here. */
+  def tumblingLatestK(events: DataFrame, tsCol: String, watermarkDelay: String,
+                      windowDur: String, keyCol: String, idCol: String,
+                      k: Int): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col(keyCol))
+      .agg(graft.functions.TopKPairs.topK(
+        -unix_micros(col(tsCol)), col(idCol), k).as("tk"))
+      .select(col("w.start").as("w_start"), col(keyCol),
+        posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("w_start"), col(keyCol), (col("i") + 1).cast("long").as("rn"),
+        col("e.id").as(idCol), timestamp_micros(-col("e.ord")).as(tsCol))
+
   /** Gap-based session windows (native `session_window`): per user, sessions
     * close after `gap` of event-time silence. */
   def sessionAgg(events: DataFrame, tsCol: String, watermarkDelay: String,

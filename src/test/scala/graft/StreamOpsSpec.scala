@@ -78,6 +78,25 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(s === b)
   }
 
+  test("tumbling latest-k via the native top-k aggregate: stream equals batch") {
+    val streamed = runToMemory(
+      StreamOps.tumblingLatestK(eventStream, "ts", "1 hour", "1 day",
+        keyCol = "user_id", idCol = "event_id", k = 2),
+      "s_topk", "append")
+    val batch = StreamOps.tumblingLatestK(
+      Tables.events(spark, sf0001), "ts", "1 hour", "1 day",
+      keyCol = "user_id", idCol = "event_id", k = 2)
+    val emitted = streamed.select("w_start").distinct().collect().map(_.get(0)).toSet
+    assert(emitted.nonEmpty, "watermark never closed any window")
+    val b = batch.filter(col("w_start").isInCollection(emitted))
+      .orderBy("w_start", "user_id", "rn").collect().toSeq
+    val s = streamed.orderBy("w_start", "user_id", "rn").collect().toSeq
+    assert(s === b)
+    // bounded emission: never more than k rows per (window, user)
+    val over = streamed.groupBy("w_start", "user_id").count().filter(col("count") > 2)
+    assert(over.count() === 0)
+  }
+
   test("session windows close after the gap and count every event") {
     val sessions = runToMemory(
       StreamOps.sessionAgg(eventStream, "ts", "1 hour", "30 minutes"), "s_sessions", "append")
