@@ -174,6 +174,41 @@ object Similarity {
       .select("qid", "nid", "cos", "rn")
   }
 
+  /** Hard-negative mining for contrastive training data: per query, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * "semantically close but wrong" examples a contrastive or reranker
+    * training set pairs against each anchor. Same fixed-centroid IVF
+    * machinery as `ivfTopKFixed` (coarse-cell equi-join bounds candidates
+    * sub-linearly; NO product join), with the label-mismatch predicate
+    * applied to the candidate stream before ranking — unlike
+    * `q_sim_filtered_topk`'s static pushed filter, the predicate here is
+    * per-query (≠ anchor's label), so it must ride the join, not the scan. */
+  def hardNegativesFixed(corpus: DataFrame, queries: DataFrame, k: Int,
+                         nList: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    val centers = Array.tabulate(nList)(fixedCentroid(_, dim))
+    val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"),
+        col("label").as("nlabel"))
+      .withColumn("nnorm", norm(col("nv")))
+    val assigned = c.withColumn("cid", nearestCid(col("nv"), centers))
+    val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"),
+        col("label").as("qlabel"))
+      .withColumn("qnorm", norm(col("qv")))
+    val probeCands = centers.zipWithIndex.map { case (ctr, cid) =>
+      struct((dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), typedLit(ctr))
+        + lit(ctr.map(x => x * x).sum)).as("dist2"), lit(cid).as("cid"))
+    }
+    val probes = q.withColumn("pc", slice(sort_array(array(probeCands: _*)), 1, nProbe))
+      .select(col("qid"), col("qv"), col("qnorm"), col("qlabel"), explode(col("pc")).as("p"))
+      .select(col("qid"), col("qv"), col("qnorm"), col("qlabel"), col("p.cid").as("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid") && col("nlabel") =!= col("qlabel"))
+      .withColumn("cos", round(dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "cos", "rn")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nList: Int = 16, nProbe: Int = 4, fitSample: Int = 4096): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))

@@ -147,14 +147,17 @@ object ExtensionQueries {
     * Assignment is per-vector (nearest centroid), so filtering before vs
     * after assignment is equivalent — both engines filter first. */
   private def ivfFixedOracle(k: Int, nList: Int, nProbe: Int, dim: Int,
-                             corpusWhere: String = ""): String = {
+                             corpusWhere: String = "",
+                             hardNegLabel: Boolean = false): String = {
     val centRows = (0 until nList).map { c =>
       val ctr = graft.ops.Similarity.fixedCentroid(c, dim)
       s"($c, ${ctr.mkString("[", ",", "]")}, ${ctr.map(x => x * x).sum})"
     }.mkString(",\n|    ")
     val whereClause = if (corpusWhere.isEmpty) "" else s" WHERE $corpusWhere"
+    val qLabel = if (hardNegLabel) ", label AS qlabel" else ""
+    val negCond = if (hardNegLabel) " AND n.label <> q.qlabel" else ""
     s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |fc AS (SELECT vec_id, v FROM e$whereClause),
        |cent(cid, cv, cc) AS (VALUES
        |    $centRows),
@@ -163,7 +166,7 @@ object ExtensionQueries {
        |      ROW_NUMBER() OVER (PARTITION BY fc.vec_id ORDER BY
        |        (list_inner_product(v, v) - 2.0*list_inner_product(v, cv) + cc), cid) AS rnk
        |    FROM fc CROSS JOIN cent) WHERE rnk = 1),
-       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm$qLabel FROM n WHERE vec_id < 5),
        |pr AS (SELECT qid, cid FROM (
        |    SELECT q.qid, cent.cid,
        |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
@@ -173,7 +176,7 @@ object ExtensionQueries {
        |        ROUND(list_inner_product(qv, n.v)/(qnrm*n.nrm), 6) AS cos
        |      FROM q JOIN pr ON pr.qid = q.qid
        |            JOIN ca ON ca.cid = pr.cid
-       |            JOIN n ON n.vec_id = ca.vec_id AND n.vec_id <> q.qid),
+       |            JOIN n ON n.vec_id = ca.vec_id AND n.vec_id <> q.qid$negCond),
        |r AS (SELECT qid, nid, cos,
        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
        |SELECT qid, nid, cos, rn FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin
@@ -786,6 +789,22 @@ object ExtensionQueries {
       doc = "PQ-code-equality semantic dedup over planted near-dup " +
         "clusters: zero pair comparisons, keep = smallest id per code " +
         "cell, fully oracle-checked"),
+
+    // Hard-negative mining for contrastive training sets: per anchor, the
+    // top-k most-similar vectors with a DIFFERENT label, through the same
+    // fixed-centroid IVF cells (cid equi-join — no product join). The
+    // label-mismatch predicate is per-query (≠ the anchor's label), so it
+    // rides the candidate join rather than the scan — the complement of
+    // q_sim_filtered_topk's statically-pushed filter.
+    "q_hard_negatives" -> QueryDef.sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hardNegativesFixed(emb, emb.filter(col("vec_id") < 5), k = 10)
+          .orderBy("qid", "rn")
+      },
+      ivfFixedOracle(k = 10, nList = 16, nProbe = 4, dim = 64, hardNegLabel = true),
+      doc = "hard-negative mining: per-anchor top-k nearest with a " +
+        "different label via IVF cells, fully oracle-checked"),
 
     // ------------------------------------------------- embedding clustering
     // Distributed Lloyd k-means in fixed-point integer space (Cluster

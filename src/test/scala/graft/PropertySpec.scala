@@ -107,6 +107,56 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("top-k aggregate laws: any split/merge/serde yields the true smallest k") {
+    import scala.collection.mutable.ArrayBuffer
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val k = 5
+    val agg = graft.functions.TopKPairs(Literal(0L), Literal(0L), k)
+    def decode(v: Any): List[(Long, Long)] =
+      v.asInstanceOf[GenericArrayData].array.toList
+        .map(r => (r.asInstanceOf[InternalRow].getLong(0),
+          r.asInstanceOf[InternalRow].getLong(1)))
+    def buf(ps: List[(Long, Long)]): ArrayBuffer[Long] = {
+      val b = agg.createAggregationBuffer()
+      ps.foreach { p => b += p._1 += p._2 }
+      b
+    }
+    val pairs: Gen[List[(Long, Long)]] = Gen.listOf(Gen.choose(-1000L, 1000L))
+      .map(_.zipWithIndex.map { case (o, i) => (o, i.toLong) }) // unique ids
+    val split: Gen[(List[(Long, Long)], Int)] = for {
+      ps <- pairs
+      cut <- Gen.choose(0, math.max(0, ps.length))
+    } yield (ps, cut)
+    check(Prop.forAll(split) { case (ps, cut) =>
+      val truth = ps.sorted.take(k)
+      val (l, r) = ps.splitAt(cut)
+      val merged = agg.merge(buf(l), buf(r))
+      val viaSerde = agg.deserialize(agg.serialize(agg.merge(buf(r), buf(l))))
+      decode(agg.eval(merged)) == truth && decode(agg.eval(viaSerde)) == truth
+    })
+  }
+
+  test("Gram aggregator law: any split/merge equals the single-pass buffer") {
+    val dim = 3
+    val agg = new graft.ops.Pca.GramAgg(dim)
+    val vecs: Gen[List[List[Double]]] = Gen.listOf(
+      Gen.listOfN(dim, Gen.choose(-100, 100).map(_.toDouble)))
+    val split: Gen[(List[List[Double]], Int)] = for {
+      vs <- vecs
+      cut <- Gen.choose(0, math.max(0, vs.length))
+    } yield (vs, cut)
+    check(Prop.forAll(split) { case (vs, cut) =>
+      val whole = vs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+      val (l, r) = vs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)((b, v) => agg.reduce(b, v)),
+        r.foldLeft(agg.zero)((b, v) => agg.reduce(b, v)))
+      merged.toSeq == whole.toSeq
+    })
+  }
+
   test("strftime translation: literal runs survive, %-directives all translate") {
     // every directive the reference can reach via time_format configs
     val directives = Seq("%Y", "%m", "%d", "%H", "%M", "%S", "%N", "%3N", "%6N", "%9N",
