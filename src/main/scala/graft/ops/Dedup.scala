@@ -568,8 +568,20 @@ object Dedup {
 
   def simhashNearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
                                   n: Int = 3, maxHamming: Int = 16,
-                                  maxBucket: Int = 64): DataFrame = {
-    val sig = simhash4x16Portable(docs, idCol, textCol, n)
+                                  maxBucket: Int = 64): DataFrame =
+    chunk4x16Pairs(simhash4x16Portable(docs, idCol, textCol, n), maxHamming, maxBucket)
+
+  /** Pigeonhole Hamming join over any 4×16-bit signature table
+    * (`id, c0..c3` — portable SimHash, image aHash, …): docs sharing any
+    * 16-bit chunk value are candidates (equi-join on (chunk, value) — ONE
+    * linear shuffle of the 32-byte signatures), verified by exact popcount
+    * against the signatures carried in the bucket structs. Hot chunk values
+    * are capped at `maxBucket` members (the aggregation buffer itself is
+    * bounded by CollectCapped, so a degenerate value can't build an
+    * unbounded array in one task) — the same cap semantics as every other
+    * approximate tier, mirrored exactly by the oracles' `elig` CTE.
+    * Recall: pigeonhole-complete for hamming < 4; candidate-based above. */
+  def chunk4x16Pairs(sig: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
     val chunkStructs = (0 until 4).map(c => struct(lit(c).as("chunk"), col(s"c$c").as("v")))
     val banded = sig.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
         explode(array(chunkStructs: _*)).as("e"))

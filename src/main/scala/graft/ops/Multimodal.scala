@@ -349,6 +349,77 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------------ perceptual hash
+
+  /** 8×8 average-hash (aHash) of one decoded grayscale image — the classic
+    * perceptual fingerprint (Niu & Jiao 2008 survey family): partition the
+    * image into an 8×8 grid of equal blocks (truncating the right/bottom
+    * remainder), set bit i=gy*8+gx iff that block's mean exceeds the mean
+    * over all 64 blocks. All-integer: blocks have EQUAL pixel counts after
+    * truncation, so `blockSum * 64 > totalSum` is the exact mean
+    * comparison — no division, no floats, bit-reproducible in ANSI SQL.
+    *
+    * Returned as four 16-bit chunks c(i/16) |= 1 << (i%16) — the repo's
+    * portable-SimHash signature layout, so the SAME pigeonhole band join
+    * ([[Dedup.chunk4x16Pairs]]) serves image near-dup at scale, and no
+    * engine disagrees about bit 63's sign.
+    *
+    * Returns None when the image has no full 8×8 block grid (width or
+    * height < 8 — the oracle recomputes the same floor from `length(text)`). */
+  def ahashBits(width: Int, height: Int, px: Array[Byte]): Option[Array[Long]] = {
+    val grid = 8
+    val bw = width / grid; val bh = height / grid
+    if (bw == 0 || bh == 0) None
+    else {
+      val sums = new Array[Long](grid * grid)
+      var gy = 0
+      while (gy < grid) {
+        var yy = gy * bh
+        while (yy < (gy + 1) * bh) {
+          var gx = 0
+          while (gx < grid) {
+            var s = 0L
+            var xx = gx * bw
+            while (xx < (gx + 1) * bw) { s += px(yy * width + xx) & 0xff; xx += 1 }
+            sums(gy * grid + gx) += s
+            gx += 1
+          }
+          yy += 1
+        }
+        gy += 1
+      }
+      var tot = 0L; var i = 0
+      while (i < sums.length) { tot += sums(i); i += 1 }
+      val cs = new Array[Long](4)
+      i = 0
+      while (i < grid * grid) {
+        if (sums(i) * (grid * grid) > tot) cs(i / 16) |= 1L << (i % 16)
+        i += 1
+      }
+      Some(cs)
+    }
+  }
+
+  private val ahashSchema = new StructType()
+    .add("asset_id", LongType)
+    .add("c0", LongType).add("c1", LongType)
+    .add("c2", LongType).add("c3", LongType)
+
+  /** Partition-batched decode + average-hash over BMP assets: one codec
+    * context per partition, images without a full 8×8 grid dropped (same
+    * floor as the oracle). Scale shape: a pure scan-side map — no shuffle;
+    * the signature is 4 longs per asset regardless of image size, so the
+    * downstream dedup join's input is ~32 bytes/asset at any corpus scale. */
+  def ahashBmpAssets(assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(ahashSchema)
+    assets.select(col("asset_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (w, h, px) = decodeBmp24(r.getAs[Array[Byte]](1))
+        ahashBits(w, h, px).map(cs => Row(r.getLong(0), cs(0), cs(1), cs(2), cs(3)))
+      }
+    }(enc)
+  }
+
   private val bmpFeatureSchema = new StructType()
     .add("asset_id", LongType).add("n_bytes", LongType)
     .add("width", IntegerType).add("height", IntegerType)

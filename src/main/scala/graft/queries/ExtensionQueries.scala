@@ -310,6 +310,30 @@ object ExtensionQueries {
        |      FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b)
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared oracle CTEs: rebuild the 16-wide pixel grid from the text bytes
+    * (the asBmpAssets encoding) and compute the 8×8 average-hash block sums
+    * exactly as [[graft.ops.Multimodal.ahashBits]] — equal-count blocks via
+    * remainder truncation (`y < (h//8)*8`; width 16 → bw=2 covers all
+    * columns), bit = blockSum*64 > totalSum, chunks c0..c3 of 16 bits. */
+  private val AhashSigCtes: String =
+    """d AS (SELECT doc_id, text, length(text) // 16 AS h FROM documents
+      |       WHERE length(text) // 16 >= 8),
+      |px AS (SELECT doc_id, h, (i-1) // 16 AS y, (i-1) % 16 AS x,
+      |         ord(substr(text, CAST(i AS INTEGER), 1)) AS v
+      |       FROM d, unnest(range(1, h*16 + 1)) AS t(i)),
+      |ob AS (SELECT doc_id, y // (h // 8) AS gy, x // 2 AS gx, sum(v) AS s
+      |       FROM px WHERE y < (h // 8) * 8 GROUP BY doc_id, gy, gx),
+      |ot AS (SELECT doc_id, sum(s) AS ts FROM ob GROUP BY doc_id),
+      |obit AS (SELECT b.doc_id, gy*8 + gx AS i,
+      |           CASE WHEN s*64 > ts THEN 1 ELSE 0 END AS bit
+      |         FROM ob b JOIN ot USING (doc_id)),
+      |osig AS (SELECT doc_id,
+      |    sum(CASE WHEN i // 16 = 0 THEN bit * (1 << (i % 16)) ELSE 0 END)::BIGINT AS c0,
+      |    sum(CASE WHEN i // 16 = 1 THEN bit * (1 << (i % 16)) ELSE 0 END)::BIGINT AS c1,
+      |    sum(CASE WHEN i // 16 = 2 THEN bit * (1 << (i % 16)) ELSE 0 END)::BIGINT AS c2,
+      |    sum(CASE WHEN i // 16 = 3 THEN bit * (1 << (i % 16)) ELSE 0 END)::BIGINT AS c3
+      |  FROM obit GROUP BY doc_id)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------ deduplication
@@ -1090,6 +1114,58 @@ object ExtensionQueries {
         |FROM w GROUP BY doc_id ORDER BY asset_id""".stripMargin,
       doc = "nearest-neighbor ×2 image downsample as a decode→resample→" +
         "re-encode codec composition, every resized pixel oracle-checked " +
-        "from the source bytes")
+        "from the source bytes"),
+
+    // Perceptual image fingerprint: 8×8 average-hash over the decoded BMP
+    // grid — block mean vs global mean as the EXACT integer comparison
+    // blockSum*64 > totalSum (equal-count blocks after remainder
+    // truncation), packed in the portable 4×16-bit chunk layout. The
+    // oracle rebuilds the pixel grid from the text bytes and replays the
+    // same block sums, so every one of the 64 bits is hash-compared.
+    "q_multimodal_ahash" -> QueryDef.sql(
+      (s, dir) => Multimodal.ahashBmpAssets(
+          Multimodal.asBmpAssets(Tables.documents(s, dir), "doc_id", "text"))
+        .withColumn("n_bits",
+          (0 until 4).map(c => bit_count(col(s"c$c"))).reduce(_ + _).cast("long"))
+        .orderBy("asset_id"),
+      s"""WITH $AhashSigCtes
+         |SELECT doc_id AS asset_id, c0, c1, c2, c3,
+         |  (bit_count(c0)+bit_count(c1)+bit_count(c2)+bit_count(c3))::BIGINT AS n_bits
+         |FROM osig ORDER BY asset_id""".stripMargin,
+      doc = "8×8 average-hash perceptual image fingerprint (integer-exact " +
+        "block-mean threshold), all 64 bits oracle-checked per asset"),
+
+    // Image near-dup dedup: the aHash signatures through the SAME
+    // pigeonhole Hamming join as portable SimHash (Dedup.chunk4x16Pairs) —
+    // one (chunk, value) shuffle of 32-byte signatures, hot-value cap,
+    // exact popcount verify. On the fixture the planted shared-prefix
+    // near-dup documents render to byte-grids whose block means coincide,
+    // so the pair set is the planted image-duplicate structure.
+    "q_dedup_image_ahash" -> QueryDef.sql(
+      (s, dir) => graft.ops.Dedup.chunk4x16Pairs(
+          Multimodal.ahashBmpAssets(
+            Multimodal.asBmpAssets(Tables.documents(s, dir), "doc_id", "text"))
+            .withColumnRenamed("asset_id", "id"),
+          maxHamming = 4, maxBucket = 64)
+        .orderBy("id_a", "id_b"),
+      s"""WITH $AhashSigCtes,
+         |sig AS (SELECT doc_id AS id, c0, c1, c2, c3 FROM osig),
+         |banded AS (SELECT id, c0, c1, c2, c3, 0 AS chunk, c0 AS v FROM sig
+         |  UNION ALL SELECT id, c0, c1, c2, c3, 1, c1 FROM sig
+         |  UNION ALL SELECT id, c0, c1, c2, c3, 2, c2 FROM sig
+         |  UNION ALL SELECT id, c0, c1, c2, c3, 3, c3 FROM sig),
+         |elig AS (SELECT chunk, v FROM banded GROUP BY chunk, v
+         |         HAVING COUNT(*) BETWEEN 2 AND 64),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.v = b.v AND a.id < b.id
+         |         JOIN elig ON elig.chunk = a.chunk AND elig.v = a.v),
+         |ham AS (SELECT id_a, id_b,
+         |    (bit_count(xor(sa.c0,sb.c0))+bit_count(xor(sa.c1,sb.c1))
+         |    +bit_count(xor(sa.c2,sb.c2))+bit_count(xor(sa.c3,sb.c3)))::BIGINT AS hamming
+         |  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
+         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4
+         |ORDER BY id_a, id_b""".stripMargin,
+      doc = "perceptual image near-dup via aHash + pigeonhole Hamming " +
+        "bands (recall-complete at hamming<4), fully oracle-checked")
   )
 }

@@ -390,6 +390,52 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f1 === f2)
     assert(f1.forall(_.getAs[Int]("width") === Multimodal.ImgWidth))
   }
+  test("aHash bits: block-mean threshold, ties, and remainder truncation") {
+    // 16x8 -> bw=2, bh=1. Left half dark (0), right half bright (200):
+    // every row sets bits gx=4..7 -> each chunk is 0xF0F0.
+    val half = Array.tabulate(16 * 8)(i => if (i % 16 < 8) 0.toByte else 200.toByte)
+    assert(Multimodal.ahashBits(16, 8, half).get.toSeq === Seq.fill(4)(0xF0F0L))
+    // uniform image: every blockSum*64 == totalSum, strict > -> all bits 0
+    val flat = Array.fill(16 * 8)(77.toByte)
+    assert(Multimodal.ahashBits(16, 8, flat).get.toSeq === Seq.fill(4)(0L))
+    // height 9 -> bh=1: row 8 (extreme values) must not affect the hash
+    val tail = half ++ Array.fill(16)(255.toByte)
+    assert(Multimodal.ahashBits(16, 9, tail).get.toSeq ===
+      Multimodal.ahashBits(16, 8, half).get.toSeq)
+    // no full 8x8 grid -> None
+    assert(Multimodal.ahashBits(16, 7, half.take(16 * 7)).isEmpty)
+    assert(Multimodal.ahashBits(4, 8, half.take(32)).isEmpty)
+  }
+  test("aHash assets match a per-doc recompute from the text bytes") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Multimodal.ahashBmpAssets(
+        Multimodal.asBmpAssets(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    val want = docs.select("doc_id", "text").collect().flatMap { r =>
+      val bytes = r.getString(1).getBytes("US-ASCII")
+      val h = bytes.length / 16
+      if (h < 8) None
+      else Multimodal.ahashBits(16, h, java.util.Arrays.copyOf(bytes, 16 * h))
+        .map(cs => r.getLong(0) -> cs.toIndexedSeq)
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+  test("aHash near-dup pairs = brute-force banded hamming<=4 set") {
+    val sig = Multimodal.ahashBmpAssets(
+        Multimodal.asBmpAssets(Tables.documents(spark, sf0001), "doc_id", "text"))
+      .withColumnRenamed("asset_id", "id")
+    val got = graft.ops.Dedup.chunk4x16Pairs(sig, maxHamming = 4, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = sig.collect().map(r => (r.getLong(0), (1 to 4).map(r.getLong)))
+    val want = (for {
+      (ia, ca) <- rows; (ib, cb) <- rows if ia < ib
+      if ca.zip(cb).exists { case (x, y) => x == y } // shares a chunk (bucket)
+      ham = ca.zip(cb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if ham <= 4
+    } yield (ia, ib, ham.toLong)).toSet
+    assert(got === want)
+  }
 }
 
 class PqSpec extends SparkSpecBase {
