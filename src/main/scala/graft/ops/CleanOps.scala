@@ -158,6 +158,43 @@ object CleanOps {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  /** URL canonicalization — the standard web-crawl dedup key (one fetch
+    * identity per page, not per tracking-decorated variant):
+    *   1. strip the fragment (`#…` is client-side only);
+    *   2. drop tracking parameters (`utm_*`, `ref`) and tidy dangling
+    *      `?`/`&` separators — content-selecting params are KEPT;
+    *   3. lowercase the scheme://host[:port] prefix (case-insensitive per
+    *      RFC 3986) and drop the https default port `:443`;
+    *   4. collapse trailing slashes on the path.
+    * Pure chained `regexp_replace` — whole-stage codegen, no UDF; every
+    * regex is shared Java/RE2 syntax so the DuckDB twin differs only in
+    * the `'g'` flag and `\1` (vs `$1`) backreference spelling.
+    *
+    * Scale shape: a scan-side projection; the downstream dedup is one
+    * partial-agg'd groupBy on the canonical string. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "(utm_[a-z0-9_]*|ref)=[^&#]*&?", "")
+    val tidy = regexp_replace(noTrack, "[?&]+$", "")
+    val hostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"
+    val prefix = regexp_extract(tidy, s"($hostRe)", 1)
+    val rest = regexp_replace(tidy, hostRe, "")
+    concat(
+      regexp_replace(lower(prefix), ":443$", ""),
+      regexp_replace(rest, "/+(\\?|$)", "$1"))
+  }
+
+  /** DuckDB twin of [[canonicalizeUrl]] over a URL-valued SQL expression.
+    * Emitted as ONE line: callers interpolate it into stripMargin oracle
+    * strings, and a multi-line fragment would be margin-stripped twice. */
+  def canonicalizeUrlSql(urlExpr: String): String = {
+    val hostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"
+    val tidy = s"regexp_replace(regexp_replace(regexp_replace($urlExpr, " +
+      "'#.*$', ''), '(utm_[a-z0-9_]*|ref)=[^&#]*&?', '', 'g'), '[?&]+$', '')"
+    s"regexp_replace(lower(regexp_extract($tidy, '($hostRe)', 1)), ':443$$', '') || " +
+      s"regexp_replace(regexp_replace($tidy, '$hostRe', ''), '/+(\\?|$$)', '\\1')"
+  }
+
   /** Exact substring-level dedup (the ExactSubstr shape of Lee et al.
     * 2022, "Deduplicating Training Data Makes Language Models Better"):
     * every character position opening a `gram`-char substring that also

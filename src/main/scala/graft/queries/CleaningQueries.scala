@@ -167,6 +167,55 @@ object CleaningQueries {
          |    '${CleanOps.PhoneRe}', '<PHONE>', 'g') AS redacted
          |FROM aug ORDER BY doc_id""".stripMargin,
       doc = "regex PII redaction (email/IP/phone) with per-doc match counts " +
-        "over deterministically planted fixture-derived PII")
+        "over deterministically planted fixture-derived PII"),
+
+    // --------------------------------------------- URL canonicalization
+    // Web-crawl URL dedup: the fixture carries no URL column, so one is
+    // planted deterministically from (source, lang, doc_id) with every
+    // canonicalization hazard present — uppercase scheme/host, https
+    // default port, trailing slash, tracking params around a KEPT content
+    // param, fragment. Docs whose URLs differ only in those decorations
+    // collapse to one canonical fetch identity.
+    "q_url_canonical" -> QueryDef.sql(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("doc_id"),
+            CleanOps.canonicalizeUrl(
+              plantedUrl(col("source"), col("lang"), col("doc_id"))).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+          .orderBy("canonical_url")
+      },
+      s"""WITH u AS (SELECT doc_id, $PlantedUrlSql AS url FROM documents)
+         |SELECT ${CleanOps.canonicalizeUrlSql("url")} AS canonical_url,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS keep_doc
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+      doc = "URL canonicalization dedup (fragment/tracking-param/port/case/" +
+        "trailing-slash normalization), fully oracle-checked")
   )
+
+  /** Deterministic fixture-derived URL with every canonicalization hazard:
+    * mixed-case scheme+host, conditional default port, conditional trailing
+    * slash, tracking params flanking a kept `id` param, conditional
+    * fragment. Spark and SQL twins build the IDENTICAL string. */
+  private def plantedUrl(source: org.apache.spark.sql.Column,
+                         lang: org.apache.spark.sql.Column,
+                         docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("HTTPS://"), source, lit(".Example.COM"),
+      when(docId % 2 === 0, lit(":443")).otherwise(lit("")),
+      lit("/"), lang, lit("/p"), (docId % 7).cast("string"),
+      when(docId % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&id="), (docId % 4).cast("string"),
+      lit("&ref="), (docId % 3).cast("string"),
+      when(docId % 5 === 0, lit("#sec")).otherwise(lit("")))
+
+  private val PlantedUrlSql: String =
+    """'HTTPS://' || source || '.Example.COM' ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+      |    '/' || lang || '/p' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      |    '?utm_source=feed&id=' || CAST(doc_id % 4 AS VARCHAR) ||
+      |    '&ref=' || CAST(doc_id % 3 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END""".stripMargin
 }

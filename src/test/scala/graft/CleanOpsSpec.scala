@@ -151,4 +151,23 @@ class CleanOpsSpec extends SparkSpecBase {
       "write <EMAIL> or ping <IP> or call <PHONE> twice <PHONE>")
     assert(out(1).getAs[String]("red") === "nothing sensitive here")
   }
+  test("canonicalizeUrl normalizes every decoration and keeps content params") {
+    val cases = Seq(
+      // fragment, tracking params, default port, case, trailing slash
+      ("HTTPS://Src1.Example.COM:443/en/p3/?utm_source=feed&id=2&ref=1#sec",
+       "https://src1.example.com/en/p3?id=2"),
+      // tracking param last, no port, no fragment
+      ("https://a.example.com/x?id=1&utm_campaign=z", "https://a.example.com/x?id=1"),
+      // only tracking params -> query dropped entirely
+      ("http://A.example.com/x/?ref=7", "http://a.example.com/x"),
+      // :8443 is NOT the https default port and must survive
+      ("https://h.example.com:8443/p", "https://h.example.com:8443/p"),
+      // path case is preserved (only scheme/host are case-insensitive)
+      ("https://H.example.com/CaseSensitivePath", "https://h.example.com/CaseSensitivePath"))
+    val got = cases.zipWithIndex.map { case ((u, _), i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), CleanOps.canonicalizeUrl(col("url")).as("c"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(got === cases.map(_._2))
+  }
 }
