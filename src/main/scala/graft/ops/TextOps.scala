@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -64,4 +64,67 @@ object TextOps {
   /** Content fingerprint of the normalized text (normalization-invariant
     * exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalizedText(text))
+
+  /** PMI collocation mining (Church & Hanks 1990): score each adjacent
+    * word bigram by `pmi = ln(c_xy · N / (c_x · c_y))` where the margins
+    * c_x (first-position) / c_y (second-position) and the total N all come
+    * from the bigram table itself. High-PMI pairs are multiword
+    * expressions — the phrase-vocabulary step of a training-data pipeline.
+    *
+    * Engine parity: counts and the margin products are exact BIGINT; the
+    * single double op is one division + ln, rounded to integer micro-units
+    * (the DSIR convention — ln of a rational never lands on a rounding
+    * half-digit). The fixture's products stay far below 2^53; at real
+    * corpus scale compute the score as `ln(c_xy)+ln(N)-ln(c_x)-ln(c_y)`
+    * instead (monotone-identical ranking, no overflow).
+    *
+    * Scale shape: one explode pass over the corpus into a partial-agg'd
+    * (w1, w2) count — the ONLY corpus-sized shuffle; margins re-aggregate
+    * the distinct-bigram table (vocab-sized); N is a bounded ONE-row
+    * driver collect entering as a literal (no one-row-join product plan,
+    * see Sketch.kmvSetOps); the final top-k is TakeOrderedAndProject.
+    * The margin joins shuffle vocab-sized tables only. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Long = 5L, topK: Int = 30): DataFrame = {
+    val joined = array_join(tokens(col(textCol)), "_")
+    val bigramPat = "(?<![a-z0-9])(?=([a-z0-9]+_[a-z0-9]+))"
+    val cnt = docs
+      .select(explode(regexp_extract_all(joined, lit(bigramPat), lit(1))).as("g"))
+      .select(substring_index(col("g"), "_", 1).as("w1"),
+        substring_index(col("g"), "_", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+    val lx = cnt.groupBy("w1").agg(sum("n_xy").as("n_x"))
+    val ly = cnt.groupBy("w2").agg(sum("n_xy").as("n_y"))
+    // N = Σ_docs max(n_tokens - 1, 0) ≡ total bigrams, but as a scan-only
+    // aggregate (no second explode/shuffle pass for the one-row collect)
+    val n = docs.select(
+        sum(greatest(size(tokens(col(textCol))) - 1, lit(0)).cast("long")))
+      .collect()(0).getLong(0)
+    cnt.join(lx, "w1").join(ly, "w2")
+      .filter(col("n_xy") >= minCount)
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        round(log((col("n_xy") * lit(n)).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")) * lit(1e6), 0)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[pmiCollocations]] over the `documents` table. */
+  def pmiCollocationsOracle(minCount: Long = 5L, topK: Int = 30): String =
+    s"""WITH t0 AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |            FROM documents),
+       |g AS (SELECT unnest([toks[i]||'_'||toks[i+1] for i in range(1, len(toks))]) AS s
+       |      FROM t0),
+       |p AS (SELECT split_part(s, '_', 1) AS w1, split_part(s, '_', 2) AS w2 FROM g),
+       |cnt AS (SELECT w1, w2, COUNT(*) AS n_xy FROM p GROUP BY 1, 2),
+       |lx AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cnt GROUP BY 1),
+       |ly AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cnt GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cnt)
+       |SELECT w1, w2, n_xy, n_x, n_y,
+       |  CAST(round(ln((n_xy * n)::DOUBLE / (n_x * n_y)::DOUBLE) * 1000000.0)
+       |       AS BIGINT) AS pmi_micro
+       |FROM cnt JOIN lx USING (w1) JOIN ly USING (w2) CROSS JOIN tot
+       |WHERE n_xy >= $minCount
+       |ORDER BY pmi_micro DESC, w1, w2 LIMIT $topK""".stripMargin
 }

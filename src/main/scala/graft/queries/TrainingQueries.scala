@@ -386,6 +386,19 @@ object TrainingQueries {
         "the fixed merge table — the tokenizer-quality metric, " +
         "oracle-checked with no subword explode"),
 
+    // PMI collocations (Church & Hanks 1990): adjacent-bigram pointwise
+    // mutual information from the bigram table's own margins — the
+    // phrase-vocabulary mining step. One corpus-sized shuffle (bigram
+    // counts); margins re-aggregate the vocab-sized count table; N enters
+    // as a driver-collected literal; ln in integer micro-units.
+    "q_pmi_collocations" -> QueryDef.sql(
+      (s, dir) => TextOps.pmiCollocations(
+        Tables.documents(s, dir), "text", minCount = 5L, topK = 30),
+      TextOps.pmiCollocationsOracle(minCount = 5L, topK = 30),
+      doc = "top-30 PMI collocations over adjacent word bigrams " +
+        "(margin-based Church–Hanks PMI in integer micro-units), fully " +
+        "oracle-checked"),
+
     // Sliding-window chunking — the SPLIT side of context-window assembly
     // (q_pack_sequences is the CONCAT side): overlapping 64-token windows
     // every 48 tokens, chunk identity = md5 of the joined window so

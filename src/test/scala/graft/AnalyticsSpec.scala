@@ -18,6 +18,21 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(got === exact, s"missed: ${exact -- got}")
   }
 
+  test("pmiCollocations matches the hand-computed margin PMI") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    // bigrams: a_b, b_a, a_b | a_c -> counts (a,b)=2 (b,a)=1 (a,c)=1, N=4
+    // margins first: a=3, b=1; second: b=2, a=1, c=1
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(d, "text", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    // pmi(b,a)=ln(1*4/(1*1))=ln 4; pmi(a,b)=ln(2*4/(3*2))=ln(4/3)=pmi(a,c)
+    assert(got.toSeq === Seq(
+      ("b", "a", 1L, 1386294L),
+      ("a", "b", 2L, 287682L),
+      ("a", "c", 1L, 287682L)))
+  }
+
   test("count-min estimates never undercount and are partitioning-invariant") {
     import graft.ops.{Sketch, TextOps}
     val items = docs.select(explode(TextOps.tokens(col("text"))).as("item"))
