@@ -265,6 +265,29 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
   }
 
+  /** Cell-bounded similarity-graph EDGES: within-cell pairs (id_a < id_b)
+    * whose exact cosine clears `threshold` — the same fixed-centroid
+    * geometry as [[semDedup]], but emitting the pair list itself for graph
+    * consumers (connected components, [[Graph.triangleCounts]]). The
+    * quadratic is confined to a cell; `nList` is the scale knob exactly as
+    * in semDedup. */
+  def cellEdges(corpus: DataFrame, threshold: Double, nList: Int = 16,
+                dim: Int = 64): DataFrame = {
+    val centers = Array.tabulate(nList)(fixedCentroid(_, dim))
+    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("cid", nearestCid(col("v"), centers))
+    val a = base.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** IVF search with FIXED seeded centroids instead of a learned quantizer:
     * identical machinery to `ivfTopK` (nearest-centroid inverted lists,
     * nProbe-bounded probe, exact cosine rank) but every constant is a

@@ -211,6 +211,44 @@ object ExtensionQueries {
        |FROM ca ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB reproduction of `Similarity.cellEdges` →
+    * `Graph.triangleCounts`: the semDedup cell/cosine edge CTEs, then the
+    * same degree-ordered orientation, wedge join, and closing join. */
+  private def triangleOracle(threshold: Double, nList: Int, dim: Int): String = {
+    val centRows = (0 until nList).map { c =>
+      val ctr = graft.ops.Similarity.fixedCentroid(c, dim)
+      s"($c, ${ctr.mkString("[", ",", "]")}, ${ctr.map(x => x * x).sum})"
+    }.mkString(",\n|    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |cent(cid, cv, cc) AS (VALUES
+       |    $centRows),
+       |ca AS (SELECT vec_id, cid FROM (
+       |    SELECT n.vec_id, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        (list_inner_product(v, v) - 2.0*list_inner_product(v, cv) + cc), cid) AS rnk
+       |    FROM n CROSS JOIN cent) WHERE rnk = 1),
+       |ed AS (SELECT ja.vec_id AS u, jb.vec_id AS w
+       |    FROM ca ja JOIN ca jb ON ja.cid = jb.cid AND ja.vec_id < jb.vec_id
+       |         JOIN n a ON a.vec_id = ja.vec_id
+       |         JOIN n b ON b.vec_id = jb.vec_id
+       |    WHERE ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) >= $threshold),
+       |deg AS (SELECT id, COUNT(*) AS d FROM
+       |    (SELECT u AS id FROM ed UNION ALL SELECT w FROM ed) GROUP BY id),
+       |o AS (SELECT
+       |    CASE WHEN du.d < dw.d OR (du.d = dw.d AND u < w) THEN u ELSE w END AS src,
+       |    CASE WHEN du.d < dw.d OR (du.d = dw.d AND u < w) THEN w ELSE u END AS dst,
+       |    CASE WHEN du.d < dw.d OR (du.d = dw.d AND u < w) THEN dw.d ELSE du.d END AS dd
+       |  FROM ed JOIN deg du ON du.id = u JOIN deg dw ON dw.id = w),
+       |tri AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+       |    FROM o o1 JOIN o o2 ON o1.src = o2.src
+       |         AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+       |         JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+       |x AS (SELECT unnest([a, b, c]) AS id FROM tri)
+       |SELECT id AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |FROM x GROUP BY id ORDER BY vec_id""".stripMargin
+  }
+
   /** PQ codebook as a DuckDB VALUES table (m, k, codeword, |codeword|^2) —
     * the squared norm is the Scala-computed double (summation order must
     * not differ between engines). */
@@ -677,6 +715,22 @@ object ExtensionQueries {
       semDedupOracle(threshold = 0.4, nList = 16, dim = 64),
       doc = "SemDeDup: cell-bounded semantic dedup with keep/drop verdicts " +
         "(pairs only within a k-means cell; smallest id survives)"),
+
+    // Triangle counting over the cell-bounded similarity graph — the
+    // cohesion motif behind clustering coefficients and community density.
+    // Degree-ordered orientation (Suri & Vassilvitskii 2011) gives every
+    // triangle exactly one two-out-edge apex and bounds wedge fan-out by
+    // out-degree <= O(sqrt(m)), so no hub node can pin one reducer.
+    "q_graph_triangles" -> QueryDef.sql(
+      (s, dir) => Graph.triangleCounts(
+          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3,
+            nList = 16))
+        .select(col("id").as("vec_id"), col("n_triangles"))
+        .orderBy("vec_id"),
+      triangleOracle(threshold = 0.3, nList = 16, dim = 64),
+      doc = "per-node triangle counts over the cell-bounded cosine>=0.3 " +
+        "similarity graph via degree-ordered wedge closing, fully " +
+        "oracle-checked"),
 
     // The hyperplanes are deterministic driver-side literals (splitmix64
     // doubles), and both engines evaluate dot products in the same

@@ -55,4 +55,24 @@ class GraphSpec extends SparkSpecBase {
     val labels = cc(1L to n, chain)
     assert(labels.values.toSet === Set(1L))
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: wedge-only and chain graphs have none; hub counts once per closed fan pair") {
+    // path 1-2-3 plus a pendant: no triangle at all
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === Map.empty)
+    // hub 1 connected to 2,3,4 with one closing edge (2,3): one triangle
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // two triangles sharing edge (1,2): nodes 1,2 in both
+    assert(tri(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
 }
