@@ -321,4 +321,72 @@ object CleanOps {
        |FROM base b
        |LEFT JOIN stats USING (doc_id) LEFT JOIN agg USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------- cross-source overlap audit
+
+  /** Pairwise n-gram overlap between corpus sources — the "is source A
+    * scraping source B" leakage audit (the cross-SOURCE complement of the
+    * doc-level q_split_leakage and the eval-set q_contamination screens):
+    * for every source pair, the count of shared distinct shingles and the
+    * Jaccard of their shingle sets, in truncating micro-units.
+    *
+    * Scale shape: one explode→distinct pass to the (source, shingle) set
+    * (the only corpus-sized shuffle, partial-agg'd); the pair join runs on
+    * the shingle key with fan-out ≤ C(sources-with-gram, 2), hard-capped
+    * by `maxSrc` — shingles present in more than `maxSrc` sources are
+    * boilerplate with no discriminative value and are dropped from the
+    * SHARED counts (per-source totals keep them, so capped Jaccards are
+    * lower bounds); single-source shingles can't pair and are dropped by
+    * the same eligibility filter. Output is C(|sources|, 2) rows.
+    *
+    * @return source_a, source_b, n_a, n_b, n_shared, jaccard_micro */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                    n: Int = 3, maxSrc: Int = 64): DataFrame = {
+    // the (source, shingle) set feeds THREE consumers (eligibility df,
+    // capped pair join, per-source totals) — materialize it once instead
+    // of re-running the explode+distinct per consumer (the
+    // connectedComponents lineage pattern)
+    val sh = docs.select(col(groupCol).as("g"),
+        explode(TextOps.shingles(col(textCol), n)).as("s"))
+      .distinct()
+      .localCheckpoint()
+    val elig = sh.groupBy("s").agg(count(lit(1)).as("nsrc"))
+      .filter(col("nsrc").between(2, maxSrc))
+      .select("s")
+    val shE = sh.join(elig, Seq("s"), "left_semi")
+    val a = shE.select(col("s"), col("g").as("source_a"))
+    val b = shE.select(col("s"), col("g").as("source_b"))
+    val shared = a.join(b, "s").filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    val cnt = sh.groupBy("g").agg(count(lit(1)).as("n"))
+    shared
+      .join(cnt.select(col("g").as("source_a"), col("n").as("n_a")), "source_a")
+      .join(cnt.select(col("g").as("source_b"), col("n").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        call_function("div", col("n_shared") * lit(1000000L),
+          col("n_a") + col("n_b") - col("n_shared")).as("jaccard_micro"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB twin of [[sourceOverlap]] over `documents`. */
+  def sourceOverlapOracle(n: Int = 3, maxSrc: Int = 64): String = {
+    val gram = (1 to n).map(i => s"toks[i${if (i == 1) "" else s"+${i - 1}"}]")
+      .mkString("||'_'||")
+    s"""WITH sh AS (SELECT DISTINCT g, s FROM (
+       |    SELECT source AS g,
+       |      unnest(list_distinct([$gram for i in range(1, len(toks)-${n - 2})])) AS s
+       |    FROM (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |          FROM documents))),
+       |elig AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $maxSrc),
+       |she AS (SELECT sh.g, sh.s FROM sh JOIN elig USING (s)),
+       |shared AS (SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS n_shared
+       |    FROM she a JOIN she b ON a.s = b.s AND a.g < b.g GROUP BY 1, 2),
+       |cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY g)
+       |SELECT source_a, source_b, ca.n AS n_a, cb.n AS n_b, n_shared,
+       |  CAST((n_shared * 1000000) // (ca.n + cb.n - n_shared) AS BIGINT)
+       |    AS jaccard_micro
+       |FROM shared JOIN cnt ca ON ca.g = source_a JOIN cnt cb ON cb.g = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+  }
 }

@@ -497,4 +497,98 @@ object TrainOps {
        |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_len,
        |  md5(array_to_string(chunk, ' ')) AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ------------------------------------------------- weighted subsampling
+
+  /** Weighted sampling WITHOUT replacement via exponential keys
+    * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    * reservoir"): keep the k items with the smallest `Exp(w)` draw
+    * `e = -ln(u)/w` — exactly equivalent to drawing k items one by one
+    * with probability ∝ weight. The corpus-subsampling standard because it
+    * is embarrassingly parallel: the key is a per-row projection and the
+    * selection is a global top-k (TakeOrderedAndProject — per-partition
+    * k-heaps, no sort, no shuffle of non-winners).
+    *
+    * Determinism/parity: u = (h+1)/2^60 from the portable md5 hash of the
+    * id (never 0); the one transcendental -ln(u) is rounded to integer
+    * micro-units (the repo ln convention), then the /w is a truncating
+    * integer division at 1e6 scale — priorities are exact BIGINTs, so the
+    * DuckDB twin selects the identical sample.
+    *
+    * @param weight positive integer weight (rows with w <= 0 are excluded
+    *               — zero-weight items have sampling probability 0) */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(1152921504606846976.0) // 2^60
+    val eMicro = round(-log(u) * lit(1e6), 0).cast("long")
+    docs.select(col(idCol), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("priority", call_function("div", eMicro * lit(1000000L), col("w")))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[weightedSample]] with weight = token count. */
+  def weightedSampleOracle(k: Int): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS w,
+       |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+       |  FROM documents),
+       |p AS (SELECT doc_id, w,
+       |    CAST((CAST(round(-ln((h + 1) / 1152921504606846976.0) * 1000000.0)
+       |          AS BIGINT) * 1000000) // w AS BIGINT) AS priority
+       |  FROM t WHERE w > 0)
+       |SELECT doc_id, w, priority FROM p
+       |ORDER BY priority, doc_id LIMIT $k""".stripMargin
+
+  // --------------------------------------------- per-group quantile rank
+
+  /** Per-group quantile normalization: map each row's integer score to its
+    * within-group cumulative fraction `pct_micro = ⌊10⁶·|{score' ≤ s}|/n⌋`
+    * (cume_dist in truncating micro-units) — the calibration step that
+    * makes quality scores comparable ACROSS sources whose raw scales
+    * differ (a FineWeb/DCLM mixing prerequisite).
+    *
+    * Scale shape: a naive `cume_dist().over(partitionBy(group))` window
+    * sorts every row of a group in one task — a skew cliff when one source
+    * is half the corpus. Instead: (1) partial-agg'd (group, score) bucket
+    * counts — corpus-sized shuffle but combiner-compressed to the distinct
+    * score values; (2) the running/total sums as windows over the BOUNDED
+    * bucket table (partitions = distinct scores per group, thousands not
+    * billions); (3) a broadcastable join back on (group, score). Same
+    * output as the naive window, provably, at any skew. */
+  def quantileNormalize(docs: DataFrame, idCol: String, groupCol: String,
+                        score: Column): DataFrame = {
+    val scored = docs.select(col(idCol), col(groupCol), score.cast("long").as("score"))
+    val buckets = scored.groupBy(col(groupCol), col("score")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bCum = buckets
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wTot))
+      .select(col(groupCol), col("score"), col("cum"), col("n"))
+    scored.join(bCum, Seq(groupCol, "score"))
+      .withColumn("pct_micro", call_function("div", col("cum") * lit(1000000L), col("n")))
+      .select(col(idCol), col(groupCol), col("score"), col("pct_micro"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB twin of [[quantileNormalize]] with score = token count. */
+  def quantileNormalizeOracle: String =
+    """WITH s AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS score
+      |  FROM documents),
+      |b AS (SELECT source, score, COUNT(*) AS c FROM s GROUP BY 1, 2),
+      |cb AS (SELECT source, score,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY score
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(c) OVER (PARTITION BY source) AS n
+      |  FROM b)
+      |SELECT s.doc_id, s.source, s.score,
+      |  CAST((cb.cum * 1000000) // cb.n AS BIGINT) AS pct_micro
+      |FROM s JOIN cb ON s.source = cb.source AND s.score = cb.score
+      |ORDER BY s.doc_id""".stripMargin
 }

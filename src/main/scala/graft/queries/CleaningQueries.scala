@@ -192,7 +192,18 @@ object CleaningQueries {
          |  min(doc_id) AS keep_doc
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
       doc = "URL canonicalization dedup (fragment/tracking-param/port/case/" +
-        "trailing-slash normalization), fully oracle-checked")
+        "trailing-slash normalization), fully oracle-checked"),
+
+    // Cross-source n-gram overlap matrix — the "is source A scraping
+    // source B" leakage audit. One explode→distinct corpus pass; the pair
+    // join fans out per shingle bounded by C(maxSrc, 2); output is
+    // C(|sources|, 2) rows of shared-shingle counts + Jaccard.
+    "q_source_overlap" -> QueryDef.sql(
+      (s, dir) => CleanOps.sourceOverlap(Tables.documents(s, dir),
+        "source", "text", n = 3, maxSrc = 64),
+      CleanOps.sourceOverlapOracle(n = 3, maxSrc = 64),
+      doc = "pairwise cross-source shingle overlap + Jaccard in " +
+        "micro-units (boilerplate-capped pair join), fully oracle-checked")
   )
 
   /** Deterministic fixture-derived URL with every canonicalization hazard:

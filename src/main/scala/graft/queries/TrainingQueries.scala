@@ -386,6 +386,31 @@ object TrainingQueries {
         "the fixed merge table — the tokenizer-quality metric, " +
         "oracle-checked with no subword explode"),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential keys): the corpus-subsampling standard — per-row key
+    // projection + global top-k (TakeOrderedAndProject), no sort/shuffle
+    // of non-winners. All-integer priorities (md5 uniform, ln in
+    // micro-units, truncating /w) so the sample is oracle-identical.
+    "q_weighted_sample" -> QueryDef.sql(
+      (s, dir) => TrainOps.weightedSample(Tables.documents(s, dir),
+        "doc_id", size(TextOps.tokens(col("text"))), k = 50),
+      TrainOps.weightedSampleOracle(k = 50),
+      doc = "token-count-weighted corpus sample of 50 docs via " +
+        "Efraimidis-Spirakis exponential keys, fully oracle-checked"),
+
+    // Per-source quantile normalization of a quality score (cume_dist in
+    // truncating micro-units) — the cross-source calibration step before
+    // mixing. Two-phase bucket-count form: windows run over the BOUNDED
+    // (source, score) bucket table, never over corpus-sized partitions,
+    // so one dominant source cannot pin a task (the naive
+    // cume_dist-over-source window would).
+    "q_score_quantile_norm" -> QueryDef.sql(
+      (s, dir) => TrainOps.quantileNormalize(Tables.documents(s, dir),
+        "doc_id", "source", size(TextOps.tokens(col("text")))),
+      TrainOps.quantileNormalizeOracle,
+      doc = "per-source quantile normalization of token-count scores " +
+        "(skew-safe two-phase cume_dist), fully oracle-checked"),
+
     // PMI collocations (Church & Hanks 1990): adjacent-bigram pointwise
     // mutual information from the bigram table's own margins — the
     // phrase-vocabulary mining step. One corpus-sized shuffle (bigram

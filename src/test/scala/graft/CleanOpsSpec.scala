@@ -151,6 +151,20 @@ class CleanOpsSpec extends SparkSpecBase {
       "write <EMAIL> or ping <IP> or call <PHONE> twice <PHONE>")
     assert(out(1).getAs[String]("red") === "nothing sensitive here")
   }
+  test("sourceOverlap counts shared distinct shingles and Jaccard per source pair") {
+    val d = Seq(
+      (1L, "sa", "a b c d"),          // shingles: a_b_c, b_c_d
+      (2L, "sa", "a b c e"),          // a_b_c, b_c_e  -> sa: {a_b_c, b_c_d, b_c_e}
+      (3L, "sb", "a b c d"),          // sb: {a_b_c, b_c_d}
+      (4L, "sc", "x y z w")           // sc: {x_y_z, y_z_w} disjoint
+    ).toDF("doc_id", "source", "text")
+    val got = CleanOps.sourceOverlap(d, "source", "text", n = 3, maxSrc = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // sa∩sb = {a_b_c, b_c_d} -> 2/(3+2-2)=2/3 -> 666666 micro (truncating)
+    assert(got === Map(("sa", "sb") -> ((3L, 2L, 2L, 666666L))))
+  }
+
   test("canonicalizeUrl normalizes every decoration and keeps content params") {
     val cases = Seq(
       // fragment, tracking params, default port, case, trailing slash

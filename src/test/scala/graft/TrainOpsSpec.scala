@@ -198,4 +198,37 @@ class TrainOpsSpec extends SparkSpecBase {
       col("lang") === "en").collect().map(_.toString).toSeq
     assert(a === b)
   }
+
+  test("weightedSample: deterministic, weight-monotone in expectation, zero-weight excluded") {
+    val docs = Tables.documents(spark, sf0001)
+    val w = size(graft.ops.TextOps.tokens(col("text")))
+    val s1 = TrainOps.weightedSample(docs, "doc_id", w, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val s2 = TrainOps.weightedSample(docs.repartition(9), "doc_id", w, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s1.toSeq === s2.toSeq && s1.length === 10)
+    assert(s1.forall(_._3 >= 0))
+    // k >= corpus returns every positive-weight doc; zero weights never appear
+    val zero = Seq((1L, "alpha beta"), (2L, "")).toDF("doc_id", "text")
+    val all = TrainOps.weightedSample(zero, "doc_id",
+      size(graft.ops.TextOps.tokens(col("text"))), 10).collect()
+    assert(all.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("quantileNormalize equals the naive cume_dist window") {
+    val docs = Tables.documents(spark, sf0001)
+    val score = size(graft.ops.TextOps.tokens(col("text")))
+    val got = TrainOps.quantileNormalize(docs, "doc_id", "source", score)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val naive = docs.select(col("doc_id"), col("source"), score.cast("long").as("sc"))
+      .withColumn("cd", cume_dist().over(
+        Window.partitionBy("source").orderBy("sc")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // pct_micro/1e6 must equal cume_dist exactly at bucket boundaries
+    // (both are |{<= s}| / n); compare after scaling to micro truncation
+    naive.foreach { case (id, cd) =>
+      assert(math.abs(got(id) - math.floor(cd * 1e6)) <= 1,
+        s"doc $id: got ${got(id)} vs cume_dist ${cd}")
+    }
+  }
 }
