@@ -33,6 +33,14 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan in:\n$plan")
   }
 
+  test("weighted sample and PMI top-k plan TakeOrderedAndProject, not global sorts") {
+    for (q <- Seq("q_weighted_sample", "q_pmi_collocations")) {
+      val plan = planString(SparkEntry.queries(q)(spark, sf0001))
+      assert(plan.contains("TakeOrderedAndProject"), s"$q: expected top-k plan in:\n$plan")
+      assert(!plan.contains("GlobalLimit"), s"$q: sort+limit not collapsed:\n$plan")
+    }
+  }
+
   test("two-column projection prunes the lineitem scan schema") {
     import org.apache.spark.sql.functions.col
     val df = sources.Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
