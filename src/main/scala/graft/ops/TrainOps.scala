@@ -529,6 +529,49 @@ object TrainOps {
       .limit(k)
   }
 
+  /** Per-GROUP weighted sampling without replacement: the same
+    * Efraimidis–Spirakis exponential keys as [[weightedSample]], selected
+    * per group through the native bounded top-k aggregate
+    * (`graft.functions.TopKPairs`) instead of a global limit — ≤ k
+    * (priority, id) pairs per group cross the exchange, no input sort, no
+    * per-group window skew cliff. The stratified-subsampling counterpart
+    * of the global sample (k docs from EVERY source, weight-proportional
+    * within each).
+    *
+    * @return groupCol, rn (1-based within group), id, priority */
+  def weightedSampleGrouped(docs: DataFrame, idCol: String, groupCol: String,
+                            weight: Column, k: Int): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(1152921504606846976.0) // 2^60
+    val eMicro = round(-log(u) * lit(1e6), 0).cast("long")
+    val pr = docs.select(col(groupCol), col(idCol), weight.cast("long").as("w"),
+        call_function("div", eMicro * lit(1000000L), weight.cast("long")).as("priority"))
+      .filter(col("w") > 0)
+    pr.groupBy(col(groupCol))
+      .agg(graft.functions.TopKPairs.topK(col("priority"), col(idCol), k).as("tk"))
+      .select(col(groupCol), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col(groupCol), (col("i") + 1).cast("long").as("rn"),
+        col("e.id").as(idCol), col("e.ord").as("priority"))
+      .orderBy(groupCol, "rn")
+  }
+
+  /** DuckDB twin of [[weightedSampleGrouped]] over `documents` grouped by
+    * source, weight = token count (oracle is the naive per-group window). */
+  def weightedSampleGroupedOracle(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS w,
+       |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+       |  FROM documents),
+       |p AS (SELECT source, doc_id,
+       |    CAST((CAST(round(-ln((h + 1) / 1152921504606846976.0) * 1000000.0)
+       |          AS BIGINT) * 1000000) // w AS BIGINT) AS priority
+       |  FROM t WHERE w > 0),
+       |r AS (SELECT source, doc_id, priority,
+       |    row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn
+       |  FROM p)
+       |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, priority
+       |FROM r WHERE rn <= $k ORDER BY source, rn""".stripMargin
+
   /** DuckDB twin of [[weightedSample]] with weight = token count. */
   def weightedSampleOracle(k: Int): String =
     s"""WITH t AS (SELECT doc_id,

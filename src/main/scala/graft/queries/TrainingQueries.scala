@@ -398,6 +398,17 @@ object TrainingQueries {
       doc = "token-count-weighted corpus sample of 50 docs via " +
         "Efraimidis-Spirakis exponential keys, fully oracle-checked"),
 
+    // Per-source weighted sampling through the NATIVE bounded top-k
+    // aggregate: <= k (priority, id) pairs per source cross the exchange
+    // (no window sort, no skew cliff) — the stratified counterpart of
+    // q_weighted_sample; oracle is the naive per-group window.
+    "q_weighted_sample_grouped" -> QueryDef.sql(
+      (s, dir) => TrainOps.weightedSampleGrouped(Tables.documents(s, dir),
+        "doc_id", "source", size(TextOps.tokens(col("text"))), k = 5),
+      TrainOps.weightedSampleGroupedOracle(k = 5),
+      doc = "per-source Efraimidis-Spirakis weighted sample (k=5) via the " +
+        "native graft_topk bounded aggregate, fully oracle-checked"),
+
     // Per-source quantile normalization of a quality score (cume_dist in
     // truncating micro-units) — the cross-source calibration step before
     // mixing. Two-phase bucket-count form: windows run over the BOUNDED

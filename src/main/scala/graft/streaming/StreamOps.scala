@@ -208,6 +208,60 @@ object StreamOps {
       }
   }
 
+  final case class ImagePair(id_a: Long, id_b: Long, chunk: Int, hamming: Long)
+
+  /** Streaming perceptual image near-dup — the stateful streaming twin of
+    * `Dedup.chunk4x16Pairs` over `Multimodal.ahashBmpAssets` signatures:
+    * image assets stream in, are decoded and aHashed in the stateless
+    * prefix (`mapPartitions` codec batches work unchanged on a streaming
+    * Dataset), and each of the four 16-bit chunk buckets keeps a CAPPED
+    * member list in keyed state; a new arrival emits one pair per stored
+    * member within `maxHamming` (exact popcount verify — the signature IS
+    * the full fingerprint, so unlike the MinHash stream there is no
+    * estimate-vs-exact gap with the batch tier).
+    *
+    * Cap semantics follow [[minhashNearDupStream]]: arrival-order
+    * first-`maxBucket` members persist (later arrivals pair but are not
+    * stored), vs the batch tier's drop-oversized-bucket rule — identical
+    * outputs whenever no bucket exceeds the cap (spec-asserted on the
+    * fixture). State per bucket ≤ maxBucket × 40 bytes. */
+  def ahashNearDupStream(assets: DataFrame, maxHamming: Int = 4,
+                         maxBucket: Int = 64): Dataset[ImagePair] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val sig = graft.ops.Multimodal.ahashBmpAssets(assets)
+    val chunkCols = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"), col(s"c$c").as("v")))
+    val banded = sig.select(col("asset_id").as("id"),
+        array(col("c0"), col("c1"), col("c2"), col("c3")).as("sig"),
+        explode(array(chunkCols: _*)).as("e"))
+      .select(col("e.chunk").as("chunk"), col("e.v").as("v"), col("id"), col("sig"))
+      .as[(Int, Long, Long, List[Long])]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketState, ImagePair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((chunk, _), rows, state) =>
+          val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          var ids = st.ids
+          var sigsStored = st.sigs
+          val out = scala.collection.mutable.ListBuffer.empty[ImagePair]
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+            if (!ids.contains(id)) {
+              ids.iterator.zip(sigsStored.iterator).foreach { case (mid, msig) =>
+                var ham = 0L
+                var i = 0
+                while (i < 4) { ham += java.lang.Long.bitCount(sig(i) ^ msig(i)); i += 1 }
+                if (ham <= maxHamming)
+                  out += ImagePair(math.min(id, mid), math.max(id, mid), chunk, ham)
+              }
+              if (ids.size < maxBucket) { ids = ids :+ id; sigsStored = sigsStored :+ sig }
+            }
+          }
+          state.update(BucketState(ids, sigsStored))
+          out.iterator
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: per-key high-watermark
     * monitor that emits one row per micro-batch per key whose running max
     * `value` advanced. State = one double per key (timeout-free here;

@@ -287,6 +287,38 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(pairs === Set((1L, 2L), (1L, 3L)))
   }
 
+  test("streaming image aHash near-dup equals the batch chunk4x16Pairs tier") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)].collect()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val stream = StreamOps.ahashNearDupStream(
+      graft.ops.Multimodal.asBmpAssets(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text"),
+      maxHamming = 4, maxBucket = 1 << 20)
+    val q = stream.writeStream.format("memory").queryName("s_ahash")
+      .outputMode("append").start()
+    // two micro-batches: pairs must cross the state boundary
+    val (late, early) = docs.partition(_._1 % 4 == 0)
+    try {
+      ms.addData(early.toSeq); q.processAllAvailable()
+      ms.addData(late.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_ahash").select("id_a", "id_b", "hamming")
+      .distinct().as[(Long, Long, Long)].collect().toSet
+    val batch = graft.ops.Dedup.chunk4x16Pairs(
+        graft.ops.Multimodal.ahashBmpAssets(
+          graft.ops.Multimodal.asBmpAssets(
+            Tables.documents(spark, sf0001), "doc_id", "text"))
+          .withColumnRenamed("asset_id", "id"),
+        maxHamming = 4, maxBucket = 1 << 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must produce image near-dup pairs")
+  }
+
   test("bloom dedup stream: verdicts equal the sequential reference fold, no false negatives") {
     import spark.implicits._
     val (buckets, m, j) = (8, 256, 3)
