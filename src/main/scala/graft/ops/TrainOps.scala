@@ -619,6 +619,98 @@ object TrainOps {
       .orderBy(idCol)
   }
 
+  /** Outlier-robust per-group statistics of an integer score — the
+    * quality-filter calibration numbers that survive heavy-tailed score
+    * distributions where mean/stddev are dragged by outliers:
+    *   - `p50` — lower median (smallest score with 2·cum ≥ n);
+    *   - `mad` — median absolute deviation |score − p50|, same rule;
+    *   - `mean_micro` — plain mean in truncating micro-units;
+    *   - `winsor_mean_micro` — mean after clipping to [p10, p90] (both
+    *     lower-quantile by the same 10·cum ≥ n / 10·cum ≥ 9n rule).
+    * Every statistic is integer-exact (order statistics by counting, means
+    * as truncating BIGINT quotients), so the DuckDB twin matches
+    * bit-for-bit.
+    *
+    * Scale shape: the [[quantileNormalize]] discipline twice — order
+    * statistics come from cumulative sums over the BOUNDED (group, score)
+    * bucket table (never a corpus-sized window partition); the deviation
+    * pass re-buckets |score − p50| against the broadcastable per-group
+    * quantile row; means are partial-agg'd sums. Three bounded shuffles
+    * total, none carrying more than the bucket table. */
+  def robustStats(docs: DataFrame, groupCol: String, score: Column): DataFrame = {
+    val scored = docs.select(col(groupCol), score.cast("long").as("score"))
+    def buckets(df: DataFrame, c: String) =
+      df.groupBy(col(groupCol), col(c)).agg(count(lit(1)).as("cnt"))
+    def cums(b: DataFrame, c: String) = {
+      val wCum = Window.partitionBy(col(groupCol)).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col(groupCol))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      b.withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wTot))
+    }
+    // lower quantile q/den: the SMALLEST score with den*cum >= q*n, i.e.
+    // the first bucket crossing the rank — a min over qualifying buckets
+    def quantile(cb: DataFrame, c: String, q: Int, den: Int, out: String) =
+      cb.filter(col("cum") * den >= col("n") * q)
+        .groupBy(col(groupCol)).agg(min(col(c)).as(out))
+    val cb = cums(buckets(scored, "score"), "score")
+    val qs = quantile(cb, "score", 1, 2, "p50")
+      .join(quantile(cb, "score", 1, 10, "p10"), Seq(groupCol))
+      .join(quantile(cb, "score", 9, 10, "p90"), Seq(groupCol))
+    val withQ = scored.join(qs, Seq(groupCol))
+    val dev = withQ.select(col(groupCol), abs(col("score") - col("p50")).as("dev"))
+    val mad = quantile(cums(buckets(dev, "dev"), "dev"), "dev", 1, 2, "mad")
+    val means = withQ.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      call_function("div", sum(col("score")) * lit(1000000L), count(lit(1)))
+        .as("mean_micro"),
+      call_function("div",
+        sum(greatest(col("p10"), least(col("p90"), col("score")))) * lit(1000000L),
+        count(lit(1))).as("winsor_mean_micro"))
+    qs.join(mad, Seq(groupCol)).join(means, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("p10"), col("p50"), col("p90"),
+        col("mad"), col("mean_micro"), col("winsor_mean_micro"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB twin of [[robustStats]] over `documents` grouped by source,
+    * score = token count. */
+  def robustStatsOracle: String =
+    """WITH s AS (SELECT source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS score
+      |  FROM documents),
+      |b AS (SELECT source, score, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+      |cb AS (SELECT source, score,
+      |    SUM(cnt) OVER (PARTITION BY source ORDER BY score
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY source) AS n
+      |  FROM b),
+      |q AS (SELECT source,
+      |    MIN(CASE WHEN cum * 2 >= n THEN score END) AS p50,
+      |    MIN(CASE WHEN cum * 10 >= n THEN score END) AS p10,
+      |    MIN(CASE WHEN cum * 10 >= n * 9 THEN score END) AS p90
+      |  FROM cb GROUP BY source),
+      |d AS (SELECT s.source, abs(s.score - q.p50) AS dev
+      |      FROM s JOIN q ON s.source = q.source),
+      |db AS (SELECT source, dev, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+      |dcb AS (SELECT source, dev,
+      |    SUM(cnt) OVER (PARTITION BY source ORDER BY dev
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY source) AS n
+      |  FROM db),
+      |m AS (SELECT source, MIN(CASE WHEN cum * 2 >= n THEN dev END) AS mad
+      |      FROM dcb GROUP BY source),
+      |mn AS (SELECT s.source, COUNT(*) AS n,
+      |    CAST((SUM(s.score) * 1000000) // COUNT(*) AS BIGINT) AS mean_micro,
+      |    CAST((SUM(GREATEST(q.p10, LEAST(q.p90, s.score))) * 1000000) // COUNT(*)
+      |         AS BIGINT) AS winsor_mean_micro
+      |  FROM s JOIN q ON s.source = q.source GROUP BY s.source)
+      |SELECT q.source, mn.n, q.p10, q.p50, q.p90, m.mad,
+      |  mn.mean_micro, mn.winsor_mean_micro
+      |FROM q JOIN m ON m.source = q.source JOIN mn ON mn.source = q.source
+      |ORDER BY q.source""".stripMargin
+
   /** DuckDB twin of [[quantileNormalize]] with score = token count. */
   def quantileNormalizeOracle: String =
     """WITH s AS (SELECT doc_id, source,

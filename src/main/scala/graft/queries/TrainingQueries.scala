@@ -422,6 +422,17 @@ object TrainingQueries {
       doc = "per-source quantile normalization of token-count scores " +
         "(skew-safe two-phase cume_dist), fully oracle-checked"),
 
+    // Outlier-robust per-source score statistics (median / MAD /
+    // winsorized mean) — integer-exact order statistics by counting over
+    // the bounded bucket table (the quantileNormalize discipline), never
+    // a corpus-sized window partition.
+    "q_robust_stats" -> QueryDef.sql(
+      (s, dir) => TrainOps.robustStats(Tables.documents(s, dir),
+        "source", size(TextOps.tokens(col("text")))),
+      TrainOps.robustStatsOracle,
+      doc = "per-source robust score stats: lower median, MAD, p10/p90 " +
+        "winsorized mean in truncating micro-units, fully oracle-checked"),
+
     // PMI collocations (Church & Hanks 1990): adjacent-bigram pointwise
     // mutual information from the bigram table's own margins — the
     // phrase-vocabulary mining step. One corpus-sized shuffle (bigram

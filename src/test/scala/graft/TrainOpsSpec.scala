@@ -215,6 +215,27 @@ class TrainOpsSpec extends SparkSpecBase {
     assert(all.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("robustStats matches a naive in-memory computation per group") {
+    val docs = Tables.documents(spark, sf0001)
+    val score = size(graft.ops.TextOps.tokens(col("text")))
+    val got = TrainOps.robustStats(docs, "source", score)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getLong(6), r.getLong(7))).toMap
+    val raw = docs.select(col("source"), score.cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toVector).toMap
+    raw.foreach { case (src, v) =>
+      def lowerQ(xs: Vector[Long], q: Int, den: Int): Long =
+        xs(math.max(0, (v.size * q + den - 1) / den - 1)) // smallest with den*rank >= q*n
+      val p50 = lowerQ(v, 1, 2); val p10 = lowerQ(v, 1, 10); val p90 = lowerQ(v, 9, 10)
+      val mad = lowerQ(v.map(x => math.abs(x - p50)).sorted, 1, 2)
+      val mean = v.sum * 1000000L / v.size
+      val wins = v.map(x => math.max(p10, math.min(p90, x))).sum * 1000000L / v.size
+      assert(got(src) === ((v.size.toLong, p10, p50, p90, mad, mean, wins)), s"group $src")
+    }
+  }
+
   test("quantileNormalize equals the naive cume_dist window") {
     val docs = Tables.documents(spark, sf0001)
     val score = size(graft.ops.TextOps.tokens(col("text")))
