@@ -581,6 +581,38 @@ object Dedup {
     * unbounded array in one task) — the same cap semantics as every other
     * approximate tier, mirrored exactly by the oracles' `elig` CTE.
     * Recall: pigeonhole-complete for hamming < 4; candidate-based above. */
+  /** Incremental variant of [[chunk4x16Pairs]]: pairs that INVOLVE the
+    * `isNew` slice only — the daily-ingest shape (new×new and new×history,
+    * never history×history), mirroring `minhashIncrementalPairsPortable`.
+    * Bucket sizing/caps run over the FULL banded index (a bucket made hot
+    * by history alone must still cap), then the new-side filter rides the
+    * candidate equi-join. */
+  def chunk4x16IncrementalPairs(sig: DataFrame, isNew: Column => Column,
+                                maxHamming: Int, maxBucket: Int): DataFrame = {
+    val chunkStructs = (0 until 4).map(c => struct(lit(c).as("chunk"), col(s"c$c").as("v")))
+    val banded = sig.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        explode(array(chunkStructs: _*)).as("e"))
+      .select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("e.chunk").as("chunk"), col("e.v").as("v"))
+    val sized = banded.groupBy("chunk", "v").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+    val ok = banded.join(sized.select("chunk", "v"), Seq("chunk", "v"))
+    def side(p: String, filtered: Boolean) = {
+      val base = if (filtered) ok.filter(isNew(col("id"))) else ok
+      base.select(col("chunk") +: col("v") +: (col("id").as(s"${p}id") +:
+        (0 until 4).map(c => col(s"c$c").as(s"$p$c"))): _*)
+    }
+    val ham = (0 until 4).map(c =>
+      bit_count(col(s"x$c").bitwiseXOR(col(s"y$c")))).reduce(_ + _)
+    side("x", filtered = true).join(side("y", filtered = false), Seq("chunk", "v"))
+      .filter(col("xid") =!= col("yid"))
+      .select(least(col("xid"), col("yid")).as("id_a"),
+        greatest(col("xid"), col("yid")).as("id_b"),
+        ham.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def chunk4x16Pairs(sig: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
     val chunkStructs = (0 until 4).map(c => struct(lit(c).as("chunk"), col(s"c$c").as("v")))
     val banded = sig.select(col("id"), col("c0"), col("c1"), col("c2"), col("c3"),

@@ -1220,6 +1220,84 @@ object ExtensionQueries {
          |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4
          |ORDER BY id_a, id_b""".stripMargin,
       doc = "perceptual image near-dup via aHash + pigeonhole Hamming " +
-        "bands (recall-complete at hamming<4), fully oracle-checked")
+        "bands (recall-complete at hamming<4), fully oracle-checked"),
+
+    // Daily-ingest image dedup: pairs involving the "new batch" slice
+    // (doc_id % 4 = 0) only — new×new and new×history, never
+    // history×history; bucket caps sized over the FULL index. The image
+    // twin of q_dedup_incremental.
+    "q_dedup_image_incremental" -> QueryDef.sql(
+      (s, dir) => graft.ops.Dedup.chunk4x16IncrementalPairs(
+          Multimodal.ahashBmpAssets(
+            Multimodal.asBmpAssets(Tables.documents(s, dir), "doc_id", "text"))
+            .withColumnRenamed("asset_id", "id"),
+          isNew = _ % 4 === 0, maxHamming = 4, maxBucket = 64)
+        .orderBy("id_a", "id_b"),
+      s"""WITH $AhashSigCtes,
+         |sig AS (SELECT doc_id AS id, c0, c1, c2, c3 FROM osig),
+         |banded AS (SELECT id, c0, c1, c2, c3, 0 AS chunk, c0 AS v FROM sig
+         |  UNION ALL SELECT id, c0, c1, c2, c3, 1, c1 FROM sig
+         |  UNION ALL SELECT id, c0, c1, c2, c3, 2, c2 FROM sig
+         |  UNION ALL SELECT id, c0, c1, c2, c3, 3, c3 FROM sig),
+         |elig AS (SELECT chunk, v FROM banded GROUP BY chunk, v
+         |         HAVING COUNT(*) BETWEEN 2 AND 64),
+         |ok AS (SELECT banded.* FROM banded JOIN elig USING (chunk, v)),
+         |cand AS (SELECT DISTINCT
+         |    LEAST(x.id, y.id) AS id_a, GREATEST(x.id, y.id) AS id_b,
+         |    (bit_count(xor(x.c0,y.c0))+bit_count(xor(x.c1,y.c1))
+         |    +bit_count(xor(x.c2,y.c2))+bit_count(xor(x.c3,y.c3)))::BIGINT AS hamming
+         |  FROM ok x JOIN ok y ON x.chunk = y.chunk AND x.v = y.v AND x.id <> y.id
+         |  WHERE x.id % 4 = 0)
+         |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 4
+         |ORDER BY id_a, id_b""".stripMargin,
+      doc = "incremental image near-dup: aHash pairs involving the new " +
+        "batch only (no history x history), fully oracle-checked"),
+
+    // The MULTIMODAL flagship composition: decode → integer-exact quality
+    // gate (full 8×8 grid + non-flat dynamic range) → perceptual aHash
+    // dedup (smallest id survives, the semDedup rule) → surviving assets
+    // with their stats. Every stage is the operator its standalone query
+    // declares, so a regression anywhere in the image tier flips this
+    // hash too — the image twin of q_pipeline_assemble.
+    "q_image_pipeline" -> QueryDef.sql(
+      (s, dir) => {
+        val assets = Multimodal.asBmpAssets(Tables.documents(s, dir), "doc_id", "text")
+        val gated = Multimodal.extractBmpFeatures(assets)
+          .select("asset_id", "n_px", "peak", "trough", "energy")
+          .filter(col("n_px") >= 128 && col("peak") - col("trough") >= 16)
+        val sig = Multimodal.ahashBmpAssets(assets)
+          .withColumnRenamed("asset_id", "id")
+          .join(gated.select(col("asset_id").as("id")), Seq("id"), "left_semi")
+        val dropped = graft.ops.Dedup.chunk4x16Pairs(sig, maxHamming = 4, maxBucket = 64)
+          .select(col("id_b").as("asset_id")).distinct()
+        gated.join(dropped, Seq("asset_id"), "left_anti").orderBy("asset_id")
+      },
+      s"""WITH $AhashSigCtes,
+         |stats AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+         |    MAX(v) AS peak, MIN(v) AS trough,
+         |    CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS energy
+         |  FROM px GROUP BY doc_id),
+         |gated AS (SELECT * FROM stats WHERE n_px >= 128 AND peak - trough >= 16),
+         |sig AS (SELECT osig.doc_id AS id, c0, c1, c2, c3 FROM osig
+         |        JOIN gated ON gated.doc_id = osig.doc_id),
+         |banded AS (SELECT id, c0, c1, c2, c3, 0 AS chunk, c0 AS v FROM sig
+         |  UNION ALL SELECT id, c0, c1, c2, c3, 1, c1 FROM sig
+         |  UNION ALL SELECT id, c0, c1, c2, c3, 2, c2 FROM sig
+         |  UNION ALL SELECT id, c0, c1, c2, c3, 3, c3 FROM sig),
+         |elig AS (SELECT chunk, v FROM banded GROUP BY chunk, v
+         |         HAVING COUNT(*) BETWEEN 2 AND 64),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.v = b.v AND a.id < b.id
+         |         JOIN elig ON elig.chunk = a.chunk AND elig.v = a.v),
+         |dropped AS (SELECT DISTINCT id_b FROM cand
+         |    JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+         |    WHERE bit_count(xor(sa.c0,sb.c0))+bit_count(xor(sa.c1,sb.c1))
+         |         +bit_count(xor(sa.c2,sb.c2))+bit_count(xor(sa.c3,sb.c3)) <= 4)
+         |SELECT doc_id AS asset_id, n_px, peak, trough, energy
+         |FROM gated WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+         |ORDER BY asset_id""".stripMargin,
+      doc = "image-tier flagship: decode -> integer quality gate -> aHash " +
+        "perceptual dedup (smallest id survives) -> surviving assets + " +
+        "stats, fully oracle-checked")
   )
 }

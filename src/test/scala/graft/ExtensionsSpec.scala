@@ -421,6 +421,18 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got === want)
     assert(got.nonEmpty)
   }
+  test("incremental aHash pairs = symmetric pairs restricted to the new slice") {
+    val sig = Multimodal.ahashBmpAssets(
+        Multimodal.asBmpAssets(Tables.documents(spark, sf0001), "doc_id", "text"))
+      .withColumnRenamed("asset_id", "id")
+    val inc = graft.ops.Dedup.chunk4x16IncrementalPairs(sig, _ % 4 === 0,
+        maxHamming = 4, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = graft.ops.Dedup.chunk4x16Pairs(sig, maxHamming = 4, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full.filter { case (a, b, _) => a % 4 == 0 || b % 4 == 0 })
+  }
+
   test("aHash near-dup pairs = brute-force banded hamming<=4 set") {
     val sig = Multimodal.ahashBmpAssets(
         Multimodal.asBmpAssets(Tables.documents(spark, sf0001), "doc_id", "text"))
