@@ -83,6 +83,42 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
       doc = "TPC-H Q3 shipping priority: exact decimal revenue, top-10"),
 
+    // TPC-H Q18 (large-volume customers): the HAVING-subquery flagship —
+    // qualifying orders come from a partial-agg'd per-order quantity sum
+    // whose survivors semi-join orders BEFORE the customer/lineitem fact
+    // joins (the filter runs at aggregate granularity, not row
+    // granularity), then TakeOrderedAndProject bounds the top-100.
+    // Threshold 200 sized to the fixture's qty distribution (874
+    // qualifying orders at sf0.01, the standard 300 selects none).
+    "q_tpch_q18" -> QueryDef.sql(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(moneySum(col("l_quantity")).as("q"))
+          .filter(col("q") > 200)
+          .select(col("l_orderkey").as("o_orderkey"))
+        Tables.orders(s, dir).join(big, Seq("o_orderkey"), "left_semi")
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(moneySum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+            col("o_orderkey").asc)
+          .limit(100)
+      },
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) > 200)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+      doc = "TPC-H Q18 large-volume customers: HAVING-aggregate semi join " +
+        "+ exact decimal sums + top-100"),
+
     // TPC-H Q10 (returned-item reporting): which customers returned the
     // most revenue in a quarter — customer⋈orders⋈lineitem with the nation
     // dim broadcast, exact decimal revenue, top-20 by revenue. The fact
