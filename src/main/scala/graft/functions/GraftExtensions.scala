@@ -50,7 +50,10 @@ object GraftFunctions {
       LshSigs.builder),
     (TopKPairs.FunctionName,
       "graft_topk(ord, id, k) - k smallest (ord, id) pairs per group as a sorted struct array",
-      TopKPairs.builder)
+      TopKPairs.builder),
+    (AhashBmp.FunctionName,
+      "graft_ahash(content) - 8x8 average-hash of a BMP payload as 4x16-bit chunks",
+      AhashBmp.builder)
   )
 
   /** Register every graft function in an existing session (idempotent). */

@@ -421,6 +421,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got === want)
     assert(got.nonEmpty)
   }
+  test("graft_ahash native expression equals the mapPartitions codec path; SQL-callable") {
+    val assets = Multimodal.asBmpAssets(Tables.documents(spark, sf0001), "doc_id", "text")
+    val viaExpr = assets.select(col("asset_id"),
+        graft.functions.AhashBmp.ahash(col("content")).as("cs"))
+      .filter(col("cs").isNotNull)
+      .select(col("asset_id"), col("cs")(0), col("cs")(1), col("cs")(2), col("cs")(3))
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    val viaMap = Multimodal.ahashBmpAssets(assets)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(viaExpr === viaMap)
+    assert(viaExpr.nonEmpty)
+    // a 2-row image (no 8x8 grid) -> NULL through the expression
+    import spark.implicits._
+    val tiny = Multimodal.asBmpAssets(
+      Seq((9L, "x" * 40)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(tiny.select(graft.functions.AhashBmp.ahash(col("content")))
+      .collect().head.isNullAt(0))
+    // SQL surface builds the identical expression tree
+    graft.functions.GraftFunctions.registerAll(spark)
+    assets.createOrReplaceTempView("ahash_assets")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM ahash_assets WHERE graft_ahash(content) IS NOT NULL")
+      .collect().head.getLong(0)
+    assert(viaSql === viaMap.size.toLong)
+  }
+
   test("incremental aHash pairs = symmetric pairs restricted to the new slice") {
     val sig = Multimodal.ahashBmpAssets(
         Multimodal.asBmpAssets(Tables.documents(spark, sf0001), "doc_id", "text"))
