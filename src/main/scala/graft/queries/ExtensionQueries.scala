@@ -705,6 +705,34 @@ object ExtensionQueries {
         "satisfying a label predicate (pre-filter pushed to the scan), " +
         "exact cosine rank within the filtered lists, fully oracle-checked"),
 
+    // CROSS-MODAL composition: ANN restricted to vectors whose paired
+    // image asset passed the integer quality gate (full 8×8 grid +
+    // non-flat dynamic range) — the image gate becomes a left-semi join
+    // on the corpus side of the IVF probe, the modality-join shape of a
+    // multimodal training pipeline (text embeddings filtered by image
+    // quality). The gate subquery is the q_image_pipeline gate verbatim.
+    "q_multimodal_ann" -> QueryDef.sql(
+      (s, dir) => {
+        val gated = Multimodal.extractBmpFeatures(
+            Multimodal.asBmpAssets(Tables.documents(s, dir), "doc_id", "text"))
+          .filter(col("n_px") >= 128 && col("peak") - col("trough") >= 16)
+          .select(col("asset_id").as("vec_id"))
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopKFixed(emb.join(gated, Seq("vec_id"), "left_semi"),
+            emb.filter(col("vec_id") < 5), k = 10, nList = 16, nProbe = 4)
+          .orderBy("qid", "rn")
+      },
+      ivfFixedOracle(k = 10, nList = 16, nProbe = 4, dim = 64,
+        corpusWhere = "vec_id IN (SELECT doc_id FROM (" +
+          "SELECT doc_id, COUNT(*) AS n_px, MAX(vv) - MIN(vv) AS dr FROM (" +
+          "SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS vv " +
+          "FROM documents, unnest(range(1, (length(text) // 16) * 16 + 1)) AS t(i) " +
+          "WHERE length(text) >= 16) GROUP BY doc_id) " +
+          "WHERE n_px >= 128 AND dr >= 16)"),
+      doc = "cross-modal ANN: IVF top-k over embeddings whose paired image " +
+        "asset passed the quality gate (modality semi-join on the corpus " +
+        "side), fully oracle-checked"),
+
     // SemDeDup (Abbas et al. 2023): embedding near-dup confined to coarse
     // k-means cells — the pair quadratic is bounded by the cell, each dup
     // group keeps its smallest id. Fixed seeded centroids make the whole
