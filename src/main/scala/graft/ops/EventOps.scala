@@ -93,4 +93,105 @@ object EventOps {
     * reference `out_sql.rb:10, 96, 156`). */
   def injectTagTime(df: DataFrame, tagCol: Column, timeCol: Column): DataFrame =
     df.withColumn("tag", tagCol).withColumn("timestamp", timeCol)
+
+  // ------------------------------------------------- temporal validity ops
+
+  /** SCD-2 validity intervals from an event stream: each per-key reading is
+    * valid from its own timestamp until the NEXT reading's (NULL `valid_to`
+    * = still current) — the slowly-changing-dimension historization that
+    * turns an append-only CDC/event table into an interval table joinable
+    * by `valid_from <= t < valid_to` (the complement of q_latest_by_key's
+    * SCD-1 compaction, which keeps only the current row).
+    *
+    * Scale shape: ONE window per key ordered by (ts, id). Per-key history
+    * is the partition bound; for unbounded multi-year histories partition
+    * the window by (key, coarse epoch bucket) and stitch the bucket
+    * boundaries with a one-row-per-bucket join — the fixture's per-user
+    * histories are bounded, so the direct form is declared. */
+  /** Open (current) rows carry the warehouse-standard high-date sentinel
+    * instead of NULL `valid_to`, so `valid_from <= t AND t < valid_to`
+    * needs no NULL branch; `duration_s` stays NULL for them. The interval
+    * bounds are emitted in the reference's serialized-time string form
+    * (µs precision, `in_sql.rb:62`) — year 9999 is also unrepresentable
+    * in nanosecond epoch integers, so the string form is the one every
+    * consumer agrees on. */
+  val Scd2OpenSentinel = "9999-12-31 00:00:00.000000"
+
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("__next", lead(col("ts"), 1).over(w))
+      .withColumn("duration_s", call_function("div",
+        unix_micros(col("__next")) - unix_micros(col("ts")),
+        lit(1000000L)))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        col("value"),
+        coalesce(date_format(col("__next"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+          lit(Scd2OpenSentinel)).as("valid_to"),
+        col("duration_s"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** DuckDB twin of [[scd2Intervals]]. */
+  val Scd2Oracle: String =
+    s"""SELECT user_id, event_id,
+      |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from, value,
+      |  COALESCE(strftime(nxt, '%Y-%m-%d %H:%M:%S.%f'), '$Scd2OpenSentinel') AS valid_to,
+      |  (epoch_us(nxt) - epoch_us(vf)) // 1000000 AS duration_s
+      |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS vf, value,
+      |        LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+      |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt
+      |      FROM events)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  /** Per-key TIME-weighted average of the event value over its SCD-2
+    * validity intervals — the metric that is right when readings are
+    * irregularly spaced (a value held for a week must outweigh one held
+    * for a minute; the plain AVG treats them equally).
+    *
+    * Integer contract (bit-reproducible in ANSI SQL): values are exact
+    * cents (`DECIMAL(12,2) · 100 → BIGINT`), weights are µs durations
+    * TRUNCATED TO WHOLE SECONDS (the declared granularity — sub-second
+    * residue is discarded identically in both engines, and zero-duration
+    * intervals drop out), and the weighted mean is the truncating BIGINT
+    * quotient `Σ(cents·dur_s)·10⁴ // Σdur_s` in micro-value units. The
+    * open (last) interval has no duration and is excluded by definition.
+    *
+    * Scale shape: the interval window as in [[scd2Intervals]], then one
+    * partial-agg'd groupBy — sums combine map-side. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val iv = events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dur_s", call_function("div",
+        unix_micros(col("next_ts")) - unix_micros(col("ts")), lit(1000000L)))
+      .filter(col("dur_s") > 0)
+      .withColumn("cents",
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+    iv.groupBy("user_id").agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dur_s")).as("total_s"),
+        call_function("div",
+          sum(col("cents") * col("dur_s")) * lit(10000L),
+          sum(col("dur_s"))).as("twa_micro"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB twin of [[timeWeightedAvg]]. */
+  val TwaOracle: String =
+    """WITH iv AS (SELECT user_id,
+      |    (epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER w) - epoch_us(CAST(ts AS TIMESTAMP)))
+      |      // 1000000 AS dur_s,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |f AS (SELECT * FROM iv WHERE dur_s > 0)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(dur_s) AS BIGINT) AS total_s,
+      |  CAST((SUM(cents * dur_s) * 10000) // SUM(dur_s) AS BIGINT) AS twa_micro
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
 }

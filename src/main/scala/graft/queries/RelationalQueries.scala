@@ -444,6 +444,22 @@ object RelationalQueries {
         |ORDER BY user_id""".stripMargin,
       doc = "latest-wins compaction per key (CDC upsert view)"),
 
+    // SCD-2 historization: the interval complement of q_latest_by_key —
+    // every reading valid [own ts, next ts), NULL = still current.
+    "q_scd2_intervals" -> QueryDef.sql(
+      (s, dir) => graft.ops.EventOps.scd2Intervals(Tables.events(s, dir)),
+      graft.ops.EventOps.Scd2Oracle,
+      doc = "SCD-2 validity intervals per key from the event stream " +
+        "(valid_from/valid_to/duration), fully oracle-checked"),
+
+    // Time-weighted average over the SCD-2 intervals: exact-cent values x
+    // whole-second durations, truncating micro-unit quotient.
+    "q_time_weighted_avg" -> QueryDef.sql(
+      (s, dir) => graft.ops.EventOps.timeWeightedAvg(Tables.events(s, dir)),
+      graft.ops.EventOps.TwaOracle,
+      doc = "per-key time-weighted average of event values (irregular " +
+        "sampling corrected by validity duration), fully oracle-checked"),
+
     // Latest-k per key through the NATIVE bounded top-k aggregate
     // (graft.functions.TopKPairs): partial aggregation keeps <= k pairs
     // per group per mapper and the exchange carries only those — unlike
