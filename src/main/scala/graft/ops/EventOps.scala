@@ -181,6 +181,84 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Gap-fill + linear interpolation onto a daily grid — the time-series
+    * RESAMPLING op (QuestDB/Timescale `interpolate`): for every midnight
+    * strictly after the corpus's first day up to its last day, each key's
+    * value is linearly interpolated between the bracketing readings;
+    * points outside a key's observed span are dropped (no extrapolation).
+    *
+    * Integer contract: values in exact cents; the interpolation is the
+    * ALL-NONNEGATIVE weighted form
+    * `(cp·(tn−t) + cn·(t−tp)) // (tn−tp)` in µs — no negative operand
+    * ever reaches the truncating division, sidestepping the Spark-trunc /
+    * DuckDB-floor divergence on negatives (FIXTURES.md).
+    *
+    * Scale shape: the grid is |keys| × |days| rows built from a bounded
+    * one-row min/max collect; bracketing is IGNORE NULLS navigation over
+    * the per-key (readings ∪ grid) union — one window per key, partition
+    * bounded by per-key history + grid, the [[scd2Intervals]] caveat
+    * applies for unbounded histories. */
+  def interpolateDaily(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("ts"),
+      (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+    val r = ev.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .collect()(0)
+    val (d0, d1) = (r.getDate(0), r.getDate(1))
+    val grid = ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(expr(s"sequence(date '$d0' + 1, date '$d1')")).as("gd"))
+      .select(col("user_id"), col("gd").cast("timestamp").as("gts"))
+    val u = ev
+      .select(col("user_id"), col("ts"), col("cents"),
+        lit(null).cast("timestamp").as("gts"))
+      .unionByName(grid.select(col("user_id"), col("gts").as("ts"),
+        lit(null).cast("long").as("cents"), col("gts")))
+    val base = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("gts").asc_nulls_first)
+    val wPrev = base.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wNext = base.rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val evTs = when(col("cents").isNotNull, col("ts"))
+    u.withColumn("cp", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("tp", last(evTs, ignoreNulls = true).over(wPrev))
+      .withColumn("cn", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("tn", first(evTs, ignoreNulls = true).over(wNext))
+      .filter(col("gts").isNotNull && col("cp").isNotNull && col("cn").isNotNull)
+      .select(col("user_id"), col("gts"),
+        call_function("div",
+          col("cp") * (unix_micros(col("tn")) - unix_micros(col("gts"))) +
+            col("cn") * (unix_micros(col("gts")) - unix_micros(col("tp"))),
+          unix_micros(col("tn")) - unix_micros(col("tp"))).as("interp_cents"))
+      .orderBy("user_id", "gts")
+  }
+
+  /** DuckDB twin of [[interpolateDaily]]. */
+  val InterpolateOracle: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+      |bounds AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM ev),
+      |grid AS (SELECT user_id, d AS gts
+      |    FROM (SELECT DISTINCT user_id FROM ev),
+      |      unnest(range((SELECT (d0 + 1)::TIMESTAMP FROM bounds),
+      |                   (SELECT (d1 + 1)::TIMESTAMP FROM bounds),
+      |                   INTERVAL 1 DAY)) AS t(d)),
+      |u AS (SELECT user_id, ts, cents, NULL::TIMESTAMP AS gts FROM ev
+      |      UNION ALL SELECT user_id, gts, NULL, gts FROM grid),
+      |w AS (SELECT user_id, gts,
+      |    LAST_VALUE(cents IGNORE NULLS) OVER wp AS cp,
+      |    LAST_VALUE(CASE WHEN cents IS NOT NULL THEN ts END IGNORE NULLS) OVER wp AS tp,
+      |    FIRST_VALUE(cents IGNORE NULLS) OVER wn AS cn,
+      |    FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN ts END IGNORE NULLS) OVER wn AS tn
+      |  FROM u
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, gts NULLS FIRST
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |         wn AS (PARTITION BY user_id ORDER BY ts, gts NULLS FIRST
+      |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, gts,
+      |  CAST((cp * (epoch_us(tn) - epoch_us(gts)) + cn * (epoch_us(gts) - epoch_us(tp)))
+      |    // (epoch_us(tn) - epoch_us(tp)) AS BIGINT) AS interp_cents
+      |FROM w WHERE gts IS NOT NULL AND cp IS NOT NULL AND cn IS NOT NULL
+      |ORDER BY user_id, gts""".stripMargin
+
   /** DuckDB twin of [[timeWeightedAvg]]. */
   val TwaOracle: String =
     """WITH iv AS (SELECT user_id,

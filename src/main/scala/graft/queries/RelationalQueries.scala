@@ -460,6 +460,15 @@ object RelationalQueries {
       doc = "per-key time-weighted average of event values (irregular " +
         "sampling corrected by validity duration), fully oracle-checked"),
 
+    // Time-series gap-fill: per-key daily-grid linear interpolation
+    // between bracketing readings (no extrapolation), all-nonnegative
+    // integer weighted form so trunc-vs-floor division can't diverge.
+    "q_interpolate_daily" -> QueryDef.sql(
+      (s, dir) => graft.ops.EventOps.interpolateDaily(Tables.events(s, dir)),
+      graft.ops.EventOps.InterpolateOracle,
+      doc = "daily-grid linear interpolation of event values per key " +
+        "(IGNORE NULLS bracketing navigation), fully oracle-checked"),
+
     // Latest-k per key through the NATIVE bounded top-k aggregate
     // (graft.functions.TopKPairs): partial aggregation keeps <= k pairs
     // per group per mapper and the exchange carries only those — unlike
