@@ -259,6 +259,78 @@ object EventOps {
       |FROM w WHERE gts IS NOT NULL AND cp IS NOT NULL AND cn IS NOT NULL
       |ORDER BY user_id, gts""".stripMargin
 
+  /** Robust anomaly detection per event type: flag readings whose
+    * deviation from the type's MEDIAN exceeds ~3 robust standard
+    * deviations (3·1.4826·MAD ≈ 4.45·MAD, encoded as the exact integer
+    * rule `10·|cents − p50| > 45·mad`) — the outlier gate that mean/stddev
+    * z-scores (q_zscore) get wrong when the outliers themselves inflate
+    * the scale. Median/MAD come from the same bounded bucket-table
+    * counting as [[graft.ops.TrainOps.robustStats]]; the per-type stats
+    * row broadcasts back onto the stream.
+    *
+    * @return the anomalous readings only: event_id, event_type, cents,
+    *         p50, mad — ordered by event_id */
+  def robustAnomalies(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val ev = events.select(col("event_id"), col("event_type"), cents.as("cents"))
+    // only p50 + mad are needed — inline the two bucket-count passes of
+    // TrainOps.robustStats (same counting rule) rather than paying its
+    // p10/p90/means joins to discard them
+    def lowerMedian(df: DataFrame, c: String, out: String) = {
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col(c))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wTot = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      df.groupBy(col("event_type"), col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wTot))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("event_type")).agg(min(col(c)).as(out))
+    }
+    val med = lowerMedian(ev, "cents", "p50")
+    val mad = lowerMedian(
+      ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("cents") - col("p50")).as("dev")),
+      "dev", "mad")
+    val stats = med.join(mad, Seq("event_type"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(abs(col("cents") - col("p50")) * 10 > col("mad") * 45)
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("p50"), col("mad"))
+      .orderBy("event_id")
+  }
+
+  /** DuckDB twin of [[robustAnomalies]]. */
+  val RobustAnomalyOracle: String =
+    """WITH s AS (SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents FROM events),
+      |b AS (SELECT event_type, cents, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+      |cb AS (SELECT event_type, cents,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM b),
+      |q AS (SELECT event_type, MIN(CASE WHEN cum * 2 >= n THEN cents END) AS p50
+      |      FROM cb GROUP BY event_type),
+      |d AS (SELECT s.event_type, abs(s.cents - q.p50) AS dev
+      |      FROM s JOIN q ON s.event_type = q.event_type),
+      |db AS (SELECT event_type, dev, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+      |dcb AS (SELECT event_type, dev,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM db),
+      |m AS (SELECT event_type, MIN(CASE WHEN cum * 2 >= n THEN dev END) AS mad
+      |      FROM dcb GROUP BY event_type)
+      |SELECT s.event_id, s.event_type, s.cents, q.p50, m.mad
+      |FROM s JOIN q ON s.event_type = q.event_type
+      |       JOIN m ON m.event_type = s.event_type
+      |WHERE abs(s.cents - q.p50) * 10 > m.mad * 45
+      |ORDER BY s.event_id""".stripMargin
+
   /** DuckDB twin of [[timeWeightedAvg]]. */
   val TwaOracle: String =
     """WITH iv AS (SELECT user_id,

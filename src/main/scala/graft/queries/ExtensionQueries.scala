@@ -211,6 +211,51 @@ object ExtensionQueries {
        |FROM ca ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB reproduction of the aHash pair set (the q_dedup_image_ahash
+    * body) as a standalone SELECT, reusable as a consensus subquery. */
+  private def imagePairsOracle(maxHamming: Int, maxBucket: Int): String =
+    s"""WITH $AhashSigCtes,
+       |sig AS (SELECT doc_id AS id, c0, c1, c2, c3 FROM osig),
+       |banded AS (SELECT id, c0, c1, c2, c3, 0 AS chunk, c0 AS v FROM sig
+       |  UNION ALL SELECT id, c0, c1, c2, c3, 1, c1 FROM sig
+       |  UNION ALL SELECT id, c0, c1, c2, c3, 2, c2 FROM sig
+       |  UNION ALL SELECT id, c0, c1, c2, c3, 3, c3 FROM sig),
+       |elig AS (SELECT chunk, v FROM banded GROUP BY chunk, v
+       |         HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.v = b.v AND a.id < b.id
+       |         JOIN elig ON elig.chunk = a.chunk AND elig.v = a.v),
+       |ham AS (SELECT id_a, id_b,
+       |    (bit_count(xor(sa.c0,sb.c0))+bit_count(xor(sa.c1,sb.c1))
+       |    +bit_count(xor(sa.c2,sb.c2))+bit_count(xor(sa.c3,sb.c3)))::BIGINT AS hamming
+       |  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
+       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB reproduction of `Similarity.cellEdges` as a standalone
+    * SELECT (the triangle/consensus building block). */
+  private def cellEdgesOracle(threshold: Double, nList: Int, dim: Int): String = {
+    val centRows = (0 until nList).map { c =>
+      val ctr = graft.ops.Similarity.fixedCentroid(c, dim)
+      s"($c, ${ctr.mkString("[", ",", "]")}, ${ctr.map(x => x * x).sum})"
+    }.mkString(",\n|    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |cent(cid, cv, cc) AS (VALUES
+       |    $centRows),
+       |ca AS (SELECT vec_id, cid FROM (
+       |    SELECT n.vec_id, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        (list_inner_product(v, v) - 2.0*list_inner_product(v, cv) + cc), cid) AS rnk
+       |    FROM n CROSS JOIN cent) WHERE rnk = 1)
+       |SELECT ja.vec_id AS id_a, jb.vec_id AS id_b
+       |FROM ca ja JOIN ca jb ON ja.cid = jb.cid AND ja.vec_id < jb.vec_id
+       |     JOIN n a ON a.vec_id = ja.vec_id
+       |     JOIN n b ON b.vec_id = jb.vec_id
+       |WHERE ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB reproduction of `Similarity.cellEdges` →
     * `Graph.triangleCounts`: the semDedup cell/cosine edge CTEs, then the
     * same degree-ordered orientation, wedge join, and closing join. */
@@ -1230,25 +1275,65 @@ object ExtensionQueries {
             .withColumnRenamed("asset_id", "id"),
           maxHamming = 4, maxBucket = 64)
         .orderBy("id_a", "id_b"),
-      s"""WITH $AhashSigCtes,
-         |sig AS (SELECT doc_id AS id, c0, c1, c2, c3 FROM osig),
-         |banded AS (SELECT id, c0, c1, c2, c3, 0 AS chunk, c0 AS v FROM sig
-         |  UNION ALL SELECT id, c0, c1, c2, c3, 1, c1 FROM sig
-         |  UNION ALL SELECT id, c0, c1, c2, c3, 2, c2 FROM sig
-         |  UNION ALL SELECT id, c0, c1, c2, c3, 3, c3 FROM sig),
-         |elig AS (SELECT chunk, v FROM banded GROUP BY chunk, v
-         |         HAVING COUNT(*) BETWEEN 2 AND 64),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |         FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.v = b.v AND a.id < b.id
-         |         JOIN elig ON elig.chunk = a.chunk AND elig.v = a.v),
-         |ham AS (SELECT id_a, id_b,
-         |    (bit_count(xor(sa.c0,sb.c0))+bit_count(xor(sa.c1,sb.c1))
-         |    +bit_count(xor(sa.c2,sb.c2))+bit_count(xor(sa.c3,sb.c3)))::BIGINT AS hamming
-         |  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
-         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4
-         |ORDER BY id_a, id_b""".stripMargin,
+      imagePairsOracle(maxHamming = 4, maxBucket = 64),
       doc = "perceptual image near-dup via aHash + pigeonhole Hamming " +
         "bands (recall-complete at hamming<4), fully oracle-checked"),
+
+    // Multi-signal dedup CONSENSUS: the same pair space scored by three
+    // independent signals — text SimHash (portable), image aHash, and
+    // embedding cell-cosine — reduced to the membership matrix
+    // (has_text, has_image, has_emb) → pair count. The audit that tells
+    // you whether your dedup tiers see the SAME duplicates (on the
+    // fixture: text and image signals agree on the planted shared-prefix
+    // near-dups; the independently-generated embeddings disagree — which
+    // is exactly what the matrix is for).
+    "q_dedup_consensus" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val text = graft.ops.Dedup.simhashNearDupPairsPortable(docs,
+          "doc_id", "text", n = 3, maxHamming = 16, maxBucket = 64)
+          .select("id_a", "id_b")
+        val img = graft.ops.Dedup.chunk4x16Pairs(
+          Multimodal.ahashBmpAssets(
+            Multimodal.asBmpAssets(docs, "doc_id", "text"))
+            .withColumnRenamed("asset_id", "id"),
+          maxHamming = 4, maxBucket = 64).select("id_a", "id_b")
+        val emb = Similarity.cellEdges(Tables.embeddings(s, dir),
+          threshold = 0.3, nList = 16).select("id_a", "id_b")
+        val u = text.union(img).union(emb).distinct()
+        def flagged(p: DataFrame, name: String) =
+          p.distinct().withColumn(name, lit(true))
+        u.join(flagged(text, "t"), Seq("id_a", "id_b"), "left_outer")
+          .join(flagged(img, "i"), Seq("id_a", "id_b"), "left_outer")
+          .join(flagged(emb, "e"), Seq("id_a", "id_b"), "left_outer")
+          .select(coalesce(col("t"), lit(false)).as("has_text"),
+            coalesce(col("i"), lit(false)).as("has_image"),
+            coalesce(col("e"), lit(false)).as("has_emb"))
+          .groupBy("has_text", "has_image", "has_emb")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("has_text", "has_image", "has_emb")
+      },
+      s"""WITH st AS (SELECT id_a, id_b FROM (
+         |${AnalyticsQueries.simhashPortableOracle(maxHamming = 16, maxBucket = 64)})),
+         |si AS (SELECT id_a, id_b FROM (
+         |${imagePairsOracle(maxHamming = 4, maxBucket = 64)})),
+         |se AS (SELECT id_a, id_b FROM (
+         |${cellEdgesOracle(threshold = 0.3, nList = 16, dim = 64)})),
+         |u AS (SELECT id_a, id_b FROM st UNION
+         |      SELECT id_a, id_b FROM si UNION
+         |      SELECT id_a, id_b FROM se),
+         |f AS (SELECT
+         |    st.id_a IS NOT NULL AS has_text,
+         |    si.id_a IS NOT NULL AS has_image,
+         |    se.id_a IS NOT NULL AS has_emb
+         |  FROM u LEFT JOIN st ON st.id_a = u.id_a AND st.id_b = u.id_b
+         |         LEFT JOIN si ON si.id_a = u.id_a AND si.id_b = u.id_b
+         |         LEFT JOIN se ON se.id_a = u.id_a AND se.id_b = u.id_b)
+         |SELECT has_text, has_image, has_emb, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      doc = "three-signal dedup agreement matrix (text SimHash / image " +
+        "aHash / embedding cells) over the union pair space, fully " +
+        "oracle-checked"),
 
     // Daily-ingest image dedup: pairs involving the "new batch" slice
     // (doc_id % 4 = 0) only — new×new and new×history, never

@@ -469,6 +469,14 @@ object RelationalQueries {
       doc = "daily-grid linear interpolation of event values per key " +
         "(IGNORE NULLS bracketing navigation), fully oracle-checked"),
 
+    // Robust (median/MAD) outlier gate per event type — the anomaly
+    // detector that survives the outliers inflating mean/stddev.
+    "q_robust_anomaly" -> QueryDef.sql(
+      (s, dir) => graft.ops.EventOps.robustAnomalies(Tables.events(s, dir)),
+      graft.ops.EventOps.RobustAnomalyOracle,
+      doc = "per-type robust anomaly flags (10*|c-median| > 45*MAD, the " +
+        "integer 3-robust-sigma rule), fully oracle-checked"),
+
     // Latest-k per key through the NATIVE bounded top-k aggregate
     // (graft.functions.TopKPairs): partial aggregation keeps <= k pairs
     // per group per mapper and the exchange carries only those — unlike
