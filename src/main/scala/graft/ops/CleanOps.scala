@@ -71,6 +71,50 @@ object CleanOps {
         (expr("(n_kept * 1000000) div n_segs").cast("double") / 1000000d))
   }
 
+  /** C4 cleaning filters (Raffel et al. 2020 §2.2 — the "Colossal Clean
+    * Crawled Corpus" rules, word-level): a line survives iff it ends in
+    * terminal punctuation, has at least `minWords` words, and does not
+    * mention "javascript"; the page survives iff at least `minKeptLines`
+    * lines survived and no line carries a curly brace (code) or the
+    * "lorem ipsum" placeholder. Emits per-document counts, the page
+    * verdict, and the document rebuilt from surviving lines — the
+    * filter-and-rewrite shape every crawl pipeline runs first.
+    *
+    * Scale shape: line flags ride the exploded rows (one codegen'd pass,
+    * no joins); the only shuffle is the rebuild `groupBy(id)`, whose group
+    * size is bounded by document length. Page-level flags aggregate as
+    * `bool_or` — partially aggregable like the counts.
+    *
+    * @param lines any `array<string>` line split of the document
+    *              (`split(text, "\n")` on corpora with real line
+    *              structure). */
+  def c4Filter(docs: DataFrame, idCol: String, lines: Column,
+               minWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val ex = docs.select(col(idCol), posexplode(lines).as(Seq("pos", "line")))
+    val flagged = ex
+      .withColumn("words",
+        size(regexp_extract_all(lower(col("line")), lit("[a-z0-9]+"), lit(0))))
+      .withColumn("line_keep",
+        col("line").rlike("[.!?\"]$") && col("words") >= minWords &&
+          !lower(col("line")).contains("javascript"))
+      .withColumn("brace", col("line").contains("{"))
+      .withColumn("lorem", lower(col("line")).contains("lorem ipsum"))
+    flagged.groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        count(when(col("line_keep"), lit(1))).cast("long").as("n_kept"),
+        bool_or(col("brace")).as("has_brace"),
+        bool_or(col("lorem")).as("has_lorem"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("line_keep"),
+              struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("cleaned_text"))
+      .withColumn("keep",
+        col("n_kept") >= minKeptLines && !col("has_brace") && !col("has_lorem"))
+  }
+
   /** Cross-document n-gram duplication fraction (RefinedWeb's
     * "duplicated n-gram" quality signal): for each document, the fraction
     * of its distinct `n`-gram shingles that also occur in at least one

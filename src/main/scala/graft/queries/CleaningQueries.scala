@@ -31,7 +31,79 @@ object CleaningQueries {
         concat(lit(" call 555-"),
           lpad((docId % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
 
+  /** Deterministic fixture-derived C4 hazards: the corpus text has no line
+    * structure, terminal punctuation, code, or boilerplate, so "lines" are
+    * 10-token segments and the hazards C4 §2.2 screens for are planted by
+    * doc_id/pos arithmetic — the same discipline as [[plantedPiiText]].
+    * Most lines get terminal punctuation (2 in 3), some mention
+    * javascript, some carry a code brace, and 1 doc in 17 ends with the
+    * lorem-ipsum placeholder line. */
+  def plantedC4Lines(docId: org.apache.spark.sql.Column,
+                     text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val segs = CleanOps.tokenSegments(text, 10)
+    val planted = transform(segs, (s, i) => concat(
+      s,
+      when((docId + i) % 7 === 3, lit(" javascript alert")).otherwise(lit("")),
+      when((docId * 31 + i) % 23 === 5, lit(" function() {")).otherwise(lit("")),
+      when((docId + i) % 3 =!= 2, lit(".")).otherwise(lit(""))))
+    concat(planted,
+      when(docId % 17 === 7, array(lit("lorem ipsum dolor sit amet.")))
+        .otherwise(lit(Array.empty[String])))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------- C4 cleaning filters
+    // Raffel et al. 2020 §2.2 line+page rules over the planted-hazard line
+    // split: per-line terminal-punctuation / min-words / javascript
+    // screens, page-level brace & lorem-ipsum & min-kept-lines verdict,
+    // and the document rebuilt from surviving lines. The one shuffle is
+    // the per-document rebuild; every flag is a codegen'd column op on the
+    // exploded rows.
+    "q_quality_c4" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        CleanOps.c4Filter(
+          docs.select(col("doc_id"),
+            plantedC4Lines(col("doc_id"), col("text")).as("lines")),
+          "doc_id", col("lines"))
+          .orderBy("doc_id")
+      },
+      """WITH raw AS (SELECT doc_id,
+        |    regexp_extract_all(lower(trim(regexp_replace(text, '[ \t\n\r\f\x0B]+', ' ', 'g'))),
+        |                       '(?:[a-z0-9]+ ){0,9}[a-z0-9]+') AS arr
+        |  FROM documents),
+        |seg AS (SELECT doc_id, unnest(arr) AS s, unnest(range(len(arr))) AS i FROM raw),
+        |pl AS (SELECT doc_id, i, s
+        |    || CASE WHEN (doc_id + i) % 7 = 3 THEN ' javascript alert' ELSE '' END
+        |    || CASE WHEN (doc_id * 31 + i) % 23 = 5 THEN ' function() {' ELSE '' END
+        |    || CASE WHEN (doc_id + i) % 3 <> 2 THEN '.' ELSE '' END AS line
+        |  FROM seg
+        |  UNION ALL
+        |  SELECT doc_id, len(arr), 'lorem ipsum dolor sit amet.' FROM raw
+        |  WHERE doc_id % 17 = 7),
+        |fl AS (SELECT doc_id, i, line,
+        |    len(regexp_extract_all(lower(line), '[a-z0-9]+')) AS words,
+        |    regexp_matches(line, '[.!?"]$') AS terminal,
+        |    contains(lower(line), 'javascript') AS js,
+        |    contains(line, '{') AS brace,
+        |    contains(lower(line), 'lorem ipsum') AS lorem
+        |  FROM pl),
+        |fk AS (SELECT *, (terminal AND words >= 5 AND NOT js) AS line_keep FROM fl),
+        |ag AS (SELECT doc_id,
+        |    COUNT(*)::BIGINT AS n_lines,
+        |    COUNT(CASE WHEN line_keep THEN 1 END)::BIGINT AS n_kept,
+        |    bool_or(brace) AS has_brace,
+        |    bool_or(lorem) AS has_lorem,
+        |    COALESCE(string_agg(CASE WHEN line_keep THEN line END, chr(10) ORDER BY i), '')
+        |      AS cleaned_text
+        |  FROM fk GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_kept, has_brace, has_lorem, cleaned_text,
+        |  (n_kept >= 3 AND NOT has_brace AND NOT has_lorem) AS keep
+        |FROM ag ORDER BY doc_id""".stripMargin,
+      doc = "C4 line+page cleaning filters (terminal punct / min words / " +
+        "javascript / brace / lorem-ipsum) + document rebuild, fully " +
+        "oracle-checked"),
 
     // ------------------------------------------- segment-level exact dedup
     // CCNet/FineWeb line-dedup shape: segments keep only their first

@@ -184,4 +184,42 @@ class CleanOpsSpec extends SparkSpecBase {
       .orderBy("i").collect().map(_.getString(1)).toSeq
     assert(got === cases.map(_._2))
   }
+
+  test("c4Filter line rules: terminal punct, min words, javascript screen") {
+    val df = Seq(
+      (1L, Array(
+        "one two three four five.",    // kept
+        "one two three four five",     // no terminal punct
+        "too short.",                  // < 5 words
+        "one two three javascript x.", // javascript mention
+        "does it end in a question?",  // kept: '?' terminal
+        "he said \"quoted words end fine\"")) // kept: '"' terminal
+    ).toDF("doc_id", "lines")
+    val out = CleanOps.c4Filter(df, "doc_id", col("lines")).collect()(0)
+    assert(out.getAs[Long]("n_lines") === 6L)
+    assert(out.getAs[Long]("n_kept") === 3L)
+    assert(out.getAs[String]("cleaned_text") ===
+      "one two three four five.\ndoes it end in a question?\nhe said \"quoted words end fine\"")
+    assert(out.getAs[Boolean]("keep"))
+  }
+
+  test("c4Filter page rules: brace, lorem ipsum, min kept lines; empty rebuild") {
+    val ok = Array("alpha beta gamma delta one.", "alpha beta gamma delta two.",
+      "alpha beta gamma delta three.")
+    val df = Seq(
+      (1L, ok),                                                  // keep
+      (2L, ok :+ "int f() { return 0; }"),                       // brace -> drop
+      (3L, ok :+ "Lorem Ipsum dolor sit amet filler text here."),// lorem -> drop
+      (4L, ok.take(2)),                                          // < 3 kept -> drop
+      (5L, Array("no terminal punct at all"))                    // nothing kept
+    ).toDF("doc_id", "lines")
+    val out = CleanOps.c4Filter(df, "doc_id", col("lines"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq ===
+      Seq(true, false, false, false, false))
+    assert(out(1).getAs[Boolean]("has_brace") && !out(1).getAs[Boolean]("has_lorem"))
+    assert(out(2).getAs[Boolean]("has_lorem"))
+    assert(out(4).getAs[Long]("n_kept") === 0L)
+    assert(out(4).getAs[String]("cleaned_text") === "") // empty, not null
+  }
 }
