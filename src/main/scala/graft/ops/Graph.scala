@@ -123,4 +123,49 @@ object Graph {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), made deterministic: every node starts labeled with its own id;
+    * each round every node simultaneously adopts the label held by the
+    * PLURALITY of its neighbors, ties broken toward the smallest label
+    * (the paper's random tie-break is not reproducible; (count desc,
+    * label asc) is a total order, so a fixture run and an unrolled-CTE
+    * oracle agree bit-for-bit). Unlike [[connectedComponents]]' min-label
+    * flood — which converges to one label per component — plurality
+    * voting stops at DENSITY boundaries: a component made of two dense
+    * communities joined by a thin bridge keeps two labels.
+    *
+    * Scale shape: each round is one equi-join of the label table onto the
+    * symmetrized edges plus two partially-aggregable groupBys — the
+    * (node, label) vote count, then the per-node argmax as
+    * `max(struct(count, -label))` — never a corpus-sized window
+    * partition. `rounds` is a fixed small constant (community labels
+    * stabilize in a handful of rounds on dedup-shaped graphs); per-round
+    * labels are localCheckpointed for the same plan-depth reason as
+    * [[connectedComponents]].
+    *
+    * @param edges columns `id_a`, `id_b` (undirected, a < b, no dups —
+    *              the dedup-tier pair contract); every node in `edges`
+    *              has ≥ 1 neighbor, so every vote is non-empty
+    * @return (id, label, csize) for every endpoint node, csize = the
+    *         final community's node count */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst")).persist()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // eager: truncates the pair-pipeline plan
+    e.unpersist(blocking = false)
+    var lab = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    for (_ <- 1 to rounds) {
+      lab = sym
+        .join(lab.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy("src", "nl").agg(count(lit(1)).as("c"))
+        .groupBy("src")
+        .agg(max(struct(col("c").as("c"), (-col("nl")).as("negl"))).as("m"))
+        .select(col("src").as("id"), (-col("m.negl")).as("label"))
+        .localCheckpoint() // eager: O(1)-deep plan across rounds
+    }
+    val sizes = lab.groupBy("label").agg(count(lit(1)).cast("long").as("csize"))
+    lab.join(sizes, "label").select("id", "label", "csize")
+  }
 }

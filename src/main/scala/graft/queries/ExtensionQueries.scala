@@ -417,6 +417,32 @@ object ExtensionQueries {
       |    sum(CASE WHEN i // 16 = 3 THEN bit * (1 << (i % 16)) ELSE 0 END)::BIGINT AS c3
       |  FROM obit GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB reproduction of `Similarity.cellEdges` →
+    * `Graph.labelPropagation`: the shared cell/cosine edge subquery, then
+    * `rounds` unrolled vote/argmax CTE pairs — the per-node argmax as a
+    * ROW_NUMBER over (count desc, label asc), the relational mirror of
+    * Spark's max(struct(c, −label)). */
+  private def labelPropOracle(threshold: Double, nList: Int, dim: Int,
+                              rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""cnt$r AS MATERIALIZED (SELECT e.src, l${r - 1}.label AS nl, COUNT(*) AS c
+         |  FROM sym e JOIN l${r - 1} ON l${r - 1}.id = e.dst GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT src AS id, nl AS label FROM (
+         |    SELECT src, nl,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, nl ASC) AS rn
+         |    FROM cnt$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |${cellEdgesOracle(threshold, nList, dim)}),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
+       |$roundCtes,
+       |sz AS (SELECT label, COUNT(*)::BIGINT AS csize FROM l$rounds GROUP BY label)
+       |SELECT l.id AS vec_id, l.label, sz.csize
+       |FROM l$rounds l JOIN sz USING (label) ORDER BY vec_id""".stripMargin
+  }
+
   /** Shared oracle CTEs: rebuild the 64-window fixed-clip audio energy
     * fingerprint from the text bytes (the asWavAssets PCM encoding)
     * exactly as [[graft.ops.Multimodal.audioFpBits]] — the anchor clip is
@@ -850,6 +876,24 @@ object ExtensionQueries {
       doc = "per-node triangle counts over the cell-bounded cosine>=0.3 " +
         "similarity graph via degree-ordered wedge closing, fully " +
         "oracle-checked"),
+
+    // Label-propagation communities over the same similarity graph —
+    // plurality voting with a deterministic (count desc, label asc)
+    // tie-break, 3 synchronized rounds unrolled in the oracle as chained
+    // CTEs. The density-aware complement of q_dedup_clusters' min-label
+    // connected components: a thin bridge between two dense groups does
+    // NOT merge their labels.
+    "q_graph_label_prop" -> QueryDef.sql(
+      (s, dir) => Graph.labelPropagation(
+          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3,
+            nList = 16),
+          rounds = 3)
+        .select(col("id").as("vec_id"), col("label"), col("csize"))
+        .orderBy("vec_id"),
+      labelPropOracle(threshold = 0.3, nList = 16, dim = 64, rounds = 3),
+      doc = "deterministic synchronous label-propagation communities " +
+        "(3 rounds, plurality vote, min-label ties) over the cell-bounded " +
+        "similarity graph, fully oracle-checked"),
 
     // The hyperplanes are deterministic driver-side literals (splitmix64
     // doubles), and both engines evaluate dot products in the same

@@ -75,4 +75,27 @@ class GraphSpec extends SparkSpecBase {
     assert(tri(Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))) ===
       Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
+
+  private def lp(edges: Seq[(Long, Long)], rounds: Int): Map[Long, (Long, Long)] =
+    Graph.labelPropagation(edges.toDF("id_a", "id_b"), rounds)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("labelPropagation splits a bridged pair of dense communities (CC merges them)") {
+    val k4 = (lo: Long) => for (a <- lo to (lo + 3); b <- (a + 1) to (lo + 3)) yield (a, b)
+    val edges = k4(1L) ++ k4(5L) :+ ((4L, 5L))
+    // hand-propagated: round 3 is stable at {1,2,3,4}->1, {5,6,7,8}->5
+    assert(lp(edges, rounds = 3) ===
+      ((1L to 4L).map(_ -> ((1L, 4L))) ++ (5L to 8L).map(_ -> ((5L, 4L)))).toMap)
+    // min-label flood over the same edges collapses everything to label 1
+    val ccLabels = Graph.connectedComponents(
+        (1L to 8L).toDF("id"), edges.toDF("id_a", "id_b"))
+      .collect().map(_.getLong(1)).toSet
+    assert(ccLabels === Set(1L))
+  }
+
+  test("labelPropagation one-round vote: plurality with min-label tie-break") {
+    // star: center 1 sees {2,3,4} (all count 1, tie -> 2); leaves see {1}
+    assert(lp(Seq((1L, 2L), (1L, 3L), (1L, 4L)), rounds = 1) ===
+      Map(1L -> ((2L, 1L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)), 4L -> ((1L, 3L))))
+  }
 }
