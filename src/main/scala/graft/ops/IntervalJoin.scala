@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Binned interval×point join — the SCALE path for temporal containment
+  * joins when BOTH sides are large. The broadcast nested-loop of
+  * q_range_join is right for a 3-row banding dim; it dies when the
+  * interval side is millions of maintenance windows / sessions / order
+  * horizons, because a theta join has no equi key to shuffle on. The
+  * standard fix (the bin-equi-join behind production range-join
+  * optimizers): quantize time into bins at least as wide as the longest
+  * interval, register every interval in the (at most two) bins it
+  * touches, equi-join points to intervals on the bin id, and re-check the
+  * exact containment predicate on the ≤2-bin candidate set.
+  *
+  * Scale shape: one shuffle on the bin key for each side; per-interval
+  * fan-out is hard-bounded at 2 rows regardless of corpus size; candidate
+  * volume is |points| · (expected intervals per bin) — linear in both
+  * inputs for any fixed time density, where the naive theta join is the
+  * full cross product. Bin width trades duplication (none here: ≤2 bins)
+  * against candidate precision; AQE handles a hot bin like any other
+  * skewed equi key.
+  *
+  * Day arithmetic is truncating integer division on NONNEGATIVE day
+  * numbers (post-1970 dates) so Spark `div` and DuckDB `//` cannot
+  * diverge (FIXTURES.md negative-operand trap).
+  */
+object IntervalJoin {
+
+  /** Matched (interval, point) rows: every point with `lo <= day < hi`
+    * (half-open), for intervals no longer than `binWidth` days.
+    *
+    * @param intervals columns `id`, `lo`, `hi` (long day numbers, 0 ≤ lo <
+    *                  hi ≤ lo + binWidth — an interval longer than
+    *                  binWidth would need its full bin range exploded)
+    * @param points    column `day` (long day number ≥ 0)
+    */
+  def pointsInIntervals(intervals: DataFrame, points: DataFrame,
+                        binWidth: Int): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    val w = lit(binWidth.toLong)
+    val iv = intervals.select(col("id"), col("lo"), col("hi"),
+      explode(array_distinct(array(
+        call_function("div", col("lo"), w),
+        call_function("div", col("hi") - 1, w)))).as("bin"))
+    val pt = points.select(col("day"),
+      call_function("div", col("day"), w).as("bin"))
+    iv.join(pt, "bin")
+      .filter(col("day") >= col("lo") && col("day") < col("hi"))
+      .select(col("id"), col("lo"), col("hi"), col("day"))
+  }
+
+  /** Per-interval point counts — the aggregate consumers usually want;
+    * the count rides the equi-join output, no second pass. */
+  def countPointsInIntervals(intervals: DataFrame, points: DataFrame,
+                             binWidth: Int): DataFrame =
+    pointsInIntervals(intervals, points, binWidth)
+      .groupBy("id", "lo", "hi")
+      .agg(count(lit(1)).cast("long").as("n_points"))
+}

@@ -565,6 +565,40 @@ object RelationalQueries {
          |GROUP BY band ORDER BY band""".stripMargin,
       doc = "range/theta join, broadcast nested-loop on a 3-row dim"),
 
+    // Interval×point containment when BOTH sides are large — the shape the
+    // broadcast theta join above cannot scale to. Bin-equi-join: each
+    // 7-day window registers in the <= 2 8-day bins it touches, points
+    // equi-join on the bin, exact containment re-checked on the bounded
+    // candidate set. "How many orders were placed during each urgent
+    // order's 7-day fulfillment window" (the window's own order counts).
+    // The oracle runs the naive inequality join — proving the binned
+    // rewrite lossless on real data.
+    "q_interval_join" -> QueryDef.sql(
+      (s, dir) => {
+        val d = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+        val iv = d.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("id"), col("day").as("lo"),
+            (col("day") + 7).as("hi"))
+        graft.ops.IntervalJoin.countPointsInIntervals(iv, d.select("day"), binWidth = 8)
+          .select(col("id").as("o_orderkey"), col("lo").as("start_day"),
+            col("n_points").as("n_in_window"))
+          .orderBy("o_orderkey")
+      },
+      """WITH d AS (SELECT o_orderkey, o_orderpriority,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+        |  FROM orders),
+        |iv AS (SELECT o_orderkey, day AS lo, day + 7 AS hi FROM d
+        |       WHERE o_orderpriority = '1-URGENT')
+        |SELECT iv.o_orderkey, CAST(lo AS BIGINT) AS start_day,
+        |  COUNT(*)::BIGINT AS n_in_window
+        |FROM iv JOIN d p ON p.day >= iv.lo AND p.day < iv.hi
+        |GROUP BY 1, 2 ORDER BY iv.o_orderkey""".stripMargin,
+      doc = "big-big interval containment via the bin-equi-join rewrite " +
+        "(<=2 bins per interval), proved lossless against the naive " +
+        "inequality join"),
+
     // Salted two-phase aggregation over a deliberately skewed key
     // (event_type has ~6 values over 1M rows): same answer as the plain
     // group-by — the oracle proves it — with the hot key spread over

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.IntervalJoin
+
+class IntervalJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def run(iv: Seq[(Long, Long, Long)], pts: Seq[Long], w: Int) =
+    IntervalJoin.pointsInIntervals(
+        iv.toDF("id", "lo", "hi"), pts.toDF("day"), w)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+
+  test("half-open containment across bin boundaries") {
+    // binWidth 8: interval [6, 13) spans bins 0 and 1; [8, 16) sits in 1
+    val iv = Seq((1L, 6L, 13L), (2L, 8L, 16L))
+    val pts = Seq(5L, 6L, 7L, 8L, 12L, 13L, 15L, 16L)
+    assert(run(iv, pts, 8) === Set(
+      (1L, 6L), (1L, 7L), (1L, 8L), (1L, 12L),            // 5 before, 13 = hi out
+      (2L, 8L), (2L, 12L), (2L, 13L), (2L, 15L)))         // 16 = hi out
+  }
+
+  test("interval of exactly binWidth days and bin-aligned bounds") {
+    // [8, 16) with width 8: lo bin 1, (hi-1) bin 1 -> single bin, no dup rows
+    val rows = IntervalJoin.pointsInIntervals(
+        Seq((1L, 8L, 16L)).toDF("id", "lo", "hi"), Seq(8L, 15L).toDF("day"), 8)
+      .collect()
+    assert(rows.length === 2) // a 2-bin explode without array_distinct would dup
+  }
+
+  test("binned rewrite equals the naive theta join on dense data") {
+    val iv = (0L until 40L).map(i => (i, i * 3 % 50, i * 3 % 50 + 1 + i % 7))
+    val pts = (0L until 120L).map(_ % 60)
+    val naive = (for {
+      (id, lo, hi) <- iv; d <- pts if d >= lo && d < hi
+    } yield (id, d)) // multiset: duplicate points count twice
+    val got = IntervalJoin.pointsInIntervals(
+        iv.toDF("id", "lo", "hi"), pts.toDF("day"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got.sorted === naive.sorted)
+    val counts = IntervalJoin.countPointsInIntervals(
+        iv.toDF("id", "lo", "hi"), pts.toDF("day"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(counts === naive.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
+  }
+}
