@@ -53,7 +53,10 @@ object GraftFunctions {
       TopKPairs.builder),
     (AhashBmp.FunctionName,
       "graft_ahash(content) - 8x8 average-hash of a BMP payload as 4x16-bit chunks",
-      AhashBmp.builder)
+      AhashBmp.builder),
+    (MisraGries.FunctionName,
+      "graft_mg(term, k) - Misra-Gries <=k-counter heavy-hitter summary per group",
+      MisraGries.builder)
   )
 
   /** Register every graft function in an existing session (idempotent). */

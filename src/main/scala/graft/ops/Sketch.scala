@@ -547,4 +547,37 @@ object Sketch {
     override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
       org.apache.spark.sql.Encoders.scalaDouble
   }
+
+  // ------------------------------------------------- Misra-Gries summary
+
+  /** Heavy-hitter report from the native Misra–Gries summary
+    * ([[graft.functions.MisraGries]]): every term whose exact frequency
+    * exceeds n/(k+1) — all of which the MG guarantee forces into the
+    * ≤ k-counter summary — with its exact count and the deterministic
+    * bound check `est ≤ exact ∧ (exact − est)·(k+1) ≤ n` (exact integer
+    * comparisons; the counter values themselves vary with partitioning,
+    * the bounds never do — same reporting discipline as the KMV/HLL/GK
+    * estimate-bounds queries).
+    *
+    * Scale shape: the summary is one partial-agg pass with ≤ k counters
+    * per partition; exact counts are one partially-aggregable groupBy.
+    * The scalar n RIDES the ≤ k exploded summary rows, so the report join
+    * is exact ⋈ broadcast(est) on the term — never a constant-key product
+    * join or a vocab-wide window. A missing heavy hitter (an MG bug)
+    * would drop a row and fail the driver's row compare, so presence is
+    * checked by the row set itself. */
+  def mgHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    val summary = items.agg(
+      graft.functions.MisraGries.mg(col(itemCol), k).as("mg"),
+      count(lit(1)).cast("long").as("n"))
+    val est = summary.select(col("n"), explode(col("mg")).as("e"))
+      .select(col("n"), col("e.term").as("term"), col("e.est").as("est"))
+    val exact = items.groupBy(col(itemCol).as("term"))
+      .agg(count(lit(1)).cast("long").as("exact_c"))
+    exact.join(broadcast(est), Seq("term"))
+      .filter(col("exact_c") * (k + 1) > col("n"))
+      .select(col("term"), col("exact_c"),
+        (col("est") <= col("exact_c") &&
+          (col("exact_c") - col("est")) * (k + 1) <= col("n")).as("within_bound"))
+  }
 }

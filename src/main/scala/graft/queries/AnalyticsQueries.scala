@@ -576,6 +576,30 @@ object AnalyticsQueries {
       doc = "count-min sketch heavy hitters with an md5 hash family both " +
         "engines compute bit-for-bit (est >= exact always; full oracle)"),
 
+    // Misra-Gries heavy hitters — the counter-set dual of count-min:
+    // deterministic undercount with a k-counter summary, merge via the
+    // (k+1)-th-largest subtraction (Agarwal et al. 2012). k=28 sits under
+    // the fixture's 31-term vocabulary, so decrements genuinely fire; the
+    // 4 true heavy hitters (freq > n/29) must all surface. Counter values
+    // vary with partitioning, so the declared report is exact counts +
+    // guarantee booleans (the estimate-bounds discipline); a dropped
+    // heavy hitter would fail the row compare itself.
+    "q_agg_heavy_hitters" -> QueryDef.sql(
+      (s, dir) => graft.ops.Sketch.mgHeavyHitters(
+          Tables.documents(s, dir)
+            .select(explode(graft.ops.TextOps.tokens(col("text"))).as("item")),
+          "item", k = 28)
+        .orderBy("term"),
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item
+        |          FROM documents),
+        |c AS (SELECT item AS term, COUNT(*) AS c FROM t GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS n FROM c)
+        |SELECT term, c::BIGINT AS exact_c, TRUE AS within_bound
+        |FROM c, tot WHERE c * 29 > n ORDER BY term""".stripMargin,
+      doc = "Misra-Gries k=28 heavy hitters under genuine counter " +
+        "pressure: every freq > n/(k+1) term surfaces with its exact " +
+        "count and the undercount bound verified"),
+
     // Exponential smoothing over the daily event-rate series, alpha = 1/2.
     // The recurrence is unrolled to 20 lag terms (weight 2^-21 < 1e-6
     // beyond that), and EVERY quantity is an exact dyadic rational: counts

@@ -228,4 +228,59 @@ class AnalyticsSpec extends SparkSpecBase {
       assert(graft.ops.Sketch.BloomAgg.contains(bitmap, k.toString, j, m) === verdict)
     }
   }
+
+  test("Misra-Gries: exact when vocab fits; summary never exceeds k") {
+    import spark.implicits._
+    val items = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val got = items.toDF("item").repartition(3)
+      .agg(graft.functions.MisraGries.mg(col("item"), 8).as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.term"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+  }
+
+  test("Misra-Gries guarantees hold under pressure for every partitioning") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // zipf-ish: term t_i with frequency 200/i over 40 terms
+    val rows = (1 to 40).flatMap(i => Seq.fill(200 / i)(s"t$i"))
+    val n = rows.size.toLong
+    val k = 8
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 3, 13)) {
+      val mg = rows.toDF("item").repartition(parts)
+        .agg(graft.functions.MisraGries.mg(col("item"), k).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.term"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(mg.size <= k)
+      // undercount only, and by at most n/(k+1)
+      mg.foreach { case (t, est) =>
+        assert(est <= exact(t) && (exact(t) - est) * (k + 1) <= n)
+      }
+      // every true heavy hitter is present
+      exact.foreach { case (t, c) =>
+        if (c * (k + 1) > n) assert(mg.contains(t), s"missing heavy hitter $t")
+      }
+    }
+    // the declared report shape over real tokens: booleans all true
+    val rep = graft.ops.Sketch.mgHeavyHitters(
+        docs.select(explode(TextOps.tokens(col("text"))).as("item")),
+        "item", k = 28)
+      .collect()
+    assert(rep.nonEmpty && rep.forall(_.getAs[Boolean]("within_bound")))
+  }
+
+  test("graft_mg is SQL-callable and equal to the Column API path") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq("x", "y", "x", "z", "x", "y").toDF("item").createOrReplaceTempView("mg_in")
+    val viaSql = spark.sql(
+      "SELECT graft_mg(item, 2) AS mg FROM mg_in").collect().head.toString
+    val viaCol = Seq("x", "y", "x", "z", "x", "y").toDF("item")
+      .agg(graft.functions.MisraGries.mg(col("item"), 2).as("mg"))
+      .collect().head.toString
+    assert(viaSql === viaCol)
+  }
 }
