@@ -82,6 +82,25 @@ object StreamOps {
       .select(col("w_start"), col(keyCol), (col("i") + 1).cast("long").as("rn"),
         col("e.id").as(idCol), timestamp_micros(-col("e.ord")).as(tsCol))
 
+  /** Tumbling-window heavy hitters through the native Misra–Gries
+    * aggregate ([[graft.functions.MisraGries]]): per window, the ≤
+    * k-counter summary exploded to (term, est) rows. Window state is
+    * HARD-bounded at k counters regardless of traffic or key cardinality
+    * — the property that makes a heavy-hitter query runnable over an
+    * unbounded keyed stream at all (an exact per-key count table grows
+    * with the key space). With k at or above the per-window distinct-key
+    * count the summary degenerates to exact counts and the stream equals
+    * the batch run bit-for-bit; under pressure the MG bounds
+    * (undercount ≤ windowN/(k+1), every heavy hitter present) hold per
+    * emitted window. Append emission on watermark close. */
+  def tumblingHeavyHitters(events: DataFrame, tsCol: String, watermarkDelay: String,
+                           windowDur: String, keyCol: String, k: Int): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(graft.functions.MisraGries.mg(col(keyCol), k).as("mg"))
+      .select(col("w.start").as("w_start"), explode(col("mg")).as("e"))
+      .select(col("w_start"), col("e.term").as("term"), col("e.est").as("est"))
+
   /** Gap-based session windows (native `session_window`): per user, sessions
     * close after `gap` of event-time silence. */
   def sessionAgg(events: DataFrame, tsCol: String, watermarkDelay: String,

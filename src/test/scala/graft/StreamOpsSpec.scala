@@ -97,6 +97,40 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(over.count() === 0)
   }
 
+  test("tumbling Misra-Gries heavy hitters: exact (= batch) when k fits; bounded under pressure") {
+    // k=8 over 5 event types: no decrements -> summary IS the exact count
+    // table, so stream == batch bit-for-bit (mergeable state)
+    val streamed = runToMemory(
+      StreamOps.tumblingHeavyHitters(eventStream, "ts", "1 hour", "1 day",
+        keyCol = "event_type", k = 8), "s_mg", "append")
+    val batch = StreamOps.tumblingHeavyHitters(
+      Tables.events(spark, sf0001), "ts", "1 hour", "1 day",
+      keyCol = "event_type", k = 8)
+    val emitted = streamed.select("w_start").distinct().collect().map(_.get(0)).toSet
+    assert(emitted.nonEmpty, "watermark never closed any window")
+    val b = batch.filter(col("w_start").isInCollection(emitted))
+      .orderBy("w_start", "term").collect().toSeq
+    val s = streamed.orderBy("w_start", "term").collect().toSeq
+    assert(s === b)
+    // k=3 under 5 keys: pressure — per window, <= 3 rows, undercount only,
+    // error within windowN/(k+1)
+    val pressured = runToMemory(
+      StreamOps.tumblingHeavyHitters(eventStream, "ts", "1 hour", "1 day",
+        keyCol = "event_type", k = 3), "s_mg3", "append")
+    val exact = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 day")("start").as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    val winN = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val perWin = pressured.collect()
+      .map(r => ((r.get(0), r.getString(1)), r.getLong(2)))
+    assert(perWin.groupBy(_._1._1).values.forall(_.size <= 3))
+    perWin.foreach { case ((w, t), est) =>
+      val ex = exact((w, t))
+      assert(est <= ex && (ex - est) * 4 <= winN(w))
+    }
+  }
+
   test("session windows close after the gap and count every event") {
     val sessions = runToMemory(
       StreamOps.sessionAgg(eventStream, "ts", "1 hour", "30 minutes"), "s_sessions", "append")
