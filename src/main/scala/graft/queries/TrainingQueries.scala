@@ -22,6 +22,34 @@ object TrainingQueries {
     * oracle's `langRe`, rebuilt here for the pipeline composition). */
   private def wordsRe(ws: Seq[String]) = "\\b(" + ws.mkString("|") + ")\\b"
 
+  /** BM25-scored documents for a fixed term set (only docs containing at
+    * least one query term score): (doc_id, dl, tf_<term>…, score_micro).
+    * All corpus statistics reduce to ONE broadcast row; the score is the
+    * exact integer micro-unit contract of [[TrainOps.bm25TermMicro]].
+    * Shared by q_bm25_search (top-20 report) and q_hybrid_search (the
+    * lexical ranker of the RRF fusion). */
+  private[queries] def bm25Scored(s: org.apache.spark.sql.SparkSession, dir: String,
+                                  terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val lens = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tt = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tfCols = terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val tf = tt.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    val dfCols = terms.map(t =>
+      count_distinct(when(col("term") === t, col("doc_id"))).cast("long").as(s"df_$t"))
+    val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("sum_dl"))
+      .crossJoin(tt.groupBy().agg(dfCols.head, dfCols.tail: _*))
+    val scoreMicro = terms.map(t => TrainOps.bm25TermMicro(
+      col(s"tf_$t"), col(s"df_$t"), col("n_docs"),
+      col("dl"), col("sum_dl"))).reduce(_ + _)
+    lens.join(tf, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micro", scoreMicro)
+  }
+
   /** Fixed rank-ordered merge table for q_bpe_encode (common-English
     * pairs; earlier rank = applied first, so "i"+"n" precedes "in"+"g"
     * and "a"+"n" precedes "an"+"d" — the dependency order a learned table
@@ -165,30 +193,11 @@ object TrainingQueries {
     // a double (rounded to 6 dp, exactly scaled to micros); the length
     // norm and the per-term score are truncating integer quotients.
     "q_bm25_search" -> QueryDef.sql(
-      (s, dir) => {
-        val terms = Seq("spark", "join", "filter")
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        val lens = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-        val tt = docs.select(col("doc_id"), explode(col("toks")).as("term"))
-          .filter(col("term").isin(terms: _*))
-        val tfCols = terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
-        val tf = tt.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
-        val dfCols = terms.map(t =>
-          count_distinct(when(col("term") === t, col("doc_id"))).cast("long").as(s"df_$t"))
-        val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
-          sum(col("dl")).cast("long").as("sum_dl"))
-          .crossJoin(tt.groupBy().agg(dfCols.head, dfCols.tail: _*))
-        val scored = lens.join(tf, "doc_id")
-          .crossJoin(broadcast(stats))
-        val scoreMicro = terms.map(t => TrainOps.bm25TermMicro(
-          col(s"tf_$t"), col(s"df_$t"), col("n_docs"),
-          col("dl"), col("sum_dl"))).reduce(_ + _)
-        scored.select(col("doc_id"), col("dl"),
+      (s, dir) => bm25Scored(s, dir, Seq("spark", "join", "filter"))
+        .select(col("doc_id"), col("dl"),
           col("tf_spark"), col("tf_join"), col("tf_filter"),
-          (scoreMicro.cast("double") / 1000000d).as("score"))
-          .orderBy(col("score").desc, col("doc_id")).limit(20)
-      },
+          (col("score_micro").cast("double") / 1000000d).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20),
       {
         def bmTerm(t: String): String =
           s"""(CAST(round(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
@@ -219,6 +228,102 @@ object TrainingQueries {
       },
       doc = "BM25 top-20 for a fixed term set; one broadcast stats row; " +
         "integer micro-unit score contract"),
+
+    // ------------------------------------------------- hybrid retrieval
+    // Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) of the two
+    // production rankers: BM25 lexical top-50 and IVF semantic top-50
+    // (fixed seeded centroids — the oracle-checkable tier), fused as
+    // Σ 1e6 // (60 + rank) over the TRUNCATED lists (a doc absent from a
+    // list contributes 0 — the standard practical form, which also keeps
+    // every rank window bounded at 50 rows instead of corpus-sized).
+    // Exact integer micro-units throughout: ranks are integers and the
+    // fusion is truncating division, so both engines agree bit-for-bit.
+    "q_hybrid_search" -> QueryDef.sql(
+      (s, dir) => {
+        val kList = 50
+        val lexTop = bm25Scored(s, dir, Seq("spark", "join", "filter"))
+          .orderBy(col("score_micro").desc, col("doc_id")).limit(kList)
+          .withColumn("lex_rn", row_number().over(
+            Window.orderBy(col("score_micro").desc, col("doc_id"))))
+          .select(col("doc_id"), col("lex_rn").cast("long").as("lex_rn"))
+        val emb = Tables.embeddings(s, dir)
+        val semTop = graft.ops.Similarity.ivfTopKFixed(emb,
+            emb.filter(col("vec_id") === 7), k = kList, nList = 16, nProbe = 4)
+          .select(col("nid").as("doc_id"), col("rn").cast("long").as("sem_rn"))
+        def rrf(rn: org.apache.spark.sql.Column) = coalesce(
+          call_function("div", lit(1000000L), lit(60L) + rn), lit(0L))
+        lexTop.join(semTop, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (rrf(col("lex_rn")) + rrf(col("sem_rn"))).as("rrf_micro"),
+            coalesce(col("lex_rn"), lit(0L)).as("lex_rn"),
+            coalesce(col("sem_rn"), lit(0L)).as("sem_rn"))
+          .orderBy(col("rrf_micro").desc, col("doc_id")).limit(10)
+      }, {
+        def bmTermMicro(t: String): String =
+          s"""(CAST(round(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5)
+             |        / (CAST(df_$t AS DOUBLE) + 0.5)), 6) * 1000000) AS BIGINT)
+             |     * tf_$t * 2200000)
+             |    // (tf_$t * 1000000 + 300000 + (900000 * dl * n_docs) // sum_dl)""".stripMargin
+        val centRows = (0 until 16).map { c =>
+          val ctr = graft.ops.Similarity.fixedCentroid(c, 64)
+          s"($c, ${ctr.mkString("[", ",", "]")}, ${ctr.map(x => x * x).sum})"
+        }.mkString(",\n|    ")
+        s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+           |              FROM documents),
+           |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+           |tt AS (SELECT doc_id, unnest(t) AS term FROM toks),
+           |tf AS (SELECT doc_id,
+           |    CAST(SUM(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+           |    CAST(SUM(CASE WHEN term = 'join'   THEN 1 ELSE 0 END) AS BIGINT) AS tf_join,
+           |    CAST(SUM(CASE WHEN term = 'filter' THEN 1 ELSE 0 END) AS BIGINT) AS tf_filter
+           |  FROM tt WHERE term IN ('spark', 'join', 'filter') GROUP BY doc_id),
+           |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens),
+           |dfs AS (SELECT
+           |    COUNT(DISTINCT CASE WHEN term = 'spark'  THEN doc_id END) AS df_spark,
+           |    COUNT(DISTINCT CASE WHEN term = 'join'   THEN doc_id END) AS df_join,
+           |    COUNT(DISTINCT CASE WHEN term = 'filter' THEN doc_id END) AS df_filter
+           |  FROM tt WHERE term IN ('spark', 'join', 'filter')),
+           |sc AS (SELECT doc_id, ${bmTermMicro("spark")}
+           |   + ${bmTermMicro("join")}
+           |   + ${bmTermMicro("filter")} AS sm
+           |  FROM lens JOIN tf USING (doc_id) CROSS JOIN stats CROSS JOIN dfs),
+           |ltop AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sm DESC, doc_id) AS lex_rn
+           |  FROM sc ORDER BY sm DESC, doc_id LIMIT 50),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+           |cent(cid, cv, cc) AS (VALUES
+           |    $centRows),
+           |ca AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, cent.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        (list_inner_product(v, v) - 2.0*list_inner_product(v, cv) + cc), cid) AS rnk
+           |    FROM e CROSS JOIN cent) WHERE rnk = 1),
+           |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id = 7),
+           |pr AS (SELECT qid, cid FROM (
+           |    SELECT q.qid, cent.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+           |        (list_inner_product(qv, qv) - 2.0*list_inner_product(qv, cv) + cc), cid) AS rnk
+           |    FROM q CROSS JOIN cent) WHERE rnk <= 4),
+           |p AS (SELECT q.qid, n.vec_id AS nid,
+           |        ROUND(list_inner_product(qv, n.v)/(qnrm*n.nrm), 6) AS cos
+           |      FROM q JOIN pr ON pr.qid = q.qid
+           |            JOIN ca ON ca.cid = pr.cid
+           |            JOIN n ON n.vec_id = ca.vec_id AND n.vec_id <> q.qid),
+           |stop AS (SELECT nid AS doc_id, rn AS sem_rn FROM (
+           |    SELECT nid, ROW_NUMBER() OVER (ORDER BY cos DESC, nid) AS rn FROM p)
+           |  WHERE rn <= 50),
+           |f AS (SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+           |    (COALESCE(1000000 // (60 + l.lex_rn), 0)
+           |     + COALESCE(1000000 // (60 + r.sem_rn), 0))::BIGINT AS rrf_micro,
+           |    COALESCE(l.lex_rn, 0)::BIGINT AS lex_rn,
+           |    COALESCE(r.sem_rn, 0)::BIGINT AS sem_rn
+           |  FROM ltop l FULL OUTER JOIN stop r ON l.doc_id = r.doc_id)
+           |SELECT doc_id, rrf_micro, lex_rn, sem_rn FROM f
+           |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+      },
+      doc = "hybrid retrieval: BM25 lexical + IVF semantic top-50 lists " +
+        "fused by Reciprocal Rank Fusion in exact integer micro-units, " +
+        "fully oracle-checked"),
 
     // ----------------------------------------------- temperature mixing
     // Temperature-weighted source mixing (T=2, the multilingual-sampling
