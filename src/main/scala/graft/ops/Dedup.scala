@@ -252,6 +252,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Tier 2b': ASYMMETRIC containment pairs — |S_sub ∩ S_sup| / |S_sub| ≥ t
+    * over distinct n-gram shingle sets, the signal Jaccard dilutes when a
+    * short document is wholly quoted inside a much longer one (J =
+    * |A|/|B| → 0 as B grows, containment stays 1). Output is ORDERED
+    * (id_sub, id_sup): both directions of a near-equal pair qualify.
+    *
+    * Candidate generation is the containment form of the AllPairs prefix
+    * filter: a qualifying sub document must share ≥ ⌈t·|A|⌉ shingles with
+    * the sup's FULL set, so under the global rarest-first shingle order
+    * the sub's first |A| − ⌈t·|A|⌉ + 1 shingles must hit it — join
+    * sub-prefix to the full inverted index, with the length filter
+    * t·|A| ≤ |B| riding the join (|A∩B| ≤ |B|). Lossless (the oracle runs
+    * the naive all-ordered-pairs form and hash-matches). The prefix keeps
+    * mostly RARE shingles, so candidate fan-out concentrates on low-df
+    * keys; thresholds in exact p/q integer arithmetic as in
+    * [[ngramJaccardPairsPrefix]]. Verify = one array_intersect per
+    * candidate on the cached hashed arrays. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive")
+    val arrays = cachedPersist(docs, idCol + ":" + textCol, n, hashed = true)(
+      hashedShingleArrays(docs, idCol, textCol, n))
+    val sh = arrays.select(col("id"),
+      size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("h"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, "h")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("h").asc)))
+    val g0 = (threshold * 1e6).toLong
+    require(g0 > 0, "threshold too small for the rational prefix filter")
+    val gcd = BigInt(g0).gcd(BigInt(1000000L)).toLong
+    val p = g0 / gcd
+    val q = 1000000L / gcd
+    val prefixLen = col("n_sh") - expr(s"(n_sh * $p + ${q - 1}) div $q") + 1
+    val subPrefix = ranked.filter(col("pos") <= prefixLen)
+      .select(col("id").as("id_sub"), col("n_sh").as("n_sub"), col("h"))
+    val candidates = subPrefix.join(
+        sh.select(col("id").as("id_sup"), col("n_sh").as("n_sup"), col("h")),
+        Seq("h"))
+      .filter(col("id_sub") =!= col("id_sup") &&
+        col("n_sub") * p <= col("n_sup") * q) // t·|A| ≤ |B| since |A∩B| ≤ |B|
+      .select("id_sub", "id_sup").distinct()
+    candidates
+      .join(arrays.select(col("id").as("id_sub"), col("hs").as("hs_sub")), Seq("id_sub"))
+      .join(arrays.select(col("id").as("id_sup"), col("hs").as("hs_sup")), Seq("id_sup"))
+      .withColumn("n_inter",
+        size(array_intersect(col("hs_sub"), col("hs_sup"))).cast("long"))
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / size(col("hs_sub")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_sub", "id_sup", "containment")
+  }
+
   /** Tier 2c: copied-passage detection via winnowing fingerprints
     * (graft.functions.Winnow — rolling hash + rightmost-window-min). Docs
     * sharing >= minShared selected hashes contain common passages even when

@@ -505,6 +505,29 @@ object ExtensionQueries {
       JaccardOracleSql,
       doc = "exact 3-gram Jaccard near-dup pairs (baseline for MinHash)"),
 
+    // Asymmetric containment — the dedup signal Jaccard dilutes when a
+    // short document is wholly quoted inside a long one. Candidates via
+    // the containment form of the AllPairs prefix filter (sub-prefix ⋈
+    // full inverted index + length filter); the oracle is the NAIVE
+    // all-ordered-pairs computation, proving the filter lossless on real
+    // data. On the fixture the 25 planted shared-prefix pairs surface in
+    // both directions (50 ordered pairs).
+    "q_dedup_containment" -> QueryDef.sql(
+      (s, dir) => Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.9).orderBy("id_sub", "id_sup"),
+      s"""WITH sh AS ($ShingleSqlFragment),
+         |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+         |inter AS (SELECT a.id AS id_sub, b.id AS id_sup, COUNT(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id GROUP BY 1, 2),
+         |c AS (SELECT id_sub, id_sup,
+         |        ROUND(CAST(n_inter AS DOUBLE)/ca.n_sh, 6) AS containment
+         |      FROM inter JOIN cnt ca ON ca.id = id_sub)
+         |SELECT id_sub, id_sup, containment FROM c
+         |WHERE containment >= 0.9 ORDER BY id_sub, id_sup""".stripMargin,
+      doc = "asymmetric shingle-containment pairs (quoted-subset dedup) " +
+        "via the containment prefix filter, proved lossless against the " +
+        "naive ordered-pairs oracle"),
+
     // Same oracle as q_dedup_ngram_jaccard: the prefix filter must be
     // lossless, and the hash-compare proves it on real data.
     "q_dedup_jaccard_prefix" -> QueryDef.sql(

@@ -19,6 +19,38 @@ class DedupSpec extends SparkSpecBase {
     assert(expected.size < full.size, "history-only pairs must exist and be excluded")
   }
 
+  test("containment pairs: prefix filter is lossless vs the naive ordered-pairs form") {
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive: full exploded self-join on shingle hashes, ordered pairs
+    val sh = docs.select(col("doc_id"),
+        explode(graft.ops.TextOps.shingles(col("text"), 3)).as("s"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val want = (for {
+      (ia, sa) <- sh.toSeq; (ib, sb) <- sh.toSeq if ia != ib
+      inter = (sa & sb).size
+      c = BigDecimal(inter.toDouble / sa.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.9
+    } yield (ia, ib, c)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("containment catches the quoted-subset pair Jaccard dilutes away") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 60).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cont.toSeq === Seq((1L, 2L))) // short ⊂ long only, not the reverse
+    val jac = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, "Jaccard must dilute below 0.5 on this pair")
+  }
+
   test("fuzzy dedup verifies blocked candidates with normalized edit distance") {
     import spark.implicits._
     val d = Seq(
