@@ -229,6 +229,59 @@ object TrainingQueries {
       doc = "BM25 top-20 for a fixed term set; one broadcast stats row; " +
         "integer micro-unit score contract"),
 
+    // --------------------------------------------- trained classifier
+    // Distributed multinomial Naive Bayes (the GPT-3/LLaMA quality-
+    // classifier and fastText lang-id shape): fit on the 80% train split
+    // in one partial-agg pass, score the 20% test split against the
+    // broadcast model. Every ln is rounded to integer micro-units, so
+    // scores are exact BIGINT sums and the argmax is engine-invariant.
+    "q_nb_classifier" -> QueryDef.sql(
+      (s, dir) => graft.ops.Classify.naiveBayesPredict(
+          Tables.documents(s, dir), "doc_id", "text", "lang",
+          labels = Seq("de", "en", "es", "fr", "zh"),
+          isTest = col("doc_id") % 5 === 0)
+        .orderBy("doc_id"),
+      """WITH toks AS (SELECT doc_id, lang, doc_id % 5 = 0 AS is_test,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT term,
+        |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+        |    CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS c_es,
+        |    CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS c_fr,
+        |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS c_zh
+        |  FROM toks WHERE NOT is_test GROUP BY term),
+        |wt AS (SELECT *, COUNT(*) OVER () AS v,
+        |    SUM(c_de) OVER () AS t_de, SUM(c_en) OVER () AS t_en,
+        |    SUM(c_es) OVER () AS t_es, SUM(c_fr) OVER () AS t_fr,
+        |    SUM(c_zh) OVER () AS t_zh
+        |  FROM cnt),
+        |model AS (
+        |  SELECT term, 0 AS lidx, CAST(round(ln((c_de + 1.0)/CAST(t_de + v AS DOUBLE))*1000000, 0) AS BIGINT) AS ll FROM wt
+        |  UNION ALL SELECT term, 1, CAST(round(ln((c_en + 1.0)/CAST(t_en + v AS DOUBLE))*1000000, 0) AS BIGINT) FROM wt
+        |  UNION ALL SELECT term, 2, CAST(round(ln((c_es + 1.0)/CAST(t_es + v AS DOUBLE))*1000000, 0) AS BIGINT) FROM wt
+        |  UNION ALL SELECT term, 3, CAST(round(ln((c_fr + 1.0)/CAST(t_fr + v AS DOUBLE))*1000000, 0) AS BIGINT) FROM wt
+        |  UNION ALL SELECT term, 4, CAST(round(ln((c_zh + 1.0)/CAST(t_zh + v AS DOUBLE))*1000000, 0) AS BIGINT) FROM wt),
+        |pri AS (SELECT lang, COUNT(*) AS n_l FROM documents
+        |        WHERE doc_id % 5 <> 0 GROUP BY lang),
+        |priors AS (SELECT
+        |    CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+        |              WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 END AS lidx,
+        |    CAST(round(ln(CAST(n_l AS DOUBLE)/(SELECT SUM(n_l) FROM pri))*1000000, 0) AS BIGINT) AS prior
+        |  FROM pri),
+        |sc AS (SELECT t.doc_id, t.lang, m.lidx, SUM(m.ll) + MIN(p.prior) AS score
+        |  FROM toks t JOIN model m USING (term) JOIN priors p ON p.lidx = m.lidx
+        |  WHERE t.is_test GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_id, lang, lidx,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lidx ASC) AS rn
+        |  FROM sc)
+        |SELECT doc_id, ['de','en','es','fr','zh'][lidx + 1] AS pred, lang AS actual,
+        |  (['de','en','es','fr','zh'][lidx + 1] = lang) AS correct
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      doc = "distributed multinomial Naive Bayes lang classifier: " +
+        "one-pass fit, broadcast-model scoring, exact integer micro-unit " +
+        "log-probabilities, fully oracle-checked"),
+
     // ------------------------------------------------- hybrid retrieval
     // Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) of the two
     // production rankers: BM25 lexical top-50 and IVF semantic top-50
