@@ -674,6 +674,36 @@ object TrainOps {
       .orderBy(groupCol)
   }
 
+  /** Exact rank-sum ROC-AUC of an integer score against a binary label —
+    * the evaluation metric for the quality/lang classifiers, computed as
+    * the Mann–Whitney U statistic with MIDRANK tie handling (AUC =
+    * P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)). All integer: midranks carry the ½ in
+    * doubled units (2·midrank(s) = 2·cumBefore + c + 1), so
+    * U2 = Σ_s cp(s)·(2·cumBefore + c + 1) − n⁺(n⁺+1) is an exact BIGINT
+    * and auc_micro = U2·10⁶ div (2·n⁺·n⁻) a truncating quotient both
+    * engines compute bit-for-bit.
+    *
+    * Scale shape: the [[quantileNormalize]] discipline — one partial-agg'd
+    * (score → count, posCount) bucket shuffle, then the cumulative window
+    * runs over the BOUNDED distinct-score table (bucket continuous scores
+    * first), and one scalar aggregate. Never a corpus-sized rank window. */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val scored = df.select(score.cast("long").as("score"), label.cast("boolean").as("y"))
+    val buckets = scored.groupBy("score").agg(
+      count(lit(1)).as("c"), count(when(col("y"), 1)).as("cp"))
+    val wCum = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = buckets.withColumn("cum_before", sum(col("c")).over(wCum) - col("c"))
+    b.agg(
+        sum(col("cp")).cast("long").as("n_pos"),
+        (sum(col("c")) - sum(col("cp"))).cast("long").as("n_neg"),
+        sum(col("cp") * (col("cum_before") * 2 + col("c") + 1)).cast("long").as("r2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r2") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+      .withColumn("auc_micro", call_function("div",
+        col("u2") * lit(1000000L), col("n_pos") * col("n_neg") * lit(2L)))
+  }
+
   /** DuckDB twin of [[robustStats]] over `documents` grouped by source,
     * score = token count. */
   def robustStatsOracle: String =

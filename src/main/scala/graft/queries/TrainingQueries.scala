@@ -229,6 +229,33 @@ object TrainingQueries {
       doc = "BM25 top-20 for a fixed term set; one broadcast stats row; " +
         "integer micro-unit score contract"),
 
+    // --------------------------------------------- evaluation metric
+    // Exact rank-sum ROC-AUC (Mann-Whitney U, midrank ties) of "token
+    // count predicts English": the metric that grades the classifier
+    // above. Doubled midrank units keep the halves integer; the cumulative
+    // window runs over the bounded distinct-score table, never the corpus.
+    "q_auc" -> QueryDef.sql(
+      (s, dir) => TrainOps.rocAuc(Tables.documents(s, dir),
+        size(TextOps.tokens(col("text"))), col("lang") === "en"),
+      """WITH s AS (SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS score,
+        |             lang = 'en' AS y
+        |           FROM documents),
+        |b AS (SELECT score, COUNT(*) AS c, COUNT(CASE WHEN y THEN 1 END) AS cp
+        |      FROM s GROUP BY score),
+        |cb AS (SELECT *, SUM(c) OVER (ORDER BY score
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum_before
+        |       FROM b),
+        |a AS (SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |        CAST(SUM(c) - SUM(cp) AS BIGINT) AS n_neg,
+        |        CAST(SUM(cp * (2*cum_before + c + 1)) AS BIGINT) AS r2
+        |      FROM cb)
+        |SELECT n_pos, n_neg, (r2 - n_pos*(n_pos+1)) AS u2,
+        |  ((r2 - n_pos*(n_pos+1)) * 1000000) // (2 * n_pos * n_neg) AS auc_micro
+        |FROM a""".stripMargin,
+      doc = "exact rank-sum ROC-AUC (midrank ties, doubled-unit integer " +
+        "U statistic) over the bounded score-bucket table, fully " +
+        "oracle-checked"),
+
     // --------------------------------------------- trained classifier
     // Distributed multinomial Naive Bayes (the GPT-3/LLaMA quality-
     // classifier and fastText lang-id shape): fit on the 80% train split

@@ -252,4 +252,21 @@ class TrainOpsSpec extends SparkSpecBase {
         s"doc $id: got ${got(id)} vs cume_dist ${cd}")
     }
   }
+
+  test("rocAuc: separation extremes, all-ties 0.5, and naive-pairwise equality") {
+    def auc(rows: Seq[(Long, Boolean)]): Long =
+      TrainOps.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .collect().head.getAs[Long]("auc_micro")
+    // perfect separation -> 1.0; reversed -> 0.0; all tied -> 0.5
+    assert(auc(Seq((10L, true), (11L, true), (1L, false), (2L, false))) === 1000000L)
+    assert(auc(Seq((1L, true), (2L, true), (10L, false), (11L, false))) === 0L)
+    assert(auc(Seq((5L, true), (5L, false), (5L, true), (5L, false))) === 500000L)
+    // naive pairwise P(s+ > s-) + 0.5 P(=) on a tie-heavy sample
+    val rows = (0 until 60).map(i => ((i * 7 % 10).toLong, i % 3 == 0))
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for (p <- pos; n <- neg)
+      yield (if (p > n) 2L else if (p == n) 1L else 0L)).sum
+    val want = u2 * 1000000L / (2L * pos.size * neg.size)
+    assert(auc(rows) === want)
+  }
 }
