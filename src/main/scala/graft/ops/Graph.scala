@@ -76,6 +76,72 @@ object Graph {
     labels
   }
 
+  /** Connected components via LARGE-STAR / SMALL-STAR alternation
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the production CC for graphs whose diameter is NOT small:
+    * [[connectedComponents]]' min-label flood needs diameter rounds (a
+    * 200-link chain needs 200), while star alternation contracts paths
+    * doubly-exponentially and converges in O(log² n) rounds on ANY graph
+    * shape (the same 200-link chain: 3 rounds, spec-proven). Per round:
+    *   - large-star: every node reroutes its LARGER neighbors to the
+    *     minimum of its closed neighborhood;
+    *   - small-star: every node reroutes its smaller neighbors (and
+    *     itself) to the minimum of its smaller neighborhood.
+    * Both are one partially-aggregable min per node + one node-keyed
+    * equi-join emitting ≤ |E| canonical edges — same shuffle budget per
+    * round as a label round, far fewer rounds. The fixpoint is a star
+    * forest centered at component minima; the (count, edge-hash-sum)
+    * signature detects it with one small aggregate per round (the
+    * labelSum discipline). Intermediate edge sets are localCheckpointed
+    * for the same plan-depth reason as the label loop.
+    *
+    * Output contract identical to [[connectedComponents]] — (id, label)
+    * with label = component minimum — and spec-proven equal on shared
+    * inputs, so the two are drop-in interchangeable. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxIters: Int = 30): DataFrame = {
+    def canon(e: DataFrame) = e.filter(col("a") =!= col("b")).distinct()
+    def sym(e: DataFrame) = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      canon(s.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e).filter(col("v") < col("u"))
+      val m = s.groupBy("u").agg(min(col("v")).as("m"))
+      canon(s.join(m, "u").select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b"))))
+    }
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var e = canon(edges.select(greatest(col("id_a"), col("id_b")).as("a"),
+      least(col("id_a"), col("id_b")).as("b"))).localCheckpoint()
+    var prev = sig(e)
+    var converged = prev._1 == 0L // no edges: already a (degenerate) forest
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val s = sig(next)
+      converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
+      prev = s
+      e = next
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIters rounds")
+    val roots = e.groupBy(col("a").as("id")).agg(min(col("b")).as("root"))
+    nodes.select(col("id"))
+      .join(roots, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation (Suri &
     * Vassilvitskii 2011, "Counting Triangles and the Curse of the Last
     * Reducer") — the triangle is the similarity graph's basic cohesion

@@ -574,6 +574,46 @@ object ExtensionQueries {
       doc = "near-dup pairs -> connected components (min-label propagation); " +
         "cluster id = min reachable doc id, oracle via recursive-CTE closure"),
 
+    // Same clusters via LARGE-STAR/SMALL-STAR alternation (Kiveris et al.
+    // 2014) — the log-round CC for graphs whose diameter is not small
+    // (min-label needs diameter rounds; star alternation contracts a
+    // 200-link chain in 3). Identical output contract and the identical
+    // recursive-CTE oracle: the two algorithms are drop-in
+    // interchangeable, and the driver hash proves it on real pairs.
+    "q_dedup_clusters_star" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        val cc = Graph.connectedComponentsStar(
+          docs.select(col("doc_id").as("id")), pairs.select("id_a", "id_b"))
+        cc.withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("label"))))
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+            col("n_members"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE sh AS ($ShingleSqlFragment),
+         |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b,
+         |        ROUND(CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |      FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b),
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r
+         |),
+         |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+         |FROM cc ORDER BY doc_id""".stripMargin,
+      doc = "the same clusters via log-round large-star/small-star " +
+        "alternation — diameter-independent CC, hash-equal to the " +
+        "min-label tier's oracle"),
+
     // Fuzzy dedup: RARE-KEY blocking (pairs sharing >= 4 shingles of
     // corpus df <= 16 — 34 candidates at sf0.01, fan-out hard-bounded by
     // maxDf²/2 per key) then normalized-Levenshtein verification (25

@@ -93,6 +93,31 @@ class GraphSpec extends SparkSpecBase {
     assert(ccLabels === Set(1L))
   }
 
+  private def ccStar(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponentsStar(
+        nodes.toDF("id"), edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star CC equals min-label CC on cycles, chains, duplicates, singletons") {
+    val cases = Seq(
+      (Seq(1L, 2L, 3L, 4L, 5L), Seq((1L, 2L), (2L, 3L), (4L, 5L))),
+      (Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L), (3L, 1L))),          // cycle
+      (Seq(1L, 2L, 3L), Seq((2L, 1L), (1L, 2L), (2L, 2L), (2L, 3L))), // dups/self
+      ((1L to 9L).toSeq, Seq((9L, 8L), (7L, 9L), (2L, 4L), (4L, 6L), (6L, 2L))))
+    cases.foreach { case (ns, es) =>
+      assert(ccStar(ns, es) === cc(ns, es), s"mismatch on $es")
+    }
+  }
+
+  test("star CC contracts a 200-link chain where min-label's 20-round cap fails") {
+    val nodes = (1L to 200L).toSeq
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    // diameter 199 >> 20: the label flood must refuse...
+    assertThrows[IllegalArgumentException](cc(nodes, chain))
+    // ...while star alternation converges well inside its default cap
+    assert(ccStar(nodes, chain) === nodes.map(_ -> 1L).toMap)
+  }
+
   test("labelPropagation one-round vote: plurality with min-label tie-break") {
     // star: center 1 sees {2,3,4} (all count 1, tie -> 2); leaves see {1}
     assert(lp(Seq((1L, 2L), (1L, 3L), (1L, 4L)), rounds = 1) ===
