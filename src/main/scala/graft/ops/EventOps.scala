@@ -331,6 +331,55 @@ object EventOps {
       |WHERE abs(s.cents - q.p50) * 10 > m.mad * 45
       |ORDER BY s.event_id""".stripMargin
 
+  /** Weekly-seasonal baseline decomposition of the daily event-rate
+    * series: per (event_type, day-of-week) mean daily count — the
+    * seasonal component a global mean or EWMA misses, the first-order
+    * form of an STL decomposition — plus each day's residual and a
+    * deviation flag (|residual| > 12.5% of the seasonal mean, as the
+    * exact integer comparison 8·|resid| > mean). Day-of-week is pure
+    * arithmetic (epochDay % 7), so neither engine's dow-numbering
+    * convention (Spark 1=Sunday, DuckDB 0=Sunday) can leak into the
+    * result. Integer-exact throughout: counts are integers, the seasonal
+    * mean a truncating micro-quotient, the residual an exact BIGINT
+    * difference.
+    *
+    * Scale shape: the daily table is one partially-aggregable groupBy
+    * (combiner-compressed to |types|·|days| rows); the seasonal table is
+    * 7·|types| rows, broadcast back. No corpus-sized window anywhere. */
+  def seasonalBaseline(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        datediff(date_trunc("day", col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .withColumn("dow", col("day") % 7)
+    val seasonal = daily.groupBy("event_type", "dow")
+      .agg(call_function("div", sum(col("n")) * lit(1000000L), count(lit(1)))
+        .as("season_micro"))
+    daily.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .withColumn("resid_micro", col("n") * lit(1000000L) - col("season_micro"))
+      .withColumn("flagged", abs(col("resid_micro")) * 8 > col("season_micro"))
+      .select(col("event_type"), col("day"), col("dow"), col("n"),
+        col("season_micro"), col("resid_micro"), col("flagged"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB twin of [[seasonalBaseline]]. */
+  val SeasonalBaselineOracle: String =
+    """WITH daily AS (SELECT event_type,
+      |    datediff('day', DATE '1970-01-01',
+      |             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT *, day % 7 AS dow FROM daily),
+      |seas AS (SELECT event_type, dow,
+      |    CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT) AS season_micro
+      |  FROM d2 GROUP BY 1, 2)
+      |SELECT d2.event_type, day, dow, n, season_micro,
+      |  (n * 1000000 - season_micro) AS resid_micro,
+      |  (abs(n * 1000000 - season_micro) * 8 > season_micro) AS flagged
+      |FROM d2 JOIN seas USING (event_type, dow)
+      |ORDER BY event_type, day""".stripMargin
+
   /** DuckDB twin of [[timeWeightedAvg]]. */
   val TwaOracle: String =
     """WITH iv AS (SELECT user_id,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -64,6 +65,67 @@ object TextOps {
   /** Content fingerprint of the normalized text (normalization-invariant
     * exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalizedText(text))
+
+  /** Per-source KL divergence KL(P_source ‖ P_corpus) over unigram
+    * distributions — the domain-drift audit ("which source's language has
+    * diverged from the corpus"), the information-theoretic complement of
+    * [[graft.ops.CleanOps]]' shingle-overlap leakage audit. Formulated
+    * over each source's OBSERVED terms with unsmoothed p_s (which sums to
+    * 1) against the corpus marginal (positive for every observed term),
+    * so no dense source×vocab completion is needed:
+    * KL(s) = Σ_t (c_st/T_s)·ln(c_st·T_c / (T_s·c_ct)).
+    *
+    * Determinism: the ln argument is a quotient of EXACT integer products
+    * (both < 2^53 — at larger scale divide counts first), each ln rounded
+    * to integer micro-units, so per-source sums are exact BIGINT and
+    * kl_micro a truncating quotient.
+    *
+    * Scale shape: one (source, term) partial-agg shuffle; T_s / c_ct /
+    * T_c all fold in as windows over that BOUNDED bucket table
+    * (per-source ≤ vocab rows, per-term ≤ |sources| rows, global =
+    * vocab·|sources| — the dsirWeights discipline; cap vocab by df at
+    * open-web scale). */
+  def sourceKl(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val cst = docs
+      .select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val wSrc = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wTerm = Window.partitionBy(col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val enriched = cst
+      .withColumn("t_s", sum(col("c_st")).over(wSrc))
+      .withColumn("c_ct", sum(col("c_st")).over(wTerm))
+      .withColumn("t_c", sum(col("c_st")).over(wAll))
+      .withColumn("lr_micro",
+        round(log((col("c_st") * col("t_c")).cast("double")
+          / (col("t_s") * col("c_ct")).cast("double")) * lit(1e6), 0).cast("long"))
+    enriched.groupBy("source")
+      .agg(max(col("t_s")).as("n_tokens"),
+        call_function("div",
+          greatest(sum(col("c_st") * col("lr_micro")), lit(0L)),
+          max(col("t_s"))).as("kl_micro"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[sourceKl]] over `documents`. */
+  val SourceKlOracle: String =
+    """WITH tt AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |           FROM documents),
+      |cst AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+      |        FROM tt GROUP BY 1, 2),
+      |en AS (SELECT *,
+      |    SUM(c_st) OVER (PARTITION BY source) AS t_s,
+      |    SUM(c_st) OVER (PARTITION BY term) AS c_ct,
+      |    SUM(c_st) OVER () AS t_c
+      |  FROM cst),
+      |lr AS (SELECT *,
+      |    CAST(round(ln(CAST(c_st * t_c AS DOUBLE) / CAST(t_s * c_ct AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lr_micro
+      |  FROM en)
+      |SELECT source, CAST(MAX(t_s) AS BIGINT) AS n_tokens,
+      |  CAST(greatest(SUM(c_st * lr_micro), 0) // MAX(t_s) AS BIGINT) AS kl_micro
+      |FROM lr GROUP BY source ORDER BY source""".stripMargin
 
   /** PMI collocation mining (Church & Hanks 1990): score each adjacent
     * word bigram by `pmi = ln(c_xy · N / (c_x · c_y))` where the margins

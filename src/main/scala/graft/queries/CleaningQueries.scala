@@ -53,6 +53,17 @@ object CleaningQueries {
 
   def defs: Map[String, QueryDef] = Map(
 
+    // -------------------------------------------- source drift audit
+    // KL(P_source || P_corpus) over unigram distributions — which
+    // source's language has drifted from the corpus: the information-
+    // theoretic complement of q_source_overlap's shingle-leakage audit.
+    "q_source_kl" -> QueryDef.sql(
+      (s, dir) => graft.ops.TextOps.sourceKl(Tables.documents(s, dir), "source", "text"),
+      graft.ops.TextOps.SourceKlOracle,
+      doc = "per-source unigram KL divergence from the corpus marginal " +
+        "in exact integer micro-units (observed-term form, no dense " +
+        "completion), fully oracle-checked"),
+
     // ------------------------------------------------- C4 cleaning filters
     // Raffel et al. 2020 §2.2 line+page rules over the planted-hazard line
     // split: per-line terminal-punctuation / min-words / javascript

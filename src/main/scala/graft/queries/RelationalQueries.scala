@@ -477,6 +477,16 @@ object RelationalQueries {
       doc = "per-type robust anomaly flags (10*|c-median| > 45*MAD, the " +
         "integer 3-robust-sigma rule), fully oracle-checked"),
 
+    // Weekly-seasonal baseline + residual per (type, day) — the seasonal
+    // component EWMA and the robust gate both miss; dow by pure epochDay%7
+    // arithmetic so the engines' dow-numbering conventions can't leak.
+    "q_seasonal_baseline" -> QueryDef.sql(
+      (s, dir) => graft.ops.EventOps.seasonalBaseline(Tables.events(s, dir)),
+      graft.ops.EventOps.SeasonalBaselineOracle,
+      doc = "weekly-seasonal daily-rate baseline, residuals, and 12.5% " +
+        "deviation flags in exact integer micro-units, fully " +
+        "oracle-checked"),
+
     // Latest-k per key through the NATIVE bounded top-k aggregate
     // (graft.functions.TopKPairs): partial aggregation keeps <= k pairs
     // per group per mapper and the exchange carries only those — unlike
