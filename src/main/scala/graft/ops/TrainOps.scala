@@ -674,6 +674,62 @@ object TrainOps {
       .orderBy(groupCol)
   }
 
+  /** Neyman-style stratified sampling: a fixed budget of rows allocated
+    * across strata PROPORTIONALLY TO VARIABILITY (survey-sampling's
+    * optimal allocation n_h ∝ N_h·σ_h), so a heterogeneous stratum gets
+    * more of the budget than a uniform one of the same size — the
+    * smarter cousin of q_stratified_split's fixed-rate buckets. The
+    * dispersion term is the MAD (integer-exact, from the robustStats
+    * counting machinery) rather than σ: same allocation intent, no
+    * irrational sqrt to break the integer contract; weight_h =
+    * N_h·(MAD_h+1) (the +1 keeps zero-dispersion strata sampleable).
+    *
+    * The allocation is exact largest-remainder (Hamilton) apportionment
+    * in pure BIGINT arithmetic over the |strata|-row table: floor shares
+    * B·w div W, then the B − Σfloor leftovers go to the largest
+    * remainders (ties to the smaller stratum key). Shares are clamped at
+    * the stratum size (the clamped slack is NOT redistributed — the
+    * standard single-pass simplification, reported via n_h vs n_stratum).
+    *
+    * Selection is deterministic "random": the portable md5-derived long
+    * orders each stratum, and the per-stratum cut runs through the
+    * NATIVE bounded top-k aggregate (graft_topk, k = the whole budget —
+    * a superset of any n_h ≤ B) so at most B (hash, id) pairs per
+    * stratum cross the exchange and NO stratum-sized sort ever happens;
+    * the variable per-stratum cutoff is a post-filter on the exploded
+    * rank. Fully reproducible across partitionings and engines. */
+  def neymanSample(docs: DataFrame, idCol: String, stratumCol: String,
+                   score: Column, budget: Int): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val stats = robustStats(docs, stratumCol, score)
+      .select(col(stratumCol), col("n"), (col("n") * (col("mad") + 1)).as("w"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy(col("r").desc, col(stratumCol).asc)
+    val alloc = stats
+      .withColumn("w_tot", sum(col("w")).over(wAll))
+      .withColumn("f", intDiv(col("w") * budget, col("w_tot")))
+      .withColumn("r", col("w") * budget - col("f") * col("w_tot"))
+      .withColumn("extra_rank", row_number().over(wRank))
+      .withColumn("n_extra", lit(budget) - sum(col("f")).over(wAll))
+      .withColumn("n_h",
+        least(col("f") + when(col("extra_rank") <= col("n_extra"), 1L)
+          .otherwise(0L), col("n")))
+      .select(col(stratumCol), col("n").as("n_stratum"), col("n_h"))
+    val pri = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val picked = docs.select(col(stratumCol), col(idCol))
+      .groupBy(stratumCol)
+      .agg(graft.functions.TopKPairs.topK(pri, col(idCol), budget).as("tk"))
+    picked.select(col(stratumCol), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col(stratumCol), (col("i") + 1).cast("long").as("rn"),
+        col("e.id").as(idCol))
+      .join(broadcast(alloc), Seq(stratumCol))
+      .filter(col("rn") <= col("n_h"))
+      .select(col(stratumCol), col(idCol), col("rn"),
+        col("n_h"), col("n_stratum"))
+      .orderBy(col(stratumCol), col("rn"))
+  }
+
   /** Exact rank-sum ROC-AUC of an integer score against a binary label —
     * the evaluation metric for the quality/lang classifiers, computed as
     * the Mann–Whitney U statistic with MIDRANK tie handling (AUC =

@@ -229,6 +229,60 @@ object TrainingQueries {
       doc = "BM25 top-20 for a fixed term set; one broadcast stats row; " +
         "integer micro-unit score contract"),
 
+    // --------------------------------------------- smart sampling
+    // Neyman-style stratified sampling: budget allocated across sources
+    // proportionally to N_h·(MAD_h+1) via exact largest-remainder
+    // apportionment, selection by the portable hash order through the
+    // native bounded top-k aggregate (<= budget pairs per stratum cross
+    // the exchange; no stratum-sized sort). The dispersion-aware
+    // complement of q_stratified_split's fixed-rate buckets.
+    "q_neyman_sample" -> QueryDef.sql(
+      (s, dir) => TrainOps.neymanSample(Tables.documents(s, dir),
+        "doc_id", "source", size(TextOps.tokens(col("text"))), budget = 60),
+      """WITH s AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS score
+        |  FROM documents),
+        |b AS (SELECT source, score, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+        |cb AS (SELECT source, score,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY score
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM b),
+        |q AS (SELECT source, MIN(CASE WHEN cum * 2 >= n THEN score END) AS p50,
+        |      CAST(MAX(n) AS BIGINT) AS n FROM cb GROUP BY source),
+        |d AS (SELECT s.source, abs(s.score - q.p50) AS dev
+        |      FROM s JOIN q ON s.source = q.source),
+        |db AS (SELECT source, dev, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+        |dcb AS (SELECT source, dev,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY dev
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY source) AS n
+        |  FROM db),
+        |m AS (SELECT source, MIN(CASE WHEN cum * 2 >= n THEN dev END) AS mad
+        |      FROM dcb GROUP BY source),
+        |st AS (SELECT q.source, q.n, q.n * (m.mad + 1) AS w
+        |       FROM q JOIN m ON m.source = q.source),
+        |al AS (SELECT source, n, w,
+        |    CAST((w * 60) // CAST(SUM(w) OVER () AS BIGINT) AS BIGINT) AS f,
+        |    w * 60 - ((w * 60) // CAST(SUM(w) OVER () AS BIGINT))
+        |      * CAST(SUM(w) OVER () AS BIGINT) AS r
+        |  FROM st),
+        |al2 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY r DESC, source ASC) AS extra_rank,
+        |    60 - CAST(SUM(f) OVER () AS BIGINT) AS n_extra FROM al),
+        |alloc AS (SELECT source, n AS n_stratum,
+        |    LEAST(f + CASE WHEN extra_rank <= n_extra THEN 1 ELSE 0 END, n) AS n_h
+        |  FROM al2),
+        |pri AS (SELECT source, doc_id,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h FROM s),
+        |rk AS (SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM pri)
+        |SELECT rk.source, doc_id, CAST(rn AS BIGINT) AS rn, n_h, n_stratum
+        |FROM rk JOIN alloc ON alloc.source = rk.source
+        |WHERE rn <= n_h ORDER BY rk.source, rn""".stripMargin,
+      doc = "Neyman-style dispersion-proportional stratified sample: " +
+        "exact largest-remainder allocation + native bounded top-k " +
+        "selection by portable hash order, fully oracle-checked"),
+
     // --------------------------------------------- evaluation metric
     // Exact rank-sum ROC-AUC (Mann-Whitney U, midrank ties) of "token
     // count predicts English": the metric that grades the classifier

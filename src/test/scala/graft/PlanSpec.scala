@@ -101,6 +101,9 @@ class PlanSpec extends SparkSpecBase {
     // there is a regression again
     val intended = Set("q_range_join", "q_sim_cosine_topk", "q_sim_near_dup",
       "q_sim_ivf_topk", "q_tf_idf", "q_bm25_search",
+      // inherits bm25Scored's one-row broadcast stats cross join (the
+      // lexical ranker); the semantic ranker and fusion are equi-joins
+      "q_hybrid_search",
       "q_lm_perplexity",
       // recall is MEASURED against brute-force ground truth, so the
       // quadratic baseline is embedded by definition
