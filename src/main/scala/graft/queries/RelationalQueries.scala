@@ -190,6 +190,124 @@ object RelationalQueries {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
       doc = "TPC-H Q5 local supplier volume: 6-table join, exact decimal revenue"),
 
+    // TPC-H Q7 (volume shipping): bilateral trade between two nations by
+    // ship year — the two-role dimension join (nation enters twice, once
+    // through supplier and once through customer, under different aliases).
+    // Both 100-row supplier side and 25-row nation dims broadcast; the
+    // only shuffles are the fact joins on orderkey/custkey. The symmetric
+    // pair predicate runs after both roles resolve.
+    "q_tpch_q7" -> QueryDef.sql(
+      (s, dir) => {
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+          .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(decSum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))),2) AS DOUBLE) AS revenue
+        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      doc = "TPC-H Q7 volume shipping: nation dim in two roles, exact " +
+        "decimal revenue by ship year"),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated scalar
+    // subquery (per-part average quantity) DECORRELATED into a per-part
+    // aggregate joined back — computed only over the brand's parts (the
+    // broadcast part filter prunes BOTH the aggregate input and the probe
+    // side), then broadcast back since it is at most brand-sized. The
+    // threshold l_quantity < avg/5 compares in pure BIGINT cross-multiplied
+    // form (5·q·cnt < Σq — quantities are integral) so no division
+    // rounding law can diverge.
+    "q_tpch_q17" -> QueryDef.sql(
+      (s, dir) => {
+        val brandParts = Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+        val q = col("l_quantity").cast("long")
+        val liB = Tables.lineitem(s, dir)
+          .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        val perPart = liB.groupBy(col("l_partkey"))
+          .agg(sum(q).as("sq"), count(lit(1)).as("cnt"))
+        liB.join(broadcast(perPart), Seq("l_partkey"))
+          .filter(q * 5 * col("cnt") < col("sq"))
+          .agg((moneySum(col("l_extendedprice")) / 7).as("avg_yearly"),
+            count(lit(1)).as("n_items"))
+      },
+      """WITH pa AS (SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sq,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#4' GROUP BY 1)
+        |SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))),2) AS DOUBLE) / 7 AS avg_yearly,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  JOIN pa ON pa.l_partkey = lineitem.l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND 5 * CAST(l_quantity AS BIGINT) * cnt < sq""".stripMargin,
+      doc = "TPC-H Q17 small-quantity-order revenue: decorrelated per-part " +
+        "avg joined back, integer cross-multiplied threshold"),
+
+    // TPC-H Q21 (suppliers who kept orders waiting) adapted to the fixture
+    // columns: the EXISTS/NOT-EXISTS double self-join on lineitem — the
+    // supplier whose item was returned (l_returnflag = 'R', standing in
+    // for receipt>commit) in a multi-supplier finished order where NO
+    // other supplier's item was returned. Both the semi and the anti side
+    // shuffle once on orderkey with the suppkey inequality riding the
+    // equi-join as a residual predicate; the 100-row supplier and nation
+    // dims broadcast at the end; TakeOrderedAndProject bounds the top-20.
+    "q_tpch_q21" -> QueryDef.sql(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val l1 = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val fOrders = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        val l2 = li.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+        val l3 = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+        l1.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+          .join(l2, col("l_orderkey") === col("lo2") &&
+            col("l_suppkey") =!= col("ls2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("lo3") &&
+            col("l_suppkey") =!= col("ls3"), "left_anti")
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("s_name"), col("n_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(20)
+      },
+      """SELECT s_name, n_name, COUNT(*) AS numwait
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+      doc = "TPC-H Q21 shape (returns for receipt-delay): EXISTS semi + " +
+        "NOT-EXISTS anti self-joins on one orderkey shuffle, top-20"),
+
     // Z-order clustering key: Morton-interleave (customer bucket × epoch
     // day bucket) — the sort key that bounds BOTH dimensions' min/max per
     // row group for 2-D data skipping (see ops/ZOrder). Pure bitwise
