@@ -180,6 +180,68 @@ object CleanOps {
         (expr("nll_sum_micro div n_tok").cast("double") / 1000000d).as("avg_nll"))
   }
 
+  /** Interpolated Kneser–Ney BIGRAM language-model score — the realistic
+    * form of the CCNet/KenLM perplexity gate (the unigram model above
+    * cannot see word order; this one scores every adjacent pair, so
+    * shuffled-word salad and stitched boilerplate finally separate from
+    * fluent text). Discount D = 3/4, the standard KN value:
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1·) + D·N1+(w1,·)/c(w1·) · N1+(·,w2)/NT
+    *
+    * evaluated in the EXACT cross-multiplied integer form
+    *   num = (4·c − 3)·NT + 3·N1L·N1R,   den = 4·c_left·NT
+    * (the model is self-fit, so every scored bigram has c ≥ 1 and the
+    * max(c−D, 0) clamp is vacuous; num < den always, so surprisals are
+    * positive and the truncating/flooring integer-mean divergence cannot
+    * arise). The one transcendental, −log2(num/den), follows the
+    * q_lm_perplexity determinism contract: IEEE-identical double division,
+    * round to 6 decimals, exact BIGINT micro-bits, integer per-doc mean.
+    *
+    * Scale shape: bigram occurrences come from the ONE-PASS lookahead
+    * regex over the joined token string (the TextOps.shingles trick —
+    * no transform() lambda, no per-doc window shuffle for lead()); the
+    * model tables (bigram types, left margins, right margins) are all
+    * Zipf-bounded far below corpus size, partially aggregable, and meet
+    * the per-doc bigram table on one (w1,w2) shuffle; the corpus total NT
+    * reduces to a single broadcast row. */
+  def lmKneserNeyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val joined = array_join(TextOps.tokens(col(textCol)), "_")
+    val bigPat = "(?<![a-z0-9])(?=([a-z0-9]+_[a-z0-9]+))"
+    val docBig = docs
+      .select(col(idCol),
+        explode(regexp_extract_all(joined, lit(bigPat), lit(1))).as("gram"))
+      .select(col(idCol),
+        substring_index(col("gram"), "_", 1).as("w1"),
+        substring_index(col("gram"), "_", -1).as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val typeC = docBig.groupBy("w1", "w2")
+      .agg(sum(col("tf")).cast("long").as("c_big"))
+    val leftC = typeC.groupBy("w1")
+      .agg(sum(col("c_big")).cast("long").as("c_left"),
+        count(lit(1)).cast("long").as("n1_left"))
+    val rightC = typeC.groupBy("w2")
+      .agg(count(lit(1)).cast("long").as("n1_right"))
+    val nt = typeC.agg(count(lit(1)).cast("long").as("n_types"))
+    docBig
+      .join(typeC, Seq("w1", "w2"))
+      .join(leftC, Seq("w1"))
+      .join(rightC, Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .withColumn("nll_micro",
+        round(round(-log2(
+          ((col("c_big") * 4 - 3) * col("n_types") +
+            col("n1_left") * col("n1_right") * 3).cast("double") /
+            (col("c_left") * col("n_types") * 4).cast("double")), 6) * 1000000d)
+          .cast("long"))
+      .groupBy(idCol)
+      .agg(
+        sum(col("tf")).cast("long").as("n_big"),
+        sum(col("tf") * col("nll_micro")).cast("long").as("s"))
+      .select(col(idCol), col("n_big"),
+        (expr("s div n_big").cast("double") / 1000000d).as("avg_nll"))
+  }
+
   /** PII patterns: the common ASCII subset expressible identically in Java
     * regex (Spark) and RE2 (DuckDB) — no lookaround, `\b` is the ASCII
     * word boundary in both. */

@@ -217,6 +217,41 @@ object CleaningQueries {
       doc = "mean per-token surprisal under a corpus-fit add-one unigram " +
         "model (cheap CCNet-style perplexity gate, integer micro-bit mean)"),
 
+    // -------------------------------- Kneser-Ney bigram LM quality score
+    // The order-aware upgrade of q_lm_perplexity: interpolated Kneser-Ney
+    // bigrams (D = 3/4) in the exact cross-multiplied integer form
+    // num = (4c-3)NT + 3*N1L*N1R, den = 4*c_left*NT — the only double op
+    // is the -log2(num/den) surprisal, which follows the established
+    // round-6 micro-bit contract. Bigrams via the one-pass lookahead
+    // regex (no lead() window, no transform lambda); all model tables
+    // Zipf-bounded; NT broadcasts as one row.
+    "q_lm_kneser_ney" -> QueryDef.sql(
+      (s, dir) => CleanOps.lmKneserNeyScore(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      """WITH raw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |             FROM documents),
+        |big AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+        |        FROM raw, unnest(range(len(toks) - 1)) AS t(i)),
+        |db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf FROM big GROUP BY 1, 2, 3),
+        |tc AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c_big FROM db GROUP BY 1, 2),
+        |lc AS (SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_left,
+        |              CAST(COUNT(*) AS BIGINT) AS n1_left FROM tc GROUP BY 1),
+        |rc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_right FROM tc GROUP BY 1),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM tc),
+        |sc AS (SELECT db.doc_id, db.tf,
+        |         CAST(ROUND(ROUND(-log2(
+        |           CAST((4 * c_big - 3) * n_types + 3 * n1_left * n1_right AS DOUBLE)
+        |           / CAST(4 * c_left * n_types AS DOUBLE)), 6) * 1000000) AS BIGINT) AS nll_micro
+        |       FROM db JOIN tc USING (w1, w2) JOIN lc USING (w1)
+        |         JOIN rc USING (w2) CROSS JOIN nt)
+        |SELECT doc_id,
+        |  CAST(SUM(tf) AS BIGINT) AS n_big,
+        |  CAST(CAST(SUM(tf * nll_micro) AS BIGINT) // SUM(tf) AS DOUBLE) / 1000000.0 AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      doc = "interpolated Kneser-Ney bigram surprisal (D=3/4, exact " +
+        "integer cross-multiplied form; order-aware perplexity gate)"),
+
     // ------------------------------------------------------ PII redaction
     // The fixture corpus carries no PII, so the query PLANTS deterministic
     // synthetic PII derived from fixture ids (md5-local-part emails,

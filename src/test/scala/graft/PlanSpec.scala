@@ -105,6 +105,9 @@ class PlanSpec extends SparkSpecBase {
       // lexical ranker); the semantic ranker and fusion are equi-joins
       "q_hybrid_search",
       "q_lm_perplexity",
+      // same one-row broadcast stats cross join as q_lm_perplexity (the
+      // corpus bigram-type total NT enters every scored row)
+      "q_lm_kneser_ney",
       // recall is MEASURED against brute-force ground truth, so the
       // quadratic baseline is embedded by definition
       "q_ann_recall",
