@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -362,6 +363,84 @@ object EventOps {
         col("season_micro"), col("resid_micro"), col("flagged"))
       .orderBy("event_type", "day")
   }
+
+  /** Two-sided CUSUM changepoint audit over the per-type daily event
+    * rate — the sequential drift detector that catches SUSTAINED small
+    * shifts a per-day deviation flag (seasonalBaseline's resid test)
+    * misses: ingestion slowdowns, a source going quiet, gradual mix
+    * rot. Page's recurrence S_t = max(0, S_{t-1} + dev_t) is not a
+    * window sum, but it has the standard closed form
+    *
+    *   S_t = P_t − min(0, min_{j<=t} P_j),   P_t = Σ_{i<=t} dev_i
+    *
+    * so both sides compute as ONE cumulative sum + ONE cumulative min
+    * per type (the lower side mirrors with max) — no recursion, no
+    * driver loop. Everything is exact BIGINT micro-units: per-type mean
+    * rate μ = (Σn·1e6) div days, slack k = μ div 4, upper dev =
+    * n·1e6 − μ − k, lower dev = μ − k − n·1e6, alarm when either side
+    * exceeds h = μ (one mean-day of accumulated excess). Division
+    * operands are all nonnegative, so no trunc-vs-floor law applies.
+    *
+    * Scale shape: the daily table is one partially-aggregable groupBy
+    * (|types|·|days| rows); the per-type mean is |types| rows broadcast
+    * back; the windows run over per-type day sequences — bounded by the
+    * calendar, never by event volume. */
+  def cusumDrift(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        datediff(date_trunc("day", col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val mu = daily.groupBy("event_type")
+      .agg(call_function("div", sum(col("n")) * lit(1000000L), count(lit(1)))
+        .as("mu_micro"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(mu), Seq("event_type"))
+      .withColumn("k_micro", call_function("div", col("mu_micro"), lit(4L)))
+      .withColumn("p_up",
+        sum(col("n") * 1000000L - col("mu_micro") - col("k_micro")).over(w))
+      .withColumn("p_dn",
+        sum(col("mu_micro") - col("k_micro") - col("n") * 1000000L).over(w))
+      .withColumn("cusum_up_micro", col("p_up") - least(lit(0L), min(col("p_up")).over(w)))
+      .withColumn("cusum_dn_micro", col("p_dn") - least(lit(0L), min(col("p_dn")).over(w)))
+      .withColumn("alarm",
+        col("cusum_up_micro") > col("mu_micro") || col("cusum_dn_micro") > col("mu_micro"))
+      .select(col("event_type"), col("day"), col("n"), col("mu_micro"),
+        col("cusum_up_micro"), col("cusum_dn_micro"), col("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  /** DuckDB twin of [[cusumDrift]]. */
+  val CusumDriftOracle: String =
+    """WITH daily AS (SELECT event_type,
+      |    datediff('day', DATE '1970-01-01',
+      |             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |mu AS (SELECT event_type,
+      |    CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT) AS mu_micro
+      |  FROM daily GROUP BY 1),
+      |p AS (SELECT daily.event_type, day, n, mu_micro, mu_micro // 4 AS k_micro,
+      |    SUM(n * 1000000 - mu_micro - mu_micro // 4)
+      |      OVER (PARTITION BY daily.event_type ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_up,
+      |    SUM(mu_micro - mu_micro // 4 - n * 1000000)
+      |      OVER (PARTITION BY daily.event_type ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_dn
+      |  FROM daily JOIN mu USING (event_type)),
+      |c AS (SELECT event_type, day, n, mu_micro,
+      |    CAST(p_up - LEAST(0, MIN(p_up)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+      |      AS cusum_up_micro,
+      |    CAST(p_dn - LEAST(0, MIN(p_dn)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+      |      AS cusum_dn_micro
+      |  FROM p)
+      |SELECT event_type, day, n, mu_micro, cusum_up_micro, cusum_dn_micro,
+      |  (cusum_up_micro > mu_micro OR cusum_dn_micro > mu_micro) AS alarm
+      |FROM c ORDER BY event_type, day""".stripMargin
 
   /** DuckDB twin of [[seasonalBaseline]]. */
   val SeasonalBaselineOracle: String =

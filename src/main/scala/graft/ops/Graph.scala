@@ -234,4 +234,48 @@ object Graph {
     val sizes = lab.groupBy("label").agg(count(lit(1)).cast("long").as("csize"))
     lab.join(sizes, "label").select("id", "label", "csize")
   }
+
+  /** Multi-source BFS levels (synchronous frontier expansion): every node
+    * matching the deterministic seed rule `id % seedMod == 0` starts at
+    * level 0; round r labels the still-unvisited neighbors of round r−1's
+    * frontier with level r. The classic Pregel traversal — "how many hops
+    * is every document from a curated seed set" is the provenance /
+    * influence-radius audit over the similarity graph, and the hop count
+    * is itself a mixing signal (SemDeDup-adjacent: near-seed ≈
+    * redundant).
+    *
+    * Scale shape: each round is one equi-join of the frontier onto the
+    * symmetrized edges, a partially-aggregable `distinct`, and one
+    * anti-join against the visited set — work proportional to the
+    * frontier's out-edges, never all-pairs. Fixed `rounds` bounds the
+    * iteration (the log-round doubling alternative — repeated squaring of
+    * the reachability relation — trades each round for an edge×edge
+    * self-join; for the small fixed radii this audit wants, frontier
+    * expansion moves strictly less data). Per-round results are
+    * localCheckpointed so the plan stays O(1)-deep, same as
+    * [[connectedComponents]] / [[labelPropagation]].
+    *
+    * @param edges columns `id_a`, `id_b` (undirected, a < b, no dups)
+    * @return (id, lev) for every node reached within `rounds` hops of a
+    *         seed; unreached nodes are absent */
+  def bfsLevels(edges: DataFrame, seedMod: Long, rounds: Int): DataFrame = {
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var visited = sym.select(col("src").as("id")).distinct()
+      .filter(col("id") % seedMod === 0)
+      .withColumn("lev", lit(0L))
+    var frontier = visited.select("id")
+    for (r <- 1 to rounds) {
+      frontier = sym
+        .join(frontier.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint()
+      visited = visited
+        .union(frontier.withColumn("lev", lit(r.toLong)))
+        .localCheckpoint()
+    }
+    visited
+  }
 }

@@ -457,6 +457,18 @@ object TrainOps {
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Sliding-window token chunking (the context-window packer's overlap
+    * variant): chunk i covers tokens [i·stride, i·stride + window).
+    *
+    * Scale shape / long-doc caveat (round-6 advisor): the explode carries
+    * each doc's FULL token array into every chunk row before the `slice`,
+    * so a document of `len` tokens materializes ~len/stride copies —
+    * O(len²/stride) bytes through the explode. Fine for web-page-sized
+    * docs (the fixture's regime, bench-clean); for book-length inputs
+    * either pre-split the text upstream or bound doc length before this
+    * op. The transform()-based alternative that avoids the copy is the
+    * known-150×-slower HOF trap (CLAUDE.md), so the explode form is the
+    * right default at this doc-length regime. */
   def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
                    window: Int = 64, stride: Int = 48): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
@@ -812,4 +824,105 @@ object TrainOps {
       |  CAST((cb.cum * 1000000) // cb.n AS BIGINT) AS pct_micro
       |FROM s JOIN cb ON s.source = cb.source AND s.score = cb.score
       |ORDER BY s.doc_id""".stripMargin
+
+  /** A-priori frequent itemsets + association rules over the corpus —
+    * baskets are documents, items are distinct tokens, support is the
+    * document count. The classic distributed data-mining ladder (Agrawal
+    * & Srikant 1994) done relationally:
+    *
+    *   L1 = items in ≥ 1/supDenom of docs  →  L2 = frequent pairs from
+    *   L1-member co-occurrence  →  L3 candidates pruned by BOTH sub-pairs
+    *   frequent (the a-priori downward-closure semi-joins), counted, and
+    *   emitted as rules (a,b)→c with confidence = sup3/sup2 in truncating
+    *   integer micro-units.
+    *
+    * Scale shape: the per-doc item table is pruned FIRST by the broadcast
+    * L1 (Zipf: a high support floor keeps |L1| tiny — 30 items at 20%
+    * across sf0.01/0.1 — so per-doc pair fan-out is ≤ |L1|²/2, not
+    * vocab²); items then travel as DENSE INTEGER IDS (rank in L1's
+    * alphabetical order, so id inequality ≡ item inequality) and each
+    * candidate itemset packs into ONE bigint key (10 bits per id) — the
+    * 20M-row triple enumeration hashes/combines longs, not string
+    * triples, before the map-side partial agg collapses it to ≤ |L1|³/6
+    * keys. The pair enumeration is a per-doc equi self-join; the
+    * downward-closure prunes are broadcast semi-joins; every support
+    * count is a partially-aggregable groupBy. The corpus total enters as
+    * one broadcast row; ids map back to item strings via the 30-row
+    * broadcast after thresholding. */
+  def freqItemsets(docs: DataFrame, idCol: String, textCol: String,
+                   supDenom: Int = 5): DataFrame = {
+    val di = docs.select(col(idCol).as("d"),
+      explode(TextOps.distinctTokens(col(textCol))).as("item"))
+    val tot = di.agg(count_distinct(col("d")).as("n_docs"))
+    val l1 = di.groupBy("item").agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(tot))
+      .filter(col("df") * supDenom >= col("n_docs"))
+      // |L1| rows: the unpartitioned rank window is bounded by the
+      // support floor, never by vocab size
+      .withColumn("iid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("item")).cast("long"))
+      .select("item", "iid")
+    val db = di.join(broadcast(l1), "item").select(col("d"), col("iid"))
+    val a = db.select(col("d"), col("iid").as("ia"))
+    val b = db.select(col("d"), col("iid").as("ib"))
+    val c = db.select(col("d"), col("iid").as("ic"))
+    val l2 = a.join(b, Seq("d")).filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).cast("long").as("sup2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("sup2") * supDenom >= col("n_docs"))
+      .select("ia", "ib", "sup2")
+    val l3 = a.join(b, Seq("d")).filter(col("ia") < col("ib"))
+      .join(broadcast(l2.select("ia", "ib")), Seq("ia", "ib"), "left_semi")
+      .join(c, Seq("d")).filter(col("ib") < col("ic"))
+      .join(broadcast(l2.select(col("ia").as("ib"), col("ib").as("ic"))),
+        Seq("ib", "ic"), "left_semi")
+      .groupBy(((col("ia") * 1024L + col("ib")) * 1024L + col("ic")).as("tkey"))
+      .agg(count(lit(1)).cast("long").as("sup3"))
+      .crossJoin(broadcast(tot))
+      .filter(col("sup3") * supDenom >= col("n_docs"))
+      .select(call_function("div", col("tkey"), lit(1048576L)).as("ia"),
+        (call_function("div", col("tkey"), lit(1024L)) % 1024L).as("ib"),
+        (col("tkey") % 1024L).as("ic"), col("sup3"))
+    l3.join(broadcast(l2), Seq("ia", "ib"))
+      .join(broadcast(l1.select(col("iid").as("ia"), col("item").as("item_a"))), Seq("ia"))
+      .join(broadcast(l1.select(col("iid").as("ib"), col("item").as("item_b"))), Seq("ib"))
+      .join(broadcast(l1.select(col("iid").as("ic"), col("item").as("item_c"))), Seq("ic"))
+      .select(col("item_a").as("ia"), col("item_b").as("ib"),
+        col("item_c").as("ic"), col("sup3"), col("sup2"),
+        call_function("div", col("sup3") * 1000000L, col("sup2")).as("conf_micro"))
+      // top-k by support (TakeOrderedAndProject; ties resolved by the
+      // item triple, a unique key). On a corpus whose frequent tier is a
+      // universal head — this fixture — the threshold alone stops
+      // pruning at L3, and the ranked report is what stays informative.
+      .orderBy(col("sup3").desc, col("ia"), col("ib"), col("ic"))
+      .limit(50)
+  }
+
+  /** DuckDB twin of [[freqItemsets]]. */
+  def freqItemsetsOracle(supDenom: Int): String =
+    s"""WITH di AS (SELECT DISTINCT doc_id AS d,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item
+       |  FROM documents),
+       |tot AS (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs FROM di),
+       |l1 AS (SELECT item FROM (SELECT item, COUNT(*) AS df FROM di GROUP BY 1), tot
+       |       WHERE df * $supDenom >= n_docs),
+       |db AS (SELECT d, item FROM di JOIN l1 USING (item)),
+       |l2 AS (SELECT ia, ib, sup2 FROM (
+       |    SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS sup2
+       |    FROM db a JOIN db b ON a.d = b.d AND a.item < b.item
+       |    GROUP BY 1, 2), tot
+       |  WHERE sup2 * $supDenom >= n_docs),
+       |l3 AS (SELECT ia, ib, ic, sup3 FROM (
+       |    SELECT a.item AS ia, b.item AS ib, c.item AS ic,
+       |      CAST(COUNT(*) AS BIGINT) AS sup3
+       |    FROM db a JOIN db b ON a.d = b.d AND a.item < b.item
+       |      JOIN db c ON b.d = c.d AND b.item < c.item
+       |    WHERE EXISTS (SELECT 1 FROM l2 WHERE l2.ia = a.item AND l2.ib = b.item)
+       |      AND EXISTS (SELECT 1 FROM l2 WHERE l2.ia = b.item AND l2.ib = c.item)
+       |    GROUP BY 1, 2, 3), tot
+       |  WHERE sup3 * $supDenom >= n_docs)
+       |SELECT ia, ib, ic, sup3, sup2,
+       |  CAST((sup3 * 1000000) // sup2 AS BIGINT) AS conf_micro
+       |FROM l3 JOIN l2 USING (ia, ib)
+       |ORDER BY sup3 DESC, ia, ib, ic LIMIT 50""".stripMargin
 }

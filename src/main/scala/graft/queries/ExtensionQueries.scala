@@ -443,6 +443,30 @@ object ExtensionQueries {
        |FROM l$rounds l JOIN sz USING (label) ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB reproduction of `Similarity.cellEdges` → `Graph.bfsLevels`:
+    * the shared cell/cosine edge CTEs, then `rounds` unrolled frontier
+    * expansions (new frontier = distinct neighbors of the previous one,
+    * anti-joined against everything already levelled). */
+  private def bfsOracle(threshold: Double, nList: Int, dim: Int,
+                        seedMod: Long, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""f$r AS MATERIALIZED (SELECT DISTINCT e.dst AS id
+         |  FROM sym e JOIN f${r - 1} p ON p.id = e.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v WHERE v.id = e.dst)),
+         |v$r AS MATERIALIZED (SELECT id, lev FROM v${r - 1}
+         |  UNION ALL SELECT id, $r AS lev FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |${cellEdgesOracle(threshold, nList, dim)}),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |f0 AS (SELECT DISTINCT src AS id FROM sym WHERE src % $seedMod = 0),
+       |v0 AS (SELECT id, 0 AS lev FROM f0),
+       |$roundCtes
+       |SELECT id AS vec_id, CAST(lev AS BIGINT) AS lev
+       |FROM v$rounds ORDER BY vec_id""".stripMargin
+  }
+
   /** Shared oracle CTEs: rebuild the 64-window fixed-clip audio energy
     * fingerprint from the text bytes (the asWavAssets PCM encoding)
     * exactly as [[graft.ops.Multimodal.audioFpBits]] — the anchor clip is
@@ -957,6 +981,22 @@ object ExtensionQueries {
       doc = "deterministic synchronous label-propagation communities " +
         "(3 rounds, plurality vote, min-label ties) over the cell-bounded " +
         "similarity graph, fully oracle-checked"),
+
+    // Multi-source BFS levels over the same similarity graph: hop
+    // distance from the deterministic seed set (vec_id % 17 == 0) within
+    // 4 rounds — the provenance/influence-radius audit, one frontier
+    // equi-join + distinct + anti-join per round, oracle-unrolled as
+    // chained CTEs.
+    "q_graph_bfs" -> QueryDef.sql(
+      (s, dir) => Graph.bfsLevels(
+          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3,
+            nList = 16),
+          seedMod = 17L, rounds = 4)
+        .select(col("id").as("vec_id"), col("lev"))
+        .orderBy("vec_id"),
+      bfsOracle(threshold = 0.3, nList = 16, dim = 64, seedMod = 17L, rounds = 4),
+      doc = "multi-source BFS hop levels (4 rounds, seeds vec_id%17=0) " +
+        "over the cell-bounded similarity graph, fully oracle-checked"),
 
     // The hyperplanes are deterministic driver-side literals (splitmix64
     // doubles), and both engines evaluate dot products in the same

@@ -605,6 +605,17 @@ object RelationalQueries {
         "deviation flags in exact integer micro-units, fully " +
         "oracle-checked"),
 
+    // Page's CUSUM changepoint detector over the per-type daily rate —
+    // the sequential drift alarm for sustained small shifts, computed via
+    // the closed form S_t = P_t - min(0, min prefix) (one cumulative sum
+    // + one cumulative min per side, no recursion). All exact BIGINT
+    // micro-units; windows bounded by the calendar, not event volume.
+    "q_cusum_drift" -> QueryDef.sql(
+      (s, dir) => graft.ops.EventOps.cusumDrift(Tables.events(s, dir)),
+      graft.ops.EventOps.CusumDriftOracle,
+      doc = "two-sided CUSUM drift/changepoint audit on daily event " +
+        "rates, prefix-sum closed form, exact integer micro-units"),
+
     // Latest-k per key through the NATIVE bounded top-k aggregate
     // (graft.functions.TopKPairs): partial aggregation keeps <= k pairs
     // per group per mapper and the exchange carries only those — unlike

@@ -283,6 +283,19 @@ object TrainingQueries {
         "exact largest-remainder allocation + native bounded top-k " +
         "selection by portable hash order, fully oracle-checked"),
 
+    // --------------------------------------------- association mining
+    // A-priori frequent triples + rules over document token baskets:
+    // broadcast L1 prunes the per-doc item table first (Zipf keeps it
+    // tiny at a 20% floor), downward-closure semi-joins prune triple
+    // candidates, confidence in truncating integer micro-units.
+    "q_freq_itemsets" -> QueryDef.sql(
+      (s, dir) => TrainOps.freqItemsets(Tables.documents(s, dir),
+        "doc_id", "text", supDenom = 5),
+      TrainOps.freqItemsetsOracle(supDenom = 5),
+      doc = "a-priori frequent token triples + association rules " +
+        "(support >= 20% of docs, broadcast candidate prunes, " +
+        "integer-micro confidence, ranked top-50)"),
+
     // --------------------------------------------- evaluation metric
     // Exact rank-sum ROC-AUC (Mann-Whitney U, midrank ties) of "token
     // count predicts English": the metric that grades the classifier

@@ -108,6 +108,8 @@ class PlanSpec extends SparkSpecBase {
       // same one-row broadcast stats cross join as q_lm_perplexity (the
       // corpus bigram-type total NT enters every scored row)
       "q_lm_kneser_ney",
+      // one-row broadcast corpus total gates each support threshold
+      "q_freq_itemsets",
       // recall is MEASURED against brute-force ground truth, so the
       // quadratic baseline is embedded by definition
       "q_ann_recall",
