@@ -258,6 +258,39 @@ object Graph {
     * @param edges columns `id_a`, `id_b` (undirected, a < b, no dups)
     * @return (id, lev) for every node reached within `rounds` hops of a
     *         seed; unreached nodes are absent */
+  /** Bounded k-core peeling (Seidman 1983): repeatedly delete nodes of
+    * degree < k; what survives is the maximal subgraph of minimum degree
+    * ≥ k — the dense-region extractor (boilerplate farms and template
+    * clusters in a near-dup graph are exactly its high cores; the
+    * complement of [[bfsLevels]]' reachability view). Peeling is a
+    * MONOTONE shrink, so each round is one partial-agg degree count +
+    * two semi-joins back onto the edges; `rounds` bounds the iteration
+    * and the CONVERGED flag (post-final-peel min degree ≥ k — a bounded
+    * driver-side check on the node-degree table) certifies whether the
+    * bound sufficed, so a truncated run is detectable, never silent.
+    * Adversarial long-chain graphs need O(n) peels; dedup-shaped graphs
+    * converge in a handful (the flag is the proof, per run).
+    *
+    * @param edges columns `id_a`, `id_b` (undirected, a < b, no dups)
+    * @return (id, deg, converged) for every surviving node — deg is the
+    *         node's degree INSIDE the surviving subgraph */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e0 = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    var sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= k).select(col("src").as("id"))
+      sym = sym
+        .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    val deg = sym.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    val converged = deg.filter(col("deg") < k).isEmpty
+    deg.select(col("src").as("id"), col("deg"), lit(converged).as("converged"))
+  }
+
   def bfsLevels(edges: DataFrame, seedMod: Long, rounds: Int): DataFrame = {
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))

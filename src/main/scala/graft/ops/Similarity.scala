@@ -586,6 +586,32 @@ object Similarity {
   /** Exact L2 top-k (squared euclidean, asc) — the ground truth PQ's ADC
     * approximates; cosine's bruteForceTopK is the wrong referee for an
     * L2 quantizer. Same broadcast-queries scan shape. */
+  /** Matryoshka-style dimension-truncation recall audit: top-k overlap of
+    * the PREFIX-truncated embedding space against the full-dimension
+    * ranking, per query — the measurement behind "can we store/search
+    * half the vector". Truncation is a scan-side `slice` projection; both
+    * rankings are the exact brute-force referee over the broadcast query
+    * set (the audit runs at sampled-query scale; the production search
+    * path stays IVF/PQ). recall = |full top-k ∩ trunc top-k| / k in
+    * truncating integer micro-units. */
+  def truncationRecall(emb: DataFrame, nQueries: Int, k: Int,
+                       dims: Int): DataFrame = {
+    val full = bruteForceTopK(emb, emb.filter(col("vec_id") < nQueries), k)
+      .select(col("qid"), col("nid"))
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    val tr = bruteForceTopK(trunc, trunc.filter(col("vec_id") < nQueries), k)
+      .select(col("qid").as("t_qid"), col("nid").as("t_nid"))
+    full.join(tr, col("qid") === col("t_qid") && col("nid") === col("t_nid"),
+        "left_outer")
+      .groupBy("qid")
+      .agg(count(lit(1)).cast("long").as("k"),
+        count(col("t_nid")).cast("long").as("n_kept"))
+      .select(col("qid"), lit(dims.toLong).as("dims"), col("k"), col("n_kept"),
+        call_function("div", col("n_kept") * 1000000L, col("k")).as("recall_micro"))
+      .orderBy("qid")
+  }
+
   def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))

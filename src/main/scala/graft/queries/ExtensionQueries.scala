@@ -467,6 +467,31 @@ object ExtensionQueries {
        |FROM v$rounds ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB reproduction of `Similarity.cellEdges` → `Graph.kCore`: the
+    * shared cell/cosine edge CTEs, then `rounds` unrolled peels (each =
+    * degree count + two semi-filters), final in-core degrees, and the
+    * same post-final-peel convergence certificate as a scalar subquery. */
+  private def kCoreOracle(threshold: Double, nList: Int, dim: Int,
+                          k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""kp$r AS MATERIALIZED (SELECT src AS id FROM s${r - 1}
+         |  GROUP BY src HAVING COUNT(*) >= $k),
+         |s$r AS MATERIALIZED (SELECT e.src, e.dst FROM s${r - 1} e
+         |  WHERE EXISTS (SELECT 1 FROM kp$r a WHERE a.id = e.src)
+         |    AND EXISTS (SELECT 1 FROM kp$r b WHERE b.id = e.dst))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |${cellEdgesOracle(threshold, nList, dim)}),
+       |s0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |       UNION ALL SELECT id_b, id_a FROM pairs),
+       |$roundCtes,
+       |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM s$rounds GROUP BY src)
+       |SELECT id AS vec_id, deg,
+       |  (SELECT COUNT(*) FROM deg d2 WHERE d2.deg < $k) = 0 AS converged
+       |FROM deg ORDER BY vec_id""".stripMargin
+  }
+
   /** Shared oracle CTEs: rebuild the 64-window fixed-clip audio energy
     * fingerprint from the text bytes (the asWavAssets PCM encoding)
     * exactly as [[graft.ops.Multimodal.audioFpBits]] — the anchor clip is
@@ -998,6 +1023,23 @@ object ExtensionQueries {
       doc = "multi-source BFS hop levels (4 rounds, seeds vec_id%17=0) " +
         "over the cell-bounded similarity graph, fully oracle-checked"),
 
+    // Bounded 2-core peeling over the same similarity graph: the
+    // dense-region extractor (trees and chains peel away; cycles and
+    // template/boilerplate clusters survive — the fixture graph's 3-core
+    // is empty, so 2 is the discriminative floor here), 6 monotone shrink
+    // rounds with a convergence certificate so a truncated run is
+    // detectable, never silent.
+    "q_graph_kcore" -> QueryDef.sql(
+      (s, dir) => Graph.kCore(
+          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3,
+            nList = 16),
+          k = 2, rounds = 6)
+        .select(col("id").as("vec_id"), col("deg"), col("converged"))
+        .orderBy("vec_id"),
+      kCoreOracle(threshold = 0.3, nList = 16, dim = 64, k = 2, rounds = 6),
+      doc = "bounded 2-core peeling (6 rounds + convergence certificate) " +
+        "over the cell-bounded similarity graph, fully oracle-checked"),
+
     // The hyperplanes are deterministic driver-side literals (splitmix64
     // doubles), and both engines evaluate dot products in the same
     // sequential order — so the whole LSH pipeline (band signatures,
@@ -1040,6 +1082,40 @@ object ExtensionQueries {
       annRecallOracle(k = 10, rowsPerBand = 2, numBands = 16, dim = 64),
       doc = "recall@10 of LSH ANN vs brute-force ground truth, per query " +
         "(measured quality metric, full oracle)"),
+
+    // Matryoshka-style dimension-truncation audit: how much of the
+    // full-64-dim top-10 survives when vectors are sliced to their first
+    // 32 dims — the storage/latency question modern nested-prefix
+    // embeddings pose, measured per query with the exact brute-force
+    // referee on both sides (sampled-query audit scale; production search
+    // stays IVF/PQ). Truncation is a scan-side slice projection.
+    "q_emb_trunc_recall" -> QueryDef.sql(
+      (s, dir) => Similarity.truncationRecall(Tables.embeddings(s, dir),
+        nQueries = 5, k = 10, dims = 32),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |fr AS (SELECT qid, nid FROM (SELECT qid, n.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |      ROUND(list_inner_product(qv, n.v)/(qnrm*n.nrm), 6) DESC,
+        |      n.vec_id) AS rn
+        |  FROM q CROSS JOIN n WHERE n.vec_id <> qid) WHERE rn <= 10),
+        |t AS (SELECT vec_id, v[1:32] AS v FROM e),
+        |tn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM t),
+        |tq AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM tn WHERE vec_id < 5),
+        |tr AS (SELECT qid, nid FROM (SELECT qid, tn.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |      ROUND(list_inner_product(qv, tn.v)/(qnrm*tn.nrm), 6) DESC,
+        |      tn.vec_id) AS rn
+        |  FROM tq CROSS JOIN tn WHERE tn.vec_id <> qid) WHERE rn <= 10)
+        |SELECT fr.qid, CAST(32 AS BIGINT) AS dims,
+        |  CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(COUNT(tr.nid) AS BIGINT) AS n_kept,
+        |  CAST((COUNT(tr.nid) * 1000000) // COUNT(*) AS BIGINT) AS recall_micro
+        |FROM fr LEFT JOIN tr ON tr.qid = fr.qid AND tr.nid = fr.nid
+        |GROUP BY fr.qid ORDER BY fr.qid""".stripMargin,
+      doc = "dimension-truncation recall audit (64 -> 32 dims, top-10 " +
+        "overlap per query, exact brute-force referee on both sides)"),
 
     // -------------------------------------------- product quantization ANN
     // PQ (Jegou 2011) completes the ANN tier set: LSH prunes candidates by

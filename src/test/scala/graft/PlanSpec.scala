@@ -110,6 +110,8 @@ class PlanSpec extends SparkSpecBase {
       "q_lm_kneser_ney",
       // one-row broadcast corpus total gates each support threshold
       "q_freq_itemsets",
+      // both rankings are the exact brute-force referee by design
+      "q_emb_trunc_recall",
       // recall is MEASURED against brute-force ground truth, so the
       // quadratic baseline is embedded by definition
       "q_ann_recall",

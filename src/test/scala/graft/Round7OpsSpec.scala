@@ -35,6 +35,45 @@ class Round7OpsSpec extends SparkSpecBase {
     assert(got === Map(10L -> 0L, 4L -> 1L, 3L -> 2L)) // 2 and 1 out of radius
   }
 
+  test("kCore peels tails and keeps the cycle with in-core degrees") {
+    // triangle {1,2,3} with a tail 3-4-5: the 2-core is the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Graph.kCore(edges, k = 2, rounds = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)))
+  }
+
+  test("kCore flags an insufficient round budget instead of lying") {
+    // a 6-path needs 3 peels to empty under k=2; one round leaves
+    // degree-1 endpoints -> converged must be false
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = Graph.kCore(edges, k = 2, rounds = 1).collect()
+    assert(got.nonEmpty && got.forall(!_.getBoolean(2)))
+  }
+
+  test("kCore at k=3 keeps a K4 intact") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Graph.kCore(edges, k = 3, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set((1L, 3L, true), (2L, 3L, true), (3L, 3L, true), (4L, 3L, true)))
+  }
+
+  // ------------------------------------------------ truncation recall
+
+  test("truncationRecall is 1.0 when truncation keeps the full vector") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = graft.ops.Similarity.truncationRecall(emb, nQueries = 3,
+      k = 5, dims = 64).collect()
+    assert(got.length === 3)
+    got.foreach { r =>
+      assert(r.getLong(2) === 5L)
+      assert(r.getLong(4) === 1000000L, "dims=64 slice must be the identity")
+    }
+  }
+
   // ----------------------------------------------------------- CUSUM
 
   test("cusumDrift closed form equals Page's sequential recurrence") {
