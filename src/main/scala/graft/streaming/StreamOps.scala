@@ -306,8 +306,52 @@ object StreamOps {
       }
   }
 
+  /** CUSUM per-type state: the recurrence needs exactly TWO longs per key
+    * forever — the upper and lower accumulators. Public primitive-only
+    * case class for the janino state-store rules. */
+  final case class CusumState(su: Long, sd: Long)
+  final case class CusumAlarm(event_type: String, day: Long, n: Long,
+                              cusum_up_micro: Long, cusum_dn_micro: Long,
+                              alarm: Boolean)
+
+  /** Streaming twin of [[graft.ops.EventOps.cusumDrift]]: Page's two-sided
+    * CUSUM over a stream of per-type DAILY COUNTS (in production the
+    * output of a tumbling daily count upstream), with the reference mean
+    * `muMicro` fit on history and passed in (the batch tier self-fits;
+    * a detector that refits on the stream it monitors absorbs the very
+    * drift it should flag). Here the recurrence form S_t = max(0, S_{t-1}
+    * + dev_t) IS the natural shape — the batch tier's prefix-sum closed
+    * form exists precisely because batch SQL has no recurrence. State is
+    * two longs per type, forever; alarm when either side exceeds h = μ.
+    * Within a micro-batch days process in day order (the determinism
+    * discipline of [[bloomDedupStream]]); across batches feed days
+    * forward — CUSUM is a sequential statistic. */
+  def cusumStream(daily: DataFrame, muMicro: Map[String, Long]): Dataset[CusumAlarm] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily.select(col("event_type").cast("string"), col("day").cast("long"),
+        col("n").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (t: String, rows: Iterator[(String, Long, Long)], state: GroupState[CusumState]) =>
+          val mu = muMicro.getOrElse(t, 0L)
+          val k = mu / 4
+          var su = state.getOption.map(_.su).getOrElse(0L)
+          var sd = state.getOption.map(_.sd).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, day, n) =>
+            su = math.max(0L, su + (n * 1000000L - mu - k))
+            sd = math.max(0L, sd + (mu - k - n * 1000000L))
+            CusumAlarm(t, day, n, su, sd, su > mu || sd > mu)
+          }
+          state.update(CusumState(su, sd))
+          out.iterator
+      }
+  }
+
   /** Packed Bloom bitmap per bucket (mPerBucket/64 longs). Public flat-List
-    * state for the same janino state-store reasons as [[BucketState]]. */
+    * state for the same janino state-store rules as [[BucketState]]. */
   final case class BloomBucketState(bits: List[Long])
   final case class BloomSeen(key: Long, bucket: Int, dup: Boolean)
 

@@ -254,6 +254,38 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(streamCounts === batchCounts)
   }
 
+  test("streaming CUSUM recurrence equals the batch prefix-sum closed form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val batch = graft.ops.EventOps.cusumDrift(Tables.events(spark, sf0001))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    val mu = batch.map { case ((t, _), v) => t -> v._2 }
+    // the same daily counts, split mid-calendar so state crosses batches
+    val daily = batch.toSeq.map { case ((t, d), v) => (t, d, v._1) }.sortBy(_._2)
+    val cut = daily.map(_._2).distinct.sorted.apply(daily.map(_._2).distinct.size / 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Long)]
+    val q = StreamOps.cusumStream(ms.toDF().toDF("event_type", "day", "n"), mu)
+      .toDF().writeStream.format("memory").queryName("s_cusum")
+      .outputMode("append").start()
+    try {
+      ms.addData(daily.filter(_._2 < cut)); q.processAllAvailable()
+      ms.addData(daily.filter(_._2 >= cut)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_cusum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (k, (n, su, sd, alarm)) =>
+      val (bn, _, bsu, bsd, balarm) = batch(k)
+      assert(n === bn && su === bsu && sd === bsd && alarm === balarm, s"at $k")
+    }
+  }
+
   test("streaming minhash near-dup: distinct pairs equal the batch bucket reference") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
