@@ -71,11 +71,16 @@ object GraftFunctions {
   * "graft.functions.GraftExtensions")` (or `withExtensions`) makes every
   * graft function available to SQL in all sessions built from that config. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
         builder))
     }
+    // optimizer surface: boolean contains-match predicates short-circuit
+    // via RLIKE instead of materializing every regex match (see
+    // graft.plans.ContainsMatchRewrite for the null-regime scope rules)
+    ext.injectOptimizerRule(_ => graft.plans.ContainsMatchRewrite)
+  }
 }
