@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Scratch stretch-probe runner (not part of the driver contract): time
+  * named declared queries against an arbitrary fixture directory — the
+  * BASELINE.md sf1x scale probes. `runMain graft.tools.ProbeQueries
+  * <sfDir> <reps> <query> [<query> ...]`; prints min-of-reps per query
+  * (min, not median: the probe asks for the contention-free shape). */
+object ProbeQueries {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ProbeQueries <sfDir> <reps> <query>...")
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT warm
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes every output column (Bench methodology)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROBE $n%-28s min=${times.min}%7.2f s  reps=$reps")
+    }
+    spark.stop()
+  }
+}
