@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-cleaning operators for training-data pipelines: segment-level
@@ -241,6 +242,62 @@ object CleanOps {
       .select(col(idCol), col("n_big"),
         (expr("s div n_big").cast("double") / 1000000d).as("avg_nll"))
   }
+
+  /** Maximum adjacent repeated-token run per document — the degenerate-
+    * loop detector ("the the the …" tails from broken extractors and
+    * model-generated collapse) that Gopher's top-token/dup-n-gram
+    * fractions miss when the loop is short relative to the document.
+    * Java regex could find runs with a backreference, but RE2 (the
+    * oracle's engine) has none — so runs are built relationally:
+    * gaps-and-islands over per-document token positions (break flag via
+    * lag, run id via cumulative sum), then the per-doc argmax run with a
+    * total (len desc, term asc, start asc) order so ties cannot diverge.
+    *
+    * Scale shape: ONE shuffle on the doc id; every window partitions by
+    * document (bounded by max doc length, never corpus-sized); the run
+    * table is token-bounded and partially aggregable. */
+  def repeatRuns(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val lagTerm = lag(col("term"), 1).over(w)
+    val runs = tok
+      .withColumn("brk",
+        when(lagTerm.isNull || lagTerm =!= col("term"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("brk")).over(w))
+      .groupBy(col(idCol), col("run_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("run_len"),
+        min(col("pos")).cast("long").as("start"))
+    val rank = Window.partitionBy(idCol)
+      .orderBy(col("run_len").desc, col("term").asc, col("start").asc)
+    runs.withColumn("rn", row_number().over(rank)).filter(col("rn") === 1)
+      .select(col(idCol), col("run_len").as("max_run"), col("term").as("run_term"),
+        (col("run_len") > 1).as("loopy"))
+  }
+
+  /** DuckDB twin of [[repeatRuns]] over the `documents` table. */
+  val RepeatRunsOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |           FROM documents),
+      |tok AS (SELECT doc_id, i AS pos, toks[i + 1] AS term
+      |        FROM t, unnest(range(len(toks))) AS u(i)),
+      |b AS (SELECT doc_id, pos, term,
+      |    CASE WHEN lag(term) OVER w IS NULL OR lag(term) OVER w <> term
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |r AS (SELECT doc_id, term,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id,
+      |    pos
+      |  FROM b),
+      |runs AS (SELECT doc_id, run_id, term,
+      |    CAST(COUNT(*) AS BIGINT) AS run_len, CAST(MIN(pos) AS BIGINT) AS start
+      |  FROM r GROUP BY 1, 2, 3),
+      |rk AS (SELECT doc_id, run_len, term, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY run_len DESC, term ASC, start ASC) AS rn
+      |  FROM runs)
+      |SELECT doc_id, run_len AS max_run, term AS run_term, run_len > 1 AS loopy
+      |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** PII patterns: the common ASCII subset expressible identically in Java
     * regex (Spark) and RE2 (DuckDB) — no lookaround, `\b` is the ASCII

@@ -252,6 +252,18 @@ object CleaningQueries {
       doc = "interpolated Kneser-Ney bigram surprisal (D=3/4, exact " +
         "integer cross-multiplied form; order-aware perplexity gate)"),
 
+    // --------------------------------------------- repeated-run detector
+    // Max adjacent repeated-token run per doc: the degenerate-loop signal
+    // (broken extractors, model-collapse tails) Gopher's corpus-fraction
+    // filters miss on short loops. RE2 has no backreferences, so runs are
+    // relational gaps-and-islands; argmax run under a total order.
+    "q_repeat_runs" -> QueryDef.sql(
+      (s, dir) => CleanOps.repeatRuns(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      CleanOps.RepeatRunsOracle,
+      doc = "max adjacent repeated-token run per doc (gaps-and-islands, " +
+        "doc-bounded windows; loop-collapse quality gate)"),
+
     // ------------------------------------------------------ PII redaction
     // The fixture corpus carries no PII, so the query PLANTS deterministic
     // synthetic PII derived from fixture ids (md5-local-part emails,
