@@ -243,6 +243,57 @@ object CleanOps {
         (expr("s div n_big").cast("double") / 1000000d).as("avg_nll"))
   }
 
+  /** Per-document lexical entropy (Shannon entropy of the doc's own
+    * unigram distribution) + type-token ratio — the lexical-diversity
+    * gate: template/boilerplate pages and keyword-stuffed spam sit far
+    * below fluent text at equal length, and unlike [[lmUnigramScore]]
+    * (surprisal under the CORPUS model) it needs no model tables at all.
+    * H = Σ (tf/n)·(−log2(tf/n)); each per-term surprisal is rounded to 6
+    * decimals, scaled to BIGINT micro-bits, tf-weighted, and the per-doc
+    * mean is integer division — the q_lm_perplexity determinism contract.
+    *
+    * Scale shape: one groupBy to the (doc, term) table, then per-doc
+    * totals via windows partitioned by doc (bounded by per-doc distinct
+    * terms, never corpus-sized); no joins. */
+  def lexicalEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val w = Window.partitionBy(idCol)
+    tf.withColumn("n", sum(col("tf")).over(w))
+      .withColumn("n_types", count(lit(1)).over(w))
+      .withColumn("s_micro",
+        round(round(-log2(col("tf").cast("double") / col("n").cast("double")), 6)
+          * 1000000d).cast("long"))
+      .groupBy(idCol)
+      .agg(max(col("n")).as("n_tok"), max(col("n_types")).cast("long").as("n_types"),
+        sum(col("tf") * col("s_micro")).cast("long").as("sw"))
+      .select(col(idCol), col("n_tok"), col("n_types"),
+        (expr("sw div n_tok").cast("double") / 1000000d).as("entropy_bits"),
+        call_function("div", col("n_types") * 1000000L, col("n_tok")).as("ttr_micro"))
+  }
+
+  /** DuckDB twin of [[lexicalEntropy]] over the `documents` table. */
+  val LexicalEntropyOracle: String =
+    """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |d AS (SELECT doc_id, tf,
+      |    SUM(tf) OVER (PARTITION BY doc_id) AS n,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS n_types
+      |  FROM tf),
+      |s AS (SELECT doc_id, tf, n, n_types,
+      |    CAST(ROUND(ROUND(-log2(CAST(tf AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |      * 1000000) AS BIGINT) AS s_micro
+      |  FROM d)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tok,
+      |  CAST(MAX(n_types) AS BIGINT) AS n_types,
+      |  CAST(CAST(SUM(tf * s_micro) AS BIGINT) // MAX(n) AS DOUBLE) / 1000000.0
+      |    AS entropy_bits,
+      |  CAST((MAX(n_types) * 1000000) // MAX(n) AS BIGINT) AS ttr_micro
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Maximum adjacent repeated-token run per document — the degenerate-
     * loop detector ("the the the …" tails from broken extractors and
     * model-generated collapse) that Gopher's top-token/dup-n-gram

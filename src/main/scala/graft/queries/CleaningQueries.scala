@@ -252,6 +252,18 @@ object CleaningQueries {
       doc = "interpolated Kneser-Ney bigram surprisal (D=3/4, exact " +
         "integer cross-multiplied form; order-aware perplexity gate)"),
 
+    // --------------------------------------------- lexical diversity
+    // Shannon entropy of each doc's own unigram distribution + type-token
+    // ratio: the model-free diversity gate (templates/keyword stuffing
+    // score low at equal length). Micro-bit integer contract; windows
+    // bounded by per-doc distinct terms; no joins.
+    "q_lexical_entropy" -> QueryDef.sql(
+      (s, dir) => CleanOps.lexicalEntropy(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      CleanOps.LexicalEntropyOracle,
+      doc = "per-doc lexical entropy + type-token ratio (model-free " +
+        "diversity gate, integer micro-bit mean)"),
+
     // --------------------------------------------- repeated-run detector
     // Max adjacent repeated-token run per doc: the degenerate-loop signal
     // (broken extractors, model-collapse tails) Gopher's corpus-fraction
