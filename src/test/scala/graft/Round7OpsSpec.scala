@@ -164,6 +164,33 @@ class Round7OpsSpec extends SparkSpecBase {
     assert(scored.filter(col("avg_nll") <= 0).count() === 0L)
   }
 
+  test("repeatRuns finds the longest run with deterministic tie-breaks") {
+    val docs = Seq(
+      (1L, "a a a b b c"),   // max run: a x3
+      (2L, "x y z"),         // no repeats
+      (3L, "q q w w")        // tie at 2 -> lexically smaller term q wins
+    ).toDF("doc_id", "text")
+    val got = CleanOps.repeatRuns(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq((1L, 3L, "a", true), (2L, 1L, "x", false),
+      (3L, 2L, "q", true)))
+  }
+
+  test("lexicalEntropy matches closed-form values on tiny docs") {
+    val docs = Seq(
+      (1L, "a a b b"),   // uniform over 2 types -> exactly 1 bit
+      (2L, "a a a a"),   // single type -> 0 bits
+      (3L, "a b c d")    // uniform over 4 -> exactly 2 bits
+    ).toDF("doc_id", "text")
+    val got = CleanOps.lexicalEntropy(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 2L, 1.0, 500000L),
+      (2L, 4L, 1L, 0.0, 250000L),
+      (3L, 4L, 4L, 2.0, 1000000L)))
+  }
+
   // -------------------------------------------------- Neyman sampling
 
   test("neymanSample spends exactly the budget when no stratum clamps") {
