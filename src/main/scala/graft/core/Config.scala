@@ -5,6 +5,86 @@ package graft.core
   * validation at construction (the reference validates in `#configure`).
   */
 
+/** RDBMS connection settings shared by source and sink (`in_sql.rb:28-43`,
+  * `out_sql.rb:14-27`): host/port/adapter/database/credentials plus the two
+  * PostgreSQL-centric extras — `socket` (unix-domain socket path) and
+  * `schema_search_path`. The Spark mapping: everything URL-expressible goes
+  * into [[jdbcUrl]]; credentials and the search path ride [[properties]]
+  * (pgjdbc's `currentSchema` IS the search path and applies to reads and
+  * writes; `sessionInitStatement` covers Spark's read path on dialects
+  * without such a property, e.g. `SET SCHEMA` on Derby — the embedded e2e
+  * engine). Adapter names accept the reference's ActiveRecord spellings
+  * (`mysql2`, `postgresql`). */
+final case class ConnectionConfig(
+    adapter: String,
+    host: String = "localhost",
+    port: Option[Int] = None,
+    database: String = "",
+    username: Option[String] = None,
+    password: Option[String] = None,
+    socket: Option[String] = None,            // in_sql.rb:38-39
+    schemaSearchPath: Option[String] = None   // in_sql.rb:40-41
+) {
+  /** ActiveRecord adapter name → JDBC subprotocol. */
+  val subprotocol: String = adapter match {
+    case "mysql2" | "mysql"        => "mysql"
+    case "postgresql" | "postgres" => "postgresql"
+    case other                     => other
+  }
+
+  /** First schema of the search path — the one unqualified DDL/DML writes
+    * into (PostgreSQL semantics); used to qualify sink tables on dialects
+    * where the write path can't carry a session property. */
+  def primarySchema: Option[String] =
+    schemaSearchPath.map(_.split(",")(0).trim).filter(_.nonEmpty)
+
+  /** Per-dialect statement run after a session opens, the read-path twin
+    * of the `currentSchema` property. */
+  def sessionInitStatement: Option[String] = schemaSearchPath.flatMap { p =>
+    subprotocol match {
+      case "postgresql" => Some(s"SET search_path TO $p")
+      case "derby"      => primarySchema.map(s => s"SET SCHEMA $s")
+      case _            => None // dialects without schema search paths
+    }
+  }
+
+  def jdbcUrl: String = subprotocol match {
+    // embedded engines take a path, not host/port
+    case "derby" | "sqlite" | "h2" => s"jdbc:$subprotocol:$database"
+    case sp =>
+      val portPart = port.map(p => s":$p").getOrElse("")
+      val socketPart = socket.map { s =>
+        sp match {
+          // public driver syntaxes for unix-domain sockets
+          case "mysql" | "mariadb" => s"?localSocket=$s"
+          case _ => throw new IllegalArgumentException(
+            s"socket is not URL-expressible for adapter $adapter — " +
+              "use the driver's socket-factory properties instead")
+        }
+      }.getOrElse("")
+      s"jdbc:$sp://$host$portPart/$database$socketPart"
+  }
+
+  /** JDBC properties for Spark's reader/writer AND raw DriverManager
+    * connections: credentials, the pgjdbc `currentSchema` search path
+    * (read+write), and `sessionInitStatement` (Spark read path). */
+  def properties: java.util.Properties = {
+    val p = new java.util.Properties()
+    username.foreach(p.put("user", _))
+    password.foreach(p.put("password", _))
+    if (subprotocol == "postgresql")
+      schemaSearchPath.foreach(p.put("currentSchema", _))
+    sessionInitStatement.foreach(p.put("sessionInitStatement", _))
+    p
+  }
+
+  /** Qualify an unqualified table with the primary schema (no-op when the
+    * name is already qualified or no search path is set). */
+  def qualify(table: String): String =
+    if (table.contains(".")) table
+    else primarySchema.map(s => s"$s.$table").getOrElse(table)
+}
+
 /** One tailed source table (reference `<table>` section, `in_sql.rb:55-66`). */
 final case class SourceTableConfig(
     table: String,

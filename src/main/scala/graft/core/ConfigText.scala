@@ -90,6 +90,29 @@ object ConfigText {
       enableFallback = parseBool(m.params.get("enable_fallback"), default = true))
   }
 
+  /** Connection params of a `<source>` (`in_sql.rb:28-43`) or `<match>`
+    * (`out_sql.rb:14-27`) section → [[ConnectionConfig]], including the
+    * `socket` and `schema_search_path` extras. */
+  def parseConnection(p: Map[String, String]): ConnectionConfig = ConnectionConfig(
+    adapter = p.getOrElse("adapter", sys.error("`adapter` required")),
+    host = p.getOrElse("host", "localhost"),
+    port = p.get("port").map(_.trim.toInt),
+    database = p.getOrElse("database", ""),
+    username = p.get("username"),
+    password = p.get("password"),
+    socket = p.get("socket"),
+    schemaSearchPath = p.get("schema_search_path"))
+
+  /** `<source>` connection params → ConnectionConfig. */
+  def parseInputConnection(text: String): ConnectionConfig =
+    parseConnection(parseSections(text).find(_.name == "source")
+      .getOrElse(sys.error("no <source> section")).params)
+
+  /** `<match>` connection params → ConnectionConfig. */
+  def parseOutputConnection(text: String): ConnectionConfig =
+    parseConnection(parseSections(text).find(_.name == "match")
+      .getOrElse(sys.error("no <match> section")).params)
+
   /** Fluentd `:bool` config type: true/yes, false/no, bare key → true;
     * anything else is a config error (not silently coerced). */
   private[graft] def parseBool(v: Option[String], default: Boolean): Boolean =

@@ -28,19 +28,32 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Runtime contract check: an interval longer than `binWidth` can span
+    * MORE than two bins, so the ≤2-bin registration would silently lose
+    * matches in the middle bins. `assert_true` raises on the first
+    * violating row (null — i.e. filter-true — otherwise), turning the
+    * former doc-only precondition into a hard error instead of a silent
+    * wrong answer. */
+  private def fitsBinWidth(w: org.apache.spark.sql.Column) =
+    isnull(assert_true(col("hi") - col("lo") <= w,
+      lit("IntervalJoin: interval longer than binWidth would span >2 bins; " +
+        "raise binWidth to at least the longest interval length")))
+
   /** Matched (interval, point) rows: every point with `lo <= day < hi`
-    * (half-open), for intervals no longer than `binWidth` days.
+    * (half-open), for intervals no longer than `binWidth` days (enforced
+    * at runtime — a longer interval raises rather than silently dropping
+    * its middle-bin matches).
     *
-    * @param intervals columns `id`, `lo`, `hi` (long day numbers, 0 ≤ lo <
-    *                  hi ≤ lo + binWidth — an interval longer than
-    *                  binWidth would need its full bin range exploded)
+    * @param intervals columns `id`, `lo`, `hi` (long day numbers, 0 ≤ lo,
+    *                  hi ≤ lo + binWidth)
     * @param points    column `day` (long day number ≥ 0)
     */
   def pointsInIntervals(intervals: DataFrame, points: DataFrame,
                         binWidth: Int): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
     val w = lit(binWidth.toLong)
-    val iv = intervals.select(col("id"), col("lo"), col("hi"),
+    val iv = intervals.filter(fitsBinWidth(w))
+      .select(col("id"), col("lo"), col("hi"),
       explode(array_distinct(array(
         call_function("div", col("lo"), w),
         call_function("div", col("hi") - 1, w)))).as("bin"))
@@ -67,7 +80,14 @@ object IntervalJoin {
                              binWidth: Int): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
     val dayCounts = points.groupBy("day").agg(count(lit(1)).as("c"))
-    intervals.select(col("id"), col("lo"), col("hi"),
+    // hi <= lo would make sequence(lo, hi-1) DESCEND (step -1), counting
+    // days OUTSIDE the degenerate interval; the pair form emits zero rows
+    // for it, so drop such intervals here to keep the two results equal.
+    // The binWidth contract check mirrors pointsInIntervals — here it also
+    // bounds the per-interval explode fan-out at binWidth day rows.
+    intervals.filter(col("hi") > col("lo"))
+      .filter(fitsBinWidth(lit(binWidth.toLong)))
+      .select(col("id"), col("lo"), col("hi"),
         explode(sequence(col("lo"), col("hi") - 1)).as("day"))
       .join(dayCounts, "day")
       .groupBy("id", "lo", "hi")

@@ -239,15 +239,19 @@ object Similarity {
     * quadratic is confined to a cell (the paper's documented trade:
     * cross-cell dups are missed by construction), so the knob is `nList`:
     * size cells to keep |cell|² per-task work bounded (SemDeDup runs
-    * ~100k cells at web scale). Fixed seeded centroids keep the whole
-    * pipeline oracle-reproducible; swap in the learned `lloyd` fit for
-    * adaptive cells when driver-proof isn't required.
+    * ~100k cells at web scale). `nList = 0` (the default) derives the
+    * cell count from the corpus via [[adaptiveNList]] — cells ≈ √n/2, so
+    * per-cell occupancy (and the pair quadratic inside it) grows only as
+    * ~2√n instead of n under a fixed geometry. Fixed seeded centroids
+    * keep the whole pipeline oracle-reproducible; swap in the learned
+    * `lloyd` fit for adaptive cells when driver-proof isn't required.
     *
     * @return (vec_id, cid, keep) — keep = no same-cell near-dup with a
     *         smaller id survives it. */
-  def semDedup(corpus: DataFrame, threshold: Double, nList: Int = 16,
+  def semDedup(corpus: DataFrame, threshold: Double, nList: Int = 0,
                dim: Int = 64): DataFrame = {
-    val centers = Array.tabulate(nList)(fixedCentroid(_, dim))
+    val k = if (nList > 0) nList else adaptiveNList(corpus)
+    val centers = Array.tabulate(k)(fixedCentroid(_, dim))
     val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("cid", nearestCid(col("v"), centers))
@@ -265,15 +269,31 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
   }
 
+  /** Corpus-adaptive cell count for [[semDedup]]/[[cellEdges]]:
+    * cells = max(16, ⌈√n / 2⌉) from ONE bounded scalar count (the same
+    * shape as the PMI corpus total). Under a FIXED cell count, per-cell
+    * occupancy — and the within-cell pair quadratic every graph consumer
+    * inherits — grows linearly with the corpus; deriving cells ≈ √n/2
+    * keeps expected occupancy at ~2√n, so total pair volume grows ~n^1.5
+    * instead of n². The 16-cell floor pins the fixture geometry (both
+    * oracle scales have 500 vectors; the floor holds through n = 1024, 2×
+    * fixture headroom) so the static DuckDB oracles stay bit-identical
+    * while sf0.1 probes get 23 cells and the 20k-row sf1x probe gets 71. */
+  def adaptiveNList(corpus: DataFrame): Int = {
+    val n = corpus.select(count(lit(1))).head().getLong(0)
+    math.max(16, math.ceil(math.sqrt(n.toDouble) / 2.0).toInt)
+  }
+
   /** Cell-bounded similarity-graph EDGES: within-cell pairs (id_a < id_b)
     * whose exact cosine clears `threshold` — the same fixed-centroid
     * geometry as [[semDedup]], but emitting the pair list itself for graph
     * consumers (connected components, [[Graph.triangleCounts]]). The
     * quadratic is confined to a cell; `nList` is the scale knob exactly as
-    * in semDedup. */
-  def cellEdges(corpus: DataFrame, threshold: Double, nList: Int = 16,
+    * in semDedup (0 = derive from the corpus via [[adaptiveNList]]). */
+  def cellEdges(corpus: DataFrame, threshold: Double, nList: Int = 0,
                 dim: Int = 64): DataFrame = {
-    val centers = Array.tabulate(nList)(fixedCentroid(_, dim))
+    val k = if (nList > 0) nList else adaptiveNList(corpus)
+    val centers = Array.tabulate(k)(fixedCentroid(_, dim))
     val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("cid", nearestCid(col("v"), centers))
@@ -583,9 +603,6 @@ object Similarity {
       .select("qid", "nid", "adist", "rn")
   }
 
-  /** Exact L2 top-k (squared euclidean, asc) — the ground truth PQ's ADC
-    * approximates; cosine's bruteForceTopK is the wrong referee for an
-    * L2 quantizer. Same broadcast-queries scan shape. */
   /** Matryoshka-style dimension-truncation recall audit: top-k overlap of
     * the PREFIX-truncated embedding space against the full-dimension
     * ranking, per query — the measurement behind "can we store/search
@@ -612,6 +629,9 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Exact L2 top-k (squared euclidean, asc) — the ground truth PQ's ADC
+    * approximates; cosine's bruteForceTopK is the wrong referee for an
+    * L2 quantizer. Same broadcast-queries scan shape. */
   def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))

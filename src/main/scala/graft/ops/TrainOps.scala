@@ -460,20 +460,26 @@ object TrainOps {
   /** Sliding-window token chunking (the context-window packer's overlap
     * variant): chunk i covers tokens [i·stride, i·stride + window).
     *
-    * Scale shape / long-doc caveat (round-6 advisor): the explode carries
-    * each doc's FULL token array into every chunk row before the `slice`,
-    * so a document of `len` tokens materializes ~len/stride copies —
-    * O(len²/stride) bytes through the explode. Fine for web-page-sized
-    * docs (the fixture's regime, bench-clean); for book-length inputs
-    * either pre-split the text upstream or bound doc length before this
-    * op. The transform()-based alternative that avoids the copy is the
-    * known-150×-slower HOF trap (CLAUDE.md), so the explode form is the
-    * right default at this doc-length regime. */
+    * Scale shape / long-doc bound (round-6 advisor, enforced in code
+    * since round 8): the explode carries each doc's full token array
+    * into every chunk row before the `slice`, so a document of `len`
+    * tokens materializes ~len/stride copies — O(len²/stride) bytes
+    * through the explode. `maxDocTokens` pre-truncates every doc's token
+    * array BEFORE the explode, hard-capping bytes-through-explode at
+    * O(maxDocTokens²/stride) per doc no matter what the corpus contains;
+    * a no-op at the fixture's web-page doc lengths (oracle mirrors the
+    * cap). Inputs genuinely longer than the cap should be pre-split
+    * upstream — truncation here is the blow-up guard, not a chunking
+    * policy. The transform()-based alternative that avoids the copy is
+    * the known-150×-slower HOF trap (CLAUDE.md), so the bounded explode
+    * form is the right default. */
   def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
-                   window: Int = 64, stride: Int = 48): DataFrame = {
+                   window: Int = 64, stride: Int = 48,
+                   maxDocTokens: Int = 1 << 20): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       "need 1 <= stride <= window")
-    val toks = TextOps.tokens(col(textCol))
+    require(maxDocTokens >= window, "need maxDocTokens >= window")
+    val toks = slice(TextOps.tokens(col(textCol)), 1, maxDocTokens)
     val n = size(col("toks")).cast("long")
     val nChunks = lit(1L) + when(n > window,
       call_function("div", n - window + (stride - 1), lit(stride.toLong)))
@@ -492,9 +498,10 @@ object TrainOps {
 
   /** DuckDB oracle for [[chunkSliding]]. `docsSql` must yield (doc_id, text). */
   def chunkSlidingOracle(docsSql: String, window: Int = 64,
-                         stride: Int = 48): String =
+                         stride: Int = 48,
+                         maxDocTokens: Int = 1 << 20): String =
     s"""WITH toks AS (SELECT doc_id,
-       |        regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |        regexp_extract_all(lower(text), '[a-z0-9]+')[1:$maxDocTokens] AS t
        |      FROM ($docsSql)),
        |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks
        |      WHERE len(t) > 0),
@@ -858,9 +865,13 @@ object TrainOps {
       .crossJoin(broadcast(tot))
       .filter(col("df") * supDenom >= col("n_docs"))
       // |L1| rows: the unpartitioned rank window is bounded by the
-      // support floor, never by vocab size
+      // support floor, never by vocab size. The 21-bit triple packing
+      // below requires iid < 2^21; assert_true raises on the first id
+      // past the bound instead of silently colliding triple keys.
       .withColumn("iid", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("item")).cast("long"))
+      .filter(isnull(assert_true(col("iid") < lit(1L << 21),
+        lit("freqItemsets: |L1| exceeds 2^21, triple-key packing would collide"))))
       .select("item", "iid")
     val db = di.join(broadcast(l1), "item").select(col("d"), col("iid"))
     val a = db.select(col("d"), col("iid").as("ia"))
@@ -876,13 +887,15 @@ object TrainOps {
       .join(c, Seq("d")).filter(col("ib") < col("ic"))
       .join(broadcast(l2.select(col("ia").as("ib"), col("ib").as("ic"))),
         Seq("ib", "ic"), "left_semi")
-      .groupBy(((col("ia") * 1024L + col("ib")) * 1024L + col("ic")).as("tkey"))
+      // 21-bit-per-slot packing: with iid < 2^21 (asserted at L1), the
+      // max key is (2^42 - 1)·2^21 + 2^21 - 1 = 2^63 - 1 — exactly Long.
+      .groupBy(((col("ia") * (1L << 21) + col("ib")) * (1L << 21) + col("ic")).as("tkey"))
       .agg(count(lit(1)).cast("long").as("sup3"))
       .crossJoin(broadcast(tot))
       .filter(col("sup3") * supDenom >= col("n_docs"))
-      .select(call_function("div", col("tkey"), lit(1048576L)).as("ia"),
-        (call_function("div", col("tkey"), lit(1024L)) % 1024L).as("ib"),
-        (col("tkey") % 1024L).as("ic"), col("sup3"))
+      .select(call_function("div", col("tkey"), lit(1L << 42)).as("ia"),
+        (call_function("div", col("tkey"), lit(1L << 21)) % (1L << 21)).as("ib"),
+        (col("tkey") % (1L << 21)).as("ic"), col("sup3"))
     l3.join(broadcast(l2), Seq("ia", "ib"))
       .join(broadcast(l1.select(col("iid").as("ia"), col("item").as("item_a"))), Seq("ia"))
       .join(broadcast(l1.select(col("iid").as("ib"), col("item").as("item_b"))), Seq("ib"))

@@ -15,21 +15,29 @@ import org.apache.spark.sql.types.IntegerType
   * per row.
   *
   * Scope discipline: the rewrite fires ONLY inside Filter/Join
-  * conditions. As a condition the two forms are interchangeable under
-  * every null regime (x = NULL: both yield NULL, filtered out; under
-  * `spark.sql.legacy.sizeOfNull` the size form yields false — same
-  * filter outcome), but as a PROJECTED value `false` vs `NULL` is
-  * observable, so projections are left alone.
+  * conditions, and ONLY under the default null regime. As a condition
+  * the two forms are interchangeable when NULL input yields NULL (x =
+  * NULL: both NULL, filtered out), but as a PROJECTED value `false` vs
+  * `NULL` is observable, so projections are left alone — and under
+  * `spark.sql.legacy.sizeOfNull` the size form yields `false`, which
+  * diverges from RLIKE's NULL once the predicate sits under `NOT(...)`
+  * (NOT false keeps the row; NOT NULL drops it), so legacy-regime Size
+  * expressions are never matched (the flag is a field on the Size node,
+  * checked in the pattern) rather than tracking predicate polarity.
   *
   * Installation: declaratively via `graft.functions.GraftExtensions`
   * (`injectOptimizerRule`), or imperatively on a live session with
   * `spark.experimental.extraOptimizations`. */
 object ContainsMatchRewrite extends Rule[LogicalPlan] {
 
-  /** size(regexp_extract_all(x, p, 0)) — the whole-match count shape. */
+  /** size(regexp_extract_all(x, p, 0)) — the whole-match count shape.
+    * `Size` captures the legacy flag AT CONSTRUCTION (a legacy-regime
+    * size yields -1, not NULL, for NULL input), so matching on the
+    * expression's own field — not the thread-local conf at rule-apply
+    * time — is what makes the bail-out airtight. */
   private object MatchCount {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
-      case Size(RegExpExtractAll(x, p, Literal(0, IntegerType)), _) => Some((x, p))
+      case Size(RegExpExtractAll(x, p, Literal(0, IntegerType)), false) => Some((x, p))
       case _ => None
     }
   }

@@ -588,48 +588,13 @@ object ExtensionQueries {
     // Pairs → clusters: the step that turns any near-dup pair tier into a
     // deduplication DECISION (keep doc_id == cluster_id). The oracle
     // reproduces the whole pipeline — exact Jaccard pairs, then transitive
-    // closure via a recursive CTE — so the iterative min-label propagation
-    // is driver-proven end-to-end, singletons included.
+    // closure via a recursive CTE. The PRIMARY plan is the large-star/
+    // small-star alternation (Kiveris et al. 2014): O(log² n) rounds
+    // independent of graph diameter, where the min-label flood needs
+    // diameter rounds and REFUSES past its 20-round cap — a 100 TB corpus
+    // with one long dup chain would hit that cap, so the flood is demoted
+    // to a spec-only referee (GraphSpec proves the two agree).
     "q_dedup_clusters" -> QueryDef.sql(
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
-          n = 3, threshold = 0.5)
-        val cc = Graph.connectedComponents(
-          docs.select(col("doc_id").as("id")), pairs.select("id_a", "id_b"))
-        cc.withColumn("n_members",
-            count(lit(1)).over(Window.partitionBy(col("label"))))
-          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-            col("n_members"))
-          .orderBy("doc_id")
-      },
-      s"""WITH RECURSIVE sh AS ($ShingleSqlFragment),
-         |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
-         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
-         |j AS (SELECT id_a, id_b,
-         |        ROUND(CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
-         |      FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b),
-         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
-         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r
-         |),
-         |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
-         |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
-         |FROM cc ORDER BY doc_id""".stripMargin,
-      doc = "near-dup pairs -> connected components (min-label propagation); " +
-        "cluster id = min reachable doc id, oracle via recursive-CTE closure"),
-
-    // Same clusters via LARGE-STAR/SMALL-STAR alternation (Kiveris et al.
-    // 2014) — the log-round CC for graphs whose diameter is not small
-    // (min-label needs diameter rounds; star alternation contracts a
-    // 200-link chain in 3). Identical output contract and the identical
-    // recursive-CTE oracle: the two algorithms are drop-in
-    // interchangeable, and the driver hash proves it on real pairs.
-    "q_dedup_clusters_star" -> QueryDef.sql(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
@@ -659,9 +624,9 @@ object ExtensionQueries {
          |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
          |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
          |FROM cc ORDER BY doc_id""".stripMargin,
-      doc = "the same clusters via log-round large-star/small-star " +
-        "alternation — diameter-independent CC, hash-equal to the " +
-        "min-label tier's oracle"),
+      doc = "near-dup pairs -> connected components via diameter-" +
+        "independent large-star/small-star alternation; cluster id = min " +
+        "reachable doc id, oracle via recursive-CTE closure"),
 
     // Fuzzy dedup: RARE-KEY blocking (pairs sharing >= 4 shingles of
     // corpus df <= 16 — 34 candidates at sf0.01, fan-out hard-bounded by
@@ -967,8 +932,8 @@ object ExtensionQueries {
     // group keeps its smallest id. Fixed seeded centroids make the whole
     // keep/drop decision oracle-reproducible.
     "q_sim_semdedup" -> QueryDef.sql(
-      (s, dir) => Similarity.semDedup(Tables.embeddings(s, dir), threshold = 0.4,
-        nList = 16).orderBy("vec_id"),
+      (s, dir) => Similarity.semDedup(Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy("vec_id"),
       semDedupOracle(threshold = 0.4, nList = 16, dim = 64),
       doc = "SemDeDup: cell-bounded semantic dedup with keep/drop verdicts " +
         "(pairs only within a k-means cell; smallest id survives)"),
@@ -980,8 +945,7 @@ object ExtensionQueries {
     // out-degree <= O(sqrt(m)), so no hub node can pin one reducer.
     "q_graph_triangles" -> QueryDef.sql(
       (s, dir) => Graph.triangleCounts(
-          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3,
-            nList = 16))
+          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3))
         .select(col("id").as("vec_id"), col("n_triangles"))
         .orderBy("vec_id"),
       triangleOracle(threshold = 0.3, nList = 16, dim = 64),
@@ -997,8 +961,7 @@ object ExtensionQueries {
     // NOT merge their labels.
     "q_graph_label_prop" -> QueryDef.sql(
       (s, dir) => Graph.labelPropagation(
-          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3,
-            nList = 16),
+          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3),
           rounds = 3)
         .select(col("id").as("vec_id"), col("label"), col("csize"))
         .orderBy("vec_id"),
@@ -1014,8 +977,7 @@ object ExtensionQueries {
     // chained CTEs.
     "q_graph_bfs" -> QueryDef.sql(
       (s, dir) => Graph.bfsLevels(
-          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3,
-            nList = 16),
+          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3),
           seedMod = 17L, rounds = 4)
         .select(col("id").as("vec_id"), col("lev"))
         .orderBy("vec_id"),
@@ -1031,8 +993,7 @@ object ExtensionQueries {
     // detectable, never silent.
     "q_graph_kcore" -> QueryDef.sql(
       (s, dir) => Graph.kCore(
-          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3,
-            nList = 16),
+          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3),
           k = 2, rounds = 6)
         .select(col("id").as("vec_id"), col("deg"), col("converged"))
         .orderBy("vec_id"),
@@ -1600,7 +1561,7 @@ object ExtensionQueries {
             .withColumnRenamed("asset_id", "id"),
           maxHamming = 4, maxBucket = 64).select("id_a", "id_b")
         val emb = Similarity.cellEdges(Tables.embeddings(s, dir),
-          threshold = 0.3, nList = 16).select("id_a", "id_b")
+          threshold = 0.3).select("id_a", "id_b")
         val u = text.union(img).union(emb).distinct()
         def flagged(p: DataFrame, name: String) =
           p.distinct().withColumn(name, lit(true))

@@ -57,6 +57,25 @@ object JdbcSink {
     }.toMap
   }
 
+  /** [[writeRouted]] against a [[graft.core.ConnectionConfig]]: url and
+    * credentials come from the config, and when a `schema_search_path` is
+    * set every routed table is qualified with its primary schema
+    * (`out_sql.rb:25-27` — unqualified writes land in the path's first
+    * schema). On PostgreSQL the `currentSchema` property in
+    * `cc.properties` covers this at the driver level too; the explicit
+    * qualification is what makes the behavior dialect-portable (Derby,
+    * the embedded e2e engine, has no search-path property). */
+  def writeRouted(batch: DataFrame, cfg: OutputConfig,
+                  cc: graft.core.ConnectionConfig,
+                  batchSize: Int): Map[String, DataFrame] = {
+    val chunked = batch.repartition(col("tag"))
+    graft.ops.EventOps.routedTables(chunked, cfg).flatMap { case (table, df) =>
+      appendWithFallback(df, cc.jdbcUrl, cc.qualify(table), cc.properties,
+        batchSize, enableFallback = cfg.enableFallback)
+        .map(cc.qualify(table) -> _)
+    }.toMap
+  }
+
   /** Streaming form: one `writeRouted` per micro-batch (`foreachBatch` ≙
     * the per-chunk flush thread, `out_sql.rb:226-237`). Caller starts the
     * returned query with its own trigger/checkpoint. */

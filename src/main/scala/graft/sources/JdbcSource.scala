@@ -40,10 +40,15 @@ object JdbcSource {
   }
 
   /** `all_tables` discovery via JDBC catalog metadata, skipping system
-    * tables (`in_sql.rb:214-230`, skip `in_sql.rb:183`). */
+    * tables (`in_sql.rb:214-230`, skip `in_sql.rb:183`). Catalog listing is
+    * schema-wide by default; a `schema_search_path` (carried as
+    * `sessionInitStatement` in props and applied by [[connect]]) narrows
+    * discovery to the session's current schema, matching the reference's
+    * PostgreSQL behavior where `connection.tables` sees the search path. */
   def discoverTables(url: String, props: Properties = new Properties()): Seq[String] =
-    Using.resource(DriverManager.getConnection(url, props)) { conn =>
-      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+    Using.resource(connect(url, props)) { conn =>
+      val schema = Option(conn.getSchema).filter(_ => hasSessionInit(props)).orNull
+      val rs = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
       val out = mutable.ListBuffer.empty[String]
       while (rs.next()) out += rs.getString("TABLE_NAME")
       out.filterNot(t => SystemTables.isSystemTable(t)).sorted.toSeq
@@ -53,8 +58,9 @@ object JdbcSource {
     * error, `primary_key` overrides for PK-less views (`in_sql.rb:107-114`). */
   def primaryKey(url: String, table: String,
                  props: Properties = new Properties()): Option[String] =
-    Using.resource(DriverManager.getConnection(url, props)) { conn =>
-      val rs = conn.getMetaData.getPrimaryKeys(null, null, table)
+    Using.resource(connect(url, props)) { conn =>
+      val schema = Option(conn.getSchema).filter(_ => hasSessionInit(props)).orNull
+      val rs = conn.getMetaData.getPrimaryKeys(null, schema, table)
       val pks = mutable.ListBuffer.empty[String]
       while (rs.next()) pks += rs.getString("COLUMN_NAME")
       if (pks.size > 1)
@@ -63,6 +69,19 @@ object JdbcSource {
       pks.headOption
     }
 
-  private[sources] def connect(url: String, props: Properties): Connection =
-    DriverManager.getConnection(url, props)
+  private def hasSessionInit(props: Properties): Boolean =
+    props.getProperty("sessionInitStatement") != null
+
+  /** Raw connection honoring the Spark-style `sessionInitStatement`
+    * property — Spark's JDBC reader runs it after opening a session; the
+    * metadata/sink paths open their own connections, so the same statement
+    * (e.g. `SET search_path TO ...` / `SET SCHEMA ...` from
+    * `ConnectionConfig.schemaSearchPath`) is applied here too. */
+  private[graft] def connect(url: String, props: Properties): Connection = {
+    val conn = DriverManager.getConnection(url, props)
+    Option(props.getProperty("sessionInitStatement")).foreach { stmt =>
+      Using.resource(conn.createStatement())(_.execute(stmt))
+    }
+    conn
+  }
 }

@@ -97,6 +97,57 @@ class ConfigTextSpec extends AnyFunSuite {
     }
   }
 
+  test("connection params: socket + schema_search_path (in_sql.rb:28-43, out_sql.rb:14-27)") {
+    val cc = ConfigText.parseInputConnection("""
+      |<source>
+      |  @type sql
+      |  host db.example.com
+      |  port 5432
+      |  adapter postgresql
+      |  database corpus
+      |  username fluent
+      |  password secret
+      |  schema_search_path ingest,public
+      |  <table>
+      |    table logs
+      |  </table>
+      |</source>""".stripMargin)
+    assert(cc.jdbcUrl === "jdbc:postgresql://db.example.com:5432/corpus")
+    // pgjdbc's currentSchema IS the search path (reads and writes)...
+    assert(cc.properties.getProperty("currentSchema") === "ingest,public")
+    // ...and the read path also gets the explicit statement
+    assert(cc.properties.getProperty("sessionInitStatement")
+      === "SET search_path TO ingest,public")
+    assert(cc.primarySchema === Some("ingest"))
+    assert(cc.qualify("logs") === "ingest.logs")
+    assert(cc.qualify("other.logs") === "other.logs") // already qualified
+    assert(cc.properties.getProperty("user") === "fluent")
+
+    // ActiveRecord adapter aliases + the mysql unix-socket URL form
+    val my = graft.core.ConnectionConfig(adapter = "mysql2", database = "d",
+      socket = Some("/var/run/mysqld/mysqld.sock"))
+    assert(my.jdbcUrl === "jdbc:mysql://localhost/d?localSocket=/var/run/mysqld/mysqld.sock")
+    // adapters without a public URL socket syntax must fail loudly
+    intercept[IllegalArgumentException] {
+      graft.core.ConnectionConfig(adapter = "postgresql", database = "d",
+        socket = Some("/tmp/.s.PGSQL.5432")).jdbcUrl
+    }
+    // <match> side parses the same fields (out_sql.rb:14-27)
+    val out = ConfigText.parseOutputConnection("""
+      |<match **>
+      |  @type sql
+      |  host h
+      |  adapter postgresql
+      |  database d
+      |  schema_search_path audit
+      |  <table>
+      |    table t
+      |    column_mapping id:id
+      |  </table>
+      |</match>""".stripMargin)
+    assert(out.qualify("t") === "audit.t")
+  }
+
   test("duration units parse like the reference's :time type") {
     assert(ConfigText.parseSeconds("500") === 500)
     assert(ConfigText.parseSeconds("75s") === 75)

@@ -62,6 +62,28 @@ class ContainsMatchRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("legacy-regime Size nodes are never rewritten") {
+    // under spark.sql.legacy.sizeOfNull a legacy-built size() yields -1
+    // for NULL input, so `size(...) > 0` is false where RLIKE is NULL —
+    // observable under NOT() (NOT false keeps the row, NOT NULL drops
+    // it). The legacy regime is captured as a FIELD on the Size node at
+    // construction, and Size EXECUTES by that field (not by the conf at
+    // run time), so the rule matches on the field: a legacy node must
+    // survive while the same shape with the default field rewrites.
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal, RegExpExtractAll, Size}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val t = Symbol("text").string
+    def plan(legacy: Boolean) = Filter(
+      GreaterThan(
+        Size(RegExpExtractAll(t, Literal("[0-9]+"), Literal(0)), legacy),
+        Literal(0)),
+      LocalRelation(t))
+    assert(graft.plans.ContainsMatchRewrite(plan(true)) === plan(true))
+    assert(graft.plans.ContainsMatchRewrite(plan(false)).toString
+      .contains("RLIKE"))
+  }
+
   test("without the rule the plan keeps the array build (control)") {
     val df = docs.filter(
       size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))) > 0)

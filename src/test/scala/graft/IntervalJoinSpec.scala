@@ -46,4 +46,29 @@ class IntervalJoinSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(counts === naive.groupBy(_._1).view.mapValues(_.size.toLong).toMap)
   }
+
+  test("degenerate intervals (hi <= lo) count zero, matching the pair form") {
+    // before round 8, sequence(lo, hi-1) DESCENDED for hi <= lo and the
+    // count path silently counted days outside the degenerate interval
+    val iv = Seq((1L, 10L, 10L), (2L, 12L, 9L), (3L, 9L, 12L))
+    val pts = Seq(8L, 9L, 10L, 11L, 12L)
+    val counts = IntervalJoin.countPointsInIntervals(
+        iv.toDF("id", "lo", "hi"), pts.toDF("day"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(counts === Map(3L -> 3L)) // only the real interval, 9/10/11
+    assert(run(iv, pts, 8) === Set((3L, 9L), (3L, 10L), (3L, 11L)))
+  }
+
+  test("an interval longer than binWidth raises instead of losing matches") {
+    // [0, 20) with binWidth 8 spans bins 0,1,2 — the ≤2-bin registration
+    // would silently drop bin-1 days; both paths must refuse
+    val iv = Seq((1L, 0L, 20L)).toDF("id", "lo", "hi")
+    val pts = Seq(10L).toDF("day")
+    intercept[Exception] {
+      IntervalJoin.pointsInIntervals(iv, pts, 8).collect()
+    }
+    intercept[Exception] {
+      IntervalJoin.countPointsInIntervals(iv, pts, 8).collect()
+    }
+  }
 }

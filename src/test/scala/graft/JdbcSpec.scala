@@ -161,4 +161,48 @@ class JdbcSpec extends SparkSpecBase {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(landed === Set(1L, 2L, 3L))
   }
+
+  test("schema_search_path: reads, writes, and discovery follow the schema (in_sql.rb:40-41, out_sql.rb:24-25)") {
+    import graft.core.{ConnectionConfig, OutputConfig, SinkTableConfig}
+    import spark.implicits._
+    // same table name in the DEFAULT schema (APP) and the configured one —
+    // resolution must pick the search-path schema, not fall back silently
+    exec("CREATE SCHEMA INGEST")
+    exec("CREATE TABLE sp_logs (id BIGINT NOT NULL PRIMARY KEY, msg VARCHAR(50))")
+    exec("CREATE TABLE ingest.sp_logs (id BIGINT NOT NULL PRIMARY KEY, msg VARCHAR(50))")
+    exec("INSERT INTO ingest.sp_logs VALUES (1, 'in-schema'), (2, 'in-schema')")
+    exec("INSERT INTO sp_logs VALUES (99, 'default-schema')")
+
+    val cc = ConnectionConfig(adapter = "derby",
+      database = "memory:graftdb;create=true", schemaSearchPath = Some("INGEST"))
+    assert(cc.jdbcUrl === url)
+    assert(cc.properties.getProperty("sessionInitStatement") === "SET SCHEMA INGEST")
+
+    // READ: Spark's JDBC reader runs sessionInitStatement per session, so
+    // the unqualified keyset page resolves inside INGEST
+    val page = JdbcSource.keysetPage(spark, cc.jdbcUrl, "sp_logs", "id",
+      last = None, limit = 10, props = cc.properties, fetchFirstSyntax = true)
+      .collect()
+    assert(page.map(_.getLong(0)).toSet === Set(1L, 2L))
+
+    // DISCOVERY + PK: metadata connections apply the same init statement
+    // and narrow the catalog listing to the session schema
+    assert(JdbcSource.discoverTables(cc.jdbcUrl, cc.properties) === Seq("SP_LOGS"))
+    assert(JdbcSource.primaryKey(cc.jdbcUrl, "SP_LOGS", cc.properties) === Some("ID"))
+
+    // WRITE: the routed sink qualifies unqualified route tables with the
+    // primary schema — rows land in INGEST, never the default schema
+    val cfg = OutputConfig(routes = Seq.empty,
+      defaultTable = SinkTableConfig("", "sp_logs", "id,msg"))
+    val batch = Seq((10L, "routed", "any.tag"), (11L, "routed", "any.tag"))
+      .toDF("id", "msg", "tag")
+    val dead = JdbcSink.writeRouted(batch, cfg, cc, batchSize = 10)
+    assert(dead.isEmpty)
+    val inSchema = spark.read.jdbc(url, "INGEST.sp_logs", new java.util.Properties())
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(inSchema === Set(1L, 2L, 10L, 11L))
+    val inDefault = spark.read.jdbc(url, "sp_logs", new java.util.Properties())
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(inDefault === Set(99L)) // untouched
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TrainOps
+
+/** Round-8 guards: bounds that used to live only in scaladoc prose. */
+class Round8OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("chunkSliding maxDocTokens bounds a book-length doc's explode") {
+    // 5000-token "book": without the cap the explode would carry the full
+    // token array into ceil((5000-64)/48)+1 = 104 chunk rows (~520k token
+    // copies). With maxDocTokens=200 the doc is pre-truncated BEFORE the
+    // explode, so exactly ceil((200-64)/48)+1 = 4 chunk rows exist and
+    // each carries ≤200 tokens — the O(len²/stride) cliff cannot fire.
+    val book = Seq((1L, (0 until 5000).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val capped = TrainOps.chunkSliding(book, "doc_id", "text",
+      window = 64, stride = 48, maxDocTokens = 200)
+    val rows = capped.orderBy("chunk_idx").collect()
+    assert(rows.length === 4)
+    // identical to chunking the pre-truncated text directly (the cap is a
+    // slice, not a different chunking policy)
+    val truncated = Seq((1L, (0 until 200).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ref = TrainOps.chunkSliding(truncated, "doc_id", "text",
+      window = 64, stride = 48).orderBy("chunk_idx").collect()
+    assert(rows.map(_.toSeq.toList).toList === ref.map(_.toSeq.toList).toList)
+    // last chunk is the truncated tail: tokens [144, 200) = 56 tokens
+    assert(rows.last.getAs[Long]("chunk_len") === 56L)
+  }
+
+  test("adaptiveNList pins the fixture geometry and grows ~ sqrt(n)/2") {
+    import graft.ops.Similarity
+    def corpusOf(n: Int) = spark.range(n)
+      .select(col("id").as("vec_id"), array(lit(1.0f)).as("embedding"))
+    assert(Similarity.adaptiveNList(corpusOf(500)) === 16)   // both oracle sfs
+    assert(Similarity.adaptiveNList(corpusOf(1024)) === 16)  // 2x fixture headroom
+    assert(Similarity.adaptiveNList(corpusOf(2000)) === 23)  // sf0.1 probes
+    assert(Similarity.adaptiveNList(corpusOf(20000)) === 71) // sf1x probe
+    // at fixture scale the adaptive default is bit-identical to the pinned
+    // 16-cell geometry the static DuckDB oracles encode
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val auto = Similarity.cellEdges(emb, threshold = 0.3)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val pinned = Similarity.cellEdges(emb, threshold = 0.3, nList = 16)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(auto === pinned)
+  }
+
+  test("chunkSliding default cap is a no-op at normal doc lengths") {
+    val doc = Seq((7L, (0 until 300).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = TrainOps.chunkSliding(doc, "doc_id", "text").orderBy("chunk_idx")
+      .collect().map(_.toSeq.toList).toList
+    val b = TrainOps.chunkSliding(doc, "doc_id", "text",
+        maxDocTokens = 1 << 20).orderBy("chunk_idx")
+      .collect().map(_.toSeq.toList).toList
+    assert(a === b)
+  }
+}
