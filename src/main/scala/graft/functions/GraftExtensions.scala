@@ -80,7 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // optimizer surface: boolean contains-match predicates short-circuit
     // via RLIKE instead of materializing every regex match (see
-    // graft.plans.ContainsMatchRewrite for the null-regime scope rules)
+    // graft.plans.ContainsMatchRewrite for the null-regime scope rules),
+    // and literal regexp_replace chains fuse into one sequential-semantics
+    // node (graft.plans.CollapseRegexpReplaceChains)
     ext.injectOptimizerRule(_ => graft.plans.ContainsMatchRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.CollapseRegexpReplaceChains)
   }
 }

@@ -189,4 +189,114 @@ object TextOps {
        |FROM cnt JOIN lx USING (w1) JOIN ly USING (w2) CROSS JOIN tot
        |WHERE n_xy >= $minCount
        |ORDER BY pmi_micro DESC, w1, w2 LIMIT $topK""".stripMargin
+
+  /** Word-bigram extraction fragment shared by the corpus-statistics ops
+    * (the one-pass lookahead from [[pmiCollocations]]/dsirWeights). */
+  private val BigramPat = "(?<![a-z0-9])(?=([a-z0-9]+_[a-z0-9]+))"
+  private def bigrams(text: Column): Column =
+    regexp_extract_all(array_join(tokens(text), "_"), lit(BigramPat), lit(1))
+
+  /** Zipf-law fit over the corpus term-frequency distribution: the least-
+    * squares slope of ln(frequency) against ln(rank) for the top-`topK`
+    * word bigrams — the standard corpus-health diagnostic (natural text
+    * sits near slope −1; template/boilerplate floods flatten the head,
+    * near-random token soup steepens the tail). Bigrams rather than
+    * unigrams because the fixture's unigram vocabulary is ~31 terms.
+    *
+    * Engine parity: the two transcendentals (ln rank, ln freq) are
+    * rounded to integer MILLI-units, after which the regression is pure
+    * BIGINT — n·Σxy stays < 2^47 at milli-scale for any topK ≤ 10⁴ where
+    * micro-units would overflow. The final quotient is sign-decomposed
+    * (sign · |num|·10⁶ div den) because the numerator is negative and
+    * Spark's div truncates toward zero while DuckDB's // floors — on the
+    * non-negative |num| they agree (the FIXTURES.md negative-operand
+    * trap).
+    *
+    * Scale shape: one explode pass into a partial-agg'd term count (the
+    * only corpus-sized shuffle), TakeOrderedAndProject for the top-K, and
+    * every window/aggregate after that runs over ≤ topK rows. */
+  def zipfSlope(docs: DataFrame, textCol: String, topK: Int = 200): DataFrame = {
+    require(topK >= 2, "need at least 2 ranks to fit a slope")
+    val cnt = docs.select(explode(bigrams(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("f"))
+      .orderBy(col("f").desc, col("term").asc).limit(topK)
+    val rk = cnt.withColumn("r",
+      row_number().over(Window.orderBy(col("f").desc, col("term").asc)).cast("long"))
+    val m = rk.select(
+      round(log(col("r").cast("double")) * 1000, 0).cast("long").as("x"),
+      round(log(col("f").cast("double")) * 1000, 0).cast("long").as("y"))
+    m.agg(count(lit(1)).cast("long").as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        (when(col("n") * col("sxy") - col("sx") * col("sy") < 0, -1L).otherwise(1L) *
+          call_function("div",
+            abs(col("n") * col("sxy") - col("sx") * col("sy")) * 1000000L,
+            col("n") * col("sxx") - col("sx") * col("sx"))).as("slope_micro"))
+  }
+
+  /** DuckDB twin of [[zipfSlope]] over the `documents` table. */
+  def zipfSlopeOracle(topK: Int = 200): String =
+    s"""WITH t0 AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |            FROM documents),
+       |g AS (SELECT unnest([toks[i]||'_'||toks[i+1] for i in range(1, len(toks))]) AS term
+       |      FROM t0),
+       |cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM g GROUP BY 1),
+       |top AS (SELECT term, f FROM cnt ORDER BY f DESC, term LIMIT $topK),
+       |rk AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS r FROM top),
+       |m AS (SELECT CAST(round(ln(r) * 1000) AS BIGINT) AS x,
+       |             CAST(round(ln(f) * 1000) AS BIGINT) AS y FROM rk),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |             SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM m)
+       |SELECT n AS n_terms,
+       |  CAST((CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) *
+       |    ((abs(n*sxy - sx*sy) * 1000000) // (n*sxx - sx*sx)) AS BIGINT)
+       |    AS slope_micro
+       |FROM s""".stripMargin
+
+  /** Heaps-law vocabulary-growth curve: distinct word-bigram vocabulary
+    * V(n) after the first k/`checkpoints` fraction of the doc-id range,
+    * for k = 1..checkpoints — the "is new data still adding new language"
+    * acquisition diagnostic (a flattening curve means additional corpus
+    * mostly repeats known vocabulary; sub-linear V ∝ n^β with β ≈ 0.4–0.6
+    * is natural text).
+    *
+    * Scale shape: per-term first-occurrence = ONE partial-agg'd min over
+    * the exploded corpus (the only corpus-sized shuffle); the curve is
+    * the vocab-BOUNDED first-doc table exploded against `checkpoints`
+    * literal thresholds — no join, no corpus-sized window. The doc-id
+    * ceiling enters as a bounded 1-row collect (the PMI total-count
+    * precedent) so thresholds are driver literals; threshold arithmetic
+    * is nonnegative integer division (engine-agreement trap). */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  checkpoints: Int = 8): DataFrame = {
+    require(checkpoints >= 1, "need at least one checkpoint")
+    val m = docs.agg(max(col(idCol).cast("long"))).head().getLong(0)
+    val cps = (1 to checkpoints).map(i =>
+      struct(lit(i.toLong).as("checkpoint"),
+        lit(m * i / checkpoints).as("threshold")))
+    docs.select(col(idCol).cast("long").as("d"),
+        explode(bigrams(col(textCol))).as("term"))
+      .groupBy("term").agg(min("d").as("first_doc"))
+      .select(col("first_doc"), explode(array(cps: _*)).as("cp"))
+      .groupBy(col("cp.checkpoint").as("checkpoint"),
+        col("cp.threshold").as("threshold"))
+      .agg(count(when(col("first_doc") <= col("cp.threshold"), 1))
+        .cast("long").as("vocab"))
+      .orderBy("checkpoint")
+  }
+
+  /** DuckDB twin of [[vocabGrowth]] over the `documents` table. */
+  def vocabGrowthOracle(checkpoints: Int = 8): String =
+    s"""WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+       |            FROM documents),
+       |tok AS (SELECT doc_id,
+       |    unnest([toks[i]||'_'||toks[i+1] for i in range(1, len(toks))]) AS term
+       |  FROM t0),
+       |fd AS (SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+       |mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       |th AS (SELECT i AS checkpoint, (m * i) // $checkpoints AS threshold
+       |       FROM (SELECT unnest(range(1, ${checkpoints + 1})) AS i), mx)
+       |SELECT checkpoint, threshold,
+       |  CAST(COUNT(CASE WHEN first_doc <= threshold THEN 1 END) AS BIGINT) AS vocab
+       |FROM th, fd GROUP BY 1, 2 ORDER BY checkpoint""".stripMargin
 }

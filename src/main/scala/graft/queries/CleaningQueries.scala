@@ -276,6 +276,30 @@ object CleaningQueries {
       doc = "max adjacent repeated-token run per doc (gaps-and-islands, " +
         "doc-bounded windows; loop-collapse quality gate)"),
 
+    // ------------------------------------------------- Zipf-law slope
+    // Least-squares slope of ln(freq) vs ln(rank) over the top bigrams:
+    // the corpus-health number (natural text ≈ −1; boilerplate floods
+    // flatten, token soup steepens). Milli-unit ln inputs keep the pure-
+    // BIGINT regression under 2^63; sign-decomposed final quotient
+    // (negative numerator: Spark div truncates, DuckDB // floors).
+    "q_zipf_slope" -> QueryDef.sql(
+      (s, dir) => graft.ops.TextOps.zipfSlope(Tables.documents(s, dir), "text"),
+      graft.ops.TextOps.zipfSlopeOracle(),
+      doc = "Zipf-law slope of the bigram frequency-rank distribution " +
+        "(integer least squares over the bounded top-200 table)"),
+
+    // -------------------------------------------- Heaps vocabulary growth
+    // Distinct-bigram vocabulary after each eighth of the doc-id range:
+    // the "is new data still adding language" acquisition curve. One
+    // partial-agg min per term; the curve explodes the vocab-bounded
+    // first-doc table against 8 literal thresholds — no join.
+    "q_vocab_growth" -> QueryDef.sql(
+      (s, dir) => graft.ops.TextOps.vocabGrowth(Tables.documents(s, dir),
+        "doc_id", "text"),
+      graft.ops.TextOps.vocabGrowthOracle(),
+      doc = "Heaps-law vocabulary growth at 8 doc-range checkpoints " +
+        "(per-term first-occurrence min, vocab-bounded curve)"),
+
     // ------------------------------------------------------ PII redaction
     // The fixture corpus carries no PII, so the query PLANTS deterministic
     // synthetic PII derived from fixture ids (md5-local-part emails,

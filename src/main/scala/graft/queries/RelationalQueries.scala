@@ -308,6 +308,105 @@ object RelationalQueries {
       doc = "TPC-H Q21 shape (returns for receipt-delay): EXISTS semi + " +
         "NOT-EXISTS anti self-joins on one orderkey shuffle, top-20"),
 
+    // TPC-H Q20 (potential part promotion) adapted to the fixture — the
+    // one classic decorrelation shape Q17/Q21 don't cover: a nested
+    // semi-join chain whose INNER filter compares a grouped value against
+    // a CORRELATED scalar aggregate over lineitem. The fixture has no
+    // partsupp, so per-(part,supp) "available stock" stands in as the
+    // non-returned shipped quantity and the correlated "half of demand"
+    // is half the total shipped quantity: suppliers of red parts whose
+    // stock covers more than half the demand. Decorrelated Spark-first:
+    // BOTH sides of the correlated comparison fall out of ONE part-pruned
+    // aggregate pass over lineitem (the sub-1%-selective part filter
+    // broadcasts and prunes the lineitem rows BEFORE the aggregate —
+    // PlanSpec-asserted), the comparison rides the aggregate output in
+    // cross-multiplied BIGINTs (no 0.5 rounding law), and suppliers
+    // arrive by left-semi join so no lineitem column is carried upward.
+    // The oracle keeps the textbook correlated form (IN + correlated
+    // scalar subquery) — the hash match proves the decorrelation.
+    "q_tpch_q20" -> QueryDef.sql(
+      (s, dir) => {
+        val redParts = Tables.part(s, dir).filter(col("p_name").like("red%"))
+          .select(col("p_partkey"))
+        val q = col("l_quantity").cast("long")
+        val ps = Tables.lineitem(s, dir)
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(when(col("l_returnflag") =!= "R", q).otherwise(0L)).as("availqty"),
+            sum(q).as("total"))
+          .filter(col("availqty") * 2 > col("total"))
+          .select(col("l_suppkey"))
+        Tables.supplier(s, dir)
+          .join(ps, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(Tables.nation(s, dir)
+              .filter(col("n_name").isin("NATION_3", "NATION_7"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+          .orderBy("s_suppkey")
+      },
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    SUM(CASE WHEN l_returnflag <> 'R' THEN CAST(l_quantity AS BIGINT)
+        |        ELSE 0 END) AS availqty
+        |  FROM lineitem JOIN pp ON p_partkey = l_partkey GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_7') AND s_suppkey IN (
+        |  SELECT ps_suppkey FROM ps
+        |  WHERE 2 * availqty > (SELECT SUM(CAST(l_quantity AS BIGINT))
+        |    FROM lineitem l
+        |    WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey))
+        |ORDER BY s_suppkey""".stripMargin,
+      doc = "TPC-H Q20 shape (potential part promotion): correlated scalar " +
+        "aggregate decorrelated into one part-pruned lineitem aggregate, " +
+        "integer cross-multiplied threshold, supplier left-semi chain"),
+
+    // TPC-H Q22 (global sales opportunity) adapted to the fixture: the
+    // GLOBAL-scalar-threshold + ANTI-join decorrelation shape — customers
+    // in selected "country codes" (nationkey buckets) whose balance beats
+    // the average positive balance of that population and who placed no
+    // URGENT order (every fixture customer has orders, so the reference
+    // predicate "no orders at all" is degenerate; "no urgent order" keeps
+    // the identical NOT-EXISTS plan shape against a filtered orders side).
+    // The avg threshold is one exact-decimal (sum, count) row broadcast to
+    // every customer and compared CROSS-MULTIPLIED (bal·n > Σbal) so no
+    // engine's division rounding participates; the anti side shuffles
+    // once on custkey. Totals through the Exact decimal path.
+    "q_tpch_q22" -> QueryDef.sql(
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .withColumn("cntrycode", col("c_nationkey").cast("long") % 5)
+          .filter(col("cntrycode").isin(1L, 2L, 4L))
+        val stats = cust.filter(col("c_acctbal") > 0)
+          .agg(sum(dec(col("c_acctbal"))).as("s_bal"),
+            count(lit(1)).as("n_bal"))
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .crossJoin(broadcast(stats)) // one-row scalar threshold
+          .filter(dec(col("c_acctbal")) * col("n_bal") > col("s_bal"))
+          .groupBy("cntrycode")
+          .agg(count(lit(1)).as("numcust"),
+            moneySum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      """WITH cust AS (SELECT c_custkey, c_acctbal,
+        |    CAST(c_nationkey AS BIGINT) % 5 AS cntrycode
+        |  FROM customer WHERE CAST(c_nationkey AS BIGINT) % 5 IN (1, 2, 4)),
+        |st AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s_bal,
+        |    COUNT(*) AS n_bal
+        |  FROM cust WHERE c_acctbal > 0)
+        |SELECT cntrycode, COUNT(*) AS numcust,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+        |FROM cust, st
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_bal > s_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+      doc = "TPC-H Q22 shape (sales opportunity): global exact-decimal avg " +
+        "threshold broadcast + NOT-EXISTS anti-join, cross-multiplied " +
+        "balance comparison"),
+
     // Z-order clustering key: Morton-interleave (customer bucket × epoch
     // day bucket) — the sort key that bounds BOTH dimensions' min/max per
     // row group for 2-D data skipping (see ops/ZOrder). Pure bitwise

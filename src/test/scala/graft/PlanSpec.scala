@@ -54,6 +54,23 @@ class PlanSpec extends SparkSpecBase {
       s"filter not pushed: $scan")
   }
 
+  test("q_tpch_q20 prunes the agg-subquery side before the aggregate") {
+    val plan = planString(SparkEntry.queries("q_tpch_q20")(spark, sf0001))
+    // the part filter is pushed to the part scan...
+    assert(plan.contains("StringStartsWith(p_name,red)"),
+      s"part filter not pushed into the scan:\n$plan")
+    // ...and reaches lineitem as a BROADCAST semi/inner join BELOW the
+    // aggregate (the decorrelated correlated-subquery input is pruned
+    // before any shuffle), never a shuffled join of unfiltered lineitem
+    // (plan prints top-down: the deepest BroadcastHashJoin — the part
+    // prune — must sit after the first HashAggregate line; the topmost
+    // BHJ is the nation dim join above the aggregate)
+    val aggIdx = plan.indexOf("HashAggregate")
+    val bjIdx = plan.lastIndexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && bjIdx >= 0 && bjIdx > aggIdx,
+      s"expected broadcast part-prune below the aggregate:\n$plan")
+  }
+
   test("q_asof_join plans a single shuffle (no range-join explosion)") {
     val df = SparkEntry.queries("q_asof_join")(spark, sf0001)
     val plan = planString(df)
@@ -110,6 +127,9 @@ class PlanSpec extends SparkSpecBase {
       "q_lm_kneser_ney",
       // one-row broadcast corpus total gates each support threshold
       "q_freq_itemsets",
+      // one-row broadcast (sum, count) balance threshold — the Q22 global
+      // scalar, same class as q_tf_idf's corpus stats
+      "q_tpch_q22",
       // both rankings are the exact brute-force referee by design
       "q_emb_trunc_recall",
       // recall is MEASURED against brute-force ground truth, so the

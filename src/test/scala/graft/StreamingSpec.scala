@@ -150,6 +150,58 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.select("event_id").distinct().count() === 1200)
     assert(got.count() === 1200)
   }
+
+  test("kill at a page boundary inside a tie group: value-delimited batches lose NOTHING on restart") {
+    // NON-UNIQUE update column with the page boundary splitting a tie
+    // group: upd values 1,2,2,2,3,4 and a 2-row page limit put the
+    // serialized boundary ("2") in the middle of three upd=2 rows. The
+    // reference's row-limit paging would SKIP the other two on resume
+    // (see the RunnerSpec twin below — the batch runner mirrors that
+    // contract faithfully). The streaming provider instead delimits each
+    // micro-batch by the boundary VALUE — planInputPartitions takes every
+    // row in (start, end] — so a tie group always travels whole and a
+    // crash-restart at the boundary is exactly-once with NO skipped rows:
+    // the deliberate improvement over the reference, pinned here.
+    val srcDir = Files.createTempDirectory("graft_ties").toString
+    spark.createDataFrame(Seq(
+        (10L, 1L), (20L, 2L), (21L, 2L), (22L, 2L), (30L, 3L), (40L, 4L)))
+      .toDF("id", "upd")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt3").toString
+    val outDir = Files.createTempDirectory("graft_sink3").toString
+    def stream() = spark.readStream
+      .format("graft.streaming.KeysetTailProvider")
+      .option("path", srcDir)
+      .option("updateColumn", "upd")
+      .option("maxRowsPerBatch", "2")
+      .load()
+    // Trigger.Once = exactly one micro-batch, then the query dies — the
+    // controlled stand-in for a crash right after batch 0's offset commit
+    val q1 = stream().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once()).start()
+    q1.awaitTermination(30000)
+    val afterKill = spark.read.parquet(outDir).select("id", "upd").collect()
+    // the 2-row PAGE chose boundary "2"; the BATCH carries the whole
+    // <= 2 value range, so all three tie rows arrive together
+    assert(afterKill.length === 4, afterKill.mkString(","))
+    assert(afterKill.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 2L, 2L))
+    // the offset log carries the boundary as the SERIALIZED STRING "2" —
+    // the reference's state-file form, not a binary value
+    val offset0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt, "offsets", "0")))
+    assert(offset0.contains("\"last\":\"2\""), offset0)
+    // restart from the offset log: strict > '2' resumes at upd=3; nothing
+    // is replayed and nothing was lost
+    val q2 = stream().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).select("id", "upd").collect()
+    assert(got.length === 6, got.mkString(","))
+    assert(got.map(_.getLong(0)).distinct.length === 6)
+    assert(got.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 2L, 2L, 3L, 4L))
+  }
 }
 
 class RunnerSpec extends SparkSpecBase {
@@ -192,6 +244,47 @@ class RunnerSpec extends SparkSpecBase {
     val counts = runner.pollOnce((tag, _) => tags += tag)
     assert(counts === Map("events" -> 400L, "orders" -> 400L))
     assert(tags === Set("db.events", "db.orders"))
+  }
+
+  test("crash at a page boundary inside a tie group: strict-> resume SKIPS the rest of the group (in_sql.rb:131, SURVEY §2.1)") {
+    // The batch runner mirrors the reference's ROW-LIMIT paging exactly,
+    // so the documented skip semantics are observable here: upd values
+    // 1,2,2,2,3,4 with select_limit=2 put the page boundary at the first
+    // of three upd=2 rows; the persisted resume value is the SERIALIZED
+    // STRING "2" and the next poll's strict `upd > '2'` never sees the
+    // other two tie rows — skipped, not replayed, not duplicated. (The
+    // streaming provider deliberately improves on this with value-
+    // delimited batches — see the StreamingSpec tie-group test.)
+    val dir = Files.createTempDirectory("graft_runner_ties").toString
+    spark.createDataFrame(Seq(
+        (10L, 1L), (20L, 2L), (21L, 2L), (22L, 2L), (30L, 3L), (40L, 4L)))
+      .toDF("id", "upd")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val f = Files.createTempFile("graft_ties_state", ".json").toString
+    val load = (s: org.apache.spark.sql.SparkSession, t: String) =>
+      s.read.parquet(dir)
+    val c = InputConfig(Seq(SourceTableConfig("ties", updateColumn = Some("upd"))),
+      selectLimit = 2)
+    var seen = Vector.empty[(Long, Long)]
+    val collect = (tag: String, df: org.apache.spark.sql.DataFrame) =>
+      seen = seen ++ df.select("id", "upd").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val r1 = new KeysetTailRunner(spark, c, load, new FileStateStore(f))
+    assert(r1.pollOnce(collect) === Map("ties" -> 2L)) // page 1: upd 1, 2(first)
+    assert(seen.map(_._2) === Vector(1L, 2L))
+    // "crash": the runner dies after the state write; the persisted resume
+    // value is the serialized STRING boundary, exactly like the YAML file
+    val persisted = new FileStateStore(f).lastRecord("ties").get("upd")
+    assert(persisted === "2")
+    // restart from the state file: strict > '2' → upd 3, 4. The two
+    // remaining upd=2 rows are SKIPPED — the reference contract
+    val r2 = new KeysetTailRunner(spark, c, load, new FileStateStore(f))
+    assert(r2.pollOnce(collect) === Map("ties" -> 2L))
+    assert(seen.map(_._2) === Vector(1L, 2L, 3L, 4L))
+    assert(seen.map(_._1).count(Set(20L, 21L, 22L)) === 1) // 2 of 3 ties skipped
+    // drained: nothing left, the skipped rows never arrive
+    assert(r2.pollOnce(collect).getOrElse("ties", 0L) === 0L)
+    assert(seen.length === 4)
   }
 
   test("per-table fault isolation (in_sql.rb:233-243, 272-275)") {
