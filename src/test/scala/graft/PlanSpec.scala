@@ -54,6 +54,31 @@ class PlanSpec extends SparkSpecBase {
       s"filter not pushed: $scan")
   }
 
+  test("q_tpch_q6 pushes every predicate to the scan and exchanges only the 1-row partials") {
+    // the PushedFilters metadata line elides at 100 chars by default —
+    // widen it so all four predicates are visible to the assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val plan = try planString(SparkEntry.queries("q_tpch_q6")(spark, sf0001))
+    finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    // all four predicates reach the parquet scan...
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05", "LessThanOrEqual(l_discount,0.07",
+        "LessThan(l_quantity,24"))
+      assert(pushed.contains(f), s"$f not pushed:\n$plan")
+    // ...and the only exchange carries the per-partition partial-agg rows
+    // (a single global aggregate: no shuffle key, no join)
+    assert(!plan.contains("Join"), s"scan-only query plans a join:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q_tpch_q19's disjunctive predicate stays a broadcast equi-join with a residual") {
+    val plan = planString(SparkEntry.queries("q_tpch_q19")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast part join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"OR-of-ANDs degraded the join to a product:\n$plan")
+  }
+
   test("q_tpch_q20 prunes the agg-subquery side before the aggregate") {
     val plan = planString(SparkEntry.queries("q_tpch_q20")(spark, sf0001))
     // the part filter is pushed to the part scan...
@@ -130,6 +155,11 @@ class PlanSpec extends SparkSpecBase {
       // one-row broadcast (sum, count) balance threshold — the Q22 global
       // scalar, same class as q_tf_idf's corpus stats
       "q_tpch_q22",
+      // one-row broadcast global total (Q11 HAVING fraction) and global
+      // max (Q15 argmax) — aggregate re-reduced to a single row, never a
+      // corpus-wide window
+      "q_tpch_q11",
+      "q_tpch_q15",
       // both rankings are the exact brute-force referee by design
       "q_emb_trunc_recall",
       // recall is MEASURED against brute-force ground truth, so the
