@@ -160,6 +160,9 @@ class PlanSpec extends SparkSpecBase {
       // corpus-wide window
       "q_tpch_q11",
       "q_tpch_q15",
+      // one-row broadcast 4096-bit Bloom bitmap filtering the fact side
+      // pre-shuffle (the semi-join reduction itself)
+      "q_bloom_join_reduce",
       // both rankings are the exact brute-force referee by design
       "q_emb_trunc_recall",
       // recall is MEASURED against brute-force ground truth, so the
