@@ -13,7 +13,7 @@ object SparkEntry {
   private def registry: Map[String, QueryDef] =
     PipelineQueries.defs ++ RelationalQueries.defs ++ TpchQueries.defs ++
       ExtensionQueries.defs ++ AnalyticsQueries.defs ++ TrainingQueries.defs ++
-      CleaningQueries.defs ++ MaintenanceQueries.defs
+      CleaningQueries.defs ++ MaintenanceQueries.defs ++ StatsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3: dim filter → two joins → exact-decimal top-10 (136 grouped

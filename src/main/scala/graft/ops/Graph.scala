@@ -291,6 +291,29 @@ object Graph {
     deg.select(col("src").as("id"), col("deg"), lit(converged).as("converged"))
   }
 
+  /** Adamic-Adar link prediction over an undirected edge list (id_a <
+    * id_b): for each non-adjacent pair with >= 1 common neighbor w, score
+    * = sum_w 1/ln(deg(w)). A common neighbor is adjacent to both
+    * endpoints, so deg(w) >= 2 and ln(deg) > 0 always. Wedge enumeration
+    * is sum(deg^2)-bounded (the triangle-join bound); the irrational
+    * 1/ln terms route through round(.,10) -> DECIMAL -> exact sum so the
+    * score is summation-order-independent. */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("id_a").as("u"), col("id_b").as("w"))
+    val und = e.union(e.select(col("w").as("u"), col("u").as("w")))
+    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
+    val wedges = und.select(col("u").as("x"), col("w"))
+      .join(und.select(col("u").as("y"), col("w")), Seq("w"))
+      .filter(col("x") < col("y"))
+      .join(deg.select(col("u").as("w"), col("d").as("dw")), Seq("w"))
+    wedges.groupBy("x", "y")
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(Exact.dec(round(lit(1.0) / log(col("dw").cast("double")), 10), 28, 10)), 6)
+          .cast("double").as("aa_score"))
+      .join(edges, col("x") === edges("id_a") && col("y") === edges("id_b"), "left_anti")
+      .select(col("x").as("id_a"), col("y").as("id_b"), col("n_common"), col("aa_score"))
+  }
+
   def bfsLevels(edges: DataFrame, seedMod: Long, rounds: Int): DataFrame = {
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))

@@ -1,0 +1,288 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Exact.dec
+
+/** Statistical testing / drift-detection operators for data pipelines:
+  * A/B significance (Welch), distribution drift (two-sample KS, chi-square
+  * independence), label agreement (Cohen's kappa), inequality (Gini),
+  * survival (Kaplan-Meier), sequence structure (Markov transitions), and
+  * rank correlation (Spearman via exact integer double-ranks).
+  *
+  * Determinism contract (FIXTURES.md): every sum that feeds a reported
+  * number is either an exact integer/decimal aggregate or a *running*
+  * window sum (sequential in a declared order on both engines); double
+  * math happens once, in an expression tree mirrored verbatim in the
+  * DuckDB oracle, then ROUND at declared scale.
+  *
+  * Scale notes: all shapes are one partial-agg shuffle to a small keyed
+  * table (groups x arms, transition pairs, contingency cells, duration
+  * days, hash shards) — never a corpus-sized window. The only unbounded-
+  * partition windows run over those small keyed tables (<= days-in-range
+  * or n-shards rows), not over raw rows.
+  */
+object Stats {
+
+  /** Deterministic, engine-portable bucket assignment (the q_sample_hash
+    * md5 idiom): DuckDB twin is
+    * `('0x'||substr(md5(CAST(c AS VARCHAR)),1,4))::BIGINT % mod`. */
+  def hashBucket(c: Column, mod: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % mod
+
+  /** The exact per-arm moment accumulators behind [[welchTTest]] — also
+    * the state of its streaming twin (all mergeable partial aggregates:
+    * counts + decimal power sums rounded at scale 6). */
+  private[graft] def welchAggs(armCol: String, valueCol: String): Seq[Column] = {
+    val v = dec(col(valueCol), 12, 6)
+    def arm(i: Int, c: Column) = when(col(armCol) === i, c)
+    Seq(
+      count(arm(0, lit(1))).as("n_a"), count(arm(1, lit(1))).as("n_b"),
+      round(sum(arm(0, v)), 6).cast("double").as("s1a"),
+      round(sum(arm(1, v)), 6).cast("double").as("s1b"),
+      round(sum(arm(0, v * v)), 6).cast("double").as("s2a"),
+      round(sum(arm(1, v * v)), 6).cast("double").as("s2b"))
+  }
+
+  /** The one double expression tree from moments to (means, t, df) —
+    * shared verbatim by the batch query, the DuckDB oracle, and the
+    * streaming twin. t/df are NULL unless both arms have n > 1 AND the
+    * pooled standard error is positive; the guards nest OUTSIDE the
+    * divisions so ANSI mode never evaluates a zero divisor (a streaming
+    * window with a 1-row arm must yield a NULL verdict, not kill the
+    * query). */
+  private[graft] def welchSelect(keep: Seq[Column]): Seq[Column] = {
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("s1a") / na; val mb = col("s1b") / nb
+    val va = (col("s2a") - col("s1a") * col("s1a") / na) / (na - 1)
+    val vb = (col("s2b") - col("s1b") * col("s1b") / nb) / (nb - 1)
+    val sea = va / na; val seb = vb / nb
+    val enough = col("n_a") > 1 && col("n_b") > 1
+    keep ++ Seq(col("n_a"), col("n_b"),
+      round(ma, 4).as("mean_a"), round(mb, 4).as("mean_b"),
+      when(enough, when(sea + seb > 0,
+        round((ma - mb) / sqrt(sea + seb), 4))).as("t_welch"),
+      when(enough, when(sea + seb > 0,
+        round((sea + seb) * (sea + seb)
+          / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 4))).as("df_welch"))
+  }
+
+  /** Welch's unequal-variance t-test per group between two arms
+    * (armCol in {0,1}). Moments come from exact decimal power sums
+    * (order-independent), rounded at scale 6 before the one double
+    * expression computing t and the Welch-Satterthwaite df. */
+  def welchTTest(df: DataFrame, groupCol: String, armCol: String,
+                 valueCol: String): DataFrame =
+    df.groupBy(groupCol).agg(welchAggs(armCol, valueCol).head,
+        welchAggs(armCol, valueCol).tail: _*)
+      .select(welchSelect(Seq(col(groupCol))): _*)
+
+  /** Two-sample Kolmogorov-Smirnov D per group between two arms: the max
+    * over sample points of |F_a - F_b|, with the empirical CDFs built from
+    * running integer counts over the per-(group, value) cell table. D is a
+    * max of per-row doubles — order-independent by construction. */
+  def ksTwoSample(df: DataFrame, groupCol: String, armCol: String,
+                  valueCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(valueCol).as("val")).agg(
+      count(when(col(armCol) === 0, 1)).as("ca"),
+      count(when(col(armCol) === 1, 1)).as("cb"))
+    val run = Window.partitionBy(groupCol).orderBy("val")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCol)
+    cells
+      .withColumn("n_a", sum("ca").over(tot))
+      .withColumn("n_b", sum("cb").over(tot))
+      .withColumn("d", abs(sum("ca").over(run).cast("double") / col("n_a")
+        - sum("cb").over(run).cast("double") / col("n_b")))
+      .groupBy(groupCol)
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        round(max("d"), 6).as("ks_d"))
+  }
+
+  /** Kaplan-Meier survival over per-subject durations. A subject's
+    * duration is days(first ts -> last ts); it counts as an event if it
+    * ever emitted `eventType`, else right-censored at its last day. The
+    * survival product is exp of a RUNNING sum of ln terms (sequential in
+    * duration order on both engines => bit-identical); a step that kills
+    * every remaining subject short-circuits to exactly 0.0 (no ln(0)). */
+  def kaplanMeier(events: DataFrame, eventType: String): DataFrame = {
+    val perSubj = events.groupBy("user_id").agg(
+      datediff(to_date(max("ts")), to_date(min("ts"))).cast("long").as("dur_days"),
+      max(when(col("event_type") === eventType, 1).otherwise(0)).as("evt"))
+    val byDur = perSubj.groupBy("dur_days").agg(
+      count(lit(1)).as("n_subjects"), sum("evt").as("n_events"))
+    val all = Window.partitionBy(lit(1))
+    val before = Window.partitionBy(lit(1)).orderBy("dur_days")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.partitionBy(lit(1)).orderBy("dur_days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_at_risk",
+        sum("n_subjects").over(all) - coalesce(sum("n_subjects").over(before), lit(0L)))
+      .withColumn("term",
+        (col("n_at_risk") - col("n_events")).cast("double") / col("n_at_risk"))
+      .withColumn("survival",
+        when(min("term").over(cum) === 0.0, 0.0)
+          .otherwise(round(exp(sum(log(nullif(col("term"), lit(0.0)))).over(cum)), 6)))
+      .select(col("dur_days"), col("n_at_risk"), col("n_events"),
+        (col("n_subjects") - col("n_events")).as("n_censored"), col("survival"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences
+    * (ordered by ts, event_id tie-break): counts and row-conditional
+    * probabilities P(next | cur). */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val seq0 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cnt = events
+      .select(col("user_id"), col("event_type").as("cur"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead("cur", 1).over(seq0))
+      .filter(col("nxt").isNotNull)
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    cnt.withColumn("p",
+      round(col("n").cast("double") / sum("n").over(Window.partitionBy("cur")), 6))
+  }
+
+  /** Pearson chi-square independence statistic over an r x c contingency
+    * table of two categorical columns. Per-cell terms are irrational, so
+    * the total routes through round(term, 10) -> DECIMAL(28,10) -> exact
+    * sum (order-independent), then a final round. */
+  def chiSquareIndependence(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val cells = df.select(rowCol.as("r"), colCol.as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("o"))
+    val withTot = cells
+      .withColumn("rt", sum("o").over(Window.partitionBy("r")))
+      .withColumn("ct", sum("o").over(Window.partitionBy("c")))
+      .withColumn("n", sum("o").over(Window.partitionBy(lit(1))))
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    val term = (col("o") - e) * (col("o") - e) / e
+    withTot
+      .agg(count(lit(1)).as("n_cells"),
+        ((count_distinct(col("r")) - 1) * (count_distinct(col("c")) - 1)).as("dof"),
+        round(sum(dec(round(term, 10), 28, 10)), 4).cast("double").as("chi2"))
+  }
+
+  /** Gini coefficient per group: G = (2*sum(i*x_(i)) - (n+1)*sum(x)) /
+    * (n*sum(x)) over ascending ranks i — computed WITHOUT ranking raw
+    * rows. Ties collapse to (value, count) cells first (partial-agg
+    * groupBy), and a tie run starting at running-rank position s with c
+    * copies contributes x * (s*c + c*(c-1)/2) exactly; the window then
+    * scans distinct values, not rows — the same cells-not-rows shape as
+    * the KS statistic, so a 100x row blow-up with a bounded value domain
+    * costs one bigger partial agg, not a bigger sort. All sums are exact
+    * decimals/longs. */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol), col(valueCol).as("val"))
+      .agg(count(lit(1)).as("c"))
+    val run = Window.partitionBy(groupCol).orderBy("val")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rankSum = (col("rr") - col("c") + 1) * col("c") +
+      call_function("div", col("c") * (col("c") - 1), lit(2L))
+    val g = cells
+      .withColumn("rr", sum("c").over(run))
+      .withColumn("wx", dec(col("val"), 12, 6) * rankSum)
+      .groupBy(groupCol).agg(
+        sum("c").as("n"),
+        round(sum("wx"), 6).cast("double").as("swx"),
+        round(sum(dec(col("val"), 12, 6) * col("c")), 6).cast("double").as("sx"))
+    g.select(col(groupCol), col("n"),
+      round((lit(2.0) * col("swx") - (col("n") + 1) * col("sx"))
+        / (col("n") * col("sx")), 6).as("gini"))
+  }
+
+  /** Cohen's kappa between two label columns: (po - pe)/(1 - pe) with
+    * observed agreement po and chance agreement pe from exact marginal
+    * products. One-row x one-row scalar cross join at the end. */
+  def cohensKappa(labeled: DataFrame, actualCol: String, predCol: String): DataFrame = {
+    val totals = labeled.agg(count(lit(1)).as("n"),
+      count(when(col(actualCol) === col(predCol), 1)).as("agree"))
+    val byActual = labeled.groupBy(col(actualCol).as("cls")).agg(count(lit(1)).as("na"))
+    val byPred = labeled.groupBy(col(predCol).as("cls")).agg(count(lit(1)).as("np"))
+    val chance = byActual.join(byPred, "cls").agg(sum(col("na") * col("np")).as("sp"))
+    val po = col("agree").cast("double") / col("n")
+    val pe = col("sp").cast("double") / (col("n") * col("n"))
+    totals.crossJoin(chance).select(
+      col("n"), col("agree"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** Spearman rank correlation per group between two numeric columns,
+    * exactly: double-ranks 2*avg_rank = 2*min_rank + tie_count - 1 are
+    * integers, so every power sum is an exact long and the correlation is
+    * a single double expression over longs (the q_auc rank-sum trick). */
+  def spearman(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    def rank2(c: String) =
+      lit(2L) * rank().over(Window.partitionBy(groupCol).orderBy(c)) +
+        count(lit(1)).over(Window.partitionBy(groupCol, c)) - 1
+    val r = df.withColumn("rx", rank2(xCol)).withColumn("ry", rank2(yCol))
+    val g = r.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum("rx").as("sx"), sum("ry").as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    g.select(col(groupCol), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+        .as("rho"))
+  }
+
+  /** All ordered index pairs (i < j) of a per-group series — the shared
+    * input of the Mann-Kendall and Theil-Sen trend statistics. Pair volume
+    * is days²/2 per group: bounded by the TIME RANGE (the series is a
+    * pre-aggregated daily table), not by corpus rows, so a 100x row
+    * blow-up over the same window costs only the daily pre-agg. */
+  private def seriesPairs(series: DataFrame, groupCol: String,
+                          idxCol: String, valCol: String): DataFrame =
+    series.select(col(groupCol), col(idxCol).as("di"), col(valCol).as("mi"))
+      .join(series.select(col(groupCol), col(idxCol).as("dj"), col(valCol).as("mj")),
+        Seq(groupCol))
+      .filter(col("di") < col("dj"))
+
+  /** Mann-Kendall trend test per group over a (index, value) series:
+    * S = sum of sign(m_j - m_i) over i<j (exact integer), tie-corrected
+    * variance n(n-1)(2n+5) - sum t(t-1)(2t+5) over value-tie runs (exact
+    * integer, /18 once in double), continuity-corrected z. Signs via CASE
+    * comparisons — no engine sign() quirk. */
+  def mannKendall(series: DataFrame, groupCol: String,
+                  idxCol: String, valCol: String): DataFrame = {
+    val sgn = when(col("mj") > col("mi"), 1L)
+      .when(col("mj") < col("mi"), -1L).otherwise(0L)
+    val sTab = seriesPairs(series, groupCol, idxCol, valCol)
+      .groupBy(groupCol).agg(sum(sgn).as("s_stat"))
+    val nTab = series.groupBy(groupCol).agg(count(lit(1)).as("n_days"))
+    val tieTab = series.groupBy(col(groupCol), col(valCol)).agg(count(lit(1)).as("t"))
+      .groupBy(groupCol)
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_adj"))
+    val varS = (col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)
+      - col("tie_adj")).cast("double") / lit(18.0)
+    sTab.join(nTab, groupCol).join(tieTab, groupCol)
+      .select(col(groupCol), col("n_days"), col("s_stat"),
+        round(varS, 6).as("var_s"),
+        round(when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sqrt(varS))
+          .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sqrt(varS))
+          .otherwise(0.0), 4).as("z_mk"))
+  }
+
+  /** Theil-Sen robust trend slope per group: the median of all pairwise
+    * slopes (m_j - m_i)/(d_j - d_i). The median is taken WITHOUT engine
+    * percentile functions (interpolation parity risk): the two middle
+    * ranks are summed and divided by their count — a 1- or 2-element
+    * IEEE-commutative average, identical on both engines. */
+  def theilSen(series: DataFrame, groupCol: String,
+               idxCol: String, valCol: String): DataFrame = {
+    val slopes = seriesPairs(series, groupCol, idxCol, valCol)
+      .withColumn("slope", (col("mj") - col("mi")) / (col("dj") - col("di")))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(Window.partitionBy(groupCol).orderBy("slope")))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val mid = col("rn") === call_function("div", col("np") + 1, lit(2L)) ||
+      col("rn") === call_function("div", col("np") + 2, lit(2L))
+    ranked.groupBy(groupCol).agg(
+      max("np").as("n_pairs"),
+      round(sum(when(mid, col("slope"))) / count(when(mid, 1)), 6).as("ts_slope"))
+  }
+}

@@ -256,6 +256,23 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB reproduction of `Similarity.cellEdges` → `Graph.adamicAdar`:
+    * symmetrize, degree, wedge join on the shared neighbor, exact-decimal
+    * 1/ln(deg) sums, then anti-join out the already-adjacent pairs. */
+  private def adamicAdarOracle(threshold: Double, nList: Int, dim: Int): String =
+    s"""WITH ed AS (${cellEdgesOracle(threshold, nList, dim)}),
+       |und AS (SELECT id_a AS u, id_b AS w FROM ed UNION ALL SELECT id_b, id_a FROM ed),
+       |deg AS (SELECT u AS id, COUNT(*) AS d FROM und GROUP BY 1),
+       |wedge AS (SELECT a.u AS x, b.u AS y, a.w AS w
+       |          FROM und a JOIN und b ON a.w = b.w AND a.u < b.u),
+       |sc AS (SELECT x, y, COUNT(*) AS n_common,
+       |         CAST(ROUND(SUM(CAST(ROUND(CAST(1.0 AS DOUBLE)/ln(CAST(d AS DOUBLE)), 10)
+       |           AS DECIMAL(28,10))), 6) AS DOUBLE) AS aa_score
+       |       FROM wedge JOIN deg ON deg.id = wedge.w GROUP BY 1, 2)
+       |SELECT x AS id_a, y AS id_b, n_common, aa_score FROM sc
+       |WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.id_a = sc.x AND ed.id_b = sc.y)
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** DuckDB reproduction of `Similarity.cellEdges` →
     * `Graph.triangleCounts`: the semDedup cell/cosine edge CTEs, then the
     * same degree-ordered orientation, wedge join, and closing join. */
@@ -937,6 +954,20 @@ object ExtensionQueries {
       semDedupOracle(threshold = 0.4, nList = 16, dim = 64),
       doc = "SemDeDup: cell-bounded semantic dedup with keep/drop verdicts " +
         "(pairs only within a k-means cell; smallest id survives)"),
+
+    // Adamic-Adar link prediction over the same similarity graph: score
+    // non-adjacent pairs by sum(1/ln(deg)) over common neighbors — the
+    // "which near-dup candidates did the threshold miss" triage list.
+    // Wedge enumeration shares the triangle join's sum(deg^2) bound; the
+    // irrational 1/ln terms go through round->decimal->exact-sum so the
+    // score is summation-order-independent on both engines.
+    "q_link_prediction" -> QueryDef.sql(
+      (s, dir) => Graph.adamicAdar(
+          Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3))
+        .orderBy("id_a", "id_b"),
+      adamicAdarOracle(threshold = 0.3, nList = 16, dim = 64),
+      doc = "Adamic-Adar link prediction (non-adjacent pairs, common-" +
+        "neighbor 1/ln(deg) sums) over the cell-bounded similarity graph"),
 
     // Triangle counting over the cell-bounded similarity graph — the
     // cohesion motif behind clustering coefficients and community density.

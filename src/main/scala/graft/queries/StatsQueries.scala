@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Exact.dec
+import graft.ops.Stats
+import graft.sources.Tables
+
+/** Statistical-testing / drift-detection tier: the checks a data pipeline
+  * runs before trusting a new corpus drop or an experiment readout —
+  * A/B significance (Welch), distribution drift (two-sample KS,
+  * chi-square independence), labeler agreement (Cohen's kappa),
+  * value-concentration (Gini), survival/lifetime (Kaplan-Meier), event
+  * sequence structure (Markov transitions), rank correlation (Spearman),
+  * and partition-skew diagnostics (hash-shard balance).
+  *
+  * The two-arm queries split users with the portable md5 bucket hash
+  * (the q_sample_hash idiom) so both engines assign identical arms.
+  * Oracle SQL mirrors each double expression tree verbatim (FIXTURES.md).
+  */
+object StatsQueries {
+
+  /** DuckDB twin of `Stats.hashBucket`. */
+  private def armSql(c: String, mod: Int) =
+    s"('0x'||substr(md5(CAST($c AS VARCHAR)),1,4))::BIGINT % $mod"
+
+  /** Daily mean value per event_type (day index from a fixed epoch, mean
+    * from an exact decimal sum) — the trend tests' input series. */
+  private def dailyMeans(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        (datediff(to_date(col("ts")), to_date(lit("2024-01-01")))).as("d"))
+      .agg((round(sum(dec(col("value"), 12, 6)), 6).cast("double")
+        / count(lit(1))).as("m"))
+
+  private val DailySqlFragment =
+    """daily AS (SELECT event_type,
+      |            datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      |            CAST(ROUND(SUM(CAST(value AS DECIMAL(12,6))), 6) AS DOUBLE)/COUNT(*) AS m
+      |          FROM events GROUP BY 1, 2)""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Welch's unequal-variance t-test per event_type between two
+    // hash-assigned user arms — the A/B readout for "did the new data
+    // recipe move the metric". Moments from exact decimal power sums.
+    "q_ab_ttest" -> QueryDef.sql(
+      (s, dir) => Stats.welchTTest(
+          Tables.events(s, dir).withColumn("arm", Stats.hashBucket(col("user_id"), 2)),
+          "event_type", "arm", "value")
+        .orderBy("event_type"),
+      s"""WITH e AS (SELECT event_type, ${armSql("user_id", 2)} AS arm,
+         |             CAST(value AS DECIMAL(12,6)) AS v FROM events),
+         |g AS (SELECT event_type,
+         |        COUNT(*) FILTER (WHERE arm=0) AS n_a,
+         |        COUNT(*) FILTER (WHERE arm=1) AS n_b,
+         |        CAST(ROUND(SUM(v) FILTER (WHERE arm=0), 6) AS DOUBLE) AS s1a,
+         |        CAST(ROUND(SUM(v) FILTER (WHERE arm=1), 6) AS DOUBLE) AS s1b,
+         |        CAST(ROUND(SUM(v*v) FILTER (WHERE arm=0), 6) AS DOUBLE) AS s2a,
+         |        CAST(ROUND(SUM(v*v) FILTER (WHERE arm=1), 6) AS DOUBLE) AS s2b
+         |      FROM e GROUP BY 1)
+         |SELECT event_type, n_a, n_b,
+         |  ROUND(s1a/n_a, 4) AS mean_a, ROUND(s1b/n_b, 4) AS mean_b,
+         |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+         |    CASE WHEN ((s2a - s1a*s1a/n_a)/(n_a-1))/n_a + ((s2b - s1b*s1b/n_b)/(n_b-1))/n_b > 0 THEN
+         |      ROUND((s1a/n_a - s1b/n_b)
+         |        / sqrt(((s2a - s1a*s1a/n_a)/(n_a-1))/n_a + ((s2b - s1b*s1b/n_b)/(n_b-1))/n_b), 4)
+         |    END END AS t_welch,
+         |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+         |    CASE WHEN ((s2a - s1a*s1a/n_a)/(n_a-1))/n_a + ((s2b - s1b*s1b/n_b)/(n_b-1))/n_b > 0 THEN
+         |      ROUND((((s2a - s1a*s1a/n_a)/(n_a-1))/n_a + ((s2b - s1b*s1b/n_b)/(n_b-1))/n_b)
+         |          * (((s2a - s1a*s1a/n_a)/(n_a-1))/n_a + ((s2b - s1b*s1b/n_b)/(n_b-1))/n_b)
+         |          / ((((s2a - s1a*s1a/n_a)/(n_a-1))/n_a)*(((s2a - s1a*s1a/n_a)/(n_a-1))/n_a)/(n_a-1)
+         |           + (((s2b - s1b*s1b/n_b)/(n_b-1))/n_b)*(((s2b - s1b*s1b/n_b)/(n_b-1))/n_b)/(n_b-1)), 4)
+         |    END END AS df_welch
+         |FROM g ORDER BY event_type""".stripMargin,
+      doc = "Welch t-test + Satterthwaite df per event_type between hash arms"),
+
+    // Two-sample Kolmogorov-Smirnov drift statistic per event_type
+    // between the same hash arms: max |F_a - F_b| over running integer
+    // CDFs — the standard "did the value distribution shift" gate.
+    "q_ks_test" -> QueryDef.sql(
+      (s, dir) => Stats.ksTwoSample(
+          Tables.events(s, dir).withColumn("arm", Stats.hashBucket(col("user_id"), 2)),
+          "event_type", "arm", "value")
+        .orderBy("event_type"),
+      s"""WITH e AS (SELECT event_type, value, ${armSql("user_id", 2)} AS arm FROM events),
+         |cells AS (SELECT event_type, value AS val,
+         |            COUNT(*) FILTER (WHERE arm=0) AS ca,
+         |            COUNT(*) FILTER (WHERE arm=1) AS cb
+         |          FROM e GROUP BY 1, 2),
+         |cum AS (SELECT event_type,
+         |          CAST(SUM(ca) OVER t AS BIGINT) AS n_a,
+         |          CAST(SUM(cb) OVER t AS BIGINT) AS n_b,
+         |          CAST(SUM(ca) OVER w AS BIGINT) AS ra,
+         |          CAST(SUM(cb) OVER w AS BIGINT) AS rb
+         |        FROM cells WINDOW
+         |          t AS (PARTITION BY event_type),
+         |          w AS (PARTITION BY event_type ORDER BY val
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |d AS (SELECT event_type, n_a, n_b,
+         |        abs(CAST(ra AS DOUBLE)/n_a - CAST(rb AS DOUBLE)/n_b) AS d FROM cum)
+         |SELECT event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b, ROUND(MAX(d), 6) AS ks_d
+         |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+      doc = "two-sample KS drift statistic per event_type between hash arms"),
+
+    // Kaplan-Meier user-lifetime curve: duration = days between a user's
+    // first and last event, "death" = the user ever purchased, otherwise
+    // right-censored. Survival product via a RUNNING sum of ln terms.
+    "q_kaplan_meier" -> QueryDef.sql(
+      (s, dir) => Stats.kaplanMeier(Tables.events(s, dir), "purchase")
+        .orderBy("dur_days"),
+      """WITH ps AS (SELECT user_id,
+        |              datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS dur_days,
+        |              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS evt
+        |            FROM events GROUP BY 1),
+        |bd AS (SELECT dur_days, COUNT(*) AS n_subjects,
+        |         CAST(SUM(evt) AS BIGINT) AS n_events FROM ps GROUP BY 1),
+        |r AS (SELECT dur_days, n_subjects, n_events,
+        |        CAST(SUM(n_subjects) OVER ()
+        |          - COALESCE(SUM(n_subjects) OVER (ORDER BY dur_days
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        |      FROM bd),
+        |t AS (SELECT *, CAST(n_at_risk - n_events AS DOUBLE)/n_at_risk AS term FROM r)
+        |SELECT dur_days, n_at_risk, n_events,
+        |  CAST(n_subjects - n_events AS BIGINT) AS n_censored,
+        |  CASE WHEN MIN(term) OVER cum = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE ROUND(EXP(SUM(LN(NULLIF(term, 0.0))) OVER cum), 6) END AS survival
+        |FROM t
+        |WINDOW cum AS (ORDER BY dur_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY dur_days""".stripMargin,
+      doc = "Kaplan-Meier survival over user activity spans (purchase = event)"),
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // P(next event type | current) — the sequence-structure profile.
+    "q_markov_transitions" -> QueryDef.sql(
+      (s, dir) => Stats.markovTransitions(Tables.events(s, dir))
+        .orderBy("cur", "nxt"),
+      """WITH s AS (SELECT event_type AS cur,
+        |             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |           FROM events),
+        |c AS (SELECT cur, nxt, COUNT(*) AS n FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |  ROUND(CAST(n AS DOUBLE)/CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY cur, nxt""".stripMargin,
+      doc = "per-user event-sequence Markov transition counts + probabilities"),
+
+    // Chi-square independence of event_type x day-of-week (day index mod 7
+    // from a fixed epoch — identical integer arithmetic on both engines,
+    // no calendar-function quirk). Single-row statistic.
+    "q_chi_square" -> QueryDef.sql(
+      (s, dir) => Stats.chiSquareIndependence(Tables.events(s, dir),
+          col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) % 7)
+        .orderBy("n_cells"),
+      """WITH cell AS (SELECT event_type AS r,
+        |                datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS c,
+        |                COUNT(*) AS o
+        |              FROM events GROUP BY 1, 2),
+        |wt AS (SELECT r, c, o,
+        |         CAST(SUM(o) OVER (PARTITION BY r) AS BIGINT) AS rt,
+        |         CAST(SUM(o) OVER (PARTITION BY c) AS BIGINT) AS ct,
+        |         CAST(SUM(o) OVER () AS BIGINT) AS n
+        |       FROM cell),
+        |t AS (SELECT (o - CAST(rt*ct AS DOUBLE)/n) * (o - CAST(rt*ct AS DOUBLE)/n)
+        |               / (CAST(rt*ct AS DOUBLE)/n) AS term, r, c FROM wt)
+        |SELECT COUNT(*) AS n_cells,
+        |  CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS BIGINT) AS dof,
+        |  CAST(ROUND(SUM(CAST(ROUND(term, 10) AS DECIMAL(28,10))), 4) AS DOUBLE) AS chi2
+        |FROM t ORDER BY n_cells""".stripMargin,
+      doc = "chi-square independence of event_type x day-of-week"),
+
+    // Gini concentration of value per event_type from exact rank-weighted
+    // decimal sums — the source-balance / inequality diagnostic.
+    "q_gini" -> QueryDef.sql(
+      (s, dir) => Stats.gini(Tables.events(s, dir), "event_type", "value")
+        .orderBy("event_type"),
+      """WITH cells AS (SELECT event_type, value AS val, COUNT(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, val, c,
+        |        CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY val
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rr
+        |      FROM cells),
+        |g AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+        |        CAST(ROUND(SUM(CAST(val AS DECIMAL(12,6))
+        |          * ((rr - c + 1)*c + (c*(c-1))//2)), 6) AS DOUBLE) AS swx,
+        |        CAST(ROUND(SUM(CAST(val AS DECIMAL(12,6)) * c), 6) AS DOUBLE) AS sx
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n, ROUND((2.0*swx - (n+1)*sx)/(n*sx), 6) AS gini
+        |FROM g ORDER BY event_type""".stripMargin,
+      doc = "Gini coefficient of value per event_type (exact tie-run rank sums " +
+        "over (value,count) cells — no raw-row sort)"),
+
+    // Cohen's kappa between the stopword-heuristic language guess and the
+    // labeled lang column — chance-corrected labeler agreement. The
+    // heuristic only emits {en,de,fr,es}, the labels include zh; kappa is
+    // over the union class space (inner-joined marginals).
+    "q_cohens_kappa" -> QueryDef.sql(
+      (s, dir) => {
+        def score(ws: Seq[String]) =
+          graft.ops.TextOps.stopwordCount(col("text"), ws).cast("long")
+        val labeled = Tables.documents(s, dir).select(
+            col("lang").as("actual"),
+            score(graft.ops.TextOps.StopwordsEn).as("en_score"),
+            score(graft.ops.TextOps.StopwordsDe).as("de_score"),
+            score(graft.ops.TextOps.StopwordsFr).as("fr_score"),
+            score(graft.ops.TextOps.StopwordsEs).as("es_score"))
+          .withColumn("pred",
+            when(col("en_score") >= col("de_score") && col("en_score") >= col("fr_score")
+              && col("en_score") >= col("es_score"), "en")
+            .when(col("de_score") >= col("fr_score") && col("de_score") >= col("es_score"), "de")
+            .when(col("fr_score") >= col("es_score"), "fr")
+            .otherwise("es"))
+        Stats.cohensKappa(labeled, "actual", "pred").orderBy("n")
+      },
+      {
+        def re(ws: Seq[String]) = "\\b(" + ws.mkString("|") + ")\\b"
+        s"""WITH sc AS (SELECT lang AS actual,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsEn)}')) AS en_score,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsDe)}')) AS de_score,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsFr)}')) AS fr_score,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsEs)}')) AS es_score
+           |      FROM documents),
+           |l AS (SELECT actual,
+           |        CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
+           |             WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+           |             WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS pred
+           |      FROM sc),
+           |tot AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (WHERE actual = pred) AS agree FROM l),
+           |ba AS (SELECT actual AS cls, COUNT(*) AS na FROM l GROUP BY 1),
+           |bp AS (SELECT pred AS cls, COUNT(*) AS np FROM l GROUP BY 1),
+           |ch AS (SELECT CAST(SUM(na*np) AS BIGINT) AS sp FROM ba JOIN bp USING (cls))
+           |SELECT n, agree,
+           |  ROUND(CAST(agree AS DOUBLE)/n, 6) AS po,
+           |  ROUND(CAST(sp AS DOUBLE)/(n*n), 6) AS pe,
+           |  ROUND((CAST(agree AS DOUBLE)/n - CAST(sp AS DOUBLE)/(n*n))
+           |      / (1.0 - CAST(sp AS DOUBLE)/(n*n)), 6) AS kappa
+           |FROM tot, ch ORDER BY n""".stripMargin
+      },
+      doc = "Cohen's kappa: lang-id heuristic vs labeled lang"),
+
+    // Hash-shard balance report: rows per 32-way portable-hash shard plus
+    // the skew ratio vs the uniform share — the partition-skew diagnostic
+    // you run before picking a distribution key at scale.
+    "q_shard_skew" -> QueryDef.sql(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("shard", Stats.hashBucket(col("event_id"), 32))
+        .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+        .withColumn("skew_ratio", round(col("n_rows").cast("double") * 32
+          / sum("n_rows").over(Window.partitionBy(lit(1))).cast("double"), 6))
+        .orderBy("shard"),
+      s"""WITH s AS (SELECT ${armSql("event_id", 32)} AS shard FROM events),
+         |g AS (SELECT shard, COUNT(*) AS n_rows FROM s GROUP BY 1)
+         |SELECT shard, n_rows,
+         |  ROUND(CAST(n_rows AS DOUBLE) * 32 / CAST(SUM(n_rows) OVER () AS DOUBLE), 6) AS skew_ratio
+         |FROM g ORDER BY shard""".stripMargin,
+      doc = "rows + skew ratio per portable-hash shard (partition balance)"),
+
+    // Mann-Kendall trend test per event_type over the daily-mean series:
+    // exact integer S and tie-corrected variance, continuity-corrected z.
+    // Pair volume is days^2 per type — bounded by the time range, not by
+    // corpus rows (the daily pre-agg absorbs the scale).
+    "q_mann_kendall" -> QueryDef.sql(
+      (s, dir) => Stats.mannKendall(dailyMeans(s, dir), "event_type", "d", "m")
+        .orderBy("event_type"),
+      s"""WITH $DailySqlFragment,
+         |pairs AS (SELECT a.event_type, a.m AS mi, b.m AS mj
+         |          FROM daily a JOIN daily b
+         |            ON a.event_type = b.event_type AND a.d < b.d),
+         |s AS (SELECT event_type,
+         |        CAST(SUM(CASE WHEN mj > mi THEN 1 WHEN mj < mi THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |      FROM pairs GROUP BY 1),
+         |n AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1),
+         |tie AS (SELECT event_type, CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS tie_adj
+         |        FROM (SELECT event_type, m, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+         |        GROUP BY 1)
+         |SELECT event_type, n_days, s_stat,
+         |  ROUND(CAST(n_days*(n_days-1)*(2*n_days+5) - tie_adj AS DOUBLE)/18.0, 6) AS var_s,
+         |  ROUND(CASE
+         |    WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+         |      / sqrt(CAST(n_days*(n_days-1)*(2*n_days+5) - tie_adj AS DOUBLE)/18.0)
+         |    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+         |      / sqrt(CAST(n_days*(n_days-1)*(2*n_days+5) - tie_adj AS DOUBLE)/18.0)
+         |    ELSE CAST(0 AS DOUBLE) END, 4) AS z_mk
+         |FROM s JOIN n USING (event_type) JOIN tie USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+      doc = "Mann-Kendall trend test (exact S, tie-corrected variance) over " +
+        "daily mean value per event_type"),
+
+    // Theil-Sen robust slope per event_type: median of pairwise slopes,
+    // median taken by middle-rank selection (no engine percentile
+    // interpolation parity risk).
+    "q_theil_sen" -> QueryDef.sql(
+      (s, dir) => Stats.theilSen(dailyMeans(s, dir), "event_type", "d", "m")
+        .orderBy("event_type"),
+      s"""WITH $DailySqlFragment,
+         |sl AS (SELECT a.event_type, (b.m - a.m)/(b.d - a.d) AS slope
+         |       FROM daily a JOIN daily b
+         |         ON a.event_type = b.event_type AND a.d < b.d),
+         |r AS (SELECT event_type, slope,
+         |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         |        COUNT(*) OVER (PARTITION BY event_type) AS np
+         |      FROM sl)
+         |SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+         |  ROUND(SUM(CASE WHEN rn = (np+1)//2 OR rn = (np+2)//2 THEN slope END)
+         |      / COUNT(CASE WHEN rn = (np+1)//2 OR rn = (np+2)//2 THEN 1 END), 6) AS ts_slope
+         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+      doc = "Theil-Sen robust trend slope (median pairwise slope, middle-rank " +
+        "median) over daily mean value per event_type"),
+
+    // Spearman rank correlation between value and the JSON k prop per
+    // event_type — exact via integer double-ranks (2*avg_rank is an
+    // integer even under ties), so every power sum is an exact long.
+    "q_spearman_corr" -> QueryDef.sql(
+      (s, dir) => Stats.spearman(
+          Tables.events(s, dir).select(col("event_type"), col("value"),
+            get_json_object(col("props"), "$.k").cast("long").as("kv")),
+          "event_type", "value", "kv")
+        .orderBy("event_type"),
+      """WITH b AS (SELECT event_type, value,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv FROM events),
+        |r AS (SELECT event_type,
+        |        2*RANK() OVER (PARTITION BY event_type ORDER BY value)
+        |          + COUNT(*) OVER (PARTITION BY event_type, value) - 1 AS rx,
+        |        2*RANK() OVER (PARTITION BY event_type ORDER BY kv)
+        |          + COUNT(*) OVER (PARTITION BY event_type, kv) - 1 AS ry
+        |      FROM b),
+        |g AS (SELECT event_type, COUNT(*) AS n,
+        |        CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+        |        CAST(SUM(rx*rx) AS BIGINT) AS sxx, CAST(SUM(ry*ry) AS BIGINT) AS syy,
+        |        CAST(SUM(rx*ry) AS BIGINT) AS sxy
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS rho
+        |FROM g ORDER BY event_type""".stripMargin,
+      doc = "Spearman rank correlation (value vs JSON k) via exact integer ranks")
+  )
+}

@@ -26,6 +26,23 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("event_type"), col("n_events"),
         col("total_value"))
 
+  /** Streaming twin of [[graft.ops.Stats.welchTTest]]: per tumbling
+    * event-time window x event_type, the same portable hash-arm split,
+    * the same exact decimal moment accumulators (all mergeable partial
+    * aggregates — counts + power sums, constant state per window x type x
+    * arm), and the same t / Satterthwaite-df expression. The live A/B
+    * readout: a window's verdict is final once the watermark closes it. */
+  def abTestStream(events: DataFrame, tsCol: String, watermarkDelay: String,
+                   windowDur: String): DataFrame = {
+    val armed = events.withColumn("arm", graft.ops.Stats.hashBucket(col("user_id"), 2))
+    val aggs = graft.ops.Stats.welchAggs("arm", "value")
+    armed.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(graft.ops.Stats.welchSelect(
+        Seq(col("w.start").as("w_start"), col("event_type"))): _*)
+  }
+
   /** Windowed approximate-distinct via the mergeable KMV sketch
     * (`graft.ops.Sketch.KmvAgg`): per tumbling window, estimate distinct
     * `keyCol` values. Mergeability is exactly what streaming needs — each

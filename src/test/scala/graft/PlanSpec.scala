@@ -172,7 +172,10 @@ class PlanSpec extends SparkSpecBase {
       // the 32-64x smaller working set, not sub-linearity); the learned
       // report also embeds the exact-L2 ground truth. The sub-linear
       // combination is q_sim_ivfpq_portable, asserted equi-join below.
-      "q_sim_pq_topk", "q_sim_pq_portable")
+      "q_sim_pq_topk", "q_sim_pq_portable",
+      // one-row (n, agree) x one-row (marginal-product sum) scalar cross
+      // join — the kappa numerator/denominator, same class as q_tpch_q22
+      "q_cohens_kappa")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>

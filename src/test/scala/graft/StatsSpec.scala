@@ -1,0 +1,171 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Graph, Stats}
+
+/** Closed-form fixtures for the statistical-testing tier: every expected
+  * number below is hand-derivable (or a 4-line arithmetic script), so a
+  * failure localizes to the operator, not the fixture.
+  */
+class StatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("welchTTest matches the closed-form t and Satterthwaite df") {
+    val df = (Seq((1, 0), (2, 0), (3, 0), (4, 0)) ++ Seq((2, 1), (4, 1), (6, 1), (9, 1)))
+      .map { case (v, arm) => ("g", arm, v.toDouble) }
+      .toDF("grp", "arm", "value")
+    val r = Stats.welchTTest(df, "grp", "arm", "value").collect().head
+    assert(r.getAs[Long]("n_a") === 4L && r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Double]("mean_a") === 2.5 && r.getAs[Double]("mean_b") === 5.25)
+    assert(r.getAs[Double]("t_welch") === -1.6906)
+    assert(r.getAs[Double]("df_welch") === 4.0836)
+  }
+
+  test("welchTTest yields NULL t/df (not an ANSI error) on a 1-row arm") {
+    val df = Seq(("g", 0, 1.0), ("g", 0, 2.0), ("g", 1, 5.0))
+      .toDF("grp", "arm", "value")
+    val r = Stats.welchTTest(df, "grp", "arm", "value").collect().head
+    assert(r.isNullAt(r.fieldIndex("t_welch")))
+    assert(r.isNullAt(r.fieldIndex("df_welch")))
+    // zero pooled variance (constant arms) also short-circuits to NULL
+    val const = Seq(("g", 0, 3.0), ("g", 0, 3.0), ("g", 1, 3.0), ("g", 1, 3.0))
+      .toDF("grp", "arm", "value")
+    val c = Stats.welchTTest(const, "grp", "arm", "value").collect().head
+    assert(c.isNullAt(c.fieldIndex("t_welch")))
+  }
+
+  test("ksTwoSample finds the exact sup-CDF gap") {
+    val df = (Seq(1, 2, 3, 4).map((_, 0)) ++ Seq(3, 4, 5, 6).map((_, 1)))
+      .map { case (v, arm) => ("g", arm, v.toDouble) }
+      .toDF("grp", "arm", "value")
+    val r = Stats.ksTwoSample(df, "grp", "arm", "value").collect().head
+    assert(r.getAs[Double]("ks_d") === 0.5)
+    // identical samples -> D = 0
+    val same = Seq(1, 2, 3).flatMap(v => Seq((v, 0), (v, 1)))
+      .map { case (v, arm) => ("g", arm, v.toDouble) }
+      .toDF("grp", "arm", "value")
+    assert(Stats.ksTwoSample(same, "grp", "arm", "value")
+      .collect().head.getAs[Double]("ks_d") === 0.0)
+  }
+
+  private def ev(user: Long, day: Int, typ: String): (Long, Timestamp, String, Long) =
+    (user, Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00"), typ, user * 100 + day)
+
+  test("kaplanMeier reproduces the textbook product-limit curve") {
+    // durations/events: (2,evt) (2,cens) (5,evt) (7,cens)
+    // S(2)=3/4=0.75, S(5)=0.75*1/2=0.375, S(7)=0.375 (censor only)
+    val rows = Seq(
+      ev(1, 0, "view"), ev(1, 2, "purchase"),
+      ev(2, 0, "view"), ev(2, 2, "click"),
+      ev(3, 0, "view"), ev(3, 5, "purchase"),
+      ev(4, 0, "view"), ev(4, 7, "click"))
+    val df = rows.toDF("user_id", "ts", "event_type", "event_id")
+    val out = Stats.kaplanMeier(df, "purchase").orderBy("dur_days").collect()
+    assert(out.map(r => (r.getAs[Long]("dur_days"), r.getAs[Long]("n_at_risk"),
+      r.getAs[Long]("n_events"), r.getAs[Double]("survival"))).toSeq ===
+      Seq((2L, 4L, 1L, 0.75), (5L, 2L, 1L, 0.375), (7L, 1L, 0L, 0.375)))
+  }
+
+  test("kaplanMeier hits exactly 0.0 when the last step kills all remaining") {
+    val rows = Seq(ev(1, 0, "view"), ev(1, 3, "purchase"))
+    val out = Stats.kaplanMeier(rows.toDF("user_id", "ts", "event_type", "event_id"),
+      "purchase").collect()
+    assert(out.map(_.getAs[Double]("survival")).toSeq === Seq(0.0))
+  }
+
+  test("markovTransitions conditions on the current state") {
+    val rows = Seq(ev(1, 0, "a"), ev(1, 1, "b"), ev(1, 2, "a"),
+      ev(2, 0, "a"), ev(2, 1, "b"))
+    val out = Stats.markovTransitions(
+        rows.toDF("user_id", "ts", "event_type", "event_id"))
+      .orderBy("cur", "nxt").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"),
+      r.getAs[Double]("p"))).toSeq ===
+      Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("chiSquareIndependence matches the hand-computed 2x2 statistic") {
+    // cells: (r1,c1)=10 (r1,c2)=20 (r2,c1)=20 (r2,c2)=10 -> e=15 each,
+    // chi2 = 4 * 25/15 = 6.6667, dof = 1
+    val rows = Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(20)(("r2", "c1")) ++ Seq.fill(10)(("r2", "c2"))
+    val df = rows.toDF("r", "c")
+    val out = Stats.chiSquareIndependence(df, col("r"), col("c")).collect().head
+    assert(out.getAs[Long]("n_cells") === 4L)
+    assert(out.getAs[Long]("dof") === 1L)
+    assert(out.getAs[Double]("chi2") === 6.6667)
+  }
+
+  test("gini: 0 for equal values, 2/3 for one-holder concentration") {
+    val eq = Seq(1.0, 1.0, 1.0).map(("g", _)).toDF("grp", "value")
+    assert(Stats.gini(eq, "grp", "value").collect().head.getAs[Double]("gini") === 0.0)
+    val conc = Seq(0.0, 0.0, 10.0).map(("g", _)).toDF("grp", "value")
+    assert(Stats.gini(conc, "grp", "value").collect().head.getAs[Double]("gini") === 0.666667)
+  }
+
+  test("cohensKappa: 1.0 on perfect agreement, 0.5 on the classic 3/4 case") {
+    val perfect = Seq(("a", "a"), ("b", "b")).toDF("actual", "pred")
+    assert(Stats.cohensKappa(perfect, "actual", "pred")
+      .collect().head.getAs[Double]("kappa") === 1.0)
+    // agree=3/4, marginals actual (2,2) pred (3,1): pe = (6+2)/16 = 0.5
+    val mixed = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "a"))
+      .toDF("actual", "pred")
+    val r = Stats.cohensKappa(mixed, "actual", "pred").collect().head
+    assert(r.getAs[Double]("po") === 0.75 && r.getAs[Double]("pe") === 0.5)
+    assert(r.getAs[Double]("kappa") === 0.5)
+  }
+
+  test("spearman: +1 on monotone, -1 on reversed, tie-robust") {
+    def mk(y: Seq[Double]) = y.zipWithIndex
+      .map { case (yv, i) => ("g", (i + 1).toDouble, yv) }.toDF("grp", "x", "y")
+    assert(Stats.spearman(mk(Seq(10, 20, 30, 40)), "grp", "x", "y")
+      .collect().head.getAs[Double]("rho") === 1.0)
+    assert(Stats.spearman(mk(Seq(40, 30, 20, 10)), "grp", "x", "y")
+      .collect().head.getAs[Double]("rho") === -1.0)
+    // y ties: ranks (1, 2.5, 2.5, 4) vs x (1,2,3,4) -> rho = 0.9487 (4dp)
+    val rho = Stats.spearman(mk(Seq(10, 20, 20, 30)), "grp", "x", "y")
+      .collect().head.getAs[Double]("rho")
+    assert(math.abs(rho - 0.948683) < 1e-6, rho.toString)
+  }
+
+  test("mannKendall: monotone series maxes S; constant series zeroes out") {
+    def mk(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (m, d) => ("g", d, m) }.toDF("grp", "d", "m")
+    val up = Stats.mannKendall(mk(Seq(1, 2, 3, 4, 5)), "grp", "d", "m").collect().head
+    assert(up.getAs[Long]("s_stat") === 10L) // all 10 pairs concordant
+    assert(up.getAs[Double]("var_s") === 16.666667) // 5*4*15/18
+    assert(up.getAs[Double]("z_mk") === 2.2045) // 9/sqrt(var)
+    val flat = Stats.mannKendall(mk(Seq(3, 3, 3, 3)), "grp", "d", "m").collect().head
+    assert(flat.getAs[Long]("s_stat") === 0L)
+    assert(flat.getAs[Double]("var_s") === 0.0) // tie correction cancels all
+    assert(flat.getAs[Double]("z_mk") === 0.0)
+  }
+
+  test("theilSen: exact slope on linear data, middle-rank median on even pairs") {
+    def mk(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (m, d) => ("g", d, m) }.toDF("grp", "d", "m")
+    val lin = Stats.theilSen(mk(Seq(0, 2, 4, 6)), "grp", "d", "m").collect().head
+    assert(lin.getAs[Long]("n_pairs") === 6L)
+    assert(lin.getAs[Double]("ts_slope") === 2.0)
+    // m = d^2 -> slopes [1,2,3,3,4,5]; middle ranks 3,4 -> (3+3)/2 = 3
+    val quad = Stats.theilSen(mk(Seq(0, 1, 4, 9)), "grp", "d", "m").collect().head
+    assert(quad.getAs[Double]("ts_slope") === 3.0)
+  }
+
+  test("adamicAdar scores the open wedge and drops adjacent pairs") {
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Graph.adamicAdar(path).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("id_a") === 1L && r.getAs[Long]("id_b") === 3L)
+    assert(r.getAs[Long]("n_common") === 1L)
+    assert(r.getAs[Double]("aa_score") === 1.442695) // 1/ln(2)
+    // a closed triangle has no non-adjacent pair -> empty
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    assert(Graph.adamicAdar(tri).isEmpty)
+  }
+}

@@ -36,6 +36,18 @@ class StreamOpsSpec extends SparkSpecBase {
     spark.table(name)
   }
 
+  test("streaming A/B Welch moments: stream equals batch on closed windows") {
+    val streamed = runToMemory(
+      StreamOps.abTestStream(eventStream, "ts", "1 hour", "1 day"), "s_abtest", "append")
+    val batch = StreamOps.abTestStream(Tables.events(spark, sf0001), "ts", "1 hour", "1 day")
+    val emitted = streamed.select("w_start").distinct().collect().map(_.get(0)).toSet
+    assert(emitted.nonEmpty, "watermark never closed any window")
+    val b = batch.filter(col("w_start").isInCollection(emitted))
+      .orderBy("w_start", "event_type").collect().toSeq
+    val s = streamed.orderBy("w_start", "event_type").collect().toSeq
+    assert(s === b)
+  }
+
   test("watermarked tumbling agg: stream equals batch") {
     val streamed = runToMemory(
       StreamOps.tumblingAgg(eventStream, "ts", "1 hour", "1 day"), "s_tumbling", "append")
