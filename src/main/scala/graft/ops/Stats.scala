@@ -210,8 +210,12 @@ object Stats {
 
   /** Spearman rank correlation per group between two numeric columns,
     * exactly: double-ranks 2*avg_rank = 2*min_rank + tie_count - 1 are
-    * integers, so every power sum is an exact long and the correlation is
-    * a single double expression over longs (the q_auc rank-sum trick). */
+    * integers, so every power sum is exact (the q_auc rank-sum trick).
+    * The sums are DECIMAL(38,0), not long — n*sum(r²) grows ~n⁴ and blows
+    * Int64 past ~200k rows per group (the sf1x probe caught exactly
+    * this); decimal128 holds to n ≈ 5e9 per group. DuckDB's SUM is
+    * already HUGEINT, so the oracle just skips the BIGINT narrowing and
+    * casts the final exact integers to double. */
   def spearman(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
     def rank2(c: String) =
       lit(2L) * rank().over(Window.partitionBy(groupCol).orderBy(c)) +
@@ -219,10 +223,10 @@ object Stats {
     val r = df.withColumn("rx", rank2(xCol)).withColumn("ry", rank2(yCol))
     val g = r.groupBy(groupCol).agg(
       count(lit(1)).as("n"),
-      sum("rx").as("sx"), sum("ry").as("sy"),
-      sum(col("rx") * col("rx")).as("sxx"),
-      sum(col("ry") * col("ry")).as("syy"),
-      sum(col("rx") * col("ry")).as("sxy"))
+      sum(dec(col("rx"), 19, 0)).as("sx"), sum(dec(col("ry"), 19, 0)).as("sy"),
+      sum(dec(col("rx"), 19, 0) * dec(col("rx"), 19, 0)).as("sxx"),
+      sum(dec(col("ry"), 19, 0) * dec(col("ry"), 19, 0)).as("syy"),
+      sum(dec(col("rx"), 19, 0) * dec(col("ry"), 19, 0)).as("sxy"))
     g.select(col(groupCol), col("n"),
       round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
         / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
@@ -265,6 +269,49 @@ object Stats {
         round(when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sqrt(varS))
           .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sqrt(varS))
           .otherwise(0.0), 4).as("z_mk"))
+  }
+
+  /** Bradley-Terry arena ranking over pairwise match outcomes — the
+    * model-eval "arena" fit: strengths s_i with P(i beats j) =
+    * s_i/(s_i+s_j), estimated by `rounds` unrolled Zermelo/MM updates
+    * s_i' = W_i / sum_j n_ij/(s_i+s_j), renormalized to mean 1e6 each
+    * round. Everything runs in FIXED-POINT integer micro-units with
+    * truncating division (all operands positive, so Spark-trunc and
+    * DuckDB-floor agree) — the q_pagerank determinism contract, so an
+    * unrolled-CTE oracle matches bit-for-bit. Input matches (p_a, p_b,
+    * w_a, w_b) get add-one smoothing per direction, which keeps every
+    * W_i > 0 and every denominator positive (no zero divisor under ANSI).
+    * The per-round state is one row per player; matches are
+    * players²-bounded, never corpus-bounded (the corpus collapses to the
+    * win matrix in one partial-agg pass). */
+  def bradleyTerry(matches: DataFrame, rounds: Int): DataFrame = {
+    val Unit6 = 1000000L
+    val Unit12 = 1000000000000L
+    val sm = matches.select(col("p_a").as("i"), col("p_b").as("j"),
+      (col("w_a") + 1).as("wij"), (col("w_b") + 1).as("wji"))
+    val dir = sm.select(col("i"), col("j"), col("wij").as("w"),
+        (col("wij") + col("wji")).as("n"))
+      .union(sm.select(col("j").as("i"), col("i").as("j"), col("wji").as("w"),
+        (col("wij") + col("wji")).as("n")))
+    val wTot = dir.groupBy("i").agg(sum("w").as("wi"), sum("n").as("games"))
+    val nTab = dir.select("i", "j", "n")
+    val all = Window.partitionBy(lit(1))
+    var s = wTot.select(col("i"), lit(Unit6).as("s"))
+    for (_ <- 1 to rounds) {
+      val den = nTab
+        .join(s.select(col("i"), col("s").as("si")), "i")
+        .join(s.select(col("i").as("j"), col("s").as("sj")), "j")
+        .groupBy("i")
+        .agg(sum(call_function("div", col("n") * Unit12, col("si") + col("sj"))).as("den"))
+      val raw = wTot.join(den, "i")
+        .select(col("i"), call_function("div", col("wi") * Unit12, col("den")).as("sr"))
+      s = raw.select(col("i"),
+        call_function("div",
+          col("sr") * (count(lit(1)).over(all) * Unit6), sum("sr").over(all)).as("s"))
+    }
+    wTot.join(s, "i")
+      .select(col("i").as("player"), col("games"), col("wi").as("wins_smoothed"),
+        col("s").as("bt_micro"))
   }
 
   /** Theil-Sen robust trend slope per group: the median of all pairwise

@@ -257,6 +257,53 @@ object StatsQueries {
          |FROM g ORDER BY shard""".stripMargin,
       doc = "rows + skew ratio per portable-hash shard (partition balance)"),
 
+    // Bradley-Terry arena ranking: event types as "players", one match
+    // per user per type pair (winner = the user's larger exact total
+    // value), 3 Zermelo/MM fixed-point rounds in integer micro-units —
+    // the chatbot-arena-style pairwise-preference fit. The corpus
+    // collapses to a players²-bounded win matrix in one partial-agg pass.
+    "q_bt_arena" -> QueryDef.sql(
+      (s, dir) => {
+        val ut = Tables.events(s, dir).groupBy(col("user_id"), col("event_type"))
+          .agg((round(sum(dec(col("value"), 12, 6)), 6) * 1000000).cast("long").as("v"))
+        val matches = ut.select(col("user_id"), col("event_type").as("p_a"), col("v").as("va"))
+          .join(ut.select(col("user_id"), col("event_type").as("p_b"), col("v").as("vb")),
+            Seq("user_id"))
+          .filter(col("p_a") < col("p_b"))
+          .groupBy("p_a", "p_b").agg(
+            sum(when(col("va") > col("vb"), 1L).otherwise(0L)).as("w_a"),
+            sum(when(col("vb") > col("va"), 1L).otherwise(0L)).as("w_b"))
+        Stats.bradleyTerry(matches, rounds = 3).orderBy("player")
+      },
+      {
+        val roundCtes = (1 to 3).map { r =>
+          s"""d$r AS (SELECT dir.i, CAST(SUM((n*1000000000000)//(si.s+sj.s)) AS BIGINT) AS den
+             |       FROM dir JOIN s${r - 1} si ON si.i = dir.i
+             |                JOIN s${r - 1} sj ON sj.i = dir.j GROUP BY 1),
+             |r$r AS (SELECT wt.i, (wi*1000000000000)//den AS sr FROM wt JOIN d$r ON d$r.i = wt.i),
+             |s$r AS (SELECT i, (sr*(COUNT(*) OVER ()*1000000))//(SUM(sr) OVER ()) AS s FROM r$r)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH ut AS (SELECT user_id, event_type,
+           |        CAST(ROUND(SUM(CAST(value AS DECIMAL(12,6))), 6)*1000000 AS BIGINT) AS v
+           |      FROM events GROUP BY 1, 2),
+           |m AS (SELECT a.event_type AS pa, b.event_type AS pb,
+           |        CAST(SUM(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+           |        CAST(SUM(CASE WHEN b.v > a.v THEN 1 ELSE 0 END) AS BIGINT) AS wb
+           |      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+           |      GROUP BY 1, 2),
+           |dir AS (SELECT pa AS i, pb AS j, wa+1 AS w, wa+wb+2 AS n FROM m
+           |        UNION ALL SELECT pb, pa, wb+1, wa+wb+2 FROM m),
+           |wt AS (SELECT i, CAST(SUM(w) AS BIGINT) AS wi, CAST(SUM(n) AS BIGINT) AS games
+           |       FROM dir GROUP BY 1),
+           |s0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM wt),
+           |$roundCtes
+           |SELECT wt.i AS player, games, wi AS wins_smoothed, CAST(s3.s AS BIGINT) AS bt_micro
+           |FROM wt JOIN s3 ON s3.i = wt.i ORDER BY player""".stripMargin
+      },
+      doc = "Bradley-Terry arena strengths over per-user pairwise value " +
+        "matchups (3 integer fixed-point MM rounds, add-one smoothed)"),
+
     // Mann-Kendall trend test per event_type over the daily-mean series:
     // exact integer S and tie-corrected variance, continuity-corrected z.
     // Pair volume is days^2 per type — bounded by the time range, not by
@@ -327,9 +374,8 @@ object StatsQueries {
         |          + COUNT(*) OVER (PARTITION BY event_type, kv) - 1 AS ry
         |      FROM b),
         |g AS (SELECT event_type, COUNT(*) AS n,
-        |        CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
-        |        CAST(SUM(rx*rx) AS BIGINT) AS sxx, CAST(SUM(ry*ry) AS BIGINT) AS syy,
-        |        CAST(SUM(rx*ry) AS BIGINT) AS sxy
+        |        SUM(rx) AS sx, SUM(ry) AS sy,
+        |        SUM(rx*rx) AS sxx, SUM(ry*ry) AS syy, SUM(rx*ry) AS sxy
         |      FROM r GROUP BY 1)
         |SELECT event_type, n,
         |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE)

@@ -156,6 +156,25 @@ class StatsSpec extends SparkSpecBase {
     assert(quad.getAs[Double]("ts_slope") === 3.0)
   }
 
+  test("bradleyTerry: 4:1 smoothed wins hit the exact 1.6e6/0.4e6 fixed point") {
+    // w_a=3, w_b=0 -> smoothed 4:1; MLE ratio 4 with mean 1e6 is exactly
+    // (1.6e6, 0.4e6), reached after one round and stable thereafter
+    val m = Seq(("A", "B", 3L, 0L)).toDF("p_a", "p_b", "w_a", "w_b")
+    val out = Stats.bradleyTerry(m, rounds = 3).orderBy("player").collect()
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("bt_micro"))).toSeq ===
+      Seq(("A", 1600000L), ("B", 400000L)))
+    // symmetric record -> both stay at exactly the 1e6 mean
+    val even = Seq(("A", "B", 2L, 2L)).toDF("p_a", "p_b", "w_a", "w_b")
+    assert(Stats.bradleyTerry(even, rounds = 3).collect()
+      .map(_.getAs[Long]("bt_micro")).toSeq === Seq(1000000L, 1000000L))
+    // transitive 3-player arena ranks A > B > C
+    val tri = Seq(("A", "B", 8L, 2L), ("B", "C", 8L, 2L), ("A", "C", 9L, 1L))
+      .toDF("p_a", "p_b", "w_a", "w_b")
+    val s = Stats.bradleyTerry(tri, rounds = 3).orderBy("player").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("bt_micro")).toMap
+    assert(s("A") > s("B") && s("B") > s("C"), s.toString)
+  }
+
   test("adamicAdar scores the open wedge and drops adjacent pairs") {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val out = Graph.adamicAdar(path).collect()
