@@ -323,6 +323,43 @@ object StreamOps {
       }
   }
 
+  /** Per-user sequence cursor for [[markovStream]]: the last event seen —
+    * three primitive fields per key forever (public, collection-free per
+    * the janino state-store rules). */
+  final case class LastEvent(tsMicros: Long, eventId: Long, cur: String)
+  final case class TransitionHop(user_id: Long, cur: String, nxt: String)
+
+  /** Streaming twin of [[graft.ops.Stats.markovTransitions]]: emit one
+    * (cur, nxt) hop per consecutive event pair per user, with the chain
+    * threaded across micro-batches by a 3-field per-key cursor. Rows
+    * inside a batch are ordered by (ts, event_id) — the batch operator's
+    * order — so stream==batch holds whenever per-key arrival respects
+    * event time ACROSS batches (the keyset tail's delivery order; a
+    * source that reorders across batches would hop differently, the
+    * standard arbitrary-state caveat). Downstream counts/probabilities
+    * are one groupBy over the emitted hops. */
+  def markovStream(events: DataFrame): Dataset[TransitionHop] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransitionHop]
+          sorted.foreach { e =>
+            last.foreach(l => out += TransitionHop(user, l.cur, e._4))
+            last = Some(LastEvent(e._2, e._3, e._4))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** CUSUM per-type state: the recurrence needs exactly TWO longs per key
     * forever — the upper and lower accumulators. Public primitive-only
     * case class for the janino state-store rules. */

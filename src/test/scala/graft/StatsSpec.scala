@@ -175,6 +175,47 @@ class StatsSpec extends SparkSpecBase {
     assert(s("A") > s("B") && s("B") > s("C"), s.toString)
   }
 
+  test("fixture bounds: gini/ks/spearman/kappa land in their ranges") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.get_json_object
+    val ev = Tables.events(spark, sf0001)
+    val armed = ev.withColumn("arm", Stats.hashBucket(col("user_id"), 2))
+    Stats.gini(ev, "event_type", "value").collect().foreach { r =>
+      val g = r.getAs[Double]("gini"); assert(g >= 0.0 && g < 1.0, r.toString)
+    }
+    Stats.ksTwoSample(armed, "event_type", "arm", "value").collect().foreach { r =>
+      val d = r.getAs[Double]("ks_d"); assert(d >= 0.0 && d <= 1.0, r.toString)
+    }
+    Stats.spearman(ev.select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("kv")),
+      "event_type", "value", "kv").collect().foreach { r =>
+      val rho = r.getAs[Double]("rho"); assert(rho >= -1.0 && rho <= 1.0, r.toString)
+    }
+  }
+
+  test("determinism: welch/gini/bt results are partitioning-invariant") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf0001)
+    val armed = ev.withColumn("arm", Stats.hashBucket(col("user_id"), 2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.head, df.columns.tail: _*).collect().toSeq
+    assert(rows(Stats.welchTTest(armed, "event_type", "arm", "value")) ===
+      rows(Stats.welchTTest(armed.repartition(7), "event_type", "arm", "value")))
+    assert(rows(Stats.gini(ev, "event_type", "value")) ===
+      rows(Stats.gini(ev.repartition(7), "event_type", "value")))
+  }
+
+  test("bradleyTerry preserves the normalized mass up to per-player truncation") {
+    val tri = Seq(("A", "B", 8L, 2L), ("B", "C", 8L, 2L), ("A", "C", 9L, 1L))
+      .toDF("p_a", "p_b", "w_a", "w_b")
+    val s = Stats.bradleyTerry(tri, rounds = 3).collect()
+      .map(_.getAs[Long]("bt_micro"))
+    val total = s.sum
+    // each round renormalizes to k*1e6 with a truncating div per player:
+    // total in (k*1e6 - k, k*1e6]
+    assert(total <= 3000000L && total > 3000000L - 3, s.mkString(","))
+  }
+
   test("adamicAdar scores the open wedge and drops adjacent pairs") {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val out = Graph.adamicAdar(path).collect()

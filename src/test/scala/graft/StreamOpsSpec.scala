@@ -48,6 +48,16 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(s === b)
   }
 
+  test("streaming Markov hops: per-pair counts equal the batch transition matrix") {
+    val streamed = runToMemory(
+      StreamOps.markovStream(eventStream).toDF(), "s_markov", "append")
+      .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      .orderBy("cur", "nxt").collect().toSeq
+    val batch = graft.ops.Stats.markovTransitions(Tables.events(spark, sf0001))
+      .select("cur", "nxt", "n").orderBy("cur", "nxt").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("watermarked tumbling agg: stream equals batch") {
     val streamed = runToMemory(
       StreamOps.tumblingAgg(eventStream, "ts", "1 hour", "1 day"), "s_tumbling", "append")
