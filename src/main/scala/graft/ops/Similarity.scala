@@ -632,6 +632,35 @@ object Similarity {
   /** Exact L2 top-k (squared euclidean, asc) — the ground truth PQ's ADC
     * approximates; cosine's bruteForceTopK is the wrong referee for an
     * L2 quantizer. Same broadcast-queries scan shape. */
+  /** Sum over ranks 1..k of the binary-NDCG ideal gains in micro-units —
+    * the shared denominator constant both engines receive as a literal
+    * (round(1e6/log2(i+1)), matching [[rankingMetrics]]' per-row gain). */
+  def idcgMicro(k: Int): Long =
+    (1 to k).map(i => math.round(1000000.0 / (math.log(i + 1.0) / math.log(2.0)))).sum
+
+  /** Retrieval-evaluation metrics per query: recall@k, MRR@k and binary
+    * NDCG@k of a system ranking against a relevant set. `rel` is
+    * (qid, nid); `sys` is (qid, nid, rn) with rn the 1-based system rank.
+    * DCG gains 1/log2(rn+1) are irrational, so each is rounded to integer
+    * micro-units before the exact sum (the RRF/BM25 contract — a 1-ulp
+    * libm log2 difference cannot cross the 0.5-micro rounding boundary);
+    * MRR is a 1/rank rational, identical in IEEE on both engines. Costs
+    * one equi-join + one partial-agg groupBy over <= |queries|*k rows. */
+  def rankingMetrics(rel: DataFrame, sys: DataFrame, idcg: Long): DataFrame = {
+    val s2 = sys.select(col("qid").as("s_qid"), col("nid").as("s_nid"), col("rn"))
+    rel.join(s2, rel("qid") === col("s_qid") && rel("nid") === col("s_nid"), "left_outer")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_rel"), count(col("s_nid")).as("n_hits"),
+        min("rn").as("best_rank"),
+        sum(when(col("rn").isNotNull,
+          round(lit(1000000.0) / log2(col("rn") + 1)).cast("long"))).as("dcg_micro"))
+      .select(col("qid"), col("n_rel"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_rel"), 6).as("recall"),
+        when(col("best_rank").isNull, 0.0)
+          .otherwise(round(lit(1.0) / col("best_rank"), 6)).as("mrr"),
+        round(coalesce(col("dcg_micro"), lit(0L)).cast("double") / idcg, 6).as("ndcg"))
+  }
+
   def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))

@@ -137,6 +137,62 @@ object ExtensionQueries {
        |GROUP BY bfr.qid ORDER BY bfr.qid""".stripMargin
   }
 
+  /** DuckDB reproduction of exact-ground-truth → `Similarity.ivfTopKFixed`
+    * → `Similarity.rankingMetrics`: brute-force top-k as the relevant set
+    * (the annRecallOracle ranking), the fixed-centroid IVF probe as the
+    * system ranking (the ivfFixedOracle CTEs), then per-query recall/MRR/
+    * binary-NDCG with micro-unit DCG gains and the Scala-computed IDCG
+    * literal shared by both engines. */
+  private def rankMetricsOracle(k: Int, nList: Int, nProbe: Int, dim: Int,
+                                nQueries: Int, idcgMicro: Long): String = {
+    val centRows = (0 until nList).map { c =>
+      val ctr = graft.ops.Similarity.fixedCentroid(c, dim)
+      s"($c, ${ctr.mkString("[", ",", "]")}, ${ctr.map(x => x * x).sum})"
+    }.mkString(",\n|    ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |cent(cid, cv, cc) AS (VALUES
+       |    $centRows),
+       |ca AS (SELECT vec_id, cid FROM (
+       |    SELECT n.vec_id, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        (list_inner_product(v, v) - 2.0*list_inner_product(v, cv) + cc), cid) AS rnk
+       |    FROM n CROSS JOIN cent) WHERE rnk = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < $nQueries),
+       |bfr AS (SELECT qid, nid FROM (
+       |    SELECT qid, n.vec_id AS nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+       |        ROUND(list_inner_product(qv, n.v)/(qnrm*n.nrm), 6) DESC, n.vec_id) AS rn
+       |    FROM q JOIN n ON n.vec_id <> qid) WHERE rn <= $k),
+       |pr AS (SELECT qid, cid FROM (
+       |    SELECT q.qid, cent.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        (list_inner_product(qv, qv) - 2.0*list_inner_product(qv, cv) + cc), cid) AS rnk
+       |    FROM q CROSS JOIN cent) WHERE rnk <= $nProbe),
+       |p AS (SELECT q.qid, n.vec_id AS nid,
+       |        ROUND(list_inner_product(qv, n.v)/(qnrm*n.nrm), 6) AS cos
+       |      FROM q JOIN pr ON pr.qid = q.qid
+       |            JOIN ca ON ca.cid = pr.cid
+       |            JOIN n ON n.vec_id = ca.vec_id AND n.vec_id <> q.qid),
+       |sys AS (SELECT qid, nid, rn FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
+       |    WHERE rn <= $k),
+       |j AS (SELECT bfr.qid, sys.nid AS hit, sys.rn
+       |      FROM bfr LEFT JOIN sys ON sys.qid = bfr.qid AND sys.nid = bfr.nid),
+       |m AS (SELECT qid, COUNT(*) AS n_rel, COUNT(hit) AS n_hits,
+       |        MIN(rn) AS best_rank,
+       |        CAST(SUM(CASE WHEN rn IS NOT NULL
+       |          THEN CAST(ROUND(CAST(1000000 AS DOUBLE)/log2(rn+1)) AS BIGINT) END) AS BIGINT) AS dcg_micro
+       |      FROM j GROUP BY 1)
+       |SELECT qid, n_rel, n_hits,
+       |  ROUND(CAST(n_hits AS DOUBLE)/n_rel, 6) AS recall,
+       |  CASE WHEN best_rank IS NULL THEN CAST(0 AS DOUBLE)
+       |       ELSE ROUND(CAST(1 AS DOUBLE)/best_rank, 6) END AS mrr,
+       |  ROUND(CAST(COALESCE(dcg_micro, 0) AS DOUBLE)/$idcgMicro, 6) AS ndcg
+       |FROM m ORDER BY qid""".stripMargin
+  }
+
   /** DuckDB reproduction of `Similarity.ivfTopKFixed`: centroids and their
     * squared norms embedded as literals (the norm is the Scala-computed
     * double, NOT recomputed in SQL — summation order must not differ),
@@ -1074,6 +1130,29 @@ object ExtensionQueries {
       annRecallOracle(k = 10, rowsPerBand = 2, numBands = 16, dim = 64),
       doc = "recall@10 of LSH ANN vs brute-force ground truth, per query " +
         "(measured quality metric, full oracle)"),
+
+    // Full retrieval-eval report card for the IVF ranker: recall@10,
+    // MRR@10 and binary NDCG@10 per query against the exact top-10 —
+    // the metrics a retrieval/RAG pipeline gates reranker and index
+    // changes on. Ground truth embeds the brute-force referee by
+    // definition (like q_ann_recall); the metric math is exact-integer
+    // micro-unit DCG + rational MRR, one equi-join + one partial agg
+    // over <= |queries|*k rows.
+    "q_rank_metrics" -> QueryDef.sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 20)
+        val rel = Similarity.bruteForceTopK(emb, queries, k = 10)
+          .select(col("qid"), col("nid"))
+        val sys = Similarity.ivfTopKFixed(emb, queries, k = 10)
+          .select(col("qid"), col("nid"), col("rn"))
+        Similarity.rankingMetrics(rel, sys, Similarity.idcgMicro(10))
+          .orderBy("qid")
+      },
+      rankMetricsOracle(k = 10, nList = 16, nProbe = 4, dim = 64,
+        nQueries = 20, idcgMicro = graft.ops.Similarity.idcgMicro(10)),
+      doc = "recall@10 / MRR@10 / binary NDCG@10 of the fixed-centroid IVF " +
+        "ranker vs exact top-10 ground truth, per query (full oracle)"),
 
     // Matryoshka-style dimension-truncation audit: how much of the
     // full-64-dim top-10 survives when vectors are sliced to their first

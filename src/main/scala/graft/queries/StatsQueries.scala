@@ -356,6 +356,60 @@ object StatsQueries {
       doc = "Theil-Sen robust trend slope (median pairwise slope, middle-rank " +
         "median) over daily mean value per event_type"),
 
+    // Calibration reliability diagram for a score used as a gate: bin the
+    // en-ness confidence (stopword-score ratio, an exact integer-division
+    // rational in micro-units) into deciles and compare mean confidence
+    // to observed accuracy (lang == 'en') per bin — the audit that tells
+    // you whether "keep if p > 0.8" means what it claims before a
+    // classifier filters a corpus. Per-doc confidences are exact longs,
+    // so the bin sums are order-independent.
+    "q_reliability_bins" -> QueryDef.sql(
+      (s, dir) => {
+        def score(ws: Seq[String]) =
+          graft.ops.TextOps.stopwordCount(col("text"), ws).cast("long")
+        val scored = Tables.documents(s, dir).select(
+          col("lang"), score(graft.ops.TextOps.StopwordsEn).as("en"),
+          (score(graft.ops.TextOps.StopwordsEn) + score(graft.ops.TextOps.StopwordsDe)
+            + score(graft.ops.TextOps.StopwordsFr) + score(graft.ops.TextOps.StopwordsEs))
+            .as("tot"))
+        scored.select(
+            call_function("div", col("en") * 10, col("tot") + 1).as("bin"),
+            call_function("div", col("en") * 1000000L, col("tot") + 1).as("conf_micro"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("hit"))
+          .groupBy("bin").agg(count(lit(1)).as("n_docs"),
+            sum("hit").as("n_en"), sum("conf_micro").as("s_conf"))
+          .select(col("bin"), col("n_docs"),
+            round(col("s_conf").cast("double") / (col("n_docs") * lit(1000000.0)), 6).as("conf"),
+            round(col("n_en").cast("double") / col("n_docs"), 6).as("acc"),
+            round(abs(col("n_en").cast("double") / col("n_docs")
+              - col("s_conf").cast("double") / (col("n_docs") * lit(1000000.0))), 6).as("gap"))
+          .orderBy("bin")
+      },
+      {
+        def re(ws: Seq[String]) = "\\b(" + ws.mkString("|") + ")\\b"
+        s"""WITH sc AS (SELECT lang,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsEn)}')) AS en,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsDe)}')) AS de,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsFr)}')) AS fr,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsEs)}')) AS es
+           |      FROM documents),
+           |b AS (SELECT (en*10)//(en+de+fr+es+1) AS bin,
+           |        (en*1000000)//(en+de+fr+es+1) AS conf_micro,
+           |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS hit
+           |      FROM sc),
+           |g AS (SELECT bin, COUNT(*) AS n_docs, CAST(SUM(hit) AS BIGINT) AS n_en,
+           |        CAST(SUM(conf_micro) AS BIGINT) AS s_conf
+           |      FROM b GROUP BY 1)
+           |SELECT bin, n_docs,
+           |  ROUND(CAST(s_conf AS DOUBLE)/(n_docs * CAST(1000000 AS DOUBLE)), 6) AS conf,
+           |  ROUND(CAST(n_en AS DOUBLE)/n_docs, 6) AS acc,
+           |  ROUND(abs(CAST(n_en AS DOUBLE)/n_docs
+           |      - CAST(s_conf AS DOUBLE)/(n_docs * CAST(1000000 AS DOUBLE))), 6) AS gap
+           |FROM g ORDER BY bin""".stripMargin
+      },
+      doc = "calibration reliability bins: en-ness confidence deciles vs " +
+        "observed lang=='en' accuracy (exact micro-unit confidences)"),
+
     // Spearman rank correlation between value and the JSON k prop per
     // event_type — exact via integer double-ranks (2*avg_rank is an
     // integer even under ties), so every power sum is an exact long.

@@ -168,6 +168,9 @@ class PlanSpec extends SparkSpecBase {
       // recall is MEASURED against brute-force ground truth, so the
       // quadratic baseline is embedded by definition
       "q_ann_recall",
+      // same class: recall/MRR/NDCG grade the IVF ranker against the
+      // embedded brute-force ground truth
+      "q_rank_metrics",
       // PQ-flat is a linear scan of compressed codes BY DESIGN (PQ's win is
       // the 32-64x smaller working set, not sub-linearity); the learned
       // report also embeds the exact-L2 ground truth. The sub-linear

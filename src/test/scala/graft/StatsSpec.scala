@@ -216,6 +216,32 @@ class StatsSpec extends SparkSpecBase {
     assert(total <= 3000000L && total > 3000000L - 3, s.mkString(","))
   }
 
+  test("rankingMetrics: perfect, disjoint, and single-hit rankings") {
+    import graft.ops.Similarity
+    val idcg = Similarity.idcgMicro(3)
+    val rel = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("qid", "nid")
+    def sys(rows: (Long, Long, Long)*) = rows.toSeq.toDF("qid", "nid", "rn")
+    // system == ideal: every metric is exactly 1
+    val perfect = Similarity.rankingMetrics(rel,
+      sys((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)), idcg).collect().head
+    assert(perfect.getAs[Double]("recall") === 1.0)
+    assert(perfect.getAs[Double]("mrr") === 1.0)
+    assert(perfect.getAs[Double]("ndcg") === 1.0)
+    // disjoint system: all zeros (MRR's no-hit branch)
+    val miss = Similarity.rankingMetrics(rel,
+      sys((1L, 90L, 1L), (1L, 91L, 2L), (1L, 92L, 3L)), idcg).collect().head
+    assert(miss.getAs[Double]("recall") === 0.0)
+    assert(miss.getAs[Double]("mrr") === 0.0)
+    assert(miss.getAs[Double]("ndcg") === 0.0)
+    // one relevant doc at system rank 2: mrr = 1/2, dcg = gain(2) = 630930
+    val one = Similarity.rankingMetrics(rel,
+      sys((1L, 90L, 1L), (1L, 11L, 2L), (1L, 91L, 3L)), idcg).collect().head
+    assert(one.getAs[Double]("mrr") === 0.5)
+    val expNdcg = BigDecimal(630930.0 / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(one.getAs[Double]("ndcg") === expNdcg)
+  }
+
   test("adamicAdar scores the open wedge and drops adjacent pairs") {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val out = Graph.adamicAdar(path).collect()
