@@ -40,6 +40,24 @@ object StatsQueries {
       |            CAST(ROUND(SUM(CAST(value AS DECIMAL(12,6))), 6) AS DOUBLE)/COUNT(*) AS m
       |          FROM events GROUP BY 1, 2)""".stripMargin
 
+  /** Daily mean in truncating integer MICRO-units — the correlation /
+    * forecast-error queries need per-day values whose power sums are
+    * exact longs, not doubles. */
+  private def dailyMicro(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        (datediff(to_date(col("ts")), to_date(lit("2024-01-01")))).as("d"))
+      .agg(call_function("div",
+        (round(sum(dec(col("value"), 12, 6)), 6) * 1000000).cast("long"),
+        count(lit(1))).as("mm"))
+
+  private val DailyMicroSqlFragment =
+    """daily AS (SELECT event_type,
+      |            datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+      |            CAST(ROUND(SUM(CAST(value AS DECIMAL(12,6))), 6)*1000000 AS BIGINT)
+      |              // COUNT(*) AS mm
+      |          FROM events GROUP BY 1, 2)""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     // Welch's unequal-variance t-test per event_type between two
@@ -409,6 +427,94 @@ object StatsQueries {
       },
       doc = "calibration reliability bins: en-ness confidence deciles vs " +
         "observed lang=='en' accuracy (exact micro-unit confidences)"),
+
+    // Lead-lag cross-correlation: Pearson between the 'view' daily-mean
+    // series and the 'purchase' series shifted by 0..7 days — the "does
+    // engagement lead conversion, and by how much" diagnostic. Daily
+    // means in truncating micro-units make every power sum exact (decimal
+    // products per the spearman n^4 lesson); the positivity guard
+    // compares integer variances, so no division can see a zero.
+    "q_lead_lag_xcorr" -> QueryDef.sql(
+      (s, dir) => {
+        val d = dailyMicro(s, dir)
+        val x = d.filter(col("event_type") === "view").select(col("d"), col("mm").as("x"))
+        val y = d.filter(col("event_type") === "purchase")
+          .select(col("d").as("dy"), col("mm").as("y"))
+        val g = x.withColumn("lag", explode(sequence(lit(0), lit(7))))
+          .join(y, col("dy") === col("d") + col("lag"))
+          .groupBy("lag").agg(
+            count(lit(1)).as("n_days"),
+            sum(dec(col("x"), 19, 0)).as("sx"), sum(dec(col("y"), 19, 0)).as("sy"),
+            sum(dec(col("x"), 19, 0) * dec(col("x"), 19, 0)).as("sxx"),
+            sum(dec(col("y"), 19, 0) * dec(col("y"), 19, 0)).as("syy"),
+            sum(dec(col("x"), 19, 0) * dec(col("y"), 19, 0)).as("sxy"))
+        val vx = col("n_days") * col("sxx") - col("sx") * col("sx")
+        val vy = col("n_days") * col("syy") - col("sy") * col("sy")
+        g.select(col("lag").cast("long").as("lag"), col("n_days"),
+            when(vx > 0 && vy > 0,
+              round((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6)).as("r"))
+          .orderBy("lag")
+      },
+      s"""WITH $DailyMicroSqlFragment,
+         |x AS (SELECT d, mm AS x FROM daily WHERE event_type = 'view'),
+         |y AS (SELECT d AS dy, mm AS y FROM daily WHERE event_type = 'purchase'),
+         |p AS (SELECT l.lag, x.x, y.y
+         |      FROM x CROSS JOIN (SELECT unnest(range(0, 8)) AS lag) l
+         |      JOIN y ON y.dy = x.d + l.lag),
+         |g AS (SELECT lag, COUNT(*) AS n_days, SUM(x) AS sx, SUM(y) AS sy,
+         |        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM p GROUP BY 1)
+         |SELECT CAST(lag AS BIGINT) AS lag, n_days,
+         |  CASE WHEN n_days*sxx - sx*sx > 0 AND n_days*syy - sy*sy > 0 THEN
+         |    ROUND(CAST(n_days*sxy - sx*sy AS DOUBLE)
+         |      / (sqrt(CAST(n_days*sxx - sx*sx AS DOUBLE))
+         |       * sqrt(CAST(n_days*syy - sy*sy AS DOUBLE))), 6)
+         |  END AS r
+         |FROM g ORDER BY lag""".stripMargin,
+      doc = "lead-lag Pearson cross-correlation (view leads purchase, lags " +
+        "0-7 days) over exact micro-unit daily means"),
+
+    // Seasonal-naive forecast skill: MAE of the 7-day-ago forecast vs the
+    // 1-day-ago persistence baseline, and their ratio (MASE-style) — the
+    // "is there real weekly structure worth modeling" gate. Micro-unit
+    // absolute errors sum exactly; the MASE guard is an integer
+    // comparison so the ratio never divides by zero.
+    "q_forecast_mase" -> QueryDef.sql(
+      (s, dir) => {
+        val d = dailyMicro(s, dir)
+        val g = d
+          .join(d.select(col("event_type"), (col("d") + 1).as("d"), col("mm").as("m1")),
+            Seq("event_type", "d"))
+          .join(d.select(col("event_type"), (col("d") + 7).as("d"), col("mm").as("m7")),
+            Seq("event_type", "d"))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n_scored"),
+            sum(abs(col("mm") - col("m7"))).as("ae7"),
+            sum(abs(col("mm") - col("m1"))).as("ae1"))
+        g.select(col("event_type"), col("n_scored"),
+            round(col("ae7").cast("double") / (col("n_scored") * lit(1000000.0)), 6)
+              .as("mae_seasonal"),
+            round(col("ae1").cast("double") / (col("n_scored") * lit(1000000.0)), 6)
+              .as("mae_naive"),
+            when(col("ae1") > 0,
+              round(col("ae7").cast("double") / col("ae1"), 6)).as("mase"))
+          .orderBy("event_type")
+      },
+      s"""WITH $DailyMicroSqlFragment,
+         |j AS (SELECT c.event_type, c.mm, p1.mm AS m1, p7.mm AS m7
+         |      FROM daily c
+         |      JOIN daily p1 ON p1.event_type = c.event_type AND p1.d = c.d - 1
+         |      JOIN daily p7 ON p7.event_type = c.event_type AND p7.d = c.d - 7),
+         |g AS (SELECT event_type, COUNT(*) AS n_scored,
+         |        CAST(SUM(abs(mm - m7)) AS BIGINT) AS ae7,
+         |        CAST(SUM(abs(mm - m1)) AS BIGINT) AS ae1 FROM j GROUP BY 1)
+         |SELECT event_type, n_scored,
+         |  ROUND(CAST(ae7 AS DOUBLE)/(n_scored * CAST(1000000 AS DOUBLE)), 6) AS mae_seasonal,
+         |  ROUND(CAST(ae1 AS DOUBLE)/(n_scored * CAST(1000000 AS DOUBLE)), 6) AS mae_naive,
+         |  CASE WHEN ae1 > 0 THEN ROUND(CAST(ae7 AS DOUBLE)/ae1, 6) END AS mase
+         |FROM g ORDER BY event_type""".stripMargin,
+      doc = "seasonal-naive (d-7) vs persistence (d-1) forecast MAE + " +
+        "MASE-style ratio over micro-unit daily means"),
 
     // Spearman rank correlation between value and the JSON k prop per
     // event_type — exact via integer double-ranks (2*avg_rank is an
