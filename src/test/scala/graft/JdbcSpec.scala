@@ -21,6 +21,26 @@ class JdbcSpec extends SparkSpecBase {
     val s = c.createStatement(); try s.execute(sql) finally s.close()
   }
 
+  test("idempotent upsert: replaying a batch is a no-op, changed values update in place") {
+    exec("CREATE TABLE ups_t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20), n BIGINT)")
+    import spark.implicits._
+    val b1 = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "n").repartition(2, col("id"))
+    JdbcSink.idempotentUpsert(b1, url, "ups_t", Seq("id"))
+    def snap() = spark.read.jdbc(url, "ups_t", new java.util.Properties())
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val first = snap()
+    assert(first === Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    // at-least-once replay of the SAME batch: state unchanged, no duplicates
+    JdbcSink.idempotentUpsert(b1, url, "ups_t", Seq("id"))
+    assert(snap() === first)
+    // changed values + one new key: updates in place, inserts the new key
+    val b2 = Seq((2L, "B", 21L), (4L, "d", 40L)).toDF("id", "v", "n")
+      .repartition(2, col("id"))
+    JdbcSink.idempotentUpsert(b2, url, "ups_t", Seq("id"))
+    assert(snap() === Seq((1L, "a", 10L), (2L, "B", 21L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
   test("bulk append + keyset page round-trip (in_sql.rb:129-135 / out_sql.rb:104)") {
     exec("CREATE TABLE logs (id BIGINT, message VARCHAR(200), created_at TIMESTAMP)")
     val df = Tables.events(spark, sf0001).limit(50)
