@@ -271,6 +271,65 @@ object Stats {
           .otherwise(0.0), 4).as("z_mk"))
   }
 
+  /** Poisson(1) CDF breakpoints scaled to the 32-bit hash range — the
+    * deterministic multinomial stand-in for bootstrap resampling. Shared
+    * as literals by the Spark plan and the DuckDB oracle, so "random"
+    * weights are identical on both engines by construction. */
+  private[graft] val PoissonCdf32: Seq[Long] = {
+    var cdf = 0.0
+    var term = math.exp(-1.0)
+    (0 to 7).map { k =>
+      if (k > 0) term /= k
+      cdf += term
+      math.round(cdf * 4294967296.0)
+    }
+  }
+
+  /** Deterministic Poisson bootstrap CI for the per-group mean: each of
+    * `reps` replicas reweights every row by a Poisson(1) draw derived
+    * from md5(id, replica) — the classic streaming bootstrap
+    * (resample-counts ~ Poisson(1) approximates multinomial resampling),
+    * made engine-reproducible by hashing instead of RNG. Replica means
+    * come from exact decimal weighted sums; the interval is the 2nd/31st
+    * order statistic of the 32 replica means (central 93.75% percentile
+    * interval — exact rank selection, no interpolation). Cost: one
+    * reps-fold explode into a partial-agg groupBy — a constant-factor
+    * map-side blowup, no extra shuffle rounds, so the shape survives any
+    * corpus size. */
+  def bootstrapMeanCI(df: DataFrame, groupCol: String, valueCol: String,
+                      idCol: String, reps: Int = 32): DataFrame = {
+    require(reps == 32, "rank-2/rank-31 interval is defined for 32 replicas")
+    val h = conv(col("hp"), 16, 10).cast("long")
+    val wExpr = PoissonCdf32.zipWithIndex.reverse
+      .foldLeft[Column](lit(8L)) { case (els, (c, k)) => when(h < c, k.toLong).otherwise(els) }
+    // one md5 per 4 replicas: the 128-bit digest splits into four 32-bit
+    // draws (j = digest block, hp = 8-hex word) — 4x less hashing than a
+    // digest per replica, identical split in the oracle's substr
+    val replicas = df
+      .withColumn("j", explode(sequence(lit(0), lit(reps / 4 - 1))))
+      .withColumn("hx", md5(concat(col(idCol).cast("string"), lit("_"),
+        col("j").cast("string"))))
+      .select(col(groupCol), col(valueCol), col("j"),
+        posexplode(array((0 to 3).map(k => substring(col("hx"), 1 + 8 * k, 8)): _*))
+          .as(Seq("wq", "hp")))
+      .withColumn("b", col("j") * 4 + col("wq"))
+      .withColumn("w", wExpr)
+      .groupBy(col(groupCol), col("b"))
+      .agg(sum("w").as("sw"),
+        round(sum(dec(col(valueCol), 12, 6) * col("w")), 6).cast("double").as("swx"))
+      .withColumn("mb", when(col("sw") > 0, col("swx") / col("sw")))
+    val ranked = replicas.withColumn("rn",
+      row_number().over(Window.partitionBy(groupCol).orderBy("mb", "b")))
+    val overall = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      (round(sum(dec(col(valueCol), 12, 6)), 6).cast("double") / count(lit(1))).as("est"))
+    overall.join(ranked.groupBy(groupCol).agg(
+        min(when(col("rn") === 2, col("mb"))).as("lo"),
+        min(when(col("rn") === 31, col("mb"))).as("hi")), groupCol)
+      .select(col(groupCol), col("n"), round(col("est"), 6).as("est"),
+        round(col("lo"), 6).as("ci_lo"), round(col("hi"), 6).as("ci_hi"))
+  }
+
   /** Bradley-Terry arena ranking over pairwise match outcomes — the
     * model-eval "arena" fit: strengths s_i with P(i beats j) =
     * s_i/(s_i+s_j), estimated by `rounds` unrolled Zermelo/MM updates

@@ -374,6 +374,46 @@ object StatsQueries {
       doc = "Theil-Sen robust trend slope (median pairwise slope, middle-rank " +
         "median) over daily mean value per event_type"),
 
+    // Deterministic Poisson bootstrap CI for the per-type mean value:
+    // 32 replicas reweight each row by a Poisson(1) draw derived from
+    // md5(event_id, replica) against Scala-computed CDF breakpoints both
+    // engines receive as literals — "random" resampling, bit-reproducible.
+    // Interval = 2nd/31st order statistic of the replica means (central
+    // 93.75%). One constant-factor explode into a partial agg — no extra
+    // shuffle rounds at any corpus size.
+    "q_bootstrap_ci" -> QueryDef.sql(
+      (s, dir) => Stats.bootstrapMeanCI(Tables.events(s, dir),
+          "event_type", "value", "event_id").orderBy("event_type"),
+      {
+        val caseSql = Stats.PoissonCdf32.zipWithIndex
+          .map { case (c, k) => s"WHEN h < $c THEN $k" }.mkString(" ")
+        s"""WITH r AS (SELECT event_type, value,
+           |             md5(CAST(event_id AS VARCHAR)||'_'||CAST(j AS VARCHAR)) AS hx, j
+           |           FROM events CROSS JOIN (SELECT unnest(range(0, 8)) AS j) lj),
+           |hw AS (SELECT event_type, value, b,
+           |         (CASE $caseSql ELSE 8 END) AS w
+           |       FROM (SELECT event_type, value, j*4 + wq AS b,
+           |               ('0x'||substr(hx, 1 + 8*wq, 8))::BIGINT AS h
+           |             FROM r CROSS JOIN (SELECT unnest(range(0, 4)) AS wq) lw)),
+           |g AS (SELECT event_type, b, CAST(SUM(w) AS BIGINT) AS sw,
+           |        CAST(ROUND(SUM(CAST(value AS DECIMAL(12,6)) * w), 6) AS DOUBLE) AS swx
+           |      FROM hw GROUP BY 1, 2),
+           |m AS (SELECT event_type, b, CASE WHEN sw > 0 THEN swx/sw END AS mb FROM g),
+           |rk AS (SELECT event_type, mb,
+           |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn FROM m),
+           |ci AS (SELECT event_type, MIN(CASE WHEN rn = 2 THEN mb END) AS lo,
+           |         MIN(CASE WHEN rn = 31 THEN mb END) AS hi FROM rk GROUP BY 1),
+           |o AS (SELECT event_type, COUNT(*) AS n,
+           |        CAST(ROUND(SUM(CAST(value AS DECIMAL(12,6))), 6) AS DOUBLE)/COUNT(*) AS est
+           |      FROM events GROUP BY 1)
+           |SELECT o.event_type AS event_type, n, ROUND(est, 6) AS est,
+           |  ROUND(lo, 6) AS ci_lo, ROUND(hi, 6) AS ci_hi
+           |FROM o JOIN ci ON ci.event_type = o.event_type
+           |ORDER BY o.event_type""".stripMargin
+      },
+      doc = "deterministic Poisson-bootstrap 93.75% CI for the per-type " +
+        "mean (hash-derived weights, exact decimal sums, order-statistic interval)"),
+
     // Calibration reliability diagram for a score used as a gate: bin the
     // en-ness confidence (stopword-score ratio, an exact integer-division
     // rational in micro-units) into deciles and compare mean confidence

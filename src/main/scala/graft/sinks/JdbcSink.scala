@@ -91,6 +91,22 @@ object JdbcSink {
         .foreach { case (table, dead) => onDeadLetters(table, dead) }
     }
 
+  /** Streaming form of [[idempotentUpsert]]: one keyed upsert per
+    * micro-batch via foreachBatch. With the keyset-tail source's
+    * at-least-once delivery this closes the pipeline to EFFECTIVE
+    * exactly-once end-to-end — any replayed batch (crash, offset-log
+    * rewind, even a full re-run from a fresh checkpoint) upserts the same
+    * keys to the same values. Rows are repartitioned by the key columns
+    * so no key spans two concurrent partition transactions. */
+  def upsertStream(stream: DataFrame, url: String, table: String,
+                   keyCols: Seq[String],
+                   user: String = "", password: String = "")
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      idempotentUpsert(batch.toDF().repartition(keyCols.map(col): _*),
+        url, table, keyCols, user, password)
+    }
+
   /** The reference's full chunk write path with the `enable_fallback`
     * toggle (`out_sql.rb:31, 100-113`): bulk import, and on a DETERMINISTIC
     * statement failure either degrade to the row-wise resilient path

@@ -41,6 +41,35 @@ class JdbcSpec extends SparkSpecBase {
     assert(snap() === Seq((1L, "a", 10L), (2L, "B", 21L), (3L, "c", 30L), (4L, "d", 40L)))
   }
 
+  test("streaming upsert e2e: a FULL source replay leaves the table unchanged") {
+    exec("CREATE TABLE s_ups (event_id BIGINT NOT NULL PRIMARY KEY, " +
+      "event_type VARCHAR(20), value DOUBLE)")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups_src").toString
+    Tables.events(spark, sf0001).limit(120)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    def run(): Unit = {
+      val cp = java.nio.file.Files.createTempDirectory("graft_ups_cp").toString
+      val stream = spark.readStream.format("graft.streaming.KeysetTailProvider")
+        .option("path", dir).option("updateColumn", "event_id")
+        .option("maxRowsPerBatch", "50").load()
+        .select(col("event_id"), col("event_type"), col("value"))
+      val q = JdbcSink.upsertStream(stream, url, "s_ups", Seq("event_id"))
+        .option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def snap() = spark.read.jdbc(url, "s_ups", new java.util.Properties())
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    run()
+    val first = snap()
+    assert(first.size === 120, s"expected 120 upserted rows, got ${first.size}")
+    // fresh checkpoint => the source replays EVERY batch from the start;
+    // the keyed upsert must absorb the duplicates bit-for-bit
+    run()
+    assert(snap() === first)
+  }
+
   test("bulk append + keyset page round-trip (in_sql.rb:129-135 / out_sql.rb:104)") {
     exec("CREATE TABLE logs (id BIGINT, message VARCHAR(200), created_at TIMESTAMP)")
     val df = Tables.events(spark, sf0001).limit(50)

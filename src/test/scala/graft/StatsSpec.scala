@@ -216,6 +216,24 @@ class StatsSpec extends SparkSpecBase {
     assert(total <= 3000000L && total > 3000000L - 3, s.mkString(","))
   }
 
+  test("bootstrapMeanCI: degenerate on constants, ordered interval on real data") {
+    // constant column: every replica mean is the constant, so the interval
+    // collapses to a point equal to the estimate
+    val const = (1L to 200L).map(i => ("g", i, 7.5)).toDF("grp", "id", "v")
+    val c = graft.ops.Stats.bootstrapMeanCI(const, "grp", "v", "id").collect().head
+    assert(c.getAs[Double]("est") === 7.5)
+    assert(c.getAs[Double]("ci_lo") === 7.5 && c.getAs[Double]("ci_hi") === 7.5)
+    // fixture: interval is ordered and brackets the estimate
+    import graft.sources.Tables
+    graft.ops.Stats.bootstrapMeanCI(Tables.events(spark, sf0001),
+      "event_type", "value", "event_id").collect().foreach { r =>
+      val (lo, est, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("est"),
+        r.getAs[Double]("ci_hi"))
+      assert(lo <= hi, r.toString)
+      assert(lo <= est && est <= hi, r.toString)
+    }
+  }
+
   test("rankingMetrics: perfect, disjoint, and single-hit rankings") {
     import graft.ops.Similarity
     val idcg = Similarity.idcgMicro(3)
