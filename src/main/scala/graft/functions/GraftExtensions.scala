@@ -85,5 +85,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // node (graft.plans.CollapseRegexpReplaceChains)
     ext.injectOptimizerRule(_ => graft.plans.ContainsMatchRewrite)
     ext.injectOptimizerRule(_ => graft.plans.CollapseRegexpReplaceChains)
+    // planner surface: the native whole-operator as-of join
+    // (graft.plans.AsOfJoinPlan -> AsOfJoinExec single-pass merge)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

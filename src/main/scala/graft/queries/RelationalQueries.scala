@@ -547,6 +547,33 @@ object RelationalQueries {
         |ORDER BY event_id""".stripMargin,
       doc = "as-of join via union + window carry-forward (single shuffle)"),
 
+    // The same as-of semantics through the native whole-operator path:
+    // AsOfJoinPlan -> AsOfJoinStrategy -> AsOfJoinExec, a single-pass
+    // sort-merge holding ONE buffered right row per partition — no union
+    // row-widening, no window buffer. Equivalence to the window plan is
+    // spec-proven (AsOfJoinNativeSpec); here it faces the DuckDB ASOF
+    // oracle directly.
+    "q_asof_join_native" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val ord = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("asof_orderkey"))
+        graft.plans.AsOfJoinNative.asofJoin(ev, ord,
+            leftOn = "user_id", rightOn = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            payload = Seq("asof_orderkey"))
+          .orderBy("event_id")
+      },
+      """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+        |           FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT e.event_id, e.user_id, e.ts, o.asof_orderkey
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY event_id""".stripMargin,
+      doc = "as-of join via the native AsOfJoinExec physical operator " +
+        "(custom LogicalPlan + Strategy + single-pass merge SparkPlan)"),
+
     "q_rollup" -> QueryDef.sql(
       (s, dir) => Tables.orders(s, dir)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
