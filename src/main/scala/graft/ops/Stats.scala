@@ -271,6 +271,92 @@ object Stats {
           .otherwise(0.0), 4).as("z_mk"))
   }
 
+  /** Split-conformal prediction interval + empirical coverage audit — the
+    * distribution-free calibration check for any per-group predictor
+    * (Vovk et al.; Angelopoulos & Bates 2022 tutorial form). The portable
+    * md5 bucket splits rows into a calibration arm (0) and a test arm
+    * (1); the predictor is the calibration mean (exact decimal sum);
+    * nonconformity is |value − mean|; q̂ is the ⌈(n_cal+1)(1−α)⌉-th order
+    * statistic of calibration scores (α = 1/alphaDenom); coverage is the
+    * fraction of TEST scores ≤ q̂ in truncating integer micro-units —
+    * finite-sample guaranteed ≥ 1−α in expectation, and this query is
+    * the audit that it holds on real data.
+    *
+    * Scale shape: the order statistic is selected over the per-(group,
+    * score) BUCKET table (one partial-agg groupBy, then a window over
+    * distinct scores only — never a row-level per-group sort), the same
+    * bounded-bucket prefix-sum selection q_auc uses; means and coverage
+    * are plain partial-agg groupBys; the ≤#groups-row q̂ table rides a
+    * broadcast join. Every comparison is between doubles both engines
+    * computed identically (exact decimal mean, native abs/subtract). */
+  def splitConformal(df: DataFrame, groupCol: String, valueCol: String,
+                     idCol: String, alphaDenom: Int = 10): DataFrame = {
+    require(alphaDenom >= 2, s"alphaDenom must be >= 2, got $alphaDenom")
+    val armed = df.withColumn("__arm", hashBucket(col(idCol), 2))
+    val mu = armed.filter(col("__arm") === 0).groupBy(groupCol)
+      .agg((round(sum(dec(col(valueCol), 12, 6)), 6).cast("double")
+        / count(lit(1))).as("mu"), count(lit(1)).as("n_cal"))
+    val scored = armed.join(broadcast(mu), Seq(groupCol))
+      .withColumn("__s", abs(col(valueCol) - col("mu")))
+    // k-th smallest calibration score via cumulative counts over the
+    // distinct-score bucket table; k = ceil((n_cal+1)(1-1/aD))
+    val aD = alphaDenom.toLong
+    val k = call_function("div",
+      (col("n_cal") + 1L) * (aD - 1L) + (aD - 1L), lit(aD))
+    val wcum = Window.partitionBy(groupCol).orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = scored.filter(col("__arm") === 0)
+      .groupBy(col(groupCol), col("__s"))
+      .agg(count(lit(1)).as("c"), min("n_cal").as("n_cal"))
+      .withColumn("cum", sum("c").over(wcum))
+      .filter(col("cum") >= k)
+      .groupBy(groupCol).agg(min("__s").as("qh"), min("n_cal").as("n_cal"))
+    scored.filter(col("__arm") === 1).drop("n_cal")
+      .join(broadcast(qhat), Seq(groupCol))
+      .groupBy(groupCol).agg(
+        min("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        count(when(col("__s") <= col("qh"), 1)).as("n_in"),
+        min("qh").as("qh"))
+      .select(col(groupCol), col("n_cal"), col("n_test"),
+        round(col("qh"), 6).as("qhat"),
+        call_function("div", col("n_in") * 1000000L, col("n_test")).as("cov_micro"))
+  }
+
+  /** Truncated two-sided-geometric (discrete Laplace) CDF breakpoints for
+    * ε = 1/2, support −8..8, scaled to the 16-bit hash range — pmf(k) ∝
+    * exp(−ε|k|), the discrete mechanism DP count releases use. Literals
+    * shared by the Spark plan and the DuckDB oracle, so both engines draw
+    * the identical noise for the same group key. */
+  private[graft] val DiscreteLaplaceCdf16: Seq[(Long, Int)] = {
+    val eps = 0.5
+    val ws = (-8 to 8).map(k => math.exp(-eps * math.abs(k)))
+    val total = ws.sum
+    var cdf = 0.0
+    (-8 to 8).zip(ws).map { case (k, w) =>
+      cdf += w / total
+      (math.min(math.round(cdf * 65536.0), 65536L), k)
+    }
+  }
+
+  /** Reproducible discrete-Laplace noisy counts per group — the shape of
+    * an (ε = 0.5, sensitivity 1) differentially-private count release,
+    * with the noise draw derived from md5(group key) instead of a CSPRNG
+    * so the release is bit-identical across engines and runs. NOT a
+    * privacy guarantee as written (deterministic noise is inspectable);
+    * swap [[hashBucket]]'s digest for a real random draw to make it one —
+    * the mechanism, truncation bound, and calibration are the production
+    * ones. One partial-agg groupBy; noise is a literal CDF CASE ladder. */
+  def dpNoisyCounts(df: DataFrame, groupCol: String): DataFrame = {
+    val h = conv(substring(md5(concat(col(groupCol).cast("string"),
+      lit("_dp"))), 1, 4), 16, 10).cast("long")
+    val noise = DiscreteLaplaceCdf16.init.reverse
+      .foldLeft[Column](lit(8)) { case (els, (c, k)) => when(h < c, k).otherwise(els) }
+    df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .withColumn("noise", noise.cast("long"))
+      .select(col(groupCol), col("n"), col("noise"),
+        greatest(col("n") + col("noise"), lit(0L)).as("n_noisy"))
+  }
+
   /** Poisson(1) CDF breakpoints scaled to the 32-bit hash range — the
     * deterministic multinomial stand-in for bootstrap resampling. Shared
     * as literals by the Spark plan and the DuckDB oracle, so "random"

@@ -414,6 +414,63 @@ object StatsQueries {
       doc = "deterministic Poisson-bootstrap 93.75% CI for the per-type " +
         "mean (hash-derived weights, exact decimal sums, order-statistic interval)"),
 
+    // Split-conformal calibration audit: hash-split cal/test arms, exact
+    // calibration mean predictor, q̂ = ceil((n_cal+1)·0.9)-th order
+    // statistic of |value−mean| selected over the distinct-score bucket
+    // table (no row-level per-group sort), empirical test coverage in
+    // integer micro-units — the distribution-free ≥90% guarantee, audited.
+    "q_conformal" -> QueryDef.sql(
+      (s, dir) => Stats.splitConformal(Tables.events(s, dir),
+          "event_type", "value", "event_id").orderBy("event_type"),
+      s"""WITH a AS (SELECT event_type, value,
+         |             ${armSql("event_id", 2)} AS arm FROM events),
+         |mu AS (SELECT event_type,
+         |         CAST(ROUND(SUM(CAST(value AS DECIMAL(12,6))),6) AS DOUBLE)/COUNT(*) AS mu,
+         |         CAST(COUNT(*) AS BIGINT) AS n_cal
+         |       FROM a WHERE arm = 0 GROUP BY 1),
+         |s AS (SELECT a.event_type, arm, abs(value - mu) AS sc, n_cal
+         |      FROM a JOIN mu ON a.event_type = mu.event_type),
+         |cb AS (SELECT event_type, sc, MIN(n_cal) AS n_cal, COUNT(*) AS c
+         |       FROM s WHERE arm = 0 GROUP BY 1, 2),
+         |cc AS (SELECT event_type, sc, n_cal,
+         |         SUM(c) OVER (PARTITION BY event_type ORDER BY sc
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cb),
+         |q AS (SELECT event_type, MIN(sc) AS qh, MIN(n_cal) AS n_cal FROM cc
+         |      WHERE cum >= ((n_cal + 1) * 9 + 9) // 10 GROUP BY 1),
+         |t AS (SELECT s.event_type, MIN(q.n_cal) AS n_cal,
+         |        CAST(COUNT(*) AS BIGINT) AS n_test,
+         |        CAST(COUNT(CASE WHEN s.sc <= q.qh THEN 1 END) AS BIGINT) AS n_in,
+         |        MIN(q.qh) AS qh
+         |      FROM s JOIN q ON s.event_type = q.event_type
+         |      WHERE arm = 1 GROUP BY 1)
+         |SELECT event_type, n_cal, n_test, ROUND(qh, 6) AS qhat,
+         |  (n_in * 1000000) // n_test AS cov_micro
+         |FROM t ORDER BY event_type""".stripMargin,
+      doc = "split-conformal prediction interval (q-hat via bucket-table " +
+        "order statistic) + empirical coverage audit per event_type"),
+
+    // Reproducible discrete-Laplace (two-sided geometric, eps=0.5) noisy
+    // counts — the DP count-release mechanism with a hash-seeded draw so
+    // both engines add identical noise. CDF breakpoints are Scala-computed
+    // literals (the q_bootstrap_ci idiom).
+    "q_dp_counts" -> QueryDef.sql(
+      (s, dir) => Stats.dpNoisyCounts(Tables.events(s, dir), "event_type")
+        .orderBy("event_type"),
+      {
+        val caseSql = Stats.DiscreteLaplaceCdf16.init
+          .map { case (c, k) => s"WHEN hv < $c THEN $k" }.mkString(" ")
+        s"""WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           |           FROM events GROUP BY 1),
+           |h AS (SELECT event_type, n,
+           |        ('0x'||substr(md5(event_type||'_dp'),1,4))::BIGINT AS hv FROM g)
+           |SELECT event_type, n, CAST(nz AS BIGINT) AS noise,
+           |  GREATEST(n + nz, 0) AS n_noisy
+           |FROM (SELECT event_type, n, CASE $caseSql ELSE 8 END AS nz FROM h)
+           |ORDER BY event_type""".stripMargin
+      },
+      doc = "discrete-Laplace (eps=0.5) noisy count release, hash-seeded " +
+        "for reproducibility — the DP mechanism shape with engine parity"),
+
     // Calibration reliability diagram for a score used as a gate: bin the
     // en-ness confidence (stopword-score ratio, an exact integer-division
     // rational in micro-units) into deciles and compare mean confidence

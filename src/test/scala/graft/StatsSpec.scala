@@ -234,6 +234,40 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("splitConformal: coverage lands near the 90% guarantee; constants degenerate") {
+    import graft.sources.Tables
+    graft.ops.Stats.splitConformal(Tables.events(spark, sf0001),
+      "event_type", "value", "event_id").collect().foreach { r =>
+      val cov = r.getAs[Long]("cov_micro")
+      // finite-sample conformal: the >=90% guarantee is in EXPECTATION over
+      // splits; at sf0.001 each arm has only ~90 rows (std ~3%), so bound
+      // at 4 sigma below — the sf0.01 oracle run exercises the tight case
+      assert(cov >= 780000L && cov <= 1000000L, r.toString)
+      assert(r.getAs[Double]("qhat") >= 0.0, r.toString)
+    }
+    // constant column: every score is 0, qhat = 0, coverage exactly 100%
+    val const = (1L to 400L).map(i => ("g", i, 3.25)).toDF("grp", "id", "v")
+    val c = graft.ops.Stats.splitConformal(const, "grp", "v", "id").collect().head
+    assert(c.getAs[Double]("qhat") === 0.0 && c.getAs[Long]("cov_micro") === 1000000L)
+  }
+
+  test("dpNoisyCounts: noise bounded to ±8, deterministic, floor at zero") {
+    import graft.sources.Tables
+    val out = graft.ops.Stats.dpNoisyCounts(Tables.events(spark, sf0001), "event_type")
+      .collect()
+    out.foreach { r =>
+      val (n, nz, ny) = (r.getAs[Long]("n"), r.getAs[Long]("noise"), r.getAs[Long]("n_noisy"))
+      assert(nz >= -8 && nz <= 8, r.toString)
+      assert(ny === math.max(n + nz, 0L), r.toString)
+    }
+    val again = graft.ops.Stats.dpNoisyCounts(Tables.events(spark, sf0001), "event_type")
+      .collect()
+    assert(out.map(_.toString).sorted === again.map(_.toString).sorted)
+    // the CDF table covers the full 16-bit range and is monotone
+    val cdf = graft.ops.Stats.DiscreteLaplaceCdf16
+    assert(cdf.last._1 === 65536L && cdf.map(_._1) === cdf.map(_._1).sorted)
+  }
+
   test("rankingMetrics: perfect, disjoint, and single-hit rankings") {
     import graft.ops.Similarity
     val idcg = Similarity.idcgMicro(3)
