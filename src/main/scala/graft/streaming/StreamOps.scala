@@ -462,4 +462,81 @@ object StreamOps {
           out.iterator
       }
   }
+
+  /** Versioned per-key dimension buffer for [[asofEnrichStream]]: the
+    * newest `maxVersions` (time, payload) pairs as PARALLEL primitive
+    * lists ascending by time (flat fields for the janino state-store
+    * rules — no tuples inside collections). `overflowed` records that
+    * older versions were evicted, so a miss below the buffer can be told
+    * apart from "no version ever existed". */
+  final case class DimVersions(ts: List[Long], payloads: List[Long],
+                               overflowed: Boolean)
+  final case class AsofEnriched(event_id: Long, user_id: Long,
+                                ts_micros: Long, asof_payload: Option[Long])
+
+  /** Streaming twin of the as-of join ([[graft.ops.AsofJoin.asofJoin]] /
+    * `graft.plans.AsOfJoinExec`) — the temporal-table enrichment pattern:
+    * a fact stream (`events`: event_id, user_id, ts) joined to a
+    * slowly-changing dimension stream (`dims`: k, ts, payload), each
+    * event picking the newest dimension version with `dim.ts <= event.ts`
+    * for its key, same-instant included, null when none.
+    *
+    * State per key is a BOUNDED version buffer — the newest `maxVersions`
+    * (time, payload) pairs — not the full dimension history: ≤ 16·maxV
+    * bytes per key forever, the hard-bounded-state discipline of every
+    * twin in this file. Consequences, documented not hidden: an event is
+    * answered exactly whenever its as-of version is among the newest
+    * `maxVersions` seen so far (so dim-before-fact replay up to maxV
+    * versions deep is EXACT, unlike a single-row cursor), and a fact
+    * older than the whole buffer answers None when no version was ever
+    * evicted (provably no version existed at its time) but degrades to
+    * the OLDEST buffered version after eviction (the exact answer may be
+    * gone; at that point the batch operator is the backfill path).
+    * Within a micro-batch rows process in (time, side, id) order
+    * with the dimension first at equal times (the batch tie contract);
+    * across batches the per-key time-order caveat of [[markovStream]]
+    * applies to the fact side. */
+  def asofEnrichStream(events: DataFrame, dims: DataFrame,
+                       maxVersions: Int = 8): Dataset[AsofEnriched] = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val l = events.select(col("user_id").cast("long").as("k"),
+      unix_micros(col("ts")).as("t"), lit(1).as("is_l"),
+      col("event_id").cast("long").as("a"))
+    val r = dims.select(col("k").cast("long"), unix_micros(col("ts")).as("t"),
+      lit(0).as("is_l"), col("payload").cast("long").as("a"))
+    l.unionByName(r).as[(Long, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[(Long, Long, Int, Long)],
+         state: GroupState[DimVersions]) =>
+          val sorted = rows.toSeq.sortBy(e => (e._2, e._3, e._4))
+          var ts = state.getOption.map(_.ts).getOrElse(Nil)
+          var ps = state.getOption.map(_.payloads).getOrElse(Nil)
+          var overflowed = state.getOption.exists(_.overflowed)
+          val out = Seq.newBuilder[AsofEnriched]
+          sorted.foreach { e =>
+            if (e._3 == 0) {
+              // insert ascending by time (equal-time later arrival lands
+              // after = newer), then cap by dropping the oldest
+              val pos = ts.count(_ <= e._2)
+              ts = (ts.take(pos) :+ e._2) ++ ts.drop(pos)
+              ps = (ps.take(pos) :+ e._4) ++ ps.drop(pos)
+              if (ts.length > maxVersions) { ts = ts.tail; ps = ps.tail; overflowed = true }
+            } else {
+              val i = ts.lastIndexWhere(_ <= e._2)
+              out += AsofEnriched(e._4, k, e._2,
+                if (i >= 0) Some(ps(i))
+                // below the whole buffer: None is PROVABLY exact only if
+                // nothing was ever evicted; after eviction the oldest
+                // surviving version is the documented degraded answer
+                else if (overflowed && ts.nonEmpty) Some(ps.head)
+                else None)
+            }
+          }
+          if (ts.nonEmpty) state.update(DimVersions(ts, ps, overflowed))
+          out.result().iterator
+      }
+  }
 }

@@ -446,4 +446,83 @@ class StreamOpsSpec extends SparkSpecBase {
     }
     assert(streamed.exists { case ((_, d), _) => d }, "no duplicates flagged at all")
   }
+
+  test("streaming as-of enrichment equals the batch as-of join on a time-ordered feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "ts")
+    val dims = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("ts"))
+      .agg(max(col("o_orderkey")).as("payload"))
+    val evRows = ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    val dimRows = dims.select(col("k"), unix_micros(col("ts")), col("payload"))
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    // split both feeds at one global time cut: per-key arrival stays
+    // time-ordered across the two micro-batches
+    val cut = (evRows.map(_._3) ++ dimRows.map(_._2)).sorted
+      .apply((evRows.length + dimRows.length) / 2)
+    val msE = MemoryStream[(Long, Long, Long)]
+    val msD = MemoryStream[(Long, Long, Long)]
+    val q = StreamOps.asofEnrichStream(
+        msE.toDF().select(col("_1").as("event_id"), col("_2").as("user_id"),
+          timestamp_micros(col("_3")).as("ts")),
+        msD.toDF().select(col("_1").as("k"), timestamp_micros(col("_2")).as("ts"),
+          col("_3").as("payload")))
+      .toDF().writeStream.format("memory").queryName("s_asof").outputMode("append")
+      .start()
+    try {
+      msD.addData(dimRows.filter(_._2 <= cut).toSeq)
+      msE.addData(evRows.filter(_._3 <= cut).toSeq)
+      q.processAllAvailable()
+      msD.addData(dimRows.filter(_._2 > cut).toSeq)
+      msE.addData(evRows.filter(_._3 > cut).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("s_asof")
+      .select(col("event_id"), col("asof_payload"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    val batch = graft.ops.AsofJoin.asofJoin(ev, dims,
+        "user_id", "k", "ts", "ts", Seq("payload"))
+      .select(col("event_id"), col("payload"))
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+  }
+
+  test("as-of version buffer: dims-first replay exact to maxVersions, bounded beyond") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(maxV: Int, name: String): Map[Long, Option[Long]] = {
+      val msE = MemoryStream[(Long, Long, Long)]
+      val msD = MemoryStream[(Long, Long, Long)]
+      val q = StreamOps.asofEnrichStream(
+          msE.toDF().select(col("_1").as("event_id"), col("_2").as("user_id"),
+            timestamp_micros(col("_3")).as("ts")),
+          msD.toDF().select(col("_1").as("k"), timestamp_micros(col("_2")).as("ts"),
+            col("_3").as("payload")), maxVersions = maxV)
+        .toDF().writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try {
+        // the ENTIRE dimension history lands before any fact arrives —
+        // the replay/backfill arrival order a single-row cursor gets wrong
+        msD.addData(Seq((1L, 10L, 100L), (1L, 20L, 200L), (1L, 30L, 300L),
+          (1L, 40L, 400L), (1L, 50L, 500L)))
+        q.processAllAvailable()
+        msE.addData(Seq((1L, 1L, 5L), (2L, 1L, 15L), (3L, 1L, 35L), (4L, 1L, 55L)))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).select(col("event_id"), col("asof_payload"))
+        .as[(Long, Option[Long])].collect().toMap
+    }
+    // 8 versions buffer all 5 dims: every event answers exactly
+    assert(run(8, "s_asofv8") === Map(1L -> None, 2L -> Some(100L),
+      3L -> Some(300L), 4L -> Some(500L)))
+    // 2 versions keep only (40,400),(50,500): the too-late event degrades
+    // to the oldest buffered version — the documented bounded-state answer
+    val v2 = run(2, "s_asofv2")
+    assert(v2(4L) === Some(500L) && v2(3L) === Some(400L) && v2(2L) === Some(400L))
+  }
 }
