@@ -172,6 +172,15 @@ object AsOfJoinNative {
   def asofJoin(left: DataFrame, right: DataFrame,
                leftOn: String, rightOn: String,
                leftTime: String, rightTime: String,
+               payload: Seq[String]): DataFrame =
+    asofJoinWithMatchTime(left, right, leftOn, rightOn, leftTime, rightTime,
+      payload).drop(AsOfMatchTimeCol)
+
+  /** [[asofJoin]] plus the matched right row's time as
+    * [[AsOfMatchTimeCol]] — the hook [[asofJoinTolerance]] filters on. */
+  def asofJoinWithMatchTime(left: DataFrame, right: DataFrame,
+               leftOn: String, rightOn: String,
+               leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     require(payload.intersect(leftCols).isEmpty,
@@ -193,6 +202,32 @@ object AsOfJoinNative {
       attr(lPlan, leftOn), attr(rPlan, "__graft_rk"),
       attr(lPlan, leftTime), attr(rPlan, "__graft_rt"))
     GraftPlanBridge.ofRows(spark, plan)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(col) :+ col("__graft_rt"): _*)
+      .withColumnRenamed("__graft_rt", AsOfMatchTimeCol)
+  }
+
+  /** Name under which [[asofJoin]] exposes the matched right row's time
+    * (dropped by the declared queries, consumed by [[asofJoinTolerance]]). */
+  val AsOfMatchTimeCol = "__graft_asof_rt"
+
+  /** As-of join with a match tolerance (the pandas `merge_asof
+    * tolerance=` contract): the latest right row still wins, but a match
+    * older than `tolerance` nulls out. A post-filter IS the exact
+    * semantics — the as-of match maximizes rightTime, so if it falls
+    * outside the tolerance window every earlier row does too. `tolerance`
+    * is any boolean Column over (leftTime, matched right time), e.g.
+    * `datediff(col("ts"), col(AsOfMatchTimeCol)) <= 30`. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+                        leftOn: String, rightOn: String,
+                        leftTime: String, rightTime: String,
+                        payload: Seq[String],
+                        withinTolerance: org.apache.spark.sql.Column): DataFrame = {
+    val joined = asofJoinWithMatchTime(left, right, leftOn, rightOn,
+      leftTime, rightTime, payload)
+    payload.foldLeft(joined) { (df, p) =>
+        df.withColumn(p, org.apache.spark.sql.functions
+          .when(withinTolerance, col(p)))
+      }
+      .drop(AsOfMatchTimeCol)
   }
 }

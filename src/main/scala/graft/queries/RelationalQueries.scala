@@ -574,6 +574,35 @@ object RelationalQueries {
       doc = "as-of join via the native AsOfJoinExec physical operator " +
         "(custom LogicalPlan + Strategy + single-pass merge SparkPlan)"),
 
+    // As-of with a match tolerance (pandas merge_asof tolerance=30d): the
+    // latest order still wins, but a match older than 30 days nulls out —
+    // a post-filter is EXACT because the as-of match maximizes the right
+    // time. Runs through the same native AsOfJoinExec.
+    "q_asof_join_tolerance" -> QueryDef.sql(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val ord = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("asof_orderkey"))
+        graft.plans.AsOfJoinNative.asofJoinTolerance(ev, ord,
+            leftOn = "user_id", rightOn = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            payload = Seq("asof_orderkey"),
+            withinTolerance = col(graft.plans.AsOfJoinNative.AsOfMatchTimeCol)
+              >= col("ts") - expr("INTERVAL 30 DAYS"))
+          .orderBy("event_id")
+      },
+      """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+        |           FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) >= e.ts - INTERVAL 30 DAY
+        |       THEN o.asof_orderkey END AS asof_orderkey
+        |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |ORDER BY event_id""".stripMargin,
+      doc = "as-of join with 30-day match tolerance (merge_asof tolerance " +
+        "contract) through the native physical operator"),
+
     "q_rollup" -> QueryDef.sql(
       (s, dir) => Tables.orders(s, dir)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))

@@ -71,6 +71,30 @@ class AsOfJoinNativeSpec extends SparkSpecBase {
     assert(exchanges <= 3, s"expected <=3 bounded exchanges, got $exchanges:\n$plan")
   }
 
+  test("tolerance nulls matches older than the window, keeps fresh ones") {
+    import graft.plans.AsOfJoinNative.AsOfMatchTimeCol
+    val out = graft.plans.AsOfJoinNative.asofJoinTolerance(
+        toyLeft, toyRight, "k", "rk", "t", "rt", Seq("v"),
+        withinTolerance = col("t") - col(AsOfMatchTimeCol) <= 2L)
+      .orderBy("id").select("id", "v").as[(Long, Option[String])].collect()
+    // id=1: t=1, match rt=1, gap 0 -> keep; id=2: t=5, rt=5, gap 0 -> keep;
+    // id=3: t=9, rt=8, gap 1 -> keep... and with gap limit 2 nothing flips
+    assert(out === Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")),
+      (4L, None), (5L, None)))
+    val tight = graft.plans.AsOfJoinNative.asofJoinTolerance(
+        toyLeft, toyRight, "k", "rk", "t", "rt", Seq("v"),
+        withinTolerance = col("t") - col(AsOfMatchTimeCol) <= 0L)
+      .orderBy("id").select("id", "v").as[(Long, Option[String])].collect()
+    // gap limit 0: only exact same-instant matches survive
+    assert(tight === Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, None), (5L, None)))
+    // the match-time plumbing column must not leak into the output schema
+    val cols = graft.plans.AsOfJoinNative.asofJoinTolerance(
+      toyLeft, toyRight, "k", "rk", "t", "rt", Seq("v"),
+      withinTolerance = lit(true)).columns.toSeq
+    assert(cols === Seq("id", "k", "t", "v"))
+  }
+
   test("merge state is one held row: right side longer than left still streams") {
     // 1 left row vs 10k right rows for the same key: the exec buffers a
     // single right row, never the history
