@@ -69,6 +69,32 @@ object Stats {
           / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 4))).as("df_welch"))
   }
 
+  /** A/B power analysis from the same Welch moments: the minimum
+    * detectable effect at 95% confidence / 80% power — MDE = (z_{0.975} +
+    * z_{0.80})·SE = 2.801585·sqrt(s²_a/n_a + s²_b/n_b) — absolute and
+    * relative to the pooled mean. The experiment-design readout ("how
+    * small a lift could this split even see?") that belongs next to every
+    * t-test verdict; an experiment whose observed |Δ| sits under its MDE
+    * was underpowered, not null. Same exact-decimal moment aggregates and
+    * NULL guards as [[welchTTest]]; z literals shared by both engines. */
+  def abPowerMde(df: DataFrame, groupCol: String, armCol: String,
+                 valueCol: String): DataFrame = {
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val va = (col("s2a") - col("s1a") * col("s1a") / na) / (na - 1)
+    val vb = (col("s2b") - col("s1b") * col("s1b") / nb) / (nb - 1)
+    val sea = va / na; val seb = vb / nb
+    val z = lit(2.801585) // z_{0.975} + z_{0.80}
+    val pooled = (col("s1a") + col("s1b")) / (na + nb)
+    val enough = col("n_a") > 1 && col("n_b") > 1
+    df.groupBy(groupCol).agg(welchAggs(armCol, valueCol).head,
+        welchAggs(armCol, valueCol).tail: _*)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        when(enough, when(sea + seb > 0,
+          round(z * sqrt(sea + seb), 6))).as("mde_abs"),
+        when(enough, when(sea + seb > 0, when(abs(pooled) > 0,
+          round(z * sqrt(sea + seb) / abs(pooled), 6)))).as("mde_rel"))
+  }
+
   /** Welch's unequal-variance t-test per group between two arms
     * (armCol in {0,1}). Moments come from exact decimal power sums
     * (order-independent), rounded at scale 6 before the one double

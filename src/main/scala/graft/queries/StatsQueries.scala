@@ -95,6 +95,42 @@ object StatsQueries {
          |FROM g ORDER BY event_type""".stripMargin,
       doc = "Welch t-test + Satterthwaite df per event_type between hash arms"),
 
+    // Power analysis over the same Welch moments: minimum detectable
+    // effect at 95% confidence / 80% power (z sum 2.801585), absolute and
+    // relative to the pooled mean — the "could this split even see the
+    // lift?" readout that belongs next to every t-test verdict.
+    "q_ab_power" -> QueryDef.sql(
+      (s, dir) => Stats.abPowerMde(
+          Tables.events(s, dir).withColumn("arm", Stats.hashBucket(col("user_id"), 2)),
+          "event_type", "arm", "value")
+        .orderBy("event_type"),
+      s"""WITH e AS (SELECT event_type, ${armSql("user_id", 2)} AS arm,
+         |             CAST(value AS DECIMAL(12,6)) AS v FROM events),
+         |g AS (SELECT event_type,
+         |        COUNT(*) FILTER (WHERE arm=0) AS n_a,
+         |        COUNT(*) FILTER (WHERE arm=1) AS n_b,
+         |        CAST(ROUND(SUM(v) FILTER (WHERE arm=0), 6) AS DOUBLE) AS s1a,
+         |        CAST(ROUND(SUM(v) FILTER (WHERE arm=1), 6) AS DOUBLE) AS s1b,
+         |        CAST(ROUND(SUM(v*v) FILTER (WHERE arm=0), 6) AS DOUBLE) AS s2a,
+         |        CAST(ROUND(SUM(v*v) FILTER (WHERE arm=1), 6) AS DOUBLE) AS s2b
+         |      FROM e GROUP BY 1)
+         |SELECT event_type, n_a, n_b,
+         |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+         |    CASE WHEN ((s2a - s1a*s1a/n_a)/(n_a-1))/n_a + ((s2b - s1b*s1b/n_b)/(n_b-1))/n_b > 0 THEN
+         |      ROUND(CAST(2.801585 AS DOUBLE)
+         |        * sqrt(((s2a - s1a*s1a/n_a)/(n_a-1))/n_a + ((s2b - s1b*s1b/n_b)/(n_b-1))/n_b), 6)
+         |    END END AS mde_abs,
+         |  CASE WHEN n_a > 1 AND n_b > 1 THEN
+         |    CASE WHEN ((s2a - s1a*s1a/n_a)/(n_a-1))/n_a + ((s2b - s1b*s1b/n_b)/(n_b-1))/n_b > 0 THEN
+         |      CASE WHEN abs((s1a + s1b)/CAST(n_a + n_b AS DOUBLE)) > 0 THEN
+         |        ROUND(CAST(2.801585 AS DOUBLE)
+         |          * sqrt(((s2a - s1a*s1a/n_a)/(n_a-1))/n_a + ((s2b - s1b*s1b/n_b)/(n_b-1))/n_b)
+         |          / abs((s1a + s1b)/CAST(n_a + n_b AS DOUBLE)), 6)
+         |      END END END AS mde_rel
+         |FROM g ORDER BY event_type""".stripMargin,
+      doc = "minimum detectable effect (95% conf / 80% power) per " +
+        "event_type from the Welch moment aggregates"),
+
     // Two-sample Kolmogorov-Smirnov drift statistic per event_type
     // between the same hash arms: max |F_a - F_b| over running integer
     // CDFs — the standard "did the value distribution shift" gate.
