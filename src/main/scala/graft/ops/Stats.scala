@@ -348,6 +348,72 @@ object Stats {
         call_function("div", col("n_in") * 1000000L, col("n_test")).as("cov_micro"))
   }
 
+  /** Exact trimmed mean per group: drop the lowest and highest
+    * ⌊n/trimDenom⌋ observations, average the rest — the outlier-robust
+    * location estimate between the mean and the median. Selection runs
+    * over the per-(group, value) CELL table with cumulative counts (the
+    * q_gini / q_auc cells-not-rows shape): a cell straddling a trim
+    * boundary contributes only its in-range multiplicity
+    * min(cum, hi) − max(cum − c, lo), so no row-level per-group sort and
+    * ties need no tiebreak. Sums are exact decimals. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trimDenom: Int = 10): DataFrame = {
+    require(trimDenom >= 3, s"trimDenom must be >= 3, got $trimDenom")
+    val cells = df.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(groupCol)
+    cells
+      .withColumn("cum", sum("c").over(wcum))
+      .withColumn("n", sum("c").over(tot))
+      .withColumn("lo", call_function("div", col("n"), lit(trimDenom.toLong)))
+      .withColumn("hi", col("n") - col("lo"))
+      .withColumn("keep", greatest(
+        least(col("cum"), col("hi")) - greatest(col("cum") - col("c"), col("lo")),
+        lit(0L)))
+      .groupBy(groupCol).agg(
+        max("n").as("n"),
+        max(col("hi") - col("lo")).as("n_kept"),
+        round(sum(dec(col("v"), 12, 6) * col("keep")), 6).cast("double").as("s_kept"))
+      .select(col(groupCol), col("n"), col("n_kept"),
+        round(col("s_kept") / col("n_kept"), 6).as("trimmed_mean"))
+  }
+
+  /** Isotonic regression (PAV) over an ordered, BOUNDED bin table via the
+    * exact minimax identity: fit(i) = max_{j≤i} min_{k≥i} mean(y_j..y_k)
+    * — no iterative pool-adjacent merging, so the whole fit is three
+    * self-joins over the ≤#bins-row table (quadratic only in the BIN
+    * count, which the caller bounds by construction — deciles here).
+    * Interval means are micro-quantized by truncating integer division
+    * BEFORE the min/max lattice (both engines agree on integers; the fit
+    * is isotonic regression of the micro-quantized means, stated as the
+    * contract). Output is monotone non-decreasing in the bin order by the
+    * minimax structure. Input: one row per bin with hit and total counts. */
+  def isotonicFit(bins: DataFrame, binCol: String, hitCol: String,
+                  totalCol: String): DataFrame = {
+    val w = Window.orderBy(binCol) // unpartitioned over <= #bins rows
+    val cum = bins
+      .withColumn("ce", sum(hitCol).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cd", sum(totalCol).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val c2 = cum
+      .withColumn("pe", coalesce(lag("ce", 1).over(w), lit(0L)))
+      .withColumn("pd", coalesce(lag("cd", 1).over(w), lit(0L)))
+    val pairs = c2.select(col(binCol).as("j"), col("pe"), col("pd"))
+      .join(cum.select(col(binCol).as("k"), col("ce"), col("cd")),
+        col("j") <= col("k"))
+      .select(col("j"), col("k"), call_function("div",
+        (col("ce") - col("pe")) * 1000000L, col("cd") - col("pd")).as("am"))
+    pairs
+      .join(bins.select(col(binCol).as("i")),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("i", "j").agg(min("am").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso_micro"))
+      .withColumnRenamed("i", binCol)
+  }
+
   /** Truncated two-sided-geometric (discrete Laplace) CDF breakpoints for
     * ε = 1/2, support −8..8, scaled to the 16-bit hash range — pmf(k) ∝
     * exp(−ε|k|), the discrete mechanism DP count releases use. Literals

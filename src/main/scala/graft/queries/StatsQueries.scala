@@ -563,6 +563,92 @@ object StatsQueries {
       doc = "calibration reliability bins: en-ness confidence deciles vs " +
         "observed lang=='en' accuracy (exact micro-unit confidences)"),
 
+    // Isotonic calibration (PAV) of the reliability diagram via the exact
+    // minimax identity fit(i) = max_{j<=i} min_{k>=i} mean(y_j..y_k) —
+    // three self-joins over the <=10-row bin table (quadratic in BINS, not
+    // rows), interval means micro-quantized before the min/max lattice so
+    // the whole fit is integer-exact on both engines. Output monotone by
+    // the minimax structure: the calibration map a gate would apply.
+    "q_isotonic" -> QueryDef.sql(
+      (s, dir) => {
+        def score(ws: Seq[String]) =
+          graft.ops.TextOps.stopwordCount(col("text"), ws).cast("long")
+        val scored = Tables.documents(s, dir).select(
+          col("lang"), score(graft.ops.TextOps.StopwordsEn).as("en"),
+          (score(graft.ops.TextOps.StopwordsEn) + score(graft.ops.TextOps.StopwordsDe)
+            + score(graft.ops.TextOps.StopwordsFr) + score(graft.ops.TextOps.StopwordsEs))
+            .as("tot"))
+        val bins = scored.select(
+            call_function("div", col("en") * 10, col("tot") + 1).as("bin"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("hit"))
+          .groupBy("bin").agg(count(lit(1)).as("n_docs"), sum("hit").as("n_en"))
+        bins.join(Stats.isotonicFit(bins, "bin", "n_en", "n_docs"), "bin")
+          .select(col("bin"), col("n_docs"),
+            call_function("div", col("n_en") * 1000000L, col("n_docs")).as("acc_micro"),
+            col("iso_micro"))
+          .orderBy("bin")
+      },
+      {
+        def re(ws: Seq[String]) = "\\b(" + ws.mkString("|") + ")\\b"
+        s"""WITH sc AS (SELECT lang,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsEn)}')) AS en,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsDe)}')) AS de,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsFr)}')) AS fr,
+           |        len(regexp_extract_all(lower(text),'${re(graft.ops.TextOps.StopwordsEs)}')) AS es
+           |      FROM documents),
+           |g AS (SELECT (en*10)//(en+de+fr+es+1) AS bin, COUNT(*) AS n_docs,
+           |        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+           |      FROM sc GROUP BY 1),
+           |cum AS (SELECT bin,
+           |          CAST(SUM(n_en) OVER (ORDER BY bin
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ce,
+           |          CAST(SUM(n_docs) OVER (ORDER BY bin
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cd
+           |        FROM g),
+           |c2 AS (SELECT bin, COALESCE(LAG(ce) OVER (ORDER BY bin), 0) AS pe,
+           |          COALESCE(LAG(cd) OVER (ORDER BY bin), 0) AS pd FROM cum),
+           |pairs AS (SELECT a.bin AS j, b.bin AS k,
+           |            ((b.ce - a.pe) * 1000000) // (b.cd - a.pd) AS am
+           |          FROM c2 a JOIN cum b ON a.bin <= b.bin),
+           |mn AS (SELECT i.bin AS i, p.j, MIN(am) AS mn
+           |       FROM pairs p JOIN g i ON p.j <= i.bin AND i.bin <= p.k
+           |       GROUP BY 1, 2),
+           |iso AS (SELECT i AS bin, CAST(MAX(mn) AS BIGINT) AS iso_micro
+           |        FROM mn GROUP BY 1)
+           |SELECT g.bin, g.n_docs, (g.n_en * 1000000) // g.n_docs AS acc_micro,
+           |  iso_micro
+           |FROM g JOIN iso USING (bin) ORDER BY bin""".stripMargin
+      },
+      doc = "isotonic (PAV) calibration of the reliability diagram via the " +
+        "exact minimax identity over the bounded bin table"),
+
+    // Exact 10%-trimmed mean per event_type: drop the lowest/highest
+    // floor(n/10) observations, average the rest — selection over the
+    // (type, value) cell table with straddle-aware multiplicities, the
+    // cells-not-rows shape of q_gini/q_auc.
+    "q_trimmed_mean" -> QueryDef.sql(
+      (s, dir) => Stats.trimmedMean(Tables.events(s, dir), "event_type", "value")
+        .orderBy("event_type"),
+      """WITH cells AS (SELECT event_type, value AS v, COUNT(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, v, c,
+        |        CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM cells),
+        |t AS (SELECT event_type, v, c, cum, n, n // 10 AS lo, n - n // 10 AS hi
+        |      FROM w),
+        |k AS (SELECT event_type, n, hi - lo AS nk, v,
+        |        GREATEST(LEAST(cum, hi) - GREATEST(cum - c, lo), 0) AS keep
+        |      FROM t)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(nk) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(ROUND(SUM(CAST(v AS DECIMAL(12,6)) * keep), 6) AS DOUBLE)
+        |    / MAX(nk), 6) AS trimmed_mean
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
+      doc = "exact 10%-trimmed mean per event_type over value cells " +
+        "(straddle-aware multiplicities, no row-level sort)"),
+
     // Lead-lag cross-correlation: Pearson between the 'view' daily-mean
     // series and the 'purchase' series shifted by 0..7 days — the "does
     // engagement lead conversion, and by how much" diagnostic. Daily

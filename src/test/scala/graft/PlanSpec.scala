@@ -152,6 +152,9 @@ class PlanSpec extends SparkSpecBase {
       "q_lm_kneser_ney",
       // one-row broadcast corpus total gates each support threshold
       "q_freq_itemsets",
+      // the PAV minimax lattice: inequality self-joins over the <=10-row
+      // decile BIN table — quadratic in bins by design, never in rows
+      "q_isotonic",
       // one-row broadcast (sum, count) balance threshold — the Q22 global
       // scalar, same class as q_tf_idf's corpus stats
       "q_tpch_q22",

@@ -268,6 +268,42 @@ class StatsSpec extends SparkSpecBase {
     assert(cdf.last._1 === 65536L && cdf.map(_._1) === cdf.map(_._1).sorted)
   }
 
+  test("trimmedMean: shrugs off a planted outlier; exact on a hand fixture") {
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("grp", "id", "v")
+    val r = graft.ops.Stats.trimmedMean(df, "grp", "v").collect().head
+    // n=10, lo=1, hi=9: ranks 2..9 survive = values 2..9, mean 5.5 — the
+    // 1000.0 outlier (and the 1.0 low end) are cut exactly
+    assert(r.getAs[Long]("n") === 10L && r.getAs[Long]("n_kept") === 8L)
+    assert(r.getAs[Double]("trimmed_mean") === 5.5)
+    // duplicate values straddling the cut: multiplicity math stays exact
+    val dup = (Seq.fill(5)(1.0) ++ Seq.fill(5)(2.0)).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("grp", "id", "v")
+    val d = graft.ops.Stats.trimmedMean(dup, "grp", "v").collect().head
+    // lo=1, hi=9: keep 4x1.0 + 4x2.0 -> mean 1.5
+    assert(d.getAs[Double]("trimmed_mean") === 1.5)
+  }
+
+  test("isotonicFit: pools the PAV violation exactly and stays monotone") {
+    // accuracies [0.5, 0.0, 1.0]: PAV pools bins 0-1 to (1+0)/(2+2)=0.25
+    val bins = Seq((0L, 2L, 1L), (1L, 2L, 0L), (2L, 2L, 2L))
+      .toDF("bin", "n_docs", "n_en")
+    val iso = graft.ops.Stats.isotonicFit(bins, "bin", "n_en", "n_docs")
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(iso === Array((0L, 250000L), (1L, 250000L), (2L, 1000000L)))
+    // already-monotone input is a fixed point
+    val mono = Seq((0L, 4L, 1L), (1L, 4L, 2L), (2L, 4L, 4L))
+      .toDF("bin", "n_docs", "n_en")
+    val fix = graft.ops.Stats.isotonicFit(mono, "bin", "n_en", "n_docs")
+      .orderBy("bin").collect().map(_.getLong(1))
+    assert(fix === Array(250000L, 500000L, 1000000L))
+    // monotone non-decreasing on the real declared bins
+    val out = SparkEntry.queries("q_isotonic")(spark, sf0001)
+      .orderBy("bin").collect().map(_.getAs[Long]("iso_micro"))
+    assert(out.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)), out.mkString(","))
+  }
+
   test("rankingMetrics: perfect, disjoint, and single-hit rankings") {
     import graft.ops.Similarity
     val idcg = Similarity.idcgMicro(3)
