@@ -311,6 +311,67 @@ object StatsQueries {
          |FROM g ORDER BY shard""".stripMargin,
       doc = "rows + skew ratio per portable-hash shard (partition balance)"),
 
+    // Pre-join fan-out diagnostic: per-key |left|x|right| output volume for
+    // the events⋈orders user key, top-10 by product + share of the total —
+    // the report read BEFORE picking broadcast/salting for a join. Two
+    // partial-agg count tables meet on an equi-join; the total enters as a
+    // one-row broadcast; top-10 is TakeOrderedAndProject.
+    "q_join_fanout" -> QueryDef.sql(
+      (s, dir) => {
+        val l = Tables.events(s, dir).groupBy(col("user_id").as("k"))
+          .agg(count(lit(1)).as("nl"))
+        val r = Tables.orders(s, dir).groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("nr"))
+        val prod = l.join(r, "k")
+          .select(col("k"), col("nl"), col("nr"), (col("nl") * col("nr")).as("fanout"))
+        prod.crossJoin(broadcast(prod.agg(sum("fanout").as("t"))))
+          .select(col("k"), col("nl"), col("nr"), col("fanout"),
+            call_function("div", col("fanout") * 1000000L, col("t")).as("share_micro"))
+          .orderBy(col("fanout").desc, col("k")).limit(10)
+      },
+      """WITH l AS (SELECT user_id AS k, COUNT(*) AS nl FROM events GROUP BY 1),
+        |r AS (SELECT o_custkey AS k, COUNT(*) AS nr FROM orders GROUP BY 1),
+        |p AS (SELECT k, nl, nr, nl*nr AS fanout FROM l JOIN r USING (k)),
+        |t AS (SELECT CAST(SUM(fanout) AS BIGINT) AS t FROM p)
+        |SELECT k, nl, nr, fanout, (fanout * 1000000) // t AS share_micro
+        |FROM p, t ORDER BY fanout DESC, k LIMIT 10""".stripMargin,
+      doc = "top-10 join fan-out keys (|left|x|right| per key + share) — " +
+        "the skew report read before picking a join strategy"),
+
+    // Out-of-order arrival audit per event_type: how often an event's ts
+    // regresses against the user's previous ARRIVAL (event_id order), and
+    // by how much — the measurement that sizes a streaming watermark.
+    "q_ooo_audit" -> QueryDef.sql(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("t"))
+          .withColumn("pt", lag("t", 1).over(w))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            count(when(col("pt") > col("t"), 1)).as("n_ooo"),
+            coalesce(max(when(col("pt") > col("t"), col("pt") - col("t"))),
+              lit(0L)).as("max_regress_us"))
+          .withColumn("ooo_micro",
+            call_function("div", col("n_ooo") * 1000000L, col("n")))
+          .orderBy("event_type")
+      },
+      """WITH e AS (SELECT event_type, user_id, event_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |l AS (SELECT event_type, t,
+        |        LAG(t) OVER (PARTITION BY user_id ORDER BY event_id) AS pt
+        |      FROM e),
+        |g AS (SELECT event_type, COUNT(*) AS n,
+        |        CAST(COUNT(CASE WHEN pt > t THEN 1 END) AS BIGINT) AS n_ooo,
+        |        COALESCE(MAX(CASE WHEN pt > t THEN pt - t END), 0) AS max_regress_us
+        |      FROM l GROUP BY 1)
+        |SELECT event_type, n, n_ooo, max_regress_us,
+        |  (n_ooo * 1000000) // n AS ooo_micro
+        |FROM g ORDER BY event_type""".stripMargin,
+      doc = "out-of-order event-time audit per type (inversion rate vs " +
+        "arrival order + worst regression) — the watermark-sizing input"),
+
     // Bradley-Terry arena ranking: event types as "players", one match
     // per user per type pair (winner = the user's larger exact total
     // value), 3 Zermelo/MM fixed-point rounds in integer micro-units —
@@ -508,6 +569,44 @@ object StatsQueries {
       },
       doc = "discrete-Laplace (eps=0.5) noisy count release, hash-seeded " +
         "for reproducibility — the DP mechanism shape with engine parity"),
+
+    // k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala 2007):
+    // equivalence classes on the quasi-identifier (event_type, day), the
+    // sensitive attribute is user_id. Per event_type: class count, rows in
+    // classes smaller than k=10 (re-identification risk), the smallest
+    // class, and the minimum l (distinct sensitive values in a class — a
+    // class can be large yet expose everyone if all rows share one user).
+    // Scale shape: two partial-agg groupBys — class table is bounded by QI
+    // cardinality (types x days), never corpus-sized; all-integer output.
+    "q_k_anonymity" -> QueryDef.sql(
+      (s, dir) => {
+        val cls = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("qi_day"))
+          .agg(count(lit(1)).as("sz"), count_distinct(col("user_id")).as("l"))
+        cls.groupBy("event_type").agg(
+            count(lit(1)).as("n_classes"), sum("sz").as("n_rows"),
+            count(when(col("sz") < 10, 1)).as("n_risk_classes"),
+            coalesce(sum(when(col("sz") < 10, col("sz"))), lit(0L)).as("n_risk_rows"),
+            min("sz").as("min_class"), min("l").as("min_l"))
+          .withColumn("risk_micro",
+            call_function("div", col("n_risk_rows") * 1000000L, col("n_rows")))
+          .orderBy("event_type")
+      },
+      """WITH cls AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS qi_day,
+        |        CAST(COUNT(*) AS BIGINT) AS sz,
+        |        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+        |      FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(CASE WHEN sz < 10 THEN 1 END) AS BIGINT) AS n_risk_classes,
+        |  CAST(COALESCE(SUM(CASE WHEN sz < 10 THEN sz END), 0) AS BIGINT) AS n_risk_rows,
+        |  MIN(sz) AS min_class, MIN(l) AS min_l,
+        |  CAST((COALESCE(SUM(CASE WHEN sz < 10 THEN sz END), 0) * 1000000)
+        |    // SUM(sz) AS BIGINT) AS risk_micro
+        |FROM cls GROUP BY event_type ORDER BY event_type""".stripMargin,
+      doc = "k-anonymity / l-diversity audit: per-type re-identification " +
+        "risk over (event_type, day) quasi-identifier classes, sensitive " +
+        "attribute user_id — the privacy gate before releasing a slice"),
 
     // Calibration reliability diagram for a score used as a gate: bin the
     // en-ness confidence (stopword-score ratio, an exact integer-division

@@ -155,6 +155,8 @@ class PlanSpec extends SparkSpecBase {
       // the PAV minimax lattice: inequality self-joins over the <=10-row
       // decile BIN table — quadratic in bins by design, never in rows
       "q_isotonic",
+      // one-row broadcast fan-out total (the q_tf_idf scalar-stats class)
+      "q_join_fanout",
       // one-row broadcast (sum, count) balance threshold — the Q22 global
       // scalar, same class as q_tf_idf's corpus stats
       "q_tpch_q22",
