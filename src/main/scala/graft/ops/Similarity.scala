@@ -240,9 +240,10 @@ object Similarity {
     * cross-cell dups are missed by construction), so the knob is `nList`:
     * size cells to keep |cell|² per-task work bounded (SemDeDup runs
     * ~100k cells at web scale). `nList = 0` (the default) derives the
-    * cell count from the corpus via [[adaptiveNList]] — cells ≈ √n/2, so
-    * per-cell occupancy (and the pair quadratic inside it) grows only as
-    * ~2√n instead of n under a fixed geometry. Fixed seeded centroids
+    * full geometry from the corpus via [[adaptiveGeometry]] — cells ≈
+    * √n/2 PLUS a sign-bit occupancy subsplit with 1-flip multiprobe (see
+    * [[cellCandidates]]) that caps expected bucket occupancy at 64, so
+    * candidate-dot volume stays LINEAR in n. Fixed seeded centroids
     * keep the whole pipeline oracle-reproducible; swap in the learned
     * `lloyd` fit for adaptive cells when driver-proof isn't required.
     *
@@ -250,18 +251,9 @@ object Similarity {
     *         smaller id survives it. */
   def semDedup(corpus: DataFrame, threshold: Double, nList: Int = 0,
                dim: Int = 64): DataFrame = {
-    val k = if (nList > 0) nList else adaptiveNList(corpus)
-    val centers = Array.tabulate(k)(fixedCentroid(_, dim))
-    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("cid", nearestCid(col("v"), centers))
-    val a = base.select(col("cid"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = base.select(col("cid"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val dropped = a.join(b, Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    val (k, j) = if (nList > 0) (nList, 0) else adaptiveGeometry(corpus)
+    val base = assignCells(corpus, k, dim)
+    val dropped = cellCandidates(base, j, dim)
       .filter(col("cos") >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
       .withColumn("dup", lit(1))
@@ -269,19 +261,91 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
   }
 
+  /** Shared cell assignment for [[semDedup]]/[[cellEdges]]: nearest fixed
+    * centroid + precomputed norm, one codegen'd map pass. */
+  private def assignCells(corpus: DataFrame, k: Int, dim: Int): DataFrame = {
+    val centers = Array.tabulate(k)(fixedCentroid(_, dim))
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("cid", nearestCid(col("v"), centers))
+  }
+
+  /** Occupancy-subsplit hyperplanes live at seed offset 9000 — disjoint
+    * from the LSH bands (0..127), centroids (1000+), and PQ (3000+). */
+  private def subBits(v: Column, j: Int, dim: Int): Column =
+    (0 until j).map { i =>
+      when(dot(v, typedLit(planeVec(9000 + i, dim))) >= 0,
+        shiftleft(lit(1), i)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Within-cell candidate pairs (id_a < id_b) with their exact rounded
+    * cosine — the shared engine under [[semDedup]] and [[cellEdges]].
+    *
+    * j = 0: the flat plan — an equi-join on the cell id, quadratic in cell
+    * occupancy (the fixture path; byte-identical to the static oracles).
+    *
+    * j > 0 (the bounded-occupancy scale path): each cell is subsplit by
+    * the sign bits of `j` seeded hyperplanes, so expected bucket occupancy
+    * is occ/2^j and candidate-dot volume stays ~n·targetOcc — LINEAR in
+    * the corpus instead of the flat plan's occ² per cell. Recall is held
+    * by 1-bit-flip multiprobe: side A emits its own bucket plus the j
+    * single-bit flips, so any pair whose signatures differ in ≤ 1 bit
+    * survives, and survives EXACTLY ONCE (of x's j+1 probe keys at most
+    * one can equal bits(y), and the symmetric match is cut by id_a <
+    * id_b) — no distinct needed. P(keep | cos = c) = p^j + j·p^(j-1)(1-p)
+    * with p = 1 − arccos(c)/π per Goemans–Williamson: ≈ .94 at c = .9,
+    * j = 3. Precision stays 1.0 — candidates still pass the exact-cosine
+    * verify, so output ⊆ the flat plan's output. */
+  private def cellCandidates(base: DataFrame, j: Int, dim: Int): DataFrame = {
+    val (a, b) =
+      if (j == 0) (
+        base.select(col("cid"), col("vec_id").as("id_a"),
+          col("v").as("va"), col("nrm").as("na")),
+        base.select(col("cid"), col("vec_id").as("id_b"),
+          col("v").as("vb"), col("nrm").as("nb")))
+      else {
+        val wb = base.withColumn("bits", subBits(col("v"), j, dim))
+        val probeKeys = col("bits") +:
+          (0 until j).map(i => col("bits").bitwiseXOR(lit(1 << i)))
+        (wb.select(col("cid"), explode(array(probeKeys: _*)).as("pb"),
+          col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")),
+         wb.select(col("cid"), col("bits").as("pb"), col("vec_id").as("id_b"),
+           col("v").as("vb"), col("nrm").as("nb")))
+      }
+    a.join(b, if (j == 0) Seq("cid") else Seq("cid", "pb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+  }
+
   /** Corpus-adaptive cell count for [[semDedup]]/[[cellEdges]]:
     * cells = max(16, ⌈√n / 2⌉) from ONE bounded scalar count (the same
     * shape as the PMI corpus total). Under a FIXED cell count, per-cell
     * occupancy — and the within-cell pair quadratic every graph consumer
     * inherits — grows linearly with the corpus; deriving cells ≈ √n/2
-    * keeps expected occupancy at ~2√n, so total pair volume grows ~n^1.5
-    * instead of n². The 16-cell floor pins the fixture geometry (both
-    * oracle scales have 500 vectors; the floor holds through n = 1024, 2×
-    * fixture headroom) so the static DuckDB oracles stay bit-identical
-    * while sf0.1 probes get 23 cells and the 20k-row sf1x probe gets 71. */
-  def adaptiveNList(corpus: DataFrame): Int = {
+    * keeps expected occupancy at ~2√n. The 16-cell floor pins the fixture
+    * geometry (both oracle scales have 500 vectors; the floor holds
+    * through n = 1024, 2× fixture headroom) so the static DuckDB oracles
+    * stay bit-identical while sf0.1 probes get 23 cells and the 20k-row
+    * sf1x probe gets 71. */
+  def adaptiveNList(corpus: DataFrame): Int = adaptiveGeometry(corpus)._1
+
+  /** Full adaptive geometry (k cells, j subsplit bits) from ONE corpus
+    * count. k as in [[adaptiveNList]]; j = ⌈log2(occ / targetOcc)⌉ caps
+    * EXPECTED bucket occupancy at `targetOcc` (occ = n/k ≈ 2√n), so
+    * candidate-dot volume is ~n·targetOcc — linear — at every scale,
+    * where cells-alone would leave it n^1.5. At both oracle scales
+    * (n = 500, occ ≈ 31) j = 0, so the fixture plan and the static DuckDB
+    * oracles are untouched WITHOUT any fixture-special-casing: the scale
+    * path switches itself on exactly when occupancy crosses the budget
+    * (sf0.1: j = 1; sf1x: j = 3). Assignment stays n·√n/2 centroid dots —
+    * map-side codegen flops, the FAISS-style IVF trade (nlist ≈ √n) that
+    * moves the n^1.5 out of the shuffled pair join into the scan. */
+  def adaptiveGeometry(corpus: DataFrame, targetOcc: Int = 64): (Int, Int) = {
     val n = corpus.select(count(lit(1))).head().getLong(0)
-    math.max(16, math.ceil(math.sqrt(n.toDouble) / 2.0).toInt)
+    val k = math.max(16, math.ceil(math.sqrt(n.toDouble) / 2.0).toInt)
+    val occ = n.toDouble / k
+    val j = math.max(0, math.ceil(math.log(occ / targetOcc) / math.log(2.0)).toInt)
+    (k, j)
   }
 
   /** Cell-bounded similarity-graph EDGES: within-cell pairs (id_a < id_b)
@@ -292,21 +356,18 @@ object Similarity {
     * in semDedup (0 = derive from the corpus via [[adaptiveNList]]). */
   def cellEdges(corpus: DataFrame, threshold: Double, nList: Int = 0,
                 dim: Int = 64): DataFrame = {
-    val k = if (nList > 0) nList else adaptiveNList(corpus)
-    val centers = Array.tabulate(k)(fixedCentroid(_, dim))
-    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .withColumn("cid", nearestCid(col("v"), centers))
-    val a = base.select(col("cid"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = base.select(col("cid"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("cid"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+    val (k, j) = if (nList > 0) (nList, 0) else adaptiveGeometry(corpus)
+    cellEdgesGeom(corpus, threshold, k, j, dim)
+  }
+
+  /** [[cellEdges]] with the (k cells, j subsplit bits) geometry pinned by
+    * the caller — the spec/probe entry point for exercising the
+    * bounded-occupancy path at a chosen scale. */
+  private[graft] def cellEdgesGeom(corpus: DataFrame, threshold: Double,
+                                   k: Int, j: Int, dim: Int = 64): DataFrame =
+    cellCandidates(assignCells(corpus, k, dim), j, dim)
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
-  }
 
   /** IVF search with FIXED seeded centroids instead of a learned quantizer:
     * identical machinery to `ivfTopK` (nearest-centroid inverted lists,

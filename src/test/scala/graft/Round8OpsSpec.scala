@@ -39,6 +39,12 @@ class Round8OpsSpec extends SparkSpecBase {
     assert(Similarity.adaptiveNList(corpusOf(1024)) === 16)  // 2x fixture headroom
     assert(Similarity.adaptiveNList(corpusOf(2000)) === 23)  // sf0.1 probes
     assert(Similarity.adaptiveNList(corpusOf(20000)) === 71) // sf1x probe
+    // occupancy subsplit: OFF at both oracle scales (occ ~31 < 64), on
+    // exactly when expected occupancy crosses the 64 budget
+    assert(Similarity.adaptiveGeometry(corpusOf(500)) === ((16, 0)))
+    assert(Similarity.adaptiveGeometry(corpusOf(1024)) === ((16, 0)))
+    assert(Similarity.adaptiveGeometry(corpusOf(2000)) === ((23, 1)))
+    assert(Similarity.adaptiveGeometry(corpusOf(20000)) === ((71, 3)))
     // at fixture scale the adaptive default is bit-identical to the pinned
     // 16-cell geometry the static DuckDB oracles encode
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
@@ -47,6 +53,24 @@ class Round8OpsSpec extends SparkSpecBase {
     val pinned = Similarity.cellEdges(emb, threshold = 0.3, nList = 16)
       .orderBy("id_a", "id_b").collect().toSeq
     assert(auto === pinned)
+  }
+
+  test("occupancy subsplit keeps precision 1.0, emits each pair once, recall holds") {
+    import graft.ops.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val flat = Similarity.cellEdgesGeom(emb, threshold = 0.3, k = 16, j = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val split = Similarity.cellEdgesGeom(emb, threshold = 0.3, k = 16, j = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // exactly-once: x's j+1 probe keys are distinct, so at most one can
+    // equal bits(y); the symmetric match is cut by id_a < id_b
+    assert(split.size === split.toSet.size)
+    // precision 1.0: candidates still pass the exact-cosine verify
+    assert(split.toSet.subsetOf(flat))
+    // recall model: 1-flip multiprobe keeps P = p^2 + 2p(1-p) per pair,
+    // p = 1 - arccos(cos)/pi >= .597 at the .3 threshold => P >= .78 in
+    // expectation; assert a loose floor (the fixture is finite)
+    assert(flat.nonEmpty && split.size.toDouble / flat.size >= 0.6)
   }
 
   test("chunkSliding default cap is a no-op at normal doc lengths") {
