@@ -142,6 +142,57 @@ object Graph {
       .select(col("id"), coalesce(col("root"), col("id")).as("label"))
   }
 
+  /** INCREMENTAL connected components — cluster maintenance under a new
+    * batch, the production shape for daily dedup ingestion: history is
+    * NEVER re-clustered.
+    *
+    * Cluster-contraction argument: components of the grown graph equal
+    * components of the graph whose nodes are {old cluster labels} ∪ {new
+    * ids} and whose edges are the new edges with endpoints routed through
+    * their old labels. So the star-CC rounds run on a graph bounded by
+    * the NEW batch (plus touched old clusters), not the corpus. Labels
+    * stay component minima over original ids: an old label is its
+    * cluster's minimum, so min over {touched labels, new ids} is the true
+    * global minimum of the merged component — incremental output is
+    * hash-identical to a full recompute (the declared query's oracle IS
+    * the full-batch recursive-CTE closure).
+    *
+    * Scale shape: endpoint routing is two |E_new|-keyed lookup joins into
+    * the label table; the contracted star-CC is new-batch-bounded; the
+    * only corpus-sized step is the final relabel — ONE equi-join of the
+    * old assignment against the (touched-labels-only) remap table, which
+    * broadcast-joins whenever the day's merge set is small. Edges between
+    * two OLD nodes (late-arriving links) merge their clusters correctly
+    * through the same contraction.
+    *
+    * @param oldLabels (id, label) — the existing assignment, label = min id
+    * @param newNodes  (id) — the new batch's node ids
+    * @param newEdges  (id_a, id_b) — pairs touching ≥1 new node, plus any
+    *                  late old-old links
+    * @return (id, label) over old ∪ new nodes, = full-recompute labels */
+  def incrementalComponents(oldLabels: DataFrame, newNodes: DataFrame,
+                            newEdges: DataFrame, maxIters: Int = 30): DataFrame = {
+    val ol = oldLabels.select(col("id"), col("label"))
+    val la = ol.select(col("id").as("id_a"), col("label").as("ca"))
+    val lb = ol.select(col("id").as("id_b"), col("label").as("cb"))
+    val contracted = newEdges.select(col("id_a"), col("id_b"))
+      .join(la, Seq("id_a"), "left_outer")
+      .join(lb, Seq("id_b"), "left_outer")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+    val cNodes = newNodes.select(col("id"))
+      .union(contracted.select(col("id_a").as("id")))
+      .union(contracted.select(col("id_b").as("id"))).distinct()
+    val delta = connectedComponentsStar(cNodes, contracted, maxIters)
+    val remap = delta.select(col("id").as("label0"), col("label").as("label1"))
+    val oldOut = ol.join(remap, ol("label") === col("label0"), "left_outer")
+      .select(ol("id"), coalesce(col("label1"), ol("label")).as("label"))
+    val newOut = newNodes.select(col("id"))
+      .join(delta, Seq("id"))
+      .select(col("id"), col("label"))
+    oldOut.union(newOut)
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation (Suri &
     * Vassilvitskii 2011, "Counting Triangles and the Curse of the Last
     * Reducer") — the triangle is the similarity graph's basic cohesion

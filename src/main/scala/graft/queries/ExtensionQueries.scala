@@ -701,6 +701,54 @@ object ExtensionQueries {
         "independent large-star/small-star alternation; cluster id = min " +
         "reachable doc id, oracle via recursive-CTE closure"),
 
+    // Incremental cluster maintenance: docs with id < 400 are "history"
+    // (their star-CC assignment stands in for yesterday's stored labels);
+    // the rest arrive as today's batch. Only pairs touching the batch are
+    // fed to the contraction merge — history is never re-clustered. The
+    // oracle is the FULL-recompute closure (same SQL as q_dedup_clusters),
+    // so the hash match PROVES incremental == batch, the invariant that
+    // lets a 100 TB dedup index absorb daily deltas instead of re-running.
+    "q_dedup_clusters_incr" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cut = 400L
+        // materialize the pair job ONCE — both the history CC and the
+        // batch merge filter it (without this the shingle join runs twice)
+        val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+          n = 3, threshold = 0.5).select("id_a", "id_b").localCheckpoint()
+        val oldPairs = pairs.filter(col("id_a") < cut && col("id_b") < cut)
+        val newPairs = pairs.filter(col("id_a") >= cut || col("id_b") >= cut)
+        val oldLabels = Graph.connectedComponentsStar(
+          docs.filter(col("doc_id") < cut).select(col("doc_id").as("id")), oldPairs)
+        val merged = Graph.incrementalComponents(oldLabels,
+          docs.filter(col("doc_id") >= cut).select(col("doc_id").as("id")), newPairs)
+        merged.withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy(col("label"))))
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+            col("n_members"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE sh AS ($ShingleSqlFragment),
+         |cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+         |inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b,
+         |        ROUND(CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         |      FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b),
+         |p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+         |e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r
+         |),
+         |cc AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id, COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+         |FROM cc ORDER BY doc_id""".stripMargin,
+      doc = "incremental cluster maintenance: contraction merge of a new " +
+        "batch into stored labels; oracle = full recompute, hash-proving " +
+        "incremental == batch"),
+
     // Fuzzy dedup: RARE-KEY blocking (pairs sharing >= 4 shingles of
     // corpus df <= 16 — 34 candidates at sf0.01, fan-out hard-bounded by
     // maxDf²/2 per key) then normalized-Levenshtein verification (25

@@ -123,4 +123,29 @@ class GraphSpec extends SparkSpecBase {
     assert(lp(Seq((1L, 2L), (1L, 3L), (1L, 4L)), rounds = 1) ===
       Map(1L -> ((2L, 1L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)), 4L -> ((1L, 3L))))
   }
+
+  private def incr(oldLabels: Map[Long, Long], newNodes: Seq[Long],
+                   newEdges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.incrementalComponents(oldLabels.toSeq.toDF("id", "label"),
+        newNodes.toDF("id"), newEdges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incrementalComponents equals full recompute: extension, merge, isolation") {
+    // history: {1,2} labelled 1, {5,6} labelled 5, singleton 9
+    val old = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
+    // batch: 10 extends cluster 1 via 2; 11 bridges clusters 1 and 5
+    // (merging them); 12 is isolated; late old-old edge 9-6 pulls 9 in
+    val got = incr(old, Seq(10L, 11L, 12L),
+      Seq((10L, 2L), (11L, 10L), (11L, 6L), (9L, 6L)))
+    val want = cc(Seq(1L, 2L, 5L, 6L, 9L, 10L, 11L, 12L),
+      Seq((1L, 2L), (5L, 6L), (10L, 2L), (11L, 10L), (11L, 6L), (9L, 6L)))
+    assert(got === want)
+    assert(got(12L) === 12L && got(6L) === 1L && got(9L) === 1L)
+  }
+
+  test("incrementalComponents with no new edges leaves history untouched") {
+    val old = Map(1L -> 1L, 2L -> 1L, 7L -> 7L)
+    assert(incr(old, Seq(20L), Seq.empty) ===
+      Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 20L -> 20L))
+  }
 }
