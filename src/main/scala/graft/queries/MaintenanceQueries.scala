@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Maintain
@@ -13,6 +14,12 @@ import graft.sources.Tables
   * predicates), so every query keeps a full DuckDB oracle.
   */
 object MaintenanceQueries {
+
+  /** Benford expected first-digit shares, micro-units: round(log10(1 +
+    * 1/d)·1e6). Scala-computed once, embedded as literals in BOTH engines'
+    * plans so no cross-engine log10 bit-parity is assumed. */
+  private val BenfordMicro: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6))
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -73,6 +80,51 @@ object MaintenanceQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       doc = "order-independent portable content checksum per source " +
         "(count + md5 xor/sum folds; partitioning cannot change it)"),
+
+    // ------------------------------------------------- Benford audit
+    // First-significant-digit distribution of order totals vs Benford's
+    // law (Newcomb 1881/Benford 1938) — the classic fabricated-data smell
+    // test for money columns. Expected shares are Scala-computed literals
+    // embedded in BOTH plans (the q_dp_counts idiom: no cross-engine log10
+    // bit-parity risk); observed shares are exact integer micro-division
+    // against a window total over the ≤9-row digit table. Scale shape: one
+    // partial-agg groupBy on a 9-value key; everything after is driver-
+    // trivial. TPC-H totals cluster in a band, so deviations are LARGE —
+    // the audit fires exactly as it should on synthetic money.
+    "q_benford" -> QueryDef.sql(
+      (s, dir) => {
+        val expCol = BenfordMicro.foldLeft(lit(null).cast("long")) {
+          case (acc, (d, m)) => when(col("digit") === d, lit(m)).otherwise(acc)
+        }
+        Tables.orders(s, dir)
+          .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+            .cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+          .withColumn("n_tot", sum("n_obs").over(Window.partitionBy()))
+          .select(col("digit"), col("n_obs"),
+            call_function("div", col("n_obs") * 1000000L, col("n_tot")).as("obs_micro"),
+            expCol.as("exp_micro"))
+          .withColumn("dev_micro", col("obs_micro") - col("exp_micro"))
+          .orderBy("digit")
+      },
+      {
+        val caseSql = BenfordMicro
+          .map { case (d, m) => s"WHEN $d THEN $m" }.mkString(" ")
+        s"""WITH f AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+           |        AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+           |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM f GROUP BY 1),
+           |t AS (SELECT digit, n_obs,
+           |        CAST(SUM(n_obs) OVER () AS BIGINT) AS n_tot FROM g)
+           |SELECT digit, n_obs,
+           |  CAST((n_obs * 1000000) // n_tot AS BIGINT) AS obs_micro,
+           |  CAST(CASE digit $caseSql END AS BIGINT) AS exp_micro,
+           |  CAST((n_obs * 1000000) // n_tot - CASE digit $caseSql END AS BIGINT)
+           |    AS dev_micro
+           |FROM t ORDER BY digit""".stripMargin
+      },
+      doc = "Benford first-digit audit of o_totalprice: observed vs " +
+        "expected digit shares in exact micro-units — the fabricated-" +
+        "money smell test"),
 
     // ------------------------------------------ bloom semi-join reduce
     // Semi-join reduction: orders filtered through a 4096-bit broadcast
