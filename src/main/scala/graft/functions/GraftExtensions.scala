@@ -56,7 +56,10 @@ object GraftFunctions {
       AhashBmp.builder),
     (MisraGries.FunctionName,
       "graft_mg(term, k) - Misra-Gries <=k-counter heavy-hitter summary per group",
-      MisraGries.builder)
+      MisraGries.builder),
+    (NearestCell.FunctionName,
+      "graft_nearest_cell(v, centers_flat, num_cells, dim) - nearest-centroid id (codegen'd loop)",
+      NearestCell.builder)
   )
 
   /** Register every graft function in an existing session (idempotent). */

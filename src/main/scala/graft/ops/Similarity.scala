@@ -130,17 +130,16 @@ object Similarity {
     centers
   }
 
-  /** Per-row nearest-centroid id against literal centroid arrays — pure
-    * codegen'd dot products + `least` over (dist2, cid) structs, so the
-    * full-corpus assignment pass stays inside whole-stage codegen. */
-  private def nearestCid(v: Column, centers: Array[Array[Double]]): Column = {
-    val cands = centers.zipWithIndex.map { case (ctr, cid) =>
-      val c = typedLit(ctr)
-      struct((dot(v, v) - lit(2.0) * dot(v, c) + lit(ctr.map(x => x * x).sum)).as("dist2"),
-        lit(cid).as("cid"))
-    }
-    least(cands: _*).getField("cid")
-  }
+  /** Per-row nearest-centroid id against literal centroids — ONE native
+    * codegen loop ([[graft.functions.NearestCell]]). The earlier
+    * `least`-over-(dist², cid)-structs column form was correct but its
+    * per-row struct churn ran at interpreted speed once k grew (measured
+    * 8.8 s for a single 20k×71×64 assignment pass at the sf1x probe —
+    * ~100 ns/flop); the loop kernel is a dense flop loop with identical
+    * FP order ((vv − 2s) + cc, left-to-right sums) and tie-break
+    * (smallest cid), so oracle rankings are bit-identical. */
+  private def nearestCid(v: Column, centers: Array[Array[Double]]): Column =
+    graft.functions.NearestCell.of(v, centers)
 
   /** Shared IVF search pipeline: nearest-centroid inverted lists over
     * `centers` (broadcast literals), nProbe nearest lists probed per query
@@ -260,6 +259,10 @@ object Similarity {
     base.join(dropped, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
   }
+
+  /** Probe-only alias of [[assignCells]] (tools.ProbeCells). */
+  private[graft] def assignCellsProbe(corpus: DataFrame, k: Int): DataFrame =
+    assignCells(corpus, k, 64)
 
   /** Shared cell assignment for [[semDedup]]/[[cellEdges]]: nearest fixed
     * centroid + precomputed norm, one codegen'd map pass. */

@@ -24,6 +24,10 @@ class ExtensionsSqlSpec extends SparkSpecBase {
       .head.getSeq[Long](0).size === 4)
     assert(spark.sql("SELECT graft_lsh_sigs(array(1.0D,0.0D), array(0.5D,0.5D), 1, 2)")
       .head.getSeq[Long](0).size === 1)
+    // centroids (0,0) and (2,2): (1,0) is nearer the first
+    assert(spark.sql("SELECT graft_nearest_cell(array(1.0D,0.0D), " +
+        "array(0.0D,0.0D,2.0D,2.0D), 2, 2)")
+      .head.getInt(0) === 0)
   }
 
   test("SQL calls build the same expression as the Column API helpers") {

@@ -55,6 +55,26 @@ class Round8OpsSpec extends SparkSpecBase {
     assert(auto === pinned)
   }
 
+  test("NearestCell loop kernel matches the least-over-structs column form bit-for-bit") {
+    import org.apache.spark.sql.functions.{least, lit, struct, typedlit}
+    import graft.ops.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    for (k <- Seq(16, 71)) {
+      val centers = Array.tabulate(k)(Similarity.fixedCentroid(_, 64))
+      // the retired column formulation, rebuilt here as the referee
+      val cands = centers.zipWithIndex.map { case (ctr, cid) =>
+        struct((graft.functions.DotProduct.dot(col("v"), col("v"))
+          - lit(2.0) * graft.functions.DotProduct.dot(col("v"), typedlit(ctr))
+          + lit(ctr.map(x => x * x).sum)).as("dist2"), lit(cid).as("cid"))
+      }
+      val both = emb.select(col("vec_id"),
+        graft.functions.NearestCell.of(col("v"), centers).as("fast"),
+        least(cands: _*).getField("cid").as("ref"))
+      assert(both.filter(col("fast") =!= col("ref")).count() === 0L, s"k=$k")
+    }
+  }
+
   test("occupancy subsplit keeps precision 1.0, emits each pair once, recall holds") {
     import graft.ops.Similarity
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
