@@ -59,7 +59,10 @@ object GraftFunctions {
       MisraGries.builder),
     (NearestCell.FunctionName,
       "graft_nearest_cell(v, centers_flat, num_cells, dim) - nearest-centroid id (codegen'd loop)",
-      NearestCell.builder)
+      NearestCell.builder),
+    (MatVec.FunctionName,
+      "graft_matvec(v, mat_flat, n_rows, dim) - literal matrix x vector projection (codegen'd loop)",
+      MatVec.builder)
   )
 
   /** Register every graft function in an existing session (idempotent). */

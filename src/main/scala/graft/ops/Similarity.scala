@@ -676,26 +676,50 @@ object Similarity {
     * path stays IVF/PQ). recall = |full top-k ∩ trunc top-k| / k in
     * truncating integer micro-units. */
   def truncationRecall(emb: DataFrame, nQueries: Int, k: Int,
-                       dims: Int): DataFrame = {
+                       dims: Int): DataFrame =
+    recallAudit(emb, emb.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding")), nQueries, k, dims.toLong)
+
+  /** Johnson–Lindenstrauss random-projection recall audit: project the
+    * corpus dim → projDims through seeded hyperplanes (the JL map that
+    * preserves pairwise geometry w.h.p. — the cheap-index scale lever
+    * when even truncation keeps too many dims), then measure exact top-k
+    * overlap against the full-dim ranking. The projection is ONE
+    * [[graft.functions.MatVec]] codegen loop per row; the DuckDB oracle
+    * replays it as projDims `list_inner_product`s against the same plane
+    * literals, so components agree bit-for-bit. */
+  def jlProjectionRecall(emb: DataFrame, nQueries: Int, k: Int,
+                         projDims: Int, dim: Int = 64): DataFrame = {
+    val proj = emb.select(col("vec_id"),
+      graft.functions.MatVec.of(asDouble(col("embedding")),
+        jlPlanes(projDims, dim)).as("embedding"))
+    recallAudit(emb, proj, nQueries, k, projDims.toLong)
+  }
+
+  /** Seeded JL projection planes — seed offset 5000, disjoint from the
+    * LSH (0+), centroid (1000+), PQ (3000+) and subsplit (9000+) plane
+    * families. */
+  private[graft] def jlPlanes(projDims: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(projDims)(r => planeVec(5000 + r, dim))
+
+  /** Shared recall audit: per-query exact-top-k overlap between the full
+    * embedding and a variant (truncated / JL-projected / quantized). */
+  private def recallAudit(emb: DataFrame, variant: DataFrame, nQueries: Int,
+                          k: Int, dimsLabel: Long): DataFrame = {
     val full = bruteForceTopK(emb, emb.filter(col("vec_id") < nQueries), k)
       .select(col("qid"), col("nid"))
-    val trunc = emb.select(col("vec_id"),
-      slice(col("embedding"), 1, dims).as("embedding"))
-    val tr = bruteForceTopK(trunc, trunc.filter(col("vec_id") < nQueries), k)
+    val tr = bruteForceTopK(variant, variant.filter(col("vec_id") < nQueries), k)
       .select(col("qid").as("t_qid"), col("nid").as("t_nid"))
     full.join(tr, col("qid") === col("t_qid") && col("nid") === col("t_nid"),
         "left_outer")
       .groupBy("qid")
       .agg(count(lit(1)).cast("long").as("k"),
         count(col("t_nid")).cast("long").as("n_kept"))
-      .select(col("qid"), lit(dims.toLong).as("dims"), col("k"), col("n_kept"),
+      .select(col("qid"), lit(dimsLabel).as("dims"), col("k"), col("n_kept"),
         call_function("div", col("n_kept") * 1000000L, col("k")).as("recall_micro"))
       .orderBy("qid")
   }
 
-  /** Exact L2 top-k (squared euclidean, asc) — the ground truth PQ's ADC
-    * approximates; cosine's bruteForceTopK is the wrong referee for an
-    * L2 quantizer. Same broadcast-queries scan shape. */
   /** Sum over ranks 1..k of the binary-NDCG ideal gains in micro-units —
     * the shared denominator constant both engines receive as a literal
     * (round(1e6/log2(i+1)), matching [[rankingMetrics]]' per-row gain). */
@@ -725,6 +749,9 @@ object Similarity {
         round(coalesce(col("dcg_micro"), lit(0L)).cast("double") / idcg, 6).as("ndcg"))
   }
 
+  /** Exact L2 top-k (squared euclidean, asc) — the ground truth PQ's ADC
+    * approximates; cosine's bruteForceTopK is the wrong referee for an
+    * L2 quantizer. Same broadcast-queries scan shape. */
   def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nv"))
     val q = queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))

@@ -1236,6 +1236,44 @@ object ExtensionQueries {
       doc = "dimension-truncation recall audit (64 -> 32 dims, top-10 " +
         "overlap per query, exact brute-force referee on both sides)"),
 
+    // Johnson-Lindenstrauss random projection 64 -> 16 dims through seeded
+    // hyperplanes (one native graft_matvec loop per row), same exact-top-10
+    // overlap audit as the truncation query — the cheap-index lever when
+    // even truncation keeps too many dims. The oracle replays the
+    // projection as 16 list_inner_products against the SAME plane literals.
+    "q_emb_jl_recall" -> QueryDef.sql(
+      (s, dir) => Similarity.jlProjectionRecall(Tables.embeddings(s, dir),
+        nQueries = 5, k = 10, projDims = 16),
+      {
+        val projSql = graft.ops.Similarity.jlPlanes(16, 64)
+          .map(p => s"list_inner_product(v, ${p.mkString("[", ",", "]")})")
+          .mkString("[\n        |    ", ",\n        |    ", "]")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |fr AS (SELECT qid, nid FROM (SELECT qid, n.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |      ROUND(list_inner_product(qv, n.v)/(qnrm*n.nrm), 6) DESC,
+        |      n.vec_id) AS rn
+        |  FROM q CROSS JOIN n WHERE n.vec_id <> qid) WHERE rn <= 10),
+        |t AS (SELECT vec_id, $projSql AS v FROM e),
+        |tn AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM t),
+        |tq AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM tn WHERE vec_id < 5),
+        |tr AS (SELECT qid, nid FROM (SELECT qid, tn.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |      ROUND(list_inner_product(qv, tn.v)/(qnrm*tn.nrm), 6) DESC,
+        |      tn.vec_id) AS rn
+        |  FROM tq CROSS JOIN tn WHERE tn.vec_id <> qid) WHERE rn <= 10)
+        |SELECT fr.qid, CAST(16 AS BIGINT) AS dims,
+        |  CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(COUNT(tr.nid) AS BIGINT) AS n_kept,
+        |  CAST((COUNT(tr.nid) * 1000000) // COUNT(*) AS BIGINT) AS recall_micro
+        |FROM fr LEFT JOIN tr ON tr.qid = fr.qid AND tr.nid = fr.nid
+        |GROUP BY fr.qid ORDER BY fr.qid""".stripMargin
+      },
+      doc = "Johnson-Lindenstrauss 64->16 random-projection recall audit " +
+        "(native matvec kernel; top-10 overlap vs the full-dim ranking)"),
+
     // -------------------------------------------- product quantization ANN
     // PQ (Jegou 2011) completes the ANN tier set: LSH prunes candidates by
     // hashing, IVF prunes by coarse cells, PQ COMPRESSES the scan itself —

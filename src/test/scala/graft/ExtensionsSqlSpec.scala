@@ -28,6 +28,10 @@ class ExtensionsSqlSpec extends SparkSpecBase {
     assert(spark.sql("SELECT graft_nearest_cell(array(1.0D,0.0D), " +
         "array(0.0D,0.0D,2.0D,2.0D), 2, 2)")
       .head.getInt(0) === 0)
+    // identity matrix: projection returns the vector
+    assert(spark.sql("SELECT graft_matvec(array(3.0D,4.0D), " +
+        "array(1.0D,0.0D,0.0D,1.0D), 2, 2)")
+      .head.getSeq[Double](0) === Seq(3.0, 4.0))
   }
 
   test("SQL calls build the same expression as the Column API helpers") {

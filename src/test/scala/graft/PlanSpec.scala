@@ -170,6 +170,8 @@ class PlanSpec extends SparkSpecBase {
       "q_bloom_join_reduce",
       // both rankings are the exact brute-force referee by design
       "q_emb_trunc_recall",
+      // same audit shape over the JL-projected variant
+      "q_emb_jl_recall",
       // recall is MEASURED against brute-force ground truth, so the
       // quadratic baseline is embedded by definition
       "q_ann_recall",
