@@ -79,7 +79,7 @@ object Pca {
   /** Driver-side fit: exact integer covariance matrix + the fixed-point
     * top direction after `iters` power steps. One distributed pass. */
   private[graft] def fitDirection(emb: DataFrame, dim: Int, iters: Int,
-      scaleExp: Int): (Array[Array[Long]], Array[Long]) = {
+      scaleExp: Int): (Array[Array[Long]], Array[Long], Array[Long]) = {
     require(iters >= 1)
     val scale = math.pow(10.0, scaleExp)
     val tri = dim * (dim + 1) / 2
@@ -113,14 +113,14 @@ object Pca {
       val sc = u.map(math.abs).max / 1000L + 1L
       w = u.map(_ / sc)
     }
-    (cov, w)
+    (cov, w, m)
   }
 
   /** One row per dimension: `pos, var_diag (exact integer Cov_pp),
     * w (fixed-point top-eigenvector component after `iters` power steps)`. */
   def pcaPowerFixedPoint(emb: DataFrame, dim: Int, iters: Int = 2,
                          scaleExp: Int = 5): DataFrame = {
-    val (cov, w) = fitDirection(emb, dim, iters, scaleExp)
+    val (cov, w, _) = fitDirection(emb, dim, iters, scaleExp)
     val rows = (0 until dim).map(p => (p.toLong, cov(p)(p), w(p)))
     emb.sparkSession.createDataFrame(rows).toDF("pos", "var_diag", "w").orderBy("pos")
   }
@@ -136,7 +136,7 @@ object Pca {
     * whitening checks). */
   def pcaProjectByLabel(emb: DataFrame, dim: Int, iters: Int = 2,
                         scaleExp: Int = 5): DataFrame = {
-    val (_, w) = fitDirection(emb, dim, iters, scaleExp)
+    val (_, w, _) = fitDirection(emb, dim, iters, scaleExp)
     val scale = math.pow(10.0, scaleExp)
     val score = DotProduct.dot(Cluster.quantizeShift(col("embedding"), scale),
       typedLit(w.map(_.toDouble).toSeq)).cast("long")
@@ -149,6 +149,64 @@ object Pca {
         col("min_score"), col("max_score"))
       .orderBy("label")
   }
+
+  /** PCA reconstruction-error outliers: the corpus rows whose centered
+    * vector is LEAST explained by the fitted top direction — the textbook
+    * one-component anomaly score, in EXACT integers. For centered d and
+    * direction w, the orthogonal residual satisfies
+    * |d_⊥|²·|w|² = |d|²·|w|² − (d·w)² (Cauchy–Schwarz ⇒ never negative),
+    * so ranking on `dd·ww − proj²` avoids the division and the square
+    * root entirely. Magnitude budget: qv < 2e5 and |w| ≤ 1000 keep
+    * dd ≤ 2.6e12, proj ≤ 1.3e10, ww ≤ 6.4e7 — every per-row double is an
+    * exact integer < 2^53; only the intermediate products cross Int64
+    * (exact decimals in Spark, HUGEINT in DuckDB), and the reported
+    * `resid_q = (dd·ww − proj²) // ww = |d_⊥|²` is back in BIGINT range.
+    *
+    * Scale shape: the fit is one Gram-aggregate collect; scoring is a
+    * MAP-ONLY pass of three literal dots (no joins at all); top-k is
+    * TakeOrderedAndProject. */
+  def pcaOutliers(emb: DataFrame, dim: Int, iters: Int = 2,
+                  scaleExp: Int = 5, topK: Int = 20): DataFrame = {
+    val (_, w, m) = fitDirection(emb, dim, iters, scaleExp)
+    val scale = math.pow(10.0, scaleExp)
+    val q = Cluster.quantizeShift(col("embedding"), scale)
+    val wLit = typedLit(w.map(_.toDouble).toSeq)
+    val mLit = typedLit(m.map(_.toDouble).toSeq)
+    val mm = m.map(x => x * x).sum            // ≤ 2.6e12 — exact in double
+    val mw = m.zip(w).map { case (a, b) => a * b }.sum // ≤ 1.3e13 — exact in double
+    val ww = w.map(x => x * x).sum            // ≤ 6.4e7
+    val dd = (DotProduct.dot(q, q) - lit(2.0) * DotProduct.dot(q, mLit)
+      + lit(mm.toDouble)).cast("long")
+    val proj = (DotProduct.dot(q, wLit) - lit(mw.toDouble)).cast("long")
+    // |d_⊥|² = (dd·ww − proj²) // ww back in BIGINT range (≤ dd ≤ 2.6e12);
+    // the intermediate crosses Int64 so it rides exact decimals, and the
+    // output stays integer-typed on both engines (DuckDB's python client
+    // degrades DECIMAL(38) to float64, so a decimal OUTPUT can't be hashed)
+    emb.select(col("vec_id"), dd.as("dd"), proj.as("proj"))
+      .withColumn("resid_q",
+        call_function("div",
+          col("dd").cast("decimal(19,0)") * lit(java.math.BigDecimal.valueOf(ww))
+            - col("proj").cast("decimal(19,0)") * col("proj").cast("decimal(19,0)"),
+          lit(java.math.BigDecimal.valueOf(ww))).cast("long"))
+      .orderBy(col("resid_q").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[pcaOutliers]]: the shared fit CTEs, per-vector
+    * integer dd/proj, and the HUGEINT residual rank. */
+  def pcaOutliersOracle(iters: Int = 2, scaleExp: Int = 5,
+                        topK: Int = 20): String =
+    s"""WITH ${pcaCtes(iters, scaleExp)},
+       |per AS (SELECT d.vec_id,
+       |    CAST(SUM(d.dv * d.dv) AS BIGINT) AS dd,
+       |    CAST(SUM(d.dv * w$iters.w) AS BIGINT) AS proj
+       |  FROM d JOIN w$iters ON d.pos = w$iters.pos GROUP BY 1),
+       |nw AS (SELECT CAST(SUM(w * w) AS BIGINT) AS ww FROM w$iters)
+       |SELECT vec_id, dd, proj,
+       |  CAST((CAST(dd AS HUGEINT) * ww - CAST(proj AS HUGEINT) * proj) // ww
+       |    AS BIGINT) AS resid_q
+       |FROM per, nw
+       |ORDER BY resid_q DESC, vec_id LIMIT $topK""".stripMargin
 
   /** Shared oracle WITH-body: quantized long-form corpus `v`, centered
     * self-join covariance `g`, and the unrolled integer power steps

@@ -1432,6 +1432,17 @@ object ExtensionQueries {
       doc = "per-label principal-score distribution: integer projection " +
         "onto the fitted top direction, fully oracle-checked"),
 
+    // PCA reconstruction-error outliers: rank rows by the exact-integer
+    // orthogonal residual dd*ww - proj^2 (Cauchy-Schwarz keeps it >= 0) —
+    // the one-component anomaly gate over an embedding corpus. Scoring is
+    // a map-only pass of three literal dots, top-20 by TakeOrdered.
+    "q_pca_outliers" -> QueryDef.sql(
+      (s, dir) => Pca.pcaOutliers(Tables.embeddings(s, dir), dim = 64,
+        iters = 2, topK = 20),
+      Pca.pcaOutliersOracle(iters = 2, topK = 20),
+      doc = "PCA reconstruction-error outliers: exact-integer orthogonal " +
+        "residual vs the fitted top direction, top-20"),
+
     // -------------------------------------------------------- text analysis
     "q_text_stats" -> QueryDef.sql(
       (s, dir) => {
