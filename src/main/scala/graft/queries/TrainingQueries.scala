@@ -483,6 +483,61 @@ object TrainingQueries {
     // micro-unit quotients (`a*10^6 div b`). The round-4 version rounded
     // the rate/achieved double quotients and split the engines at the
     // halfway digit (same trap as q_lm_perplexity; FIXTURES.md).
+    // Water-filling budget allocation: spread a 300-doc sampling budget
+    // across sources as EQUALLY as capacity allows — small sources
+    // saturate at their capacity, the leftover redistributes, and every
+    // unsaturated source lands on one common water level. The classic
+    // capped-fair-share allocator, in CLOSED FORM: sort sources by
+    // capacity; a source saturates iff cap*(remaining sources) fits the
+    // remaining budget (pure integer compare, no division); the first
+    // unsaturated row's candidate level IS the final level. One ~20-row
+    // window pass over the per-source agg table — no iteration to unroll,
+    // at any corpus size the windows run on |sources| rows.
+    "q_mix_waterfill" -> QueryDef.sql(
+      (s, dir) => {
+        val budget = 300L
+        val w1 = Window.orderBy(col("n_docs"), col("source"))
+        val whole = Window.partitionBy()
+        Tables.documents(s, dir)
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("k", row_number().over(w1).cast("long"))
+          .withColumn("p", sum("n_docs").over(w1))
+          .withColumn("nn", count(lit(1)).over(whole))
+          .withColumn("rem", lit(budget) - (col("p") - col("n_docs")))
+          .withColumn("m", col("nn") - col("k") + 1L)
+          .withColumn("sat", col("n_docs") * col("m") <= col("rem"))
+          .withColumn("lvm", call_function("div", col("rem") * 1000000L, col("m")))
+          .withColumn("kstar", min(when(not(col("sat")), col("k"))).over(whole))
+          .withColumn("level_micro",
+            max(when(col("k") === col("kstar"), col("lvm"))).over(whole))
+          .withColumn("alloc_micro",
+            when(col("sat"), col("n_docs") * 1000000L).otherwise(col("level_micro")))
+          .select("source", "n_docs", "sat", "alloc_micro", "level_micro")
+          .orderBy("source")
+      },
+      """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |o AS (SELECT source, n_docs,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_docs, source) AS BIGINT) AS k,
+        |    CAST(SUM(n_docs) OVER (ORDER BY n_docs, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nn
+        |  FROM s),
+        |c AS (SELECT *, 300 - (p - n_docs) AS rem, nn - k + 1 AS m FROM o),
+        |d AS (SELECT *, n_docs * m <= rem AS sat,
+        |        CAST((rem * 1000000) // m AS BIGINT) AS lvm FROM c),
+        |f AS (SELECT *, MIN(CASE WHEN NOT sat THEN k END) OVER () AS kstar FROM d),
+        |g AS (SELECT *, MAX(CASE WHEN k = kstar THEN lvm END) OVER () AS level_micro
+        |      FROM f)
+        |SELECT source, n_docs, sat,
+        |  CAST(CASE WHEN sat THEN n_docs * 1000000 ELSE level_micro END AS BIGINT)
+        |    AS alloc_micro,
+        |  level_micro
+        |FROM g ORDER BY source""".stripMargin,
+      doc = "water-filling budget allocation: capped fair share of a " +
+        "300-doc budget per source via the closed-form breakpoint — " +
+        "saturated sources at capacity, the rest on one water level"),
+
     "q_mix_temperature" -> QueryDef.sql(
       (s, dir) => {
         val docs = Tables.documents(s, dir)

@@ -148,4 +148,25 @@ class GraphSpec extends SparkSpecBase {
     assert(incr(old, Seq(20L), Seq.empty) ===
       Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 20L -> 20L))
   }
+
+  test("incrementalComponents == batch CC on seeded random graphs and cuts") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 12 + rnd.nextInt(20)
+      val ids = (0L until n.toLong).toSeq
+      val edges = Seq.fill(rnd.nextInt(2 * n))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val cut = 1 + rnd.nextInt(n - 1)
+      val (oldOld, rest) = edges.partition { case (a, b) => a < cut && b < cut }
+      // ~20% of history edges arrive LATE, inside the new batch
+      val (late, hist) = oldOld.partition(_ => rnd.nextDouble() < 0.2)
+      val oldLabels = Graph.connectedComponentsStar(
+        ids.filter(_ < cut).toDF("id"), hist.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = incr(oldLabels, ids.filter(_ >= cut), rest ++ late)
+      val want = cc(ids, edges)
+      assert(got === want, s"trial $trial n=$n cut=$cut edges=${edges.size}")
+    }
+  }
 }
