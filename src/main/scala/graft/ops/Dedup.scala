@@ -170,14 +170,29 @@ object Dedup {
     val p = g0 / gcd
     val q = 1000000L / gcd
     val prefixLen = col("n_sh") - expr(s"(n_sh * $p + ${q - 1}) div $q") + 1
-    // the prefix table feeds BOTH self-join sides; without persisting it the
-    // whole freq-join + per-doc window pipeline runs twice
+    // ASYMMETRIC index prefix (Bayardo et al. 2007 "Scaling Up All Pairs";
+    // Xiao et al. 2008 PPJoin): when sets are compared in (size, id)
+    // order, the EARLIER (smaller) side of a qualifying pair must be hit
+    // within its first |y| − ⌈(2t/(1+t))·|y|⌉ + 1 tokens — shorter than
+    // the probe prefix (2t/(1+t) ≥ t), so the index side of the join
+    // carries ~(1−2t/(1+t)) of each doc instead of (1−t): a third fewer
+    // candidate rows at t = 0.5, lossless by the prefix-filter lemma.
+    // Integer form with t = p/q: 2t/(1+t) = 2p/(q+p).
+    val indexLen = col("n_sh") -
+      expr(s"(n_sh * 2 * $p + ${q + p - 1}) div ${q + p}") + 1
+    // the probe-prefix table feeds BOTH self-join sides (the index rows
+    // are a pos-filter subset, indexLen <= prefixLen); without persisting
+    // it the whole freq-join + per-doc window pipeline runs twice
     val prefix = PlanCache.getOrPersist(docs, s"ppjoin_prefix:$idCol:$textCol:$n:$threshold")(
       ranked.filter(col("pos") <= prefixLen)
-        .select("id", "n_sh", "pos", "h"))
-    // equi-join on the prefix shingle with the AllPairs length filter and
-    // the PPJoin positional filter riding on the join:
-    //  - length: J >= t forces t*|B| <= |A| and t*|A| <= |B|;
+        .select("id", "n_sh", "pos", "h").withColumn("idx_len", indexLen))
+    val index = prefix.filter(col("pos") <= col("idx_len"))
+    // equi-join on the prefix shingle: the LARGER set (ties: larger id)
+    // probes with its probe prefix, the smaller is met in its index
+    // prefix, with the AllPairs length filter and the PPJoin positional
+    // filter riding on the join:
+    //  - length: J >= t forces t*|A| <= |B| (the other direction is the
+    //    size order itself);
     //  - positional: overlap needed is ceil(t/(1+t)*(|A|+|B|)), and a match
     //    at sorted positions (i, j) caps achievable overlap at
     //    1 + min(|A|-i, |B|-j). The first common prefix shingle of a truly
@@ -190,13 +205,23 @@ object Dedup {
     // pair, e.g. t=0.2 with t/(1+t)*(|A|+|B|) an exact integer):
     //   t*|A| <= |B|                 ⇔  p*|A| <= q*|B|
     //   o >= ceil(t/(1+t)*(nA+nB))   ⇔  o*(q+p) >= p*(nA+nB)
-    val candidates = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+    val candidates = prefix.as("a").join(index.as("b"),
+        col("a.h") === col("b.h") &&
+        (col("a.n_sh") > col("b.n_sh") ||
+          (col("a.n_sh") === col("b.n_sh") && col("a.id") > col("b.id"))) &&
         col("a.n_sh") * p <= col("b.n_sh") * q &&
-        col("b.n_sh") * p <= col("a.n_sh") * q &&
         (lit(1L) + least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")))
           * (q + p) >= (col("a.n_sh") + col("b.n_sh")) * p)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      // distinct on the RAW (probe id, index id) pair — the size-order
+      // orientation is unique per unordered pair, so the cardinality is
+      // the same as distinct on (min, max), but the reorder runs on the
+      // tiny post-distinct output: a least/greatest BEFORE the distinct
+      // makes Spark infer isnotnull(least(...)) constraints into the join
+      // condition, which knocks the join out of whole-stage codegen
+      // (measured 0.8 s -> 3.7 s at sf0.1)
+      .select(col("a.id").as("u"), col("b.id").as("v")).distinct()
+      .select(least(col("u"), col("v")).as("id_a"),
+        greatest(col("u"), col("v")).as("id_b"))
     // verify on the cached arrays: one array_intersect per candidate pair
     // instead of re-exploding both sides into a pairs x shingles join
     verifyJaccardHashed(candidates, arrays, threshold)
