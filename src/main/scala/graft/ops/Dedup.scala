@@ -535,8 +535,14 @@ object Dedup {
       .join(bandedOk.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.id") =!= col("y.id"))
-      .select(least(col("x.id"), col("y.id")).as("id_a"),
-        greatest(col("x.id"), col("y.id")).as("id_b"))
+      // raw-pair distinct first, reorder after: least/greatest projected
+      // directly over the join seeds isnotnull(least(...)) constraint
+      // inference into the join and drops it from whole-stage codegen
+      // (see CLAUDE.md); a new×new pair appears in both orientations, so
+      // a second (tiny) distinct follows the reorder
+      .select(col("x.id").as("u"), col("y.id").as("v")).distinct()
+      .select(least(col("u"), col("v")).as("id_a"),
+        greatest(col("u"), col("v")).as("id_b"))
       .distinct()
     verifyJaccard(candidates, arrays, threshold)
   }
@@ -684,9 +690,12 @@ object Dedup {
       bit_count(col(s"x$c").bitwiseXOR(col(s"y$c")))).reduce(_ + _)
     side("x", filtered = true).join(side("y", filtered = false), Seq("chunk", "v"))
       .filter(col("xid") =!= col("yid"))
+      // same reorder-after-distinct discipline as the minhash twin above
+      // (hamming is orientation-symmetric, so it rides the raw distinct)
+      .select(col("xid"), col("yid"), ham.cast("long").as("hamming"))
+      .distinct()
       .select(least(col("xid"), col("yid")).as("id_a"),
-        greatest(col("xid"), col("yid")).as("id_b"),
-        ham.cast("long").as("hamming"))
+        greatest(col("xid"), col("yid")).as("id_b"), col("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
