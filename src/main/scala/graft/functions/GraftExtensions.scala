@@ -62,7 +62,16 @@ object GraftFunctions {
       NearestCell.builder),
     (MatVec.FunctionName,
       "graft_matvec(v, mat_flat, n_rows, dim) - literal matrix x vector projection (codegen'd loop)",
-      MatVec.builder)
+      MatVec.builder),
+    (SortedIntersectCount.FunctionName,
+      "graft_sorted_inter(a, b) - distinct-intersection count of two sorted array<bigint> (codegen'd merge)",
+      SortedIntersectCount.builder),
+    (HashRangeHist.FunctionName,
+      "graft_range_hist(hs) - 128-range 4-bit saturating count histogram of a hash array (8 longs)",
+      HashRangeHist.builder),
+    (HistMinSum.FunctionName,
+      "graft_hist_min_sum(ct_a, ct_b) - sum of per-range count minimums: lossless overlap upper bound",
+      HistMinSum.builder)
   )
 
   /** Register every graft function in an existing session (idempotent). */

@@ -133,8 +133,10 @@ object Dedup {
     * xxhash64 of the element — nothing non-trivial re-evaluates per call
     * (the CodegenFallback trap is embedded subexpressions, not this). */
   private def hashedShingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    // sorted ascending at build (once per doc) so candidate verification can
+    // run the primitive merge-scan intersect instead of a per-pair hash set
     docs.select(col(idCol).as("id"),
-      transform(TextOps.shingles(col(textCol), n), s => xxhash64(s)).as("hs"))
+      sort_array(transform(TextOps.shingles(col(textCol), n), s => xxhash64(s))).as("hs"))
 
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -182,10 +184,21 @@ object Dedup {
       expr(s"(n_sh * 2 * $p + ${q + p - 1}) div ${q + p}") + 1
     // the probe-prefix table feeds BOTH self-join sides (the index rows
     // are a pos-filter subset, indexLen <= prefixLen); without persisting
-    // it the whole freq-join + per-doc window pipeline runs twice
-    val prefix = PlanCache.getOrPersist(docs, s"ppjoin_prefix:$idCol:$textCol:$n:$threshold")(
+    // it the whole freq-join + per-doc window pipeline runs twice.
+    // Each prefix row also carries the doc's 64-byte count-histogram
+    // sketch (graft_range_hist over the hashed shingle set) so the
+    // candidate join can apply the lossless overlap upper bound BEFORE the
+    // distinct and the full-array verify joins — at the 10x stretch
+    // fixture this kills ~99% of the 9.8M junk candidates that the
+    // length/positional filters structurally cannot (they are genuinely
+    // ~0.35-Jaccard near-misses). The sketch join is 1-row-per-doc and
+    // broadcast/AQE-friendly.
+    val sketches = arrays.select(col("id"),
+      graft.functions.HashRangeHist.hist(col("hs")).as("ct"))
+    val prefix = PlanCache.getOrPersist(docs, s"ppjoin_prefix_ct:$idCol:$textCol:$n:$threshold")(
       ranked.filter(col("pos") <= prefixLen)
-        .select("id", "n_sh", "pos", "h").withColumn("idx_len", indexLen))
+        .select("id", "n_sh", "pos", "h").withColumn("idx_len", indexLen)
+        .join(sketches, "id"))
     val index = prefix.filter(col("pos") <= col("idx_len"))
     // equi-join on the prefix shingle: the LARGER set (ties: larger id)
     // probes with its probe prefix, the smaller is met in its index
@@ -205,26 +218,36 @@ object Dedup {
     // pair, e.g. t=0.2 with t/(1+t)*(|A|+|B|) an exact integer):
     //   t*|A| <= |B|                 ⇔  p*|A| <= q*|B|
     //   o >= ceil(t/(1+t)*(nA+nB))   ⇔  o*(q+p) >= p*(nA+nB)
+    // histogram count filter (lossless, see HashRangeHist): the overlap
+    // upper bound Σ_r min(cnt_a, cnt_b) must reach the required overlap
+    // ceil(t/(1+t)·(nA+nB)); the extra (q+p) slack covers the 6-dp
+    // rounding admission at the threshold boundary so no qualifying pair
+    // can be pruned. Evaluated per matched row inside the join's
+    // whole-stage codegen — junk pairs never reach the distinct exchange.
     val candidates = prefix.as("a").join(index.as("b"),
         col("a.h") === col("b.h") &&
         (col("a.n_sh") > col("b.n_sh") ||
           (col("a.n_sh") === col("b.n_sh") && col("a.id") > col("b.id"))) &&
         col("a.n_sh") * p <= col("b.n_sh") * q &&
         (lit(1L) + least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")))
-          * (q + p) >= (col("a.n_sh") + col("b.n_sh")) * p)
+          * (q + p) >= (col("a.n_sh") + col("b.n_sh")) * p &&
+        graft.functions.HistMinSum.minSum(col("a.ct"), col("b.ct")) * (q + p) >=
+          (col("a.n_sh") + col("b.n_sh")) * p - (q + p))
       // distinct on the RAW (probe id, index id) pair — the size-order
       // orientation is unique per unordered pair, so the cardinality is
-      // the same as distinct on (min, max), but the reorder runs on the
-      // tiny post-distinct output: a least/greatest BEFORE the distinct
-      // makes Spark infer isnotnull(least(...)) constraints into the join
-      // condition, which knocks the join out of whole-stage codegen
-      // (measured 0.8 s -> 3.7 s at sf0.1)
-      .select(col("a.id").as("u"), col("b.id").as("v")).distinct()
-      .select(least(col("u"), col("v")).as("id_a"),
-        greatest(col("u"), col("v")).as("id_b"))
-    // verify on the cached arrays: one array_intersect per candidate pair
+      // the same as distinct on (min, max). The least/greatest reorder
+      // runs on the tiny VERIFIED output below: placed anywhere upstream
+      // of the verify joins, Spark infers isnotnull(least(...))
+      // constraints back into the candidate join condition (the CLAUDE.md
+      // trap; measured 0.8 s -> 3.7 s at sf0.1), and jaccard is
+      // orientation-symmetric so verifying the raw orientation is
+      // equivalent.
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // verify on the cached arrays: one merge-scan per candidate pair
     // instead of re-exploding both sides into a pairs x shingles join
     verifyJaccardHashed(candidates, arrays, threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against the
@@ -264,14 +287,24 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** Same as verifyJaccard but over hashed-shingle arrays (array<bigint>
-    * intersect takes the primitive fast path). */
+  /** Same as verifyJaccard but over SORTED hashed-shingle arrays: the
+    * per-pair intersection is [[graft.functions.SortedIntersectCount]] — a
+    * primitive two-pointer merge in whole-stage codegen instead of
+    * array_intersect's per-row hash set + materialized output array. At the
+    * 10x stretch fixture the candidate set is 9.8M pairs for 3k true
+    * matches, so this constant factor IS the verify stage. The doc-array
+    * joins are hinted SHUFFLE_HASH: the build side is one 1-row-per-doc
+    * table, and hashing it beats sort-merge's sort of the (much larger)
+    * candidate-pair stream on both the local bench and a real cluster. */
   private def verifyJaccardHashed(candidates: DataFrame, arrays: DataFrame,
                                   threshold: Double): DataFrame =
     candidates
-      .join(arrays.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(arrays.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .join(arrays.select(col("id").as("id_a"), col("hs").as("hs_a")).hint("SHUFFLE_HASH"),
+        Seq("id_a"))
+      .join(arrays.select(col("id").as("id_b"), col("hs").as("hs_b")).hint("SHUFFLE_HASH"),
+        Seq("id_b"))
+      .withColumn("n_inter",
+        graft.functions.SortedIntersectCount.count(col("hs_a"), col("hs_b")))
       .withColumn("jaccard", round(col("n_inter").cast("double")
         / (size(col("hs_a")) + size(col("hs_b")) - col("n_inter")), 6))
       .filter(col("jaccard") >= threshold)
@@ -320,10 +353,12 @@ object Dedup {
         col("n_sub") * p <= col("n_sup") * q) // t·|A| ≤ |B| since |A∩B| ≤ |B|
       .select("id_sub", "id_sup").distinct()
     candidates
-      .join(arrays.select(col("id").as("id_sub"), col("hs").as("hs_sub")), Seq("id_sub"))
-      .join(arrays.select(col("id").as("id_sup"), col("hs").as("hs_sup")), Seq("id_sup"))
+      .join(arrays.select(col("id").as("id_sub"), col("hs").as("hs_sub")).hint("SHUFFLE_HASH"),
+        Seq("id_sub"))
+      .join(arrays.select(col("id").as("id_sup"), col("hs").as("hs_sup")).hint("SHUFFLE_HASH"),
+        Seq("id_sup"))
       .withColumn("n_inter",
-        size(array_intersect(col("hs_sub"), col("hs_sup"))).cast("long"))
+        graft.functions.SortedIntersectCount.count(col("hs_sub"), col("hs_sup")))
       .withColumn("containment",
         round(col("n_inter").cast("double") / size(col("hs_sub")), 6))
       .filter(col("containment") >= threshold)

@@ -185,6 +185,11 @@ object AsOfJoinNative {
     val leftCols = left.columns.toSeq
     require(payload.intersect(leftCols).isEmpty,
       s"payload columns ${payload.intersect(leftCols).mkString(",")} collide with left side")
+    val reserved = Set("__graft_rk", "__graft_rt", AsOfMatchTimeCol)
+    require(!payload.exists(reserved), s"payload columns ${payload.filter(reserved).mkString(",")} " +
+      s"collide with the operator's internal plumbing columns ($reserved)")
+    require(payload.distinct.size == payload.size,
+      s"duplicate payload columns: ${payload.diff(payload.distinct).mkString(",")}")
     val spark = left.sparkSession
     install(spark)
     val keyT = left.schema(leftOn).dataType

@@ -154,7 +154,8 @@ object StatsQueries {
          |          w AS (PARTITION BY event_type ORDER BY val
          |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          |d AS (SELECT event_type, n_a, n_b,
-         |        abs(CAST(ra AS DOUBLE)/n_a - CAST(rb AS DOUBLE)/n_b) AS d FROM cum)
+         |        CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |          abs(CAST(ra AS DOUBLE)/n_a - CAST(rb AS DOUBLE)/n_b) END AS d FROM cum)
          |SELECT event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b, ROUND(MAX(d), 6) AS ks_d
          |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
       doc = "two-sample KS drift statistic per event_type between hash arms"),
@@ -499,7 +500,7 @@ object StatsQueries {
            |      FROM hw GROUP BY 1, 2),
            |m AS (SELECT event_type, b, CASE WHEN sw > 0 THEN swx/sw END AS mb FROM g),
            |rk AS (SELECT event_type, mb,
-           |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mb, b) AS rn FROM m),
+           |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY mb NULLS LAST, b) AS rn FROM m),
            |ci AS (SELECT event_type, MIN(CASE WHEN rn = 2 THEN mb END) AS lo,
            |         MIN(CASE WHEN rn = 31 THEN mb END) AS hi FROM rk GROUP BY 1),
            |o AS (SELECT event_type, COUNT(*) AS n,

@@ -206,6 +206,10 @@ object JdbcSink {
             case _ => st.setObject(pos, r.get(i))
           }
         }
+        // On failure: roll back the open transaction before closing, and keep
+        // cleanup exceptions from masking the root cause (Spark's task retry
+        // must see the original failure, not a close()-with-open-txn error).
+        def quietly(f: => Unit): Unit = try f catch { case _: java.sql.SQLException => () }
         try {
           rows.foreach { r =>
             (valCols ++ keyCols).zipWithIndex.foreach { case (c, p) => bindOne(upd, p + 1, c, r) }
@@ -215,7 +219,9 @@ object JdbcSink {
             }
           }
           conn.commit()
-        } finally { upd.close(); ins.close(); conn.close() }
+        } catch {
+          case e: Throwable => quietly(conn.rollback()); throw e
+        } finally { quietly(upd.close()); quietly(ins.close()); quietly(conn.close()) }
       }
     }
   }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 guards: the sorted merge-scan intersect that replaced
+  * array_intersect in similarity-join verification, and the ADVICE-item
+  * guard rails. */
+class Round9OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("graft_sorted_inter matches size(array_intersect) on random sorted arrays") {
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 200).map { i =>
+      // overlapping value ranges; ~20% duplicate elements to exercise the
+      // equal-run skip (array_intersect is distinct-count)
+      def arr() = Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong)
+        .flatMap(v => if (rnd.nextInt(5) == 0) Seq(v, v) else Seq(v))
+        .sorted
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("fast", graft.functions.SortedIntersectCount.count(col("a"), col("b")))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))).cast("long"))
+    assert(df.filter(col("fast") =!= col("ref")).count() === 0)
+    // empty and null inputs
+    val edge = Seq((Some(Seq.empty[Long]), Some(Seq(1L, 2L))),
+      (None, Some(Seq(1L))), (Some(Seq(1L)), None)).toDF("a", "b")
+      .select(graft.functions.SortedIntersectCount.count(col("a"), col("b")).as("c"))
+      .collect()
+    assert(edge(0).getLong(0) === 0L)
+    assert(edge(1).isNullAt(0) && edge(2).isNullAt(0))
+  }
+
+  test("graft_sorted_inter agrees between codegen and interpreted eval") {
+    val df = Seq((Seq(1L, 3L, 3L, 7L, 9L), Seq(2L, 3L, 7L, 7L, 10L))).toDF("a", "b")
+    val c = graft.functions.SortedIntersectCount.count(col("a"), col("b"))
+    val viaCodegen = df.select(c).collect().head.getLong(0)
+    val interpreted = graft.functions.SortedIntersectCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L, 3L, 3L, 7L, 9L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, 3L, 7L, 7L, 10L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))).eval(null)
+    assert(viaCodegen === 2L)
+    assert(interpreted === 2L)
+  }
+
+  test("graft_hist_min_sum upper-bounds the exact overlap (lossless count filter)") {
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 300).map { i =>
+      // full-range 64-bit hashes (the histogram ranges come from the top 7
+      // bits, so the values must span the whole space like xxhash64 output)
+      def arr(sz: Int) = Seq.fill(sz)(rnd.nextLong()).sorted
+      val shared = arr(rnd.nextInt(60))
+      val a = (shared ++ arr(rnd.nextInt(60))).distinct.sorted
+      val b = (shared ++ arr(rnd.nextInt(60))).distinct.sorted
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("bound", graft.functions.HistMinSum.minSum(
+        graft.functions.HashRangeHist.hist(col("a")),
+        graft.functions.HashRangeHist.hist(col("b"))))
+      .withColumn("exact", graft.functions.SortedIntersectCount.count(col("a"), col("b")))
+    assert(df.filter(col("bound") < col("exact")).count() === 0)
+    // and the bound is discriminative, not vacuous: disjoint small sets
+    // bound well below their sizes
+    val disjoint = Seq((Seq(1L, 2L, 3L).map(x => x << 58),
+      Seq(9L, 10L, 11L).map(x => x << 58))).toDF("a", "b")
+      .select(graft.functions.HistMinSum.minSum(
+        graft.functions.HashRangeHist.hist(col("a")),
+        graft.functions.HashRangeHist.hist(col("b"))).as("bound"))
+      .collect().head.getLong(0)
+    assert(disjoint === 0L)
+  }
+
+  test("prefix-filtered Jaccard pairs (with histogram filter) == naive tier on fixture docs") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val fast = graft.ops.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).orderBy("id_a", "id_b").collect()
+    val naive = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).orderBy("id_a", "id_b").collect()
+    assert(fast.map(_.toSeq.toList).toList === naive.map(_.toSeq.toList).toList)
+    assert(fast.nonEmpty)
+  }
+
+  test("asofJoinWithMatchTime rejects reserved and duplicate payload names") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "ts", "x")
+    val right = Seq((1L, 5L, "p", "q")).toDF("k", "ts", "__graft_rt", "p")
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.asofJoinWithMatchTime(left, right,
+        "k", "k", "ts", "ts", Seq("__graft_rt"))
+    }
+    val right2 = Seq((1L, 5L, "p")).toDF("k", "ts", "p")
+    intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinNative.asofJoinWithMatchTime(left, right2,
+        "k", "k", "ts", "ts", Seq("p", "p"))
+    }
+  }
+
+  test("ksTwoSample reports NULL ks_d when one arm is empty") {
+    // every row lands in arm 0 -> n_b = 0: the guard must yield NULL, not NaN
+    val df = Seq(("g", 0, 1.0), ("g", 0, 2.0)).toDF("grp", "arm", "value")
+    val out = graft.ops.Stats.ksTwoSample(df, "grp", "arm", "value").collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("ks_d")))
+  }
+}
