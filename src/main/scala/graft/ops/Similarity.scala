@@ -251,6 +251,19 @@ object Similarity {
   def semDedup(corpus: DataFrame, threshold: Double, nList: Int = 0,
                dim: Int = 64): DataFrame = {
     val (k, j) = if (nList > 0) (nList, 0) else adaptiveGeometry(corpus)
+    semDedupGeom(corpus, threshold, k, j, dim)
+  }
+
+  /** [[semDedup]] with the (k cells, j subsplit bits) geometry pinned by
+    * the caller — the declared-query entry point for exercising the
+    * bounded-occupancy j ≥ 1 scale path at fixture scale (q_sim_semdedup
+    * _dense pins j = 2, the geometry a targetOcc ≈ 8 corpus would derive),
+    * so the engine's designated 100 TB similarity plan is oracle-HASHED,
+    * not just probe-timed. The multiprobe survival rule (a pair survives
+    * iff its j-bit signatures differ in ≤ 1 bit) is what the DuckDB twin
+    * replays with literal hyperplanes. */
+  def semDedupGeom(corpus: DataFrame, threshold: Double, k: Int, j: Int,
+                   dim: Int = 64): DataFrame = {
     val base = assignCells(corpus, k, dim)
     val dropped = cellCandidates(base, j, dim)
       .filter(col("cos") >= threshold)
@@ -258,6 +271,46 @@ object Similarity {
       .withColumn("dup", lit(1))
     base.join(dropped, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
+  }
+
+  /** Incremental SemDeDup: absorb a new batch of vectors into an existing
+    * keep/drop table WITHOUT re-pairing history×history — the embedding
+    * tier's daily-ingest shape (the round-8 verdict's missing maintenance
+    * form; text/image/audio already had theirs). The fixed seeded
+    * centroids make this exact: cell assignment is corpus-independent, so
+    * yesterday's cells ARE today's cells and only new×(new ∪ history)
+    * pairs inside a cell can change any verdict.
+    *
+    * Contract: new ids must all be LARGER than history ids (append-only
+    * monotonic ingest). semDedup drops an id iff a smaller-id near-dup
+    * shares its cell, so a strictly-larger new batch can never flip a
+    * history verdict — `history` rows pass through untouched, and the
+    * output hash-equals the full-recompute [[semDedupGeom]] (the
+    * q_dedup_clusters_incr proof pattern: the declared oracle IS the full
+    * recompute).
+    *
+    * Cost: one linear assignment pass over the corpus + a pair join
+    * bounded by |new| × cell occupancy — never |history|².
+    *
+    * @param history yesterday's (vec_id, cid, keep) table
+    * @param corpus  the FULL embedding table (history ∪ new)
+    * @param isNew   predicate over vec_id selecting the new batch */
+  def semDedupIncrement(history: DataFrame, corpus: DataFrame,
+                        isNew: Column => Column, threshold: Double,
+                        k: Int, dim: Int = 64): DataFrame = {
+    val base = assignCells(corpus, k, dim)
+    val newSide = base.filter(isNew(col("vec_id")))
+    val dropped = newSide.as("b").join(base.as("a"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dup", lit(1))
+    val newFlags = newSide.select("vec_id", "cid")
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
+    history.unionByName(newFlags)
   }
 
   /** Probe-only alias of [[assignCells]] (tools.ProbeCells). */

@@ -243,11 +243,32 @@ object ExtensionQueries {
     * squared norms), nearest-cell assignment with the (dist2, cid)
     * tie-break, within-cell cosine pairs, keep = no smaller same-cell
     * near-dup. */
-  private def semDedupOracle(threshold: Double, nList: Int, dim: Int): String = {
+  private def semDedupOracle(threshold: Double, nList: Int, dim: Int,
+                             j: Int = 0): String = {
     val centRows = (0 until nList).map { c =>
       val ctr = graft.ops.Similarity.fixedCentroid(c, dim)
       s"($c, ${ctr.mkString("[", ",", "]")}, ${ctr.map(x => x * x).sum})"
     }.mkString(",\n|    ")
+    // j > 0: the bounded-occupancy subsplit — each vector's j sign bits
+    // against the seeded hyperplanes (seed offset 9000, literal arrays),
+    // and the 1-bit-flip multiprobe survival rule "signatures differ in
+    // <= 1 of the j bits" expressed as xor(bits_a, bits_b) IN (0, 2^i).
+    val bitsCte = if (j == 0) "" else {
+      val bitExprs = (0 until j).map { i =>
+        val pl = graft.ops.Similarity.planeVec(9000 + i, dim)
+        s"(CASE WHEN list_inner_product(v, ${pl.mkString("[", ",", "]")}) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n|      + ")
+      s""",
+         |bits AS (SELECT vec_id,
+         |      $bitExprs AS b
+         |    FROM n)""".stripMargin
+    }
+    val probeJoin = if (j == 0) "" else
+      s"""
+         |         JOIN bits xa ON xa.vec_id = ja.vec_id
+         |         JOIN bits xb ON xb.vec_id = jb.vec_id""".stripMargin
+    val probeCond = if (j == 0) "" else
+      s" AND xor(xa.b, xb.b) IN (${(0L +: (0 until j).map(i => (1L << i))).mkString(", ")})"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |cent(cid, cv, cc) AS (VALUES
@@ -256,12 +277,12 @@ object ExtensionQueries {
        |    SELECT n.vec_id, cent.cid,
        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
        |        (list_inner_product(v, v) - 2.0*list_inner_product(v, cv) + cc), cid) AS rnk
-       |    FROM n CROSS JOIN cent) WHERE rnk = 1),
+       |    FROM n CROSS JOIN cent) WHERE rnk = 1)$bitsCte,
        |dropped AS (SELECT DISTINCT jb.vec_id
-       |    FROM ca ja JOIN ca jb ON ja.cid = jb.cid AND ja.vec_id < jb.vec_id
+       |    FROM ca ja JOIN ca jb ON ja.cid = jb.cid AND ja.vec_id < jb.vec_id$probeJoin
        |         JOIN n a ON a.vec_id = ja.vec_id
        |         JOIN n b ON b.vec_id = jb.vec_id
-       |    WHERE ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) >= $threshold)
+       |    WHERE ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) >= $threshold$probeCond)
        |SELECT ca.vec_id, ca.cid,
        |  ca.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
        |FROM ca ORDER BY vec_id""".stripMargin
@@ -1058,6 +1079,41 @@ object ExtensionQueries {
       semDedupOracle(threshold = 0.4, nList = 16, dim = 64),
       doc = "SemDeDup: cell-bounded semantic dedup with keep/drop verdicts " +
         "(pairs only within a k-means cell; smallest id survives)"),
+
+    // The bounded-occupancy SCALE path of the same operator, forced on at
+    // fixture scale: j = 2 sign-bit subsplits per cell + 1-bit-flip
+    // multiprobe (the geometry a targetOcc ~ 8 corpus would derive). The
+    // oracle replays the literal hyperplanes and the "signatures differ
+    // in <= 1 bit" survival rule, so the engine's designated 100 TB
+    // similarity plan is hash-verified, not just probe-timed
+    // (round-8 verdict gap: no declared query ever ran j >= 1).
+    "q_sim_semdedup_dense" -> QueryDef.sql(
+      (s, dir) => Similarity.semDedupGeom(Tables.embeddings(s, dir),
+        threshold = 0.4, k = 16, j = 2).orderBy("vec_id"),
+      semDedupOracle(threshold = 0.4, nList = 16, dim = 64, j = 2),
+      doc = "SemDeDup via the bounded-occupancy subsplit (j=2 sign-bit " +
+        "planes + 1-flip multiprobe) — the linear-candidate-volume scale " +
+        "plan, oracle-replayed with literal hyperplanes"),
+
+    // Incremental embedding maintenance: yesterday's keep/drop table +
+    // today's batch (vec_id >= 400), absorbed by assigning the new
+    // vectors to the SAME fixed cells and pairing new×(new ∪ history)
+    // only — never history×history. The oracle is the FULL recompute, so
+    // the hash match proves incremental == batch (the
+    // q_dedup_clusters_incr proof pattern, now on the embedding tier).
+    "q_sim_semdedup_incr" -> QueryDef.sql(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cut = 400L
+        val hist = Similarity.semDedupGeom(emb.filter(col("vec_id") < cut),
+          threshold = 0.4, k = 16, j = 0)
+        Similarity.semDedupIncrement(hist, emb, _ >= cut,
+          threshold = 0.4, k = 16).orderBy("vec_id")
+      },
+      semDedupOracle(threshold = 0.4, nList = 16, dim = 64),
+      doc = "incremental SemDeDup: absorb a new vector batch against the " +
+        "fixed-cell index (new x (new+history) pairs only); oracle = full " +
+        "recompute, hash-proving incremental == batch"),
 
     // Adamic-Adar link prediction over the same similarity graph: score
     // non-adjacent pairs by sum(1/ln(deg)) over common neighbors — the

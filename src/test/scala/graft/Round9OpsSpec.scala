@@ -84,6 +84,38 @@ class Round9OpsSpec extends SparkSpecBase {
     assert(fast.nonEmpty)
   }
 
+  test("semDedupGeom j=2 runs the multiprobe plan and only ever loses drops vs flat") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val dense = graft.ops.Similarity.semDedupGeom(emb, threshold = 0.4, k = 16, j = 2)
+    val flat = graft.ops.Similarity.semDedupGeom(emb, threshold = 0.4, k = 16, j = 0)
+    // the j>=1 path is structurally present: the 1-flip probe-key explode
+    // exists only in the subsplit plan
+    assert(dense.queryExecution.analyzed.toString.contains("explode"))
+    assert(!flat.queryExecution.analyzed.toString.contains("explode"))
+    val dd = dense.filter(!col("keep")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val fd = flat.filter(!col("keep")).select("vec_id").collect().map(_.getLong(0)).toSet
+    // precision 1.0 by construction: multiprobe candidates are a subset of
+    // the flat within-cell pairs, every survivor is exact-cosine-verified
+    assert(dd.subsetOf(fd))
+    assert(dd.nonEmpty)
+    info(s"j=2 multiprobe drop recall on sf0.001: ${dd.size}/${fd.size}")
+  }
+
+  test("semDedupIncrement == full recompute on a planted two-day split") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val cut = 250L
+    val hist = graft.ops.Similarity.semDedupGeom(
+      emb.filter(col("vec_id") < cut), threshold = 0.4, k = 16, j = 0)
+    val incr = graft.ops.Similarity.semDedupIncrement(hist, emb,
+      _ >= cut, threshold = 0.4, k = 16).orderBy("vec_id").collect()
+    val batch = graft.ops.Similarity.semDedupGeom(emb, threshold = 0.4, k = 16, j = 0)
+      .orderBy("vec_id").collect()
+    assert(incr.map(_.toSeq.toList).toList === batch.map(_.toSeq.toList).toList)
+    // the split is non-trivial: some new-batch vec is dropped by history
+    val newDropped = incr.filter(r => r.getLong(0) >= cut && !r.getBoolean(2))
+    assert(newDropped.nonEmpty)
+  }
+
   test("asofJoinWithMatchTime rejects reserved and duplicate payload names") {
     val left = Seq((1L, 10L, "x")).toDF("k", "ts", "x")
     val right = Seq((1L, 5L, "p", "q")).toDF("k", "ts", "__graft_rt", "p")
