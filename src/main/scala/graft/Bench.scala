@@ -17,7 +17,11 @@ import org.apache.spark.sql.SparkSession
   * sub-second queries (round-4 q_time_normalize 0.70→7.25 s). Each query is
   * therefore run SPARK_GRAFT_REPS times (default 3) and the reported number
   * is the per-query MEDIAN — the cold first pass and any one-off GC/CPU
-  * spike fall out of a median of 3.
+  * spike fall out of a median of 3. A first rep that is both the maximum
+  * and > 1.5× the median of the rest is treated as warm-up: one extra rep
+  * runs and the median is taken over the non-first samples (marked
+  * `warm_dropped` in bench_detail.json) — heavy-tier medians then track
+  * plans, not host windows.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -81,14 +85,43 @@ object Bench {
     }
     def median(v: Vector[Double]): Double =
       if (v.isEmpty) -1.0 else v.sorted.apply((v.size - 1) / 2)
-    val results = samples.map { case (n, v) => n -> median(v) }
+    // De-noise pass (round-8 verdict #7): a contention-poisoned FIRST rep
+    // (cold page cache, fresh codegen, host window) skews a median-of-3
+    // upward even though later reps sit at steady state — r8 medians like
+    // q_dedup_clusters_incr [19.97, 3.37, 3.12] tracked the host, not the
+    // plan. For any query whose first sample is BOTH the maximum and
+    // > 1.5x the median of its remaining samples, run ONE extra rep and
+    // report the median of the non-first samples. Bounded cost (extra
+    // reps only for spiky queries), all raw samples stay in
+    // bench_detail.json with a "warm_dropped" marker.
+    val warmDropped = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (reps >= 3) {
+      for ((name, fn) <- selected) {
+        val v = samples(name)
+        val rest = v.drop(1)
+        if (v.nonEmpty && rest.nonEmpty && !errors.contains(name) &&
+            v.head == v.max && v.head > 1.5 * median(rest)) {
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            samples(name) :+= sec
+            System.err.println(f"[bench] extra rep (warm-up drop) $name $sec%.3f s")
+          } catch { case scala.util.control.NonFatal(_) => () } // keep existing samples
+          warmDropped += name
+        }
+      }
+    }
+    val results = samples.map { case (n, v) =>
+      n -> median(if (warmDropped(n)) v.drop(1) else v) }
     def fmt(v: Double): String = f"$v%.2f"
     val total = results.values.filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // full detail → file (judge-readable, committed by the driver) + stderr
     val detail = results.map { case (k, v) =>
       val raw = samples(k).map(fmt).mkString("[", ",", "]")
-      s"""\"$k\":{"median":${fmt(v)},"samples":$raw}"""
+      val warm = if (warmDropped(k)) ""","warm_dropped":true""" else ""
+      s"""\"$k\":{"median":${fmt(v)},"samples":$raw$warm}"""
     }.mkString("{", ",", "}")
     val errsJson =
       if (errors.isEmpty) "{}"

@@ -63,6 +63,82 @@ object TrainOps {
         (col("last_win") - col("first_win") + 1L).as("n_wins"))
   }
 
+  /** First-fit-decreasing BIN packing — the batch-assembly counterpart of
+    * [[packConcatChunk]]: variable-length docs are packed WHOLE into
+    * fixed-`budget` bins (no document straddles a bin boundary), greedily
+    * into the first bin that still fits, longest docs first — the classic
+    * FFD heuristic (≤ 11/9·OPT + 1 bins).
+    *
+    * Distribution shape (the packConcatChunk two-phase idiom, adapted):
+    *   1. the global decreasing rank comes from one row per DISTINCT length
+    *      to the driver (≤ `budget` rows), exclusive-prefix-summed and
+    *      broadcast back as per-length base ranks; within a length,
+    *      row_number over length-bounded partitions — never a global
+    *      single-task sort;
+    *   2. the rank stream is sharded into contiguous `shardSize`-doc runs;
+    *      each shard runs the sequential FFD fold in its own task with
+    *      ≤ shardSize bin remainders in memory (bins are shard-local, so
+    *      the fold never crosses tasks). Sharding trades a bounded amount
+    *      of packing efficiency for parallelism; each shard is still a
+    *      decreasing run, so per-shard quality IS FFD quality.
+    *
+    * Output: one row per BIN — (bin_id = shard·shardSize + idx, n_docs,
+    * bin_tokens, fill_ppm) plus the global (total_bins, chunker_windows =
+    * ⌈Σtok/budget⌉, the concat-chunker's window count = the packing lower
+    * bound) so efficiency-vs-chunker is a column, not a side calculation.
+    * Ratios are truncating parts-per-million (integer div — the halfway-
+    * digit rounding law trap, FIXTURES.md). Docs longer than `budget` are
+    * excluded (they can never fit a bin; [[chunkSliding]] is their path);
+    * skew note: the per-length row_number bounds a partition by that
+    * length's multiplicity — uniform-length corpora should pre-salt.
+    */
+  def packBinsFfd(docs: DataFrame, idCol: String, tokCol: String,
+                  budget: Long, shardSize: Int = 100): DataFrame = {
+    require(budget > 0 && shardSize > 0, "budget and shardSize must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(col(idCol).cast("long").as("id"),
+        col(tokCol).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0 && col("n_tok") <= budget)
+    val lens = d.groupBy("n_tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("n_tok")).as[(Long, Long)].collect()
+    var acc = 0L
+    val bases = lens.toSeq.map { case (len, c) => val b = (len, acc); acc += c; b }
+    val baseDf = spark.createDataset(bases).toDF("n_tok", "rank_base")
+    val wlen = Window.partitionBy("n_tok").orderBy("id")
+    val ranked = d.join(broadcast(baseDf), "n_tok")
+      .withColumn("rn", col("rank_base") + row_number().over(wlen))
+      .withColumn("shard", expr(s"(rn - 1) div $shardSize"))
+    val bs = budget
+    val ss = shardSize.toLong
+    // per-shard sequential FFD fold: rows arrive (shard, rn)-sorted, so a
+    // task holding several shards resets its ≤ shardSize remainders at
+    // each shard boundary — bounded memory, no cross-task state
+    val assigned = ranked.select(col("id"), col("n_tok"), col("rn"), col("shard"))
+      .as[(Long, Long, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "rn")
+      .mapPartitions { it =>
+        var curShard = -1L
+        val rems = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.map { case (id, nTok, _, sh) =>
+          if (sh != curShard) { curShard = sh; rems.clear() }
+          var i = 0
+          while (i < rems.length && rems(i) < nTok) i += 1
+          if (i == rems.length) rems += (bs - nTok) else rems(i) -= nTok
+          (id, nTok, sh * ss + i)
+        }
+      }.toDF("id", "n_tok", "bin_id")
+    val bins = assigned.groupBy("bin_id").agg(
+      count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tokens"))
+    val tot = bins.agg(count(lit(1)).as("total_bins"), sum("bin_tokens").as("tt"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin_id"), col("n_docs"), col("bin_tokens"),
+        call_function("div", col("bin_tokens") * lit(1000000L), lit(bs)).as("fill_ppm"),
+        col("total_bins"),
+        call_function("div", col("tt") + lit(bs - 1), lit(bs)).as("chunker_windows"))
+  }
+
   /** Fixed-iteration PageRank over an undirected edge list (each edge walks
     * both ways). The Pregel shape: one equi-join (ranks onto out-edges) and
     * one sum-aggregate (contributions by destination) per iteration — both

@@ -88,6 +88,59 @@ object TrainingQueries {
       doc = "concat-and-chunk sequence packing via a distributed two-phase " +
         "prefix sum; oracle is the naive global window"),
 
+    // First-fit-decreasing BIN packing (docs packed whole, budget=512):
+    // the real LLM batch-assembly shape q_pack_sequences' concat-chunker
+    // approximates by splitting docs. Spark runs the sharded FFD fold
+    // (decreasing rank via the two-phase per-length prefix, sequential
+    // first-fit inside each 100-doc shard); the oracle replays the
+    // IDENTICAL fold as a DuckDB recursive CTE carrying the bin-remainder
+    // list, so the hash match proves the distributed fold == the
+    // sequential reference. chunker_windows rides along as the packing
+    // lower bound (efficiency vs the naive chunker in one column).
+    "q_pack_bins" -> QueryDef.sql(
+      (s, dir) => TrainOps.packBinsFfd(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", budget = 512L, shardSize = 100)
+        .orderBy("bin_id"),
+      s"""WITH RECURSIVE t AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok FROM documents),
+         |f AS (SELECT doc_id, n_tok FROM t WHERE n_tok > 0 AND n_tok <= 512),
+         |r AS (SELECT doc_id, n_tok,
+         |        ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rn,
+         |        (ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1) // 100 AS shard
+         |      FROM f),
+         |s AS (
+         |  SELECT CAST(0 AS BIGINT) AS k, CAST(NULL AS BIGINT) AS doc_id,
+         |         CAST(0 AS BIGINT) AS n_tok, CAST(-1 AS BIGINT) AS shard,
+         |         CAST(0 AS BIGINT) AS bin_idx, CAST([] AS BIGINT[]) AS rems
+         |  UNION ALL
+         |  SELECT k, doc_id, n_tok, shard,
+         |    CASE WHEN pos IS NULL OR pos = 0 THEN len(cur) + 1 ELSE pos END AS bin_idx,
+         |    CASE WHEN pos IS NULL OR pos = 0 THEN list_append(cur, 512 - n_tok)
+         |         ELSE list_transform(range(1, len(cur) + 1),
+         |                i -> CASE WHEN i = pos THEN cur[i] - n_tok ELSE cur[i] END)
+         |    END AS rems
+         |  FROM (
+         |    SELECT r.rn AS k, r.doc_id, r.n_tok, r.shard,
+         |      CASE WHEN r.shard <> s.shard THEN CAST([] AS BIGINT[]) ELSE s.rems END AS cur,
+         |      list_position(list_transform(
+         |        CASE WHEN r.shard <> s.shard THEN CAST([] AS BIGINT[]) ELSE s.rems END,
+         |        x -> x >= r.n_tok), true) AS pos
+         |    FROM s JOIN r ON r.rn = s.k + 1)
+         |),
+         |a AS (SELECT shard, bin_idx, doc_id, n_tok FROM s WHERE k > 0),
+         |b AS (SELECT shard * 100 + bin_idx - 1 AS bin_id, COUNT(*) AS n_docs,
+         |        CAST(SUM(n_tok) AS BIGINT) AS bin_tokens FROM a GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_bins,
+         |          CAST(SUM(bin_tokens) AS BIGINT) AS tt FROM b)
+         |SELECT bin_id, n_docs, bin_tokens,
+         |  (bin_tokens * 1000000) // 512 AS fill_ppm,
+         |  total_bins, (tt + 511) // 512 AS chunker_windows
+         |FROM b CROSS JOIN tot ORDER BY bin_id""".stripMargin,
+      doc = "first-fit-decreasing bin packing (whole docs, 512-token " +
+        "budget, sharded FFD fold); oracle = the sequential fold as a " +
+        "recursive CTE; chunker_windows column = efficiency lower bound"),
+
     // -------------------------------------------- repetition/quality gate
     // Gopher-style repetition filters (Rae et al. 2021, §A1.1 adapted to
     // word level): fraction of tokens taken by the most frequent token,

@@ -34,10 +34,13 @@ import graft.sources.{KeysetScan, Serialize}
   * Pages are materialized on the driver (bounded by `maxRowsPerBatch`,
   * exactly like the reference's one-page-per-poll loop — the source is a
   * low-rate tail; scale comes from many tables, not page size), then shipped
-  * to executors inside the InputPartition.
+  * to executors as `ceil(page / maxRowsPerPartition)` value-contiguous
+  * InputPartitions so per-batch processing fans out across cores instead of
+  * running in one task (the scan itself is already a distributed job).
   *
   * Options: `path` (parquet table), `updateColumn`, `maxRowsPerBatch`
-  * (default 500), `timeFormat` (Ruby strftime, reference default).
+  * (default 500), `timeFormat` (Ruby strftime, reference default),
+  * `maxRowsPerPartition` (default 250).
   */
 class KeysetTailProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "keyset-tail"
@@ -66,7 +69,8 @@ final class KeysetTailTable(schema: StructType, props: Map[String, String])
           ci("path"),
           ci.getOrElse("updatecolumn", sys.error("keyset-tail requires updateColumn")),
           ci.getOrElse("maxrowsperbatch", "500").toInt,
-          ci.getOrElse("timeformat", RubyStrftime.DefaultRubyFormat))
+          ci.getOrElse("timeformat", RubyStrftime.DefaultRubyFormat),
+          ci.getOrElse("maxrowsperpartition", "250").toInt)
     }
 }
 
@@ -85,7 +89,8 @@ object KeysetOffset {
 }
 
 final class KeysetMicroBatchStream(schema: StructType, path: String,
-    updateColumn: String, maxRowsPerBatch: Int, rubyTimeFormat: String)
+    updateColumn: String, maxRowsPerBatch: Int, rubyTimeFormat: String,
+    maxRowsPerPartition: Int = 250)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
@@ -128,7 +133,20 @@ final class KeysetMicroBatchStream(schema: StructType, path: String,
         rubyTimeFormat = rubyTimeFormat)
       .filter(!upper) // NOT(upd > endBoundary)  ⇒  upd <= endBoundary
       .collect()
-    Array(KeysetPartition(page))
+    // The page's parquet scan + filter already ran distributed (it is a
+    // Spark job); what used to be serial was DOWNSTREAM processing: one
+    // InputPartition meant every per-batch transform ran in ONE task. The
+    // page comes back sorted by the update column, so contiguous slices
+    // ARE value-range partitions — splitting at maxRowsPerPartition
+    // (default 250 = half the reference's 500-row page) fans the batch out
+    // across executor cores while keeping offset semantics byte-identical
+    // (the offset is still the last row's serialized boundary, and a
+    // tie-heavy value-delimited page now also fans out instead of landing
+    // on one task). Driver transit stays bounded by maxRowsPerBatch plus
+    // end-boundary ties, faithful to the reference's one-page poll.
+    if (page.isEmpty) Array.empty
+    else page.grouped(math.max(1, maxRowsPerPartition))
+      .map(KeysetPartition(_)).toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new KeysetReaderFactory(schema)

@@ -244,6 +244,93 @@ object StreamOps {
       }
   }
 
+  /** One cluster-graph delta from [[clusterDeltaStream]]: kind = "node"
+    * (a doc id first seen by its band-0 bucket) or "edge" (a near-dup
+    * candidate whose signature-estimated Jaccard cleared the threshold).
+    * Consumers absorb deltas idempotently (incremental CC is), so
+    * at-least-once replay is safe. */
+  final case class ClusterDelta(id_a: Long, id_b: Long, kind: String)
+
+  /** Streaming dedup-cluster maintenance, stage 1: the doc stream →
+    * (node, edge) deltas. Pair generation is exactly
+    * [[minhashNearDupStream]]'s bounded keyed bucket state
+    * (flatMapGroupsWithState, state ≤ maxBucket·(8 + 8·numPerm) bytes per
+    * bucket); band-0 groups ADDITIONALLY announce each doc id on first
+    * sight — every doc lands in exactly one (band=0, bk) bucket, so the
+    * announcement is once per doc under exactly-once delivery and
+    * harmlessly repeated under replay.
+    *
+    * Stage 2 is [[ClusterMaintainer]]: label merges span arbitrary bucket
+    * keys (two components merging live in two different groups), which
+    * keyed streaming state cannot express with bounded per-key state —
+    * the label table is therefore maintained batch-side per micro-batch
+    * (foreachBatch + [[graft.ops.Graph.incrementalComponents]], the
+    * upsert-table shape), while pair generation keeps its keyed state. */
+  def clusterDeltaStream(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, numPerm: Int = 32, rowsPerBand: Int = 2,
+                         threshold: Double = 0.5, maxBucket: Int = 64): Dataset[ClusterDelta] = {
+    require(numPerm % rowsPerBand == 0, "numPerm must be divisible by rowsPerBand")
+    val numBands = numPerm / rowsPerBand
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).cast("long").as("id"),
+        graft.ops.TextOps.shingles(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), graft.functions.MinHash.sigsMd5(col("shs"), numPerm).as("sig"))
+    val bandCols = (0 until numBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r).cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", slice: _*).as("bk"))
+    }
+    val banded = sigs.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("e"))
+      .select(col("e.band").as("band"), col("e.bk").as("bk"), col("id"), col("sig"))
+      .as[(Int, String, Long, List[Long])]
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketState, ClusterDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state) =>
+          val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          var ids = st.ids
+          var sigsStored = st.sigs
+          val out = scala.collection.mutable.ListBuffer.empty[ClusterDelta]
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, id, sig) =>
+            if (!ids.contains(id)) {
+              if (band == 0) out += ClusterDelta(id, id, "node")
+              ids.iterator.zip(sigsStored.iterator).foreach { case (mid, msig) =>
+                var agree = 0
+                var i = 0
+                while (i < numPerm) { if (sig(i) == msig(i)) agree += 1; i += 1 }
+                if (agree.toLong * 1000000L / numPerm >= (threshold * 1000000L).toLong)
+                  out += ClusterDelta(math.min(id, mid), math.max(id, mid), "edge")
+              }
+              if (ids.size < maxBucket) { ids = ids :+ id; sigsStored = sigsStored :+ sig }
+            }
+          }
+          state.update(BucketState(ids, sigsStored))
+          out.iterator
+      }
+  }
+
+  /** Stage 2 of streaming cluster maintenance (see [[clusterDeltaStream]]):
+    * absorbs each micro-batch of deltas into a maintained (id, label)
+    * table via the contraction-based incremental CC — history is never
+    * re-clustered; per batch the star rounds run on a graph bounded by the
+    * batch plus touched components. Labels after any number of batches
+    * equal a one-shot CC over all deltas seen (spec-proven on a replayed
+    * two-batch feed). Thread-safe for Structured Streaming's serialized
+    * foreachBatch calls. */
+  final class ClusterMaintainer(initial: DataFrame) {
+    @volatile private var labelsDf: DataFrame = initial.localCheckpoint(true)
+    def labels: DataFrame = labelsDf
+    def absorb(deltas: DataFrame): Unit = synchronized {
+      val nodes = deltas.filter(col("kind") === "node")
+        .select(col("id_a").as("id")).distinct()
+      val edges = deltas.filter(col("kind") === "edge")
+        .select(col("id_a"), col("id_b")).distinct()
+      labelsDf = graft.ops.Graph.incrementalComponents(labelsDf, nodes, edges)
+        .localCheckpoint(true)
+    }
+  }
+
   final case class ImagePair(id_a: Long, id_b: Long, chunk: Int, hamming: Long)
 
   /** Streaming perceptual image near-dup — the stateful streaming twin of

@@ -130,6 +130,63 @@ class Round9OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("keyset micro-batch fans a large page out over >1 input partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.sources.Tables.events(spark, sf0001).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = new graft.streaming.KeysetMicroBatchStream(schema, dir,
+      "event_id", maxRowsPerBatch = 500,
+      rubyTimeFormat = graft.core.RubyStrftime.DefaultRubyFormat,
+      maxRowsPerPartition = 200)
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(500))
+    val parts = stream.planInputPartitions(start, end)
+    assert(parts.length === 3) // 500-row page / 200 per partition
+    val rows = parts.flatMap(_.asInstanceOf[graft.streaming.KeysetPartition].rows)
+    assert(rows.length === 500)
+    // value-contiguous slices: concatenation stays sorted by the update col
+    val ids = rows.map(_.getAs[Long]("event_id"))
+    assert(ids.toSeq === ids.sorted.toSeq)
+    // offset semantics byte-identical: boundary = last row's serialized value
+    assert(end.asInstanceOf[graft.streaming.KeysetOffset].last.contains(ids.max.toString))
+  }
+
+  test("packBinsFfd == the sequential FFD fold; no bin overfills") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.ops.TextOps.wsTokenCount(col("text")).cast("long").as("n_tok"))
+    val out = graft.ops.TrainOps.packBinsFfd(docs, "doc_id", "n_tok",
+      budget = 512L, shardSize = 100).orderBy("bin_id").collect()
+    // local reference: the same decreasing order, 100-doc shards, first fit
+    val d = docs.filter(col("n_tok") > 0 && col("n_tok") <= 512)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, n) => (-n, id) }
+    val ref = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    var rems = scala.collection.mutable.ArrayBuffer.empty[Long]
+    d.zipWithIndex.foreach { case ((_, n), k) =>
+      val shard = k / 100
+      if (k % 100 == 0) rems = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i < rems.length && rems(i) < n) i += 1
+      if (i == rems.length) rems += (512L - n) else rems(i) -= n
+      val bin = shard * 100L + i
+      val (c, t) = ref.getOrElse(bin, (0L, 0L))
+      ref(bin) = (c + 1, t + n)
+    }
+    assert(out.length === ref.size)
+    out.foreach { r =>
+      val bin = r.getAs[Long]("bin_id")
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens")) === ref(bin))
+      assert(r.getAs[Long]("bin_tokens") <= 512L)
+    }
+    // FFD beats one-doc-per-bin and sits above the chunker lower bound
+    val totalBins = out.head.getAs[Long]("total_bins")
+    assert(totalBins < d.length)
+    assert(totalBins >= out.head.getAs[Long]("chunker_windows"))
+  }
+
   test("ksTwoSample reports NULL ks_d when one arm is empty") {
     // every row lands in arm 0 -> n_b = 0: the guard must yield NULL, not NaN
     val df = Seq(("g", 0, 1.0), ("g", 0, 2.0)).toDF("grp", "arm", "value")

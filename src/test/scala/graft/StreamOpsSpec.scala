@@ -525,4 +525,44 @@ class StreamOpsSpec extends SparkSpecBase {
     val v2 = run(2, "s_asofv2")
     assert(v2(4L) === Some(500L) && v2(3L) === Some(400L) && v2(2L) === Some(400L))
   }
+
+  test("streaming cluster maintenance: incremental labels across batches == one-shot CC") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val deltas = StreamOps.clusterDeltaStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val maintainer = new StreamOps.ClusterMaintainer(
+      Seq.empty[(Long, Long)].toDF("id", "label"))
+    val sink = scala.collection.mutable.ListBuffer.empty[(Long, Long, String)]
+    val q = deltas.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamOps.ClusterDelta], _: Long) =>
+        val rows = b.collect()
+        sink ++= rows.map(d => (d.id_a, d.id_b, d.kind))
+        maintainer.absorb(b.toDF())
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      // two micro-batches split mid-corpus: day-2 docs must pair against
+      // day-1 bucket state and merge into day-1 components
+      ms.addData(docs.filter(_._1 < 25).toSeq); q.processAllAvailable()
+      ms.addData(docs.filter(_._1 >= 25).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val nodes = sink.filter(_._3 == "node").map(_._1).distinct.toSeq
+    val edges = sink.filter(_._3 == "edge").map(d => (d._1, d._2)).distinct.toSeq
+    assert(nodes.size === docs.length) // every doc announced exactly once
+    assert(edges.nonEmpty, "test corpus must produce near-dup edges")
+    assert(edges.exists { case (a, b) => a < 25 && b >= 25 },
+      "a cross-batch edge must exist for the test to prove maintenance")
+    val batchLabels = graft.ops.Graph.connectedComponentsStar(
+        nodes.toDF("id"), edges.toDF("id_a", "id_b"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val incrLabels = maintainer.labels.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(incrLabels === batchLabels)
+  }
 }
