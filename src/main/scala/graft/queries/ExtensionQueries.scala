@@ -288,6 +288,25 @@ object ExtensionQueries {
        |FROM ca ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB reproduction of `Similarity.semDedup` under ADAPTIVE geometry
+    * (the declared default): the shared [[adaptiveCellCtes]] derive the
+    * same corpus-dependent (k, j) as the Spark plan; drops come from the
+    * cell equi-join + ≤1-bit multiprobe + exact rounded cosine. */
+  private def semDedupOracleAdaptive(threshold: Double, dim: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${adaptiveCellCtes(dim)},
+       |dropped AS (SELECT DISTINCT jb.vec_id
+       |    FROM ca ja JOIN ca jb ON ja.cid = jb.cid AND ja.vec_id < jb.vec_id
+       |         JOIN bits xa ON xa.vec_id = ja.vec_id
+       |         JOIN bits xb ON xb.vec_id = jb.vec_id
+       |         JOIN n a ON a.vec_id = ja.vec_id
+       |         JOIN n b ON b.vec_id = jb.vec_id
+       |    WHERE xor(xa.b, xb.b) IN (0, 1, 2)
+       |      AND ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) >= $threshold)
+       |SELECT ca.vec_id, ca.cid,
+       |  ca.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+       |FROM ca ORDER BY vec_id""".stripMargin
+
   /** DuckDB reproduction of the aHash pair set (the q_dedup_image_ahash
     * body) as a standalone SELECT, reusable as a consensus subquery. */
   private def imagePairsOracle(maxHamming: Int, maxBucket: Int): String =
@@ -309,35 +328,77 @@ object ExtensionQueries {
        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** DuckDB reproduction of `Similarity.cellEdges` as a standalone
-    * SELECT (the triangle/consensus building block). */
-  private def cellEdgesOracle(threshold: Double, nList: Int, dim: Int): String = {
-    val centRows = (0 until nList).map { c =>
+  /** Bounds of the adaptive-geometry oracle literals: kMax centroids
+    * cover n ≤ (2·kMax)² = 4096 vectors (k = ⌈√n/2⌉) and jMax subsplit
+    * planes cover occupancy/64 < 2^jMax — generous for every oracle
+    * fixture scale (sf0.001/0.01: n=500 → k=16, j=0; sf0.1: n=2000 →
+    * k=23, j=1). A corpus that derives k > kMax or j > jMax makes the
+    * oracle FAIL LOUDLY (integer division by zero in the geom CTE)
+    * instead of silently diverging. */
+  private val CellKMax = 32
+  private val CellJMax = 2
+
+  /** Adaptive-geometry CTE block shared by every cell-bounded oracle
+    * (expects a preceding `e(vec_id, v)` CTE): k and j derived from
+    * COUNT(*) with EXACTLY [[graft.ops.Similarity.adaptiveGeometry]]'s
+    * floating-point formula (sqrt/2 → ceil; ln ratio → ceil — both
+    * engines' libm log agree to an ulp, and the gated fixture values sit
+    * far from integer boundaries), kMax centroid literals gated by the
+    * computed k, jMax sign-bit planes gated by the computed j. The
+    * multiprobe survival rule for j ≤ 2 is `xor(bits_a, bits_b) IN
+    * (0, 1, 2)` — exactly "signatures differ in ≤ 1 of the j bits"
+    * (xor = 2 is only reachable at j = 2, so no j-conditional needed). */
+  private def adaptiveCellCtes(dim: Int): String = {
+    val centRows = (0 until CellKMax).map { c =>
       val ctr = graft.ops.Similarity.fixedCentroid(c, dim)
       s"($c, ${ctr.mkString("[", ",", "]")}, ${ctr.map(x => x * x).sum})"
     }.mkString(",\n|    ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+    val bitTerms = (0 until CellJMax).map { i =>
+      val pl = graft.ops.Similarity.planeVec(9000 + i, dim)
+      s"(CASE WHEN $i < (SELECT j FROM geom) AND list_inner_product(v, ${pl.mkString("[", ",", "]")}) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("\n|      + ")
+    s"""n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+       |geom AS (SELECT
+       |    k + (CASE WHEN k > $CellKMax THEN 1 // 0 ELSE 0 END) AS k,
+       |    j + (CASE WHEN j > $CellJMax THEN 1 // 0 ELSE 0 END) AS j
+       |  FROM (SELECT k,
+       |      GREATEST(0, CAST(CEIL(LN((cnt / CAST(k AS DOUBLE)) / 64.0) / LN(2.0)) AS BIGINT)) AS j
+       |    FROM (SELECT cnt, GREATEST(16, CAST(CEIL(SQRT(cnt) / 2.0) AS BIGINT)) AS k
+       |          FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM e)))),
        |cent(cid, cv, cc) AS (VALUES
        |    $centRows),
        |ca AS (SELECT vec_id, cid FROM (
        |    SELECT n.vec_id, cent.cid,
        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
        |        (list_inner_product(v, v) - 2.0*list_inner_product(v, cv) + cc), cid) AS rnk
-       |    FROM n CROSS JOIN cent) WHERE rnk = 1)
+       |    FROM n CROSS JOIN cent WHERE cent.cid < (SELECT k FROM geom)) WHERE rnk = 1),
+       |bits AS (SELECT vec_id,
+       |      $bitTerms AS b
+       |    FROM n)""".stripMargin
+  }
+
+  /** DuckDB reproduction of `Similarity.cellEdges` (ADAPTIVE geometry —
+    * the declared queries' default) as a standalone SELECT: the same
+    * corpus-derived (k, j) as the Spark plan, cell equi-join + ≤1-bit
+    * multiprobe + exact rounded cosine. */
+  private def cellEdgesOracle(threshold: Double, dim: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${adaptiveCellCtes(dim)}
        |SELECT ja.vec_id AS id_a, jb.vec_id AS id_b
        |FROM ca ja JOIN ca jb ON ja.cid = jb.cid AND ja.vec_id < jb.vec_id
+       |     JOIN bits xa ON xa.vec_id = ja.vec_id
+       |     JOIN bits xb ON xb.vec_id = jb.vec_id
        |     JOIN n a ON a.vec_id = ja.vec_id
        |     JOIN n b ON b.vec_id = jb.vec_id
-       |WHERE ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) >= $threshold
+       |WHERE xor(xa.b, xb.b) IN (0, 1, 2)
+       |  AND ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   /** DuckDB reproduction of `Similarity.cellEdges` → `Graph.adamicAdar`:
     * symmetrize, degree, wedge join on the shared neighbor, exact-decimal
     * 1/ln(deg) sums, then anti-join out the already-adjacent pairs. */
-  private def adamicAdarOracle(threshold: Double, nList: Int, dim: Int): String =
-    s"""WITH ed AS (${cellEdgesOracle(threshold, nList, dim)}),
+  private def adamicAdarOracle(threshold: Double, dim: Int): String =
+    s"""WITH ed AS (${cellEdgesOracle(threshold, dim)}),
        |und AS (SELECT id_a AS u, id_b AS w FROM ed UNION ALL SELECT id_b, id_a FROM ed),
        |deg AS (SELECT u AS id, COUNT(*) AS d FROM und GROUP BY 1),
        |wedge AS (SELECT a.u AS x, b.u AS y, a.w AS w
@@ -353,25 +414,10 @@ object ExtensionQueries {
   /** DuckDB reproduction of `Similarity.cellEdges` →
     * `Graph.triangleCounts`: the semDedup cell/cosine edge CTEs, then the
     * same degree-ordered orientation, wedge join, and closing join. */
-  private def triangleOracle(threshold: Double, nList: Int, dim: Int): String = {
-    val centRows = (0 until nList).map { c =>
-      val ctr = graft.ops.Similarity.fixedCentroid(c, dim)
-      s"($c, ${ctr.mkString("[", ",", "]")}, ${ctr.map(x => x * x).sum})"
-    }.mkString(",\n|    ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
-       |cent(cid, cv, cc) AS (VALUES
-       |    $centRows),
-       |ca AS (SELECT vec_id, cid FROM (
-       |    SELECT n.vec_id, cent.cid,
-       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-       |        (list_inner_product(v, v) - 2.0*list_inner_product(v, cv) + cc), cid) AS rnk
-       |    FROM n CROSS JOIN cent) WHERE rnk = 1),
-       |ed AS (SELECT ja.vec_id AS u, jb.vec_id AS w
-       |    FROM ca ja JOIN ca jb ON ja.cid = jb.cid AND ja.vec_id < jb.vec_id
-       |         JOIN n a ON a.vec_id = ja.vec_id
-       |         JOIN n b ON b.vec_id = jb.vec_id
-       |    WHERE ROUND(list_inner_product(a.v, b.v)/(a.nrm*b.nrm), 6) >= $threshold),
+  private def triangleOracle(threshold: Double, dim: Int): String = {
+    s"""WITH ed0 AS MATERIALIZED (
+       |${cellEdgesOracle(threshold, dim)}),
+       |ed AS (SELECT id_a AS u, id_b AS w FROM ed0),
        |deg AS (SELECT id, COUNT(*) AS d FROM
        |    (SELECT u AS id FROM ed UNION ALL SELECT w FROM ed) GROUP BY id),
        |o AS (SELECT
@@ -516,7 +562,7 @@ object ExtensionQueries {
     * `rounds` unrolled vote/argmax CTE pairs — the per-node argmax as a
     * ROW_NUMBER over (count desc, label asc), the relational mirror of
     * Spark's max(struct(c, −label)). */
-  private def labelPropOracle(threshold: Double, nList: Int, dim: Int,
+  private def labelPropOracle(threshold: Double, dim: Int,
                               rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""cnt$r AS MATERIALIZED (SELECT e.src, l${r - 1}.label AS nl, COUNT(*) AS c
@@ -527,7 +573,7 @@ object ExtensionQueries {
          |    FROM cnt$r) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS MATERIALIZED (
-       |${cellEdgesOracle(threshold, nList, dim)}),
+       |${cellEdgesOracle(threshold, dim)}),
        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |        UNION ALL SELECT id_b, id_a FROM pairs),
        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
@@ -541,7 +587,7 @@ object ExtensionQueries {
     * the shared cell/cosine edge CTEs, then `rounds` unrolled frontier
     * expansions (new frontier = distinct neighbors of the previous one,
     * anti-joined against everything already levelled). */
-  private def bfsOracle(threshold: Double, nList: Int, dim: Int,
+  private def bfsOracle(threshold: Double, dim: Int,
                         seedMod: Long, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""f$r AS MATERIALIZED (SELECT DISTINCT e.dst AS id
@@ -551,7 +597,7 @@ object ExtensionQueries {
          |  UNION ALL SELECT id, $r AS lev FROM f$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS MATERIALIZED (
-       |${cellEdgesOracle(threshold, nList, dim)}),
+       |${cellEdgesOracle(threshold, dim)}),
        |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |        UNION ALL SELECT id_b, id_a FROM pairs),
        |f0 AS (SELECT DISTINCT src AS id FROM sym WHERE src % $seedMod = 0),
@@ -565,7 +611,7 @@ object ExtensionQueries {
     * shared cell/cosine edge CTEs, then `rounds` unrolled peels (each =
     * degree count + two semi-filters), final in-core degrees, and the
     * same post-final-peel convergence certificate as a scalar subquery. */
-  private def kCoreOracle(threshold: Double, nList: Int, dim: Int,
+  private def kCoreOracle(threshold: Double, dim: Int,
                           k: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""kp$r AS MATERIALIZED (SELECT src AS id FROM s${r - 1}
@@ -575,7 +621,7 @@ object ExtensionQueries {
          |    AND EXISTS (SELECT 1 FROM kp$r b WHERE b.id = e.dst))""".stripMargin
     }.mkString(",\n")
     s"""WITH pairs AS MATERIALIZED (
-       |${cellEdgesOracle(threshold, nList, dim)}),
+       |${cellEdgesOracle(threshold, dim)}),
        |s0 AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |       UNION ALL SELECT id_b, id_a FROM pairs),
        |$roundCtes,
@@ -1076,7 +1122,7 @@ object ExtensionQueries {
     "q_sim_semdedup" -> QueryDef.sql(
       (s, dir) => Similarity.semDedup(Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy("vec_id"),
-      semDedupOracle(threshold = 0.4, nList = 16, dim = 64),
+      semDedupOracleAdaptive(threshold = 0.4, dim = 64),
       doc = "SemDeDup: cell-bounded semantic dedup with keep/drop verdicts " +
         "(pairs only within a k-means cell; smallest id survives)"),
 
@@ -1125,7 +1171,7 @@ object ExtensionQueries {
       (s, dir) => Graph.adamicAdar(
           Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3))
         .orderBy("id_a", "id_b"),
-      adamicAdarOracle(threshold = 0.3, nList = 16, dim = 64),
+      adamicAdarOracle(threshold = 0.3, dim = 64),
       doc = "Adamic-Adar link prediction (non-adjacent pairs, common-" +
         "neighbor 1/ln(deg) sums) over the cell-bounded similarity graph"),
 
@@ -1139,7 +1185,7 @@ object ExtensionQueries {
           Similarity.cellEdges(Tables.embeddings(s, dir), threshold = 0.3))
         .select(col("id").as("vec_id"), col("n_triangles"))
         .orderBy("vec_id"),
-      triangleOracle(threshold = 0.3, nList = 16, dim = 64),
+      triangleOracle(threshold = 0.3, dim = 64),
       doc = "per-node triangle counts over the cell-bounded cosine>=0.3 " +
         "similarity graph via degree-ordered wedge closing, fully " +
         "oracle-checked"),
@@ -1156,7 +1202,7 @@ object ExtensionQueries {
           rounds = 3)
         .select(col("id").as("vec_id"), col("label"), col("csize"))
         .orderBy("vec_id"),
-      labelPropOracle(threshold = 0.3, nList = 16, dim = 64, rounds = 3),
+      labelPropOracle(threshold = 0.3, dim = 64, rounds = 3),
       doc = "deterministic synchronous label-propagation communities " +
         "(3 rounds, plurality vote, min-label ties) over the cell-bounded " +
         "similarity graph, fully oracle-checked"),
@@ -1172,7 +1218,7 @@ object ExtensionQueries {
           seedMod = 17L, rounds = 4)
         .select(col("id").as("vec_id"), col("lev"))
         .orderBy("vec_id"),
-      bfsOracle(threshold = 0.3, nList = 16, dim = 64, seedMod = 17L, rounds = 4),
+      bfsOracle(threshold = 0.3, dim = 64, seedMod = 17L, rounds = 4),
       doc = "multi-source BFS hop levels (4 rounds, seeds vec_id%17=0) " +
         "over the cell-bounded similarity graph, fully oracle-checked"),
 
@@ -1188,7 +1234,7 @@ object ExtensionQueries {
           k = 2, rounds = 6)
         .select(col("id").as("vec_id"), col("deg"), col("converged"))
         .orderBy("vec_id"),
-      kCoreOracle(threshold = 0.3, nList = 16, dim = 64, k = 2, rounds = 6),
+      kCoreOracle(threshold = 0.3, dim = 64, k = 2, rounds = 6),
       doc = "bounded 2-core peeling (6 rounds + convergence certificate) " +
         "over the cell-bounded similarity graph, fully oracle-checked"),
 
@@ -1843,7 +1889,7 @@ object ExtensionQueries {
          |si AS (SELECT id_a, id_b FROM (
          |${imagePairsOracle(maxHamming = 4, maxBucket = 64)})),
          |se AS (SELECT id_a, id_b FROM (
-         |${cellEdgesOracle(threshold = 0.3, nList = 16, dim = 64)})),
+         |${cellEdgesOracle(threshold = 0.3, dim = 64)})),
          |u AS (SELECT id_a, id_b FROM st UNION
          |      SELECT id_a, id_b FROM si UNION
          |      SELECT id_a, id_b FROM se),
