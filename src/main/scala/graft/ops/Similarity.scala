@@ -297,15 +297,31 @@ object Similarity {
     * @param isNew   predicate over vec_id selecting the new batch */
   def semDedupIncrement(history: DataFrame, corpus: DataFrame,
                         isNew: Column => Column, threshold: Double,
-                        k: Int, dim: Int = 64): DataFrame = {
-    val base = assignCells(corpus, k, dim)
+                        k: Int, j: Int = 0, dim: Int = 64): DataFrame = {
+    val base0 = assignCells(corpus, k, dim)
+    // j > 0: the same bounded-occupancy subsplit + 1-flip multiprobe as
+    // [[cellCandidates]], in the asymmetric daily-ingest orientation — the
+    // NEW side explodes its j+1 probe keys, the full index side carries
+    // its bare bits, and the join key is (cid, probe key) so a hot cell's
+    // buckets split instead of pairing quadratically. Bits are
+    // per-vector and centroids are fixed, so yesterday's geometry IS
+    // today's and incremental == batch still holds exactly.
+    val base = if (j == 0) base0.withColumn("pb", lit(0))
+      else base0.withColumn("pb", subBits(col("v"), j, dim))
     val newSide = base.filter(isNew(col("vec_id")))
-    val dropped = newSide.as("b").join(base.as("a"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+    val probeKeys = if (j == 0) Seq(col("pb"))
+      else col("pb") +: (0 until j).map(i => col("pb").bitwiseXOR(lit(1 << i)))
+    val probes = newSide.select(col("cid"),
+      explode(array(probeKeys: _*)).as("pk"),
+      col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = probes.join(
+        base.select(col("cid"), col("pb").as("pk"), col("vec_id").as("ida"),
+          col("v").as("va"), col("nrm").as("na")),
+        Seq("cid", "pk"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
-      .select(col("b.vec_id").as("vec_id")).distinct()
+      .select(col("idb").as("vec_id")).distinct()
       .withColumn("dup", lit(1))
     val newFlags = newSide.select("vec_id", "cid")
       .join(dropped, Seq("vec_id"), "left_outer")

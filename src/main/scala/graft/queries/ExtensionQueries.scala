@@ -1150,13 +1150,19 @@ object ExtensionQueries {
     "q_sim_semdedup_incr" -> QueryDef.sql(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val cut = 400L
+        // geometry FROZEN from the full corpus (production freezes it at
+        // index build) and shared by the history fit and the absorb — the
+        // adaptive oracle derives the identical (k, j) from its COUNT(*).
+        // cut = top-fifth of the id range as "today's batch" (= 400 on
+        // the 0..499 fixtures; scales with the id space on probes).
+        val (k, j) = Similarity.adaptiveGeometry(emb)
+        val cut = emb.agg(max(col("vec_id"))).head().getLong(0) * 4 / 5 + 1
         val hist = Similarity.semDedupGeom(emb.filter(col("vec_id") < cut),
-          threshold = 0.4, k = 16, j = 0)
+          threshold = 0.4, k = k, j = j)
         Similarity.semDedupIncrement(hist, emb, _ >= cut,
-          threshold = 0.4, k = 16).orderBy("vec_id")
+          threshold = 0.4, k = k, j = j).orderBy("vec_id")
       },
-      semDedupOracle(threshold = 0.4, nList = 16, dim = 64),
+      semDedupOracleAdaptive(threshold = 0.4, dim = 64),
       doc = "incremental SemDeDup: absorb a new vector batch against the " +
         "fixed-cell index (new x (new+history) pairs only); oracle = full " +
         "recompute, hash-proving incremental == batch"),

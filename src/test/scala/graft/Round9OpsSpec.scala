@@ -114,6 +114,15 @@ class Round9OpsSpec extends SparkSpecBase {
     // the split is non-trivial: some new-batch vec is dropped by history
     val newDropped = incr.filter(r => r.getLong(0) >= cut && !r.getBoolean(2))
     assert(newDropped.nonEmpty)
+    // and under the j >= 1 multiprobe geometry (the scale path): the
+    // asymmetric probe-key join must still equal the batch plan exactly
+    val histJ = graft.ops.Similarity.semDedupGeom(
+      emb.filter(col("vec_id") < cut), threshold = 0.4, k = 16, j = 2)
+    val incrJ = graft.ops.Similarity.semDedupIncrement(histJ, emb,
+      _ >= cut, threshold = 0.4, k = 16, j = 2).orderBy("vec_id").collect()
+    val batchJ = graft.ops.Similarity.semDedupGeom(emb, threshold = 0.4, k = 16, j = 2)
+      .orderBy("vec_id").collect()
+    assert(incrJ.map(_.toSeq.toList).toList === batchJ.map(_.toSeq.toList).toList)
   }
 
   test("asofJoinWithMatchTime rejects reserved and duplicate payload names") {
