@@ -185,7 +185,10 @@ class PlanSpec extends SparkSpecBase {
       "q_sim_pq_topk", "q_sim_pq_portable",
       // one-row (n, agree) x one-row (marginal-product sum) scalar cross
       // join — the kappa numerator/denominator, same class as q_tpch_q22
-      "q_cohens_kappa")
+      "q_cohens_kappa",
+      // one-row broadcast (total_bins, total tokens) summary joined onto
+      // the per-bin rows — the q_tf_idf scalar-stats class
+      "q_pack_bins")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>
