@@ -344,13 +344,27 @@ object Dedup {
     val p = g0 / gcd
     val q = 1000000L / gcd
     val prefixLen = col("n_sh") - expr(s"(n_sh * $p + ${q - 1}) div $q") + 1
+    // the count-histogram residual rides this join too (see
+    // ngramJaccardPairsPrefix): containment >= t requires
+    // |A∩B| >= ceil(t·|A|), and Σ_r min(cnt) upper-bounds |A∩B|, so
+    // bound·q >= p·n_sub − q is a lossless prune (the q slack covers the
+    // 6-dp rounding admission). The 10x probe exploded 16.5x without it —
+    // the sup side is the FULL inverted index, so df-driven junk grows
+    // quadratically exactly like the jaccard tier's.
+    val sketches = arrays.select(col("id"),
+      graft.functions.HashRangeHist.hist(col("hs")).as("ct"))
     val subPrefix = ranked.filter(col("pos") <= prefixLen)
       .select(col("id").as("id_sub"), col("n_sh").as("n_sub"), col("h"))
-    val candidates = subPrefix.join(
-        sh.select(col("id").as("id_sup"), col("n_sh").as("n_sup"), col("h")),
-        Seq("h"))
+      .join(sketches.select(col("id").as("id_sub"), col("ct").as("ct_sub")), Seq("id_sub"))
+    val supSide = arrays.select(col("id").as("id_sup"),
+        size(col("hs")).cast("long").as("n_sup"),
+        graft.functions.HashRangeHist.hist(col("hs")).as("ct_sup"),
+        explode(col("hs")).as("h"))
+    val candidates = subPrefix.join(supSide, Seq("h"))
       .filter(col("id_sub") =!= col("id_sup") &&
-        col("n_sub") * p <= col("n_sup") * q) // t·|A| ≤ |B| since |A∩B| ≤ |B|
+        col("n_sub") * p <= col("n_sup") * q && // t·|A| ≤ |B| since |A∩B| ≤ |B|
+        graft.functions.HistMinSum.minSum(col("ct_sub"), col("ct_sup")) * q >=
+          col("n_sub") * p - q)
       .select("id_sub", "id_sup").distinct()
     candidates
       .join(arrays.select(col("id").as("id_sub"), col("hs").as("hs_sub")).hint("SHUFFLE_HASH"),
