@@ -71,7 +71,10 @@ object GraftFunctions {
       HashRangeHist.builder),
     (HistMinSum.FunctionName,
       "graft_hist_min_sum(ct_a, ct_b) - sum of per-range count minimums: lossless overlap upper bound",
-      HistMinSum.builder)
+      HistMinSum.builder),
+    (GramHashes.FunctionName,
+      "graft_gram_hashes(text, k) - all k-gram rolling hashes of a document (one O(len) pass)",
+      GramHashes.builder)
   )
 
   /** Register every graft function in an existing session (idempotent). */

@@ -443,16 +443,20 @@ object CleanOps {
     val base = docs.select(col(idCol), col(textCol).as("t"),
       length(col(textCol)).as("len"))
     // the gram hash never reaches the output — only dup VERDICTS do — so
-    // the engines need not share a hash family: Spark uses xxhash64
-    // (codegen'd, 8-byte shuffle keys), the oracle md5; outputs agree
-    // absent collisions (~n_grams^2 / 2^64 — measured 13.0 -> 5.1 s at
-    // sf0.1 over the md5 formulation, which paid MessageDigest + 32-char
-    // hex shuffle keys three times over the branch reuse)
-    val grams = base.filter(col("len") >= gram)
-      .select(col(idCol), explode(sequence(lit(0), col("len") - gram)).as("p"),
-        col("t"))
-      .withColumn("h", xxhash64(col("t").substr(col("p") + 1, lit(gram))))
-      .select(col(idCol), col("p"), col("h"))
+    // the engines need not share a hash family: Spark rolls all gram
+    // hashes in ONE O(len) pass per doc (graft_gram_hashes — the
+    // explode+substr+xxhash64 formulation recopied and rehashed 64 chars
+    // PER POSITION, and the round-8 ladder already measured the hash-key
+    // shape dominating: md5 13.0 s → xxhash 5.1 s at sf0.1), the oracle
+    // md5; outputs agree absent collisions (~n_grams^2 / 2^64). The
+    // (id, p, h) mark table is persisted because BOTH the df aggregate
+    // and the position semi-join consume it — unpersisted, the whole
+    // explode pipeline runs twice.
+    val grams = PlanCache.getOrPersist(docs, s"substr_grams:$idCol:$textCol:$gram")(
+      base.filter(col("len") >= gram)
+        .select(col(idCol),
+          posexplode(graft.functions.GramHashes.hashes(col("t"), gram)))
+        .select(col(idCol), col("pos").cast("long").as("p"), col("col").as("h")))
     val dupHashes = grams.groupBy("h")
       .agg(count_distinct(col(idCol)).as("nd"))
       .filter(col("nd") > 1)
