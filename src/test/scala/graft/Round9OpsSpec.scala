@@ -74,6 +74,24 @@ class Round9OpsSpec extends SparkSpecBase {
     assert(disjoint === 0L)
   }
 
+  test("graft_hist_min_sum saturation never under-counts (the false-prune hazard)") {
+    // 20 distinct values all in hash range 0 (top 7 bits zero): both
+    // nibbles saturate at 15, so the contribution must be the BIG
+    // constant, never min(15, 15) = 15 < the true overlap 20
+    val shared = (0L until 20L).toSeq
+    val df = Seq((shared, shared)).toDF("a", "b")
+      .select(graft.functions.HistMinSum.minSum(
+        graft.functions.HashRangeHist.hist(col("a")),
+        graft.functions.HashRangeHist.hist(col("b"))).as("bound"))
+    assert(df.head.getLong(0) >= 20L)
+    // one side saturated, the other exact: contribution = the exact side
+    val df2 = Seq((shared, shared.take(7))).toDF("a", "b")
+      .select(graft.functions.HistMinSum.minSum(
+        graft.functions.HashRangeHist.hist(col("a")),
+        graft.functions.HashRangeHist.hist(col("b"))).as("bound"))
+    assert(df2.head.getLong(0) === 7L)
+  }
+
   test("prefix-filtered Jaccard pairs (with histogram filter) == naive tier on fixture docs") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val fast = graft.ops.Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
@@ -123,6 +141,20 @@ class Round9OpsSpec extends SparkSpecBase {
     val batchJ = graft.ops.Similarity.semDedupGeom(emb, threshold = 0.4, k = 16, j = 2)
       .orderBy("vec_id").collect()
     assert(incrJ.map(_.toSeq.toList).toList === batchJ.map(_.toSeq.toList).toList)
+  }
+
+  test("graft_gram_hashes: equal grams <=> equal hashes; codegen == interpreted") {
+    val t = "abcdefgabcdefgXabcdefg" // the 7-gram 'abcdefg' recurs at 0, 7, 15
+    val k = 7
+    val rolled = graft.functions.GramHashes.hashAll(t, k)
+    assert(rolled.length === t.length - k + 1)
+    for (i <- rolled.indices; j <- rolled.indices)
+      assert((t.substring(i, i + k) == t.substring(j, j + k)) === (rolled(i) == rolled(j)),
+        s"positions $i/$j disagree")
+    val viaCol = Seq(t).toDF("t")
+      .select(graft.functions.GramHashes.hashes(col("t"), k)).head.getSeq[Long](0)
+    assert(viaCol.toSeq === rolled.toSeq)
+    assert(graft.functions.GramHashes.hashAll("short", 7).isEmpty)
   }
 
   test("asofJoinWithMatchTime rejects reserved and duplicate payload names") {
