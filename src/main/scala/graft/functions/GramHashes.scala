@@ -84,6 +84,7 @@ object GramHashes {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => sys.error(s"$FunctionName: k must be an integer literal, got $other")
       }
+      require(k > 0, s"$FunctionName: k must be positive, got $k")
       GramHashes(exprs.head, k)
     }
 

@@ -81,11 +81,15 @@ object HashRangeHist {
 
 /** `Σ_r min(cnt_a[r], cnt_b[r])` over two [[HashRangeHist]] sketches — a
   * lossless upper bound on the distinct-set overlap (see there). Both-
-  * saturated ranges contribute 2^20 ("unknown, possibly large"). */
+  * saturated ranges contribute 2^50 ("unknown, possibly large"): large
+  * enough that no real per-range overlap can exceed it, small enough that
+  * 128 of them (≤ 2^57) can never overflow the Long sum. */
 case class HistMinSum(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  private val BothSaturated = HistMinSum.BothSaturated
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -97,7 +101,7 @@ case class HistMinSum(left: Expression, right: Expression)
       var k = 0
       while (k < 16) {
         val ca = xa & 15L; val cb = yb & 15L
-        sum += (if (ca == 15L && cb == 15L) 1L << 20 else math.min(ca, cb))
+        sum += (if (ca == 15L && cb == 15L) BothSaturated else math.min(ca, cb))
         xa >>>= 4; yb >>>= 4
         k += 1
       }
@@ -118,7 +122,7 @@ case class HistMinSum(left: Expression, right: Expression)
          |  long $xa = $a.getLong($w); long $yb = $b.getLong($w);
          |  for (int $k = 0; $k < 16; $k++) {
          |    long $ca = $xa & 15L; long $cb = $yb & 15L;
-         |    $sum += ($ca == 15L && $cb == 15L) ? (1L << 20) : java.lang.Math.min($ca, $cb);
+              |    $sum += ($ca == 15L && $cb == 15L) ? (1L << 50) : java.lang.Math.min($ca, $cb);
          |    $xa >>>= 4; $yb >>>= 4;
          |  }
          |}
@@ -131,6 +135,11 @@ case class HistMinSum(left: Expression, right: Expression)
 }
 
 object HistMinSum {
+  /** Contribution of a both-saturated range. Must dominate any true
+    * per-range overlap (so the bound never under-counts) while keeping
+    * 128 × BothSaturated overflow-free in a Long. */
+  val BothSaturated: Long = 1L << 50
+
   val FunctionName = "graft_hist_min_sum"
 
   val builder: Seq[Expression] => Expression =

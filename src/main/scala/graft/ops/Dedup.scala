@@ -222,7 +222,13 @@ object Dedup {
     // upper bound Σ_r min(cnt_a, cnt_b) must reach the required overlap
     // ceil(t/(1+t)·(nA+nB)); the extra (q+p) slack covers the 6-dp
     // rounding admission at the threshold boundary so no qualifying pair
-    // can be pruned. Evaluated per matched row inside the join's
+    // can be pruned. Numeric validity bound: the 6-dp admission is eps·S
+    // with eps = 5e-7 and S = nA+nB, so one unit of (q+p) slack absorbs
+    // it only while S ≤ ~2e6 combined shingles per pair — far above any
+    // fixture doc, but re-derive the slack if docs ever approach 1M
+    // shingles each. (Both-saturated histogram ranges contribute 2^50,
+    // which dominates any real overlap — see HistMinSum.BothSaturated.)
+    // Evaluated per matched row inside the join's
     // whole-stage codegen — junk pairs never reach the distinct exchange.
     val candidates = prefix.as("a").join(index.as("b"),
         col("a.h") === col("b.h") &&

@@ -287,7 +287,11 @@ object Similarity {
     * history verdict — `history` rows pass through untouched, and the
     * output hash-equals the full-recompute [[semDedupGeom]] (the
     * q_dedup_clusters_incr proof pattern: the declared oracle IS the full
-    * recompute).
+    * recompute). The contract is ENFORCED at runtime: a one-row broadcast
+    * of max(history.vec_id) rides the final flag projection and any new
+    * row at or below it raises (raise_error inside the `keep` expression,
+    * so pruning can't elide the check) — a violating caller gets a named
+    * failure, never silently-diverged output.
     *
     * Cost: one linear assignment pass over the corpus + a pair join
     * bounded by |new| × cell occupancy — never |history|².
@@ -323,9 +327,21 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("idb").as("vec_id")).distinct()
       .withColumn("dup", lit(1))
+    // Append-only contract guard: max(history id) is a one-row broadcast
+    // scalar (the q_tf_idf corpus-stats class); `vec_id <= max_hist_id`
+    // is NULL on empty history, so the otherwise-branch applies.
+    val maxHist = history.agg(max(col("vec_id")).as("max_hist_id"))
     val newFlags = newSide.select("vec_id", "cid")
       .join(dropped, Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
+      .crossJoin(broadcast(maxHist))
+      .select(col("vec_id"), col("cid"),
+        when(col("vec_id") <= col("max_hist_id"),
+          raise_error(concat(
+            lit("semDedupIncrement: append-only contract violated: new vec_id "),
+            col("vec_id").cast("string"),
+            lit(" <= max history vec_id "),
+            col("max_hist_id").cast("string"))).cast("boolean"))
+          .otherwise(col("dup").isNull).as("keep"))
     history.unionByName(newFlags)
   }
 

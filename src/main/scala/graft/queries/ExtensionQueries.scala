@@ -284,7 +284,8 @@ object ExtensionQueries {
     * planes cover occupancy/64 < 2^jMax — generous for every oracle
     * fixture scale (sf0.001/0.01: n=500 → k=16, j=0; sf0.1: n=2000 →
     * k=23, j=1). A corpus that derives k > kMax or j > jMax makes the
-    * oracle FAIL LOUDLY (integer division by zero in the geom CTE)
+    * oracle FAIL LOUDLY (DuckDB error() raised in the geom CTE — note
+    * 1//0 would NOT work: DuckDB integer division by zero yields NULL)
     * instead of silently diverging. */
   private val CellKMax = 32
   private val CellJMax = 4
@@ -312,8 +313,8 @@ object ExtensionQueries {
     }.mkString("\n|      + ")
     s"""n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
        |geom AS (SELECT
-       |    k + (CASE WHEN k > $CellKMax THEN 1 // 0 ELSE 0 END) AS k,
-       |    j + (CASE WHEN j > $CellJMax THEN 1 // 0 ELSE 0 END) AS j
+       |    CASE WHEN k > $CellKMax THEN error('adaptive oracle: k overflow') ELSE k END AS k,
+       |    CASE WHEN j > $CellJMax THEN error('adaptive oracle: j overflow') ELSE j END AS j
        |  FROM (SELECT k,
        |      GREATEST(0, CAST(CEIL(LN((cnt / CAST(k AS DOUBLE)) / 64.0) / LN(2.0)) AS BIGINT)) + $jOffset AS j
        |    FROM (SELECT cnt, GREATEST(16, CAST(CEIL(SQRT(cnt) / 2.0) AS BIGINT)) AS k

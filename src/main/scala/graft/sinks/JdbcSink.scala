@@ -26,6 +26,16 @@ import graft.core.OutputConfig
   */
 object JdbcSink {
 
+  /** Run a JDBC cleanup step (rollback/close) without letting its failure
+    * mask the root cause: NonFatal cleanup exceptions are swallowed, and
+    * when a root `cause` is in flight they are attached to it as
+    * suppressed exceptions so Spark's task retry surfaces the ORIGINAL
+    * failure with the cleanup failure still diagnosable. Fatal errors
+    * (OOM, linkage) always propagate. */
+  private[graft] def cleanupQuietly(f: => Unit, cause: Throwable = null): Unit =
+    try f catch { case scala.util.control.NonFatal(ce) =>
+      if (cause != null && (cause ne ce)) cause.addSuppressed(ce) }
+
   def bulkAppend(df: DataFrame, url: String, table: String,
                  props: Properties = new Properties(),
                  batchSize: Int = 1000, numPartitions: Option[Int] = None): Unit = {
@@ -209,7 +219,12 @@ object JdbcSink {
         // On failure: roll back the open transaction before closing, and keep
         // cleanup exceptions from masking the root cause (Spark's task retry
         // must see the original failure, not a close()-with-open-txn error).
-        def quietly(f: => Unit): Unit = try f catch { case _: java.sql.SQLException => () }
+        // NonFatal, not just SQLException — a driver throwing a
+        // RuntimeException from rollback()/close() must not mask the root
+        // cause either; when there IS a root cause, the cleanup failure is
+        // attached as a suppressed exception so it stays diagnosable.
+        def quietly(f: => Unit, cause: Throwable = null): Unit =
+          JdbcSink.cleanupQuietly(f, cause)
         try {
           rows.foreach { r =>
             (valCols ++ keyCols).zipWithIndex.foreach { case (c, p) => bindOne(upd, p + 1, c, r) }
@@ -220,8 +235,12 @@ object JdbcSink {
           }
           conn.commit()
         } catch {
-          case e: Throwable => quietly(conn.rollback()); throw e
-        } finally { quietly(upd.close()); quietly(ins.close()); quietly(conn.close()) }
+          case e: Throwable =>
+            quietly(conn.rollback(), e)
+            quietly(upd.close(), e); quietly(ins.close(), e); quietly(conn.close(), e)
+            throw e
+        }
+        quietly(upd.close()); quietly(ins.close()); quietly(conn.close())
       }
     }
   }

@@ -188,7 +188,10 @@ class PlanSpec extends SparkSpecBase {
       "q_cohens_kappa",
       // one-row broadcast (total_bins, total tokens) summary joined onto
       // the per-bin rows — the q_tf_idf scalar-stats class
-      "q_pack_bins")
+      "q_pack_bins",
+      // one-row broadcast max(history vec_id) — the append-only contract
+      // guard riding the keep projection (same scalar-broadcast class)
+      "q_sim_semdedup_incr")
     val offenders = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => intended(name) }
       .flatMap { case (name, fn) =>

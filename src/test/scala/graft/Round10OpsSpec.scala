@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 guards: cleanup-exception suppression in the JDBC sink, the
+  * semDedupIncrement append-only contract, and the GramHashes k guard. */
+class Round10OpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cleanupQuietly surfaces the ORIGINAL exception when rollback throws") {
+    val original = new java.sql.SQLException("insert failed: duplicate key")
+    // a RuntimeException (not SQLException) from cleanup must be swallowed
+    // AND attached as suppressed — the round-9 quietly caught only
+    // SQLException, so this exact shape masked the root cause
+    graft.sinks.JdbcSink.cleanupQuietly(
+      throw new RuntimeException("rollback failed: connection reset"), original)
+    assert(original.getSuppressed.length === 1)
+    assert(original.getSuppressed.head.getMessage.contains("rollback failed"))
+    // no cause in flight (finally-path close): swallowed, nothing to attach
+    graft.sinks.JdbcSink.cleanupQuietly(
+      throw new RuntimeException("close failed"))
+    // fatal errors always propagate
+    intercept[OutOfMemoryError] {
+      graft.sinks.JdbcSink.cleanupQuietly(throw new OutOfMemoryError("boom"), original)
+    }
+    // the upsert failure path end-to-end: the original failure type
+    // surfaces through the catch/cleanup sequence (mirrors
+    // idempotentUpsert's catch block ordering)
+    val surfaced = intercept[java.sql.SQLException] {
+      val e = new java.sql.SQLException("root")
+      graft.sinks.JdbcSink.cleanupQuietly(throw new IllegalStateException("cleanup"), e)
+      throw e
+    }
+    assert(surfaced.getMessage === "root")
+    assert(surfaced.getSuppressed.exists(_.getMessage == "cleanup"))
+  }
+
+  test("semDedupIncrement raises a named error when the append-only contract is violated") {
+    val dim = 8
+    def vec(seed: Int) = Array.tabulate(dim)(i => ((seed * 31 + i) % 7 - 3).toFloat)
+    val corpus = (0L until 20L).map(id => (id, vec(id.toInt).toSeq)).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // "history" claims to cover ids 0..14, but the "new" predicate selects
+    // ids >= 10 — ids 10..14 overlap history: contract violated
+    val history = (0L until 15L).map(id => (id, 0, true)).toDF("vec_id", "cid", "keep")
+    val e = intercept[Exception] {
+      graft.ops.Similarity.semDedupIncrement(
+        history, corpus, _ >= 10L, threshold = 0.99, k = 4, dim = dim)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("append-only contract violated")),
+      s"expected named contract error, got: ${messages(e).mkString(" | ")}")
+    // the valid orientation still works: new ids strictly above history
+    val ok = graft.ops.Similarity.semDedupIncrement(
+      history, corpus, _ >= 15L, threshold = 0.99, k = 4, dim = dim)
+    assert(ok.count() === 20)
+    // empty history: max is NULL, guard must not fire
+    val empty = history.filter(lit(false))
+    val fromScratch = graft.ops.Similarity.semDedupIncrement(
+      empty, corpus, _ >= 0L, threshold = 0.99, k = 4, dim = dim)
+    assert(fromScratch.count() === 20)
+  }
+
+  test("bpeEncodeStream (literal replace kernel) == bpeLearn's relational fold") {
+    // docs engineered for every island case: self-pair runs (odd AND even
+    // lengths), chained merges, pairs at document edges
+    val docs = Seq(
+      (1L, "a a a a b c a a a"),
+      (2L, "b c b c b b c c"),
+      (3L, "a b c d e"),
+      (4L, "c c c c c c"),
+      (5L, "a"),
+      (6L, "")).toDF("doc_id", "text")
+    val rounds = 4
+    // learn on the FULL set so both paths see the same merges
+    val merges = graft.ops.TrainOps
+      .bpeMerges(docs, "doc_id", "text", rounds).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val viaKernel = graft.ops.TrainOps
+      .bpeEncodeStream(docs, "doc_id", "text", merges)
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toList
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2) }
+    // the relational fold's final adjacency, per-doc in position order
+    val viaFold = graft.ops.TrainOps
+      .bpeFoldStream(docs, "doc_id", "text", rounds)
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toList
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2) }
+    // full per-document stream equality, not just the vocabulary
+    for (id <- 1L to 5L)
+      assert(viaFold.getOrElse(id, Nil) === viaKernel.getOrElse(id, Nil),
+        s"doc $id: fold=${viaFold.get(id)} kernel=${viaKernel.get(id)}")
+    assert(viaKernel.getOrElse(6L, Nil) === Nil)
+  }
+
+  test("graft_gram_hashes rejects non-positive k at build time") {
+    val df = Seq(("abc", 1L)).toDF("text", "id")
+    val e0 = intercept[Exception] {
+      df.select(graft.functions.GramHashes.hashes(col("text"), 0)).collect()
+    }
+    assert(e0.getMessage.contains("k must be positive"))
+    val eNeg = intercept[Exception] {
+      df.select(graft.functions.GramHashes.hashes(col("text"), -3)).collect()
+    }
+    assert(eNeg.getMessage.contains("k must be positive"))
+  }
+
+  test("keyset partitions stay constant-size as the page grows (driver holds bounds, not rows)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psize").toString
+    spark.range(0, 4000).selectExpr("id AS event_id", "id * 3 AS v")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def partBytes(pageRows: Int): Int = {
+      val stream = new graft.streaming.KeysetMicroBatchStream(schema, dir,
+        "event_id", maxRowsPerBatch = pageRows,
+        rubyTimeFormat = graft.core.RubyStrftime.DefaultRubyFormat,
+        maxRowsPerPartition = 250)
+      val start = stream.initialOffset()
+      val end = stream.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(pageRows))
+      val parts = stream.planInputPartitions(start, end)
+      assert(parts.nonEmpty)
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(parts.head); oos.close()
+      bos.size()
+    }
+    val small = partBytes(100)   // one sub-range of a 100-row page
+    val big = partBytes(4000)    // one sub-range of a 40x larger page
+    // rows-in-partition would scale ~40x; bounds + file metadata do not
+    assert(big < small * 2 + 4096,
+      s"partition payload grew with the page: $small -> $big bytes")
+  }
+
+  test("HistMinSum both-saturated sentinel dominates any real range overlap") {
+    // 2^50 per both-saturated range; 128 of them must not overflow a Long
+    assert(graft.functions.HistMinSum.BothSaturated === (1L << 50))
+    assert(128L * graft.functions.HistMinSum.BothSaturated > 0L)
+    // a pair of histograms saturated in EVERY range reports 128 * 2^50
+    val full = Seq.fill(8)(-1L) // every nibble = 15 (saturated)
+    val df = Seq((full, full)).toDF("a", "b")
+      .select(graft.functions.HistMinSum.minSum(col("a"), col("b")).as("s"))
+    assert(df.collect().head.getLong(0) === 128L * (1L << 50))
+  }
+}
