@@ -30,16 +30,20 @@ import graft.core.RubyStrftime
   */
 object KeysetScan {
 
-  def lowerBound(df: DataFrame, updateColumn: String, serialized: String,
-                 rubyTimeFormat: String = RubyStrftime.DefaultRubyFormat): Column = {
-    val dt: DataType = df.schema(updateColumn).dataType
-    val lastTyped: Column = dt match {
+  /** A serialized resume value as a typed Column — the ONE parse used by
+    * every keyset comparison (driver filter, streaming sub-range bounds),
+    * so boundary semantics can never diverge between them. */
+  def typedBound(dt: DataType, serialized: String,
+                 rubyTimeFormat: String = RubyStrftime.DefaultRubyFormat): Column =
+    dt match {
       case TimestampType =>
         to_timestamp(lit(serialized), RubyStrftime.toSparkPattern(rubyTimeFormat))
       case other => lit(serialized).cast(other)
     }
-    col(updateColumn) > lastTyped
-  }
+
+  def lowerBound(df: DataFrame, updateColumn: String, serialized: String,
+                 rubyTimeFormat: String = RubyStrftime.DefaultRubyFormat): Column =
+    col(updateColumn) > typedBound(df.schema(updateColumn).dataType, serialized, rubyTimeFormat)
 
   def scan(df: DataFrame, updateColumn: String, last: Option[String], limit: Int,
            tieBreak: Option[String] = None,

@@ -4,14 +4,19 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -31,12 +36,24 @@ import graft.sources.{KeysetScan, Serialize}
   *   - Offsets commit to the checkpoint log AFTER the batch is processed —
   *     the same at-least-once contract as the reference.
   *
-  * Pages are materialized on the driver (bounded by `maxRowsPerBatch`,
-  * exactly like the reference's one-page-per-poll loop — the source is a
-  * low-rate tail; scale comes from many tables, not page size), then shipped
-  * to executors as `ceil(page / maxRowsPerPartition)` value-contiguous
-  * InputPartitions so per-batch processing fans out across cores instead of
-  * running in one task (the scan itself is already a distributed job).
+  * NO page row ever materializes on the driver. The driver keeps only
+  * BOUNDARY VALUES: `latestOffset` reduces the page to its max update value
+  * (one row, one column), and `planInputPartitions` collects only every
+  * `maxRowsPerPartition`-th update value (≤ page/250 scalars) to cut the
+  * page into value sub-ranges. The keyset predicate composes per sub-range
+  * — `upd > lo AND upd <= hi`, exactly the reference's query shape
+  * (`in_sql.rb:129-135`) — and each `PartitionReader` runs its OWN scan of
+  * that sub-range executor-side through Spark's parquet reader
+  * (`ParquetFileFormat.buildReaderWithPartitionValues`, the same machinery
+  * `FileSourceScanExec` ships to tasks: vectorized read, row-group pruning
+  * from the pushed range filter, full Catalyst type fidelity). A tie-heavy
+  * boundary page with `limit <= 0` therefore streams through executor
+  * readers instead of buffering its tie count on the driver.
+  *
+  * Sub-range cuts are EXACT row values (no serialization round-trip), kept
+  * strictly increasing inside the typed (start, end] interval, so the
+  * ranges are disjoint and tile the batch exactly; a replayed batch always
+  * re-reads the same (start, end] content even if the cut positions differ.
   *
   * Options: `path` (parquet table), `updateColumn`, `maxRowsPerBatch`
   * (default 500), `timeFormat` (Ruby strftime, reference default),
@@ -95,6 +112,7 @@ final class KeysetMicroBatchStream(schema: StructType, path: String,
 
   private def spark = SparkSession.active
   private def table: DataFrame = spark.read.schema(schema).parquet(path)
+  private val updType: DataType = schema(updateColumn).dataType
 
   override def initialOffset(): Offset = KeysetOffset(None)
   override def deserializeOffset(json: String): Offset = KeysetOffset.fromJson(json)
@@ -108,66 +126,130 @@ final class KeysetMicroBatchStream(schema: StructType, path: String,
     * state file). Unchanged offset → empty poll cycle. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[KeysetOffset]
-    val page = pageAfter(s.last)
-    serializedBoundary(page).map(b => KeysetOffset(Some(b))).getOrElse(s)
+    pageBoundary(s.last).map(b => KeysetOffset(Some(b))).getOrElse(s)
   }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("uses latestOffset(start, limit)")
 
-  private def pageAfter(last: Option[String]): Array[Row] =
-    KeysetScan.scan(table, updateColumn, last, maxRowsPerBatch,
-      rubyTimeFormat = rubyTimeFormat).collect()
+  /** Serialized boundary of the next page: the page's max update value,
+    * reduced executor-side — the driver receives ONE scalar, never rows.
+    * (The page scan is ordered asc and limited, so its max IS the last
+    * emitted row's value — byte-identical to the collected-page boundary.) */
+  private def pageBoundary(last: Option[String]): Option[String] = {
+    val page = KeysetScan.scan(table, updateColumn, last, maxRowsPerBatch,
+      rubyTimeFormat = rubyTimeFormat)
+    val one = page.agg(max(col(updateColumn)).as(updateColumn)).collect().head
+    if (one.isNullAt(0)) None
+    else Serialize.rowToStringMap(StructType(Seq(schema(updateColumn))), one,
+      rubyTimeFormat).get(updateColumn)
+  }
 
-  private def serializedBoundary(rows: Array[Row]): Option[String] =
-    rows.lastOption.flatMap(r =>
-      Serialize.rowToStringMap(schema, r, rubyTimeFormat).get(updateColumn))
+  /** Parse a serialized boundary to its EXTERNAL typed value with the same
+    * expression `KeysetScan.lowerBound` filters with (to_timestamp with the
+    * table's time format for timestamps, a cast otherwise) — evaluated over
+    * a local one-row relation, so no job runs and parity is exact. */
+  private def parseExternal(serialized: String): Any = {
+    val bound = KeysetScan.typedBound(updType, serialized, rubyTimeFormat)
+    spark.sql("SELECT 1").select(bound.as("v")).head.get(0)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KeysetOffset]
     val e = end.asInstanceOf[KeysetOffset]
     if (s == e || e.last.isEmpty) return Array.empty
-    val upper = KeysetScan.lowerBound(table, updateColumn, e.last.get, rubyTimeFormat)
-    // page = (start, end]: strict > start (keyset resume), <= end boundary
-    val page = KeysetScan.scan(table, updateColumn, s.last, limit = 0,
+    val hiExt = parseExternal(e.last.get)
+    if (hiExt == null)
+      sys.error(s"keyset-tail: end boundary '${e.last.get}' does not parse as $updType")
+    val loExt = s.last.map(parseExternal)
+    val toInternal = CatalystTypeConverters.createToCatalystConverter(updType)
+    val ord = TypeUtils.getInterpretedOrdering(updType)
+    val hiInt = toInternal(hiExt)
+    val loInt = loExt.filter(_ != null).map(toInternal)
+    // Sub-range cuts: every maxRowsPerPartition-th update value of the
+    // page, ONE distributed job whose driver result is just those scalars.
+    // Exact row values (no string round-trip), then kept strictly
+    // increasing inside the typed (start, end] interval — the resulting
+    // ranges are disjoint and tile the batch exactly, so no row is lost or
+    // duplicated even when ties or coarse time formats collapse cuts.
+    val pageDf = KeysetScan.scan(table, updateColumn, s.last, limit = 0,
         rubyTimeFormat = rubyTimeFormat)
-      .filter(!upper) // NOT(upd > endBoundary)  ⇒  upd <= endBoundary
-      .collect()
-    // The page's parquet scan + filter already ran distributed (it is a
-    // Spark job); what used to be serial was DOWNSTREAM processing: one
-    // InputPartition meant every per-batch transform ran in ONE task. The
-    // page comes back sorted by the update column, so contiguous slices
-    // ARE value-range partitions — splitting at maxRowsPerPartition
-    // (default 250 = half the reference's 500-row page) fans the batch out
-    // across executor cores while keeping offset semantics byte-identical
-    // (the offset is still the last row's serialized boundary, and a
-    // tie-heavy value-delimited page now also fans out instead of landing
-    // on one task). Driver transit stays bounded by maxRowsPerBatch plus
-    // end-boundary ties, faithful to the reference's one-page poll.
-    if (page.isEmpty) Array.empty
-    else page.grouped(math.max(1, maxRowsPerPartition))
-      .map(KeysetPartition(_)).toArray[InputPartition]
+      .filter(!KeysetScan.lowerBound(table, updateColumn, e.last.get, rubyTimeFormat))
+    val cutsExt = pageDf.select(col(updateColumn).as("u"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("u"))))
+      .filter(col("rn") % maxRowsPerPartition === 0)
+      .orderBy("rn").select("u")
+      .collect().map(_.get(0)).filter(_ != null)
+    val interior = cutsExt.map(toInternal).foldLeft(Vector.empty[Any]) { (acc, c) =>
+      val inRange = loInt.forall(l => ord.gt(c, l)) && ord.lt(c, hiInt)
+      if (inRange && (acc.isEmpty || ord.gt(c, acc.last))) acc :+ c else acc
+    }
+    // The executor-side read function: Spark's own parquet reader with the
+    // PAGE range pushed down (row-group pruning skips everything outside
+    // (start, end]); each reader adds its sub-range residual per record.
+    val pushed: Seq[Filter] =
+      loExt.filter(_ != null).map(v => GreaterThan(updateColumn, v)).toSeq :+
+        LessThanOrEqual(updateColumn, hiExt)
+    val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, schema, StructType(Nil), schema, pushed,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"), hadoopConf)
+    val files = table.inputFiles.toSeq.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(hadoopConf).getFileStatus(p)
+      (f, st.getLen, st.getModificationTime)
+    }
+    val his = interior :+ hiInt
+    val los: Seq[Option[Any]] = loInt +: his.init.map(Some(_))
+    los.zip(his).map { case (lo, hi) =>
+      KeysetRangePartition(files, lo, hi, readFunc): InputPartition
+    }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new KeysetReaderFactory(schema)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KeysetReaderFactory(schema, updateColumn)
 
   override def stop(): Unit = ()
 }
 
-final case class KeysetPartition(rows: Array[Row]) extends InputPartition
+/** A value sub-range of one micro-batch: `(lo, hi]` in the update column's
+  * INTERNAL type (micros Long for timestamps, UTF8String for strings, …)
+  * plus the table's file inventory and the serialized parquet read
+  * function. Carries NO rows — the reader fetches them executor-side. */
+final case class KeysetRangePartition(
+    files: Seq[(String, Long, Long)],
+    lo: Option[Any], hi: Any,
+    readFunc: PartitionedFile => Iterator[InternalRow]) extends InputPartition
 
-/** External Row → InternalRow via the schema's row encoder — covers every
-  * Catalyst type (Date, Decimal, Binary, arrays, nested structs), not just
-  * the Timestamp/String pair a hand-rolled converter would. */
-final class KeysetReaderFactory(schema: StructType) extends PartitionReaderFactory {
+/** Executor-side reader: scans the table's parquet files through the
+  * shipped read function (vectorized, page-filter row-group pruning) and
+  * keeps rows in this partition's `(lo, hi]` update-column sub-range.
+  * Iterators auto-close at exhaustion (RecordReaderIterator semantics);
+  * rows follow the DSv2 contract (valid until the next `next()`). */
+final class KeysetReaderFactory(schema: StructType, updateColumn: String)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[KeysetPartition].rows
+    val p = partition.asInstanceOf[KeysetRangePartition]
+    val ordinal = schema.fieldIndex(updateColumn)
+    val dt = schema(updateColumn).dataType
+    val ord = TypeUtils.getInterpretedOrdering(dt)
+    val it = p.files.iterator.flatMap { case (f, len, mod) =>
+      p.readFunc(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f),
+        0L, len, Array.empty[String], mod, len))
+    }.filter { row =>
+      !row.isNullAt(ordinal) && {
+        val v = row.get(ordinal, dt)
+        p.lo.forall(l => ord.gt(v, l)) && ord.lteq(v, p.hi)
+      }
+    }
     new PartitionReader[InternalRow] {
-      private val toInternal = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
-        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)).createSerializer()
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = toInternal(rows(i)).copy()
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        val h = it.hasNext
+        if (h) current = it.next()
+        h
+      }
+      override def get(): InternalRow = current
       override def close(): Unit = ()
     }
   }

@@ -171,7 +171,7 @@ class Round9OpsSpec extends SparkSpecBase {
     }
   }
 
-  test("keyset micro-batch fans a large page out over >1 input partition") {
+  test("keyset micro-batch fans a large page out over >1 input partition, rows fetched READER-side") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.sources.Tables.events(spark, sf0001).coalesce(1)
       .write.mode("overwrite").parquet(dir)
@@ -185,11 +185,37 @@ class Round9OpsSpec extends SparkSpecBase {
       org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(500))
     val parts = stream.planInputPartitions(start, end)
     assert(parts.length === 3) // 500-row page / 200 per partition
-    val rows = parts.flatMap(_.asInstanceOf[graft.streaming.KeysetPartition].rows)
-    assert(rows.length === 500)
-    // value-contiguous slices: concatenation stays sorted by the update col
-    val ids = rows.map(_.getAs[Long]("event_id"))
-    assert(ids.toSeq === ids.sorted.toSeq)
+    // ZERO row materialization on the driver: partitions carry only value
+    // bounds + file metadata + the read closure — no Row/InternalRow
+    // payloads anywhere in the partition product
+    parts.foreach { part =>
+      val rp = part.asInstanceOf[graft.streaming.KeysetRangePartition]
+      rp.productIterator.foreach { f =>
+        assert(!f.isInstanceOf[org.apache.spark.sql.Row])
+        assert(!f.isInstanceOf[Array[_]] || !f.asInstanceOf[Array[_]]
+          .exists(_.isInstanceOf[org.apache.spark.sql.Row]))
+      }
+    }
+    // the rows come from the PartitionReaders (executor-side fetch path)
+    val factory = stream.createReaderFactory()
+    val ordinal = schema.fieldIndex("event_id")
+    val perPart = parts.map { part =>
+      val r = factory.createReader(part)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) buf += r.get().getLong(ordinal)
+      r.close()
+      buf.toSeq
+    }
+    val ids = perPart.flatten
+    assert(ids.length === 500)
+    assert(ids.toSet === spark.read.parquet(dir)
+      .orderBy("event_id").limit(500)
+      .collect().map(_.getAs[Long]("event_id")).toSet)
+    // value-contiguous sub-ranges: each partition's max < the next one's min
+    perPart.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max < b.min)
+      case _ => ()
+    }
     // offset semantics byte-identical: boundary = last row's serialized value
     assert(end.asInstanceOf[graft.streaming.KeysetOffset].last.contains(ids.max.toString))
   }
