@@ -678,6 +678,26 @@ object TrainingQueries {
         "with greedy left-to-right application (island alternation), " +
         "full unrolled-CTE oracle"),
 
+    // Tokenizer APPLY with the LEARNED merges (round-9 verdict #7): the
+    // production step q_bpe_merges → THIS → q_pack_* — learn 6 merges on
+    // a deterministic 1/8 document sample (production tokenizers fit on a
+    // sample), then encode the FULL corpus with them and report the
+    // top-20 subword vocabulary. The learned pairs are a bounded driver
+    // artifact, so the corpus-wide apply is a pure-codegen literal
+    // replace chain in the scan projection (bpeEncodeStream) — zero
+    // shuffles before the final vocabulary count, the only shape that
+    // works at 100 TB. The oracle re-learns the same sample's merges from
+    // scratch (scale-adaptive) and applies them via scalar-subquery
+    // replace args.
+    "q_bpe_apply_learned" -> QueryDef.sql(
+      (s, dir) => TrainOps.bpeApplyLearned(
+        Tables.documents(s, dir), "doc_id", "text", rounds = 6, k = 20),
+      TrainOps.bpeApplyOracle("SELECT doc_id, text FROM documents",
+        rounds = 6, k = 20),
+      doc = "sample-learned (1/8 docs, 6 rounds) BPE merges applied " +
+        "corpus-wide as a map-only literal replace chain; top-20 subword " +
+        "vocabulary, oracle re-learns and replays the merge sequence"),
+
     // The ENCODE side of the tokenizer story (q_bpe_merges is the LEARN
     // side): apply a fixed rank-ordered merge table to every corpus word
     // and report the top-20 subword vocabulary by usage. The merge chain
