@@ -350,25 +350,40 @@ object Dedup {
     val p = g0 / gcd
     val q = 1000000L / gcd
     val prefixLen = col("n_sh") - expr(s"(n_sh * $p + ${q - 1}) div $q") + 1
-    // the count-histogram residual rides this join too (see
-    // ngramJaccardPairsPrefix): containment >= t requires
-    // |A∩B| >= ceil(t·|A|), and Σ_r min(cnt) upper-bounds |A∩B|, so
-    // bound·q >= p·n_sub − q is a lossless prune (the q slack covers the
-    // 6-dp rounding admission). The 10x probe exploded 16.5x without it —
-    // the sup side is the FULL inverted index, so df-driven junk grows
-    // quadratically exactly like the jaccard tier's.
+    // Two residuals ride this join (see ngramJaccardPairsPrefix):
+    //  - count-histogram: containment >= t requires |A∩B| >= ceil(t·|A|),
+    //    and Σ_r min(cnt) upper-bounds |A∩B|, so bound·q >= p·n_sub − q is
+    //    a lossless prune (the q slack covers the 6-dp rounding
+    //    admission). The 10x probe exploded 16.5x without it.
+    //  - positional (round 10, the containment form of Xiao et al. 2008
+    //    §3.2): BOTH sides carry their rarest-first rank, and a match at
+    //    (pos_sub, pos_sup) caps achievable overlap at
+    //    1 + min(n_sub − pos_sub, n_sup − pos_sup) — common shingles after
+    //    the matched one sit strictly later in BOTH documents under the
+    //    shared global order. A qualifying pair's FIRST common shingle is
+    //    always inside the sub prefix (pigeonhole) and has no commons
+    //    before it, so that row always passes: lossless. This is why the
+    //    sup side reads from the RANKED table (position attached) instead
+    //    of a bare re-explode; the ranked rows are persisted once and
+    //    shared by both join sides, like the jaccard tier's prefix table.
     val sketches = arrays.select(col("id"),
       graft.functions.HashRangeHist.hist(col("hs")).as("ct"))
-    val subPrefix = ranked.filter(col("pos") <= prefixLen)
-      .select(col("id").as("id_sub"), col("n_sh").as("n_sub"), col("h"))
+    val rankedP = PlanCache.getOrPersist(docs,
+        s"containment_ranked:$idCol:$textCol:$n:$threshold")(
+      ranked.select("id", "n_sh", "pos", "h"))
+    val subPrefix = rankedP.filter(col("pos") <= prefixLen)
+      .select(col("id").as("id_sub"), col("n_sh").as("n_sub"),
+        col("pos").as("pos_sub"), col("h"))
       .join(sketches.select(col("id").as("id_sub"), col("ct").as("ct_sub")), Seq("id_sub"))
-    val supSide = arrays.select(col("id").as("id_sup"),
-        size(col("hs")).cast("long").as("n_sup"),
-        graft.functions.HashRangeHist.hist(col("hs")).as("ct_sup"),
-        explode(col("hs")).as("h"))
+    val supSide = rankedP
+      .select(col("id").as("id_sup"), col("n_sh").as("n_sup"),
+        col("pos").as("pos_sup"), col("h"))
+      .join(sketches.select(col("id").as("id_sup"), col("ct").as("ct_sup")), Seq("id_sup"))
     val candidates = subPrefix.join(supSide, Seq("h"))
       .filter(col("id_sub") =!= col("id_sup") &&
         col("n_sub") * p <= col("n_sup") * q && // t·|A| ≤ |B| since |A∩B| ≤ |B|
+        (lit(1L) + least(col("n_sub") - col("pos_sub"),
+          col("n_sup") - col("pos_sup"))) * q >= col("n_sub") * p - q &&
         graft.functions.HistMinSum.minSum(col("ct_sub"), col("ct_sup")) * q >=
           col("n_sub") * p - q)
       .select("id_sub", "id_sup").distinct()

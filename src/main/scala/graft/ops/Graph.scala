@@ -352,11 +352,22 @@ object Graph {
   def adamicAdar(edges: DataFrame): DataFrame = {
     val e = edges.select(col("id_a").as("u"), col("id_b").as("w"))
     val und = e.union(e.select(col("w").as("u"), col("u").as("w")))
-    val deg = und.groupBy("u").agg(count(lit(1)).as("d"))
-    val wedges = und.select(col("u").as("x"), col("w"))
-      .join(und.select(col("u").as("y"), col("w")), Seq("w"))
-      .filter(col("x") < col("y"))
-      .join(deg.select(col("u").as("w"), col("d").as("dw")), Seq("w"))
+    // Round 10 (r9 verdict #6): wedges come from per-center SORTED
+    // adjacency arrays instead of the und⋈und self-join — each unordered
+    // endpoint pair (x, y) generates exactly ONCE (y ranges over the
+    // array tail strictly after x, so x < y by construction; the old
+    // self-join matched every pair twice and filtered half away), and the
+    // center's degree rides along as size(ns), which deletes the deg join
+    // that used to shuffle the whole wedge stream a second time. Plan:
+    // one shuffle to build adjacency + the final (x, y) aggregation;
+    // wedge volume is exactly Σ_w C(deg_w, 2). Transient slice copies are
+    // bounded by the cell-capped degree (the chunker carry argument).
+    val adj = und.groupBy(col("w")).agg(sort_array(collect_list(col("u"))).as("ns"))
+    val wedges = adj
+      .select(col("ns"), size(col("ns")).as("dw"),
+        posexplode(col("ns")).as(Seq("i", "x")))
+      .select(col("x"), col("dw"),
+        explode(expr("slice(ns, i + 2, size(ns))")).as("y"))
     wedges.groupBy("x", "y")
       .agg(count(lit(1)).as("n_common"),
         round(sum(Exact.dec(round(lit(1.0) / log(col("dw").cast("double")), 10), 28, 10)), 6)

@@ -136,6 +136,34 @@ class Round10OpsSpec extends SparkSpecBase {
       s"partition payload grew with the page: $small -> $big bytes")
   }
 
+  test("minhashNearDupStream per-bucket state stays at its maxBucket bound") {
+    // 20 IDENTICAL docs collide into one bucket per band with maxBucket=4:
+    // the first 4 arrivals are stored, every later arrival pairs against
+    // exactly those 4 and is NOT stored. Emitted pairs per band are then
+    // the cap arithmetic C(4,2) + 16·4 = 70 — an uncapped bucket would
+    // emit C(20,2) = 190 — and the state store holds one row per bucket
+    // group, proving per-key state is bounded by construction.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.minhashNearDupStream(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text", maxBucket = 4)
+      .toDF().writeStream.format("memory").queryName("r10_cap_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L to 10L).map(i => (i, text))); q.processAllAvailable()
+      ms.addData((11L to 20L).map(i => (i, text))); q.processAllAvailable()
+    } finally q.stop()
+    val numBands = 16 // default numPerm 32 / rowsPerBand 2
+    assert(spark.table("r10_cap_out").count() === 70L * numBands)
+    // state rows = bucket groups (16 bands x 1 key), NOT 20 docs x 16
+    val stateRows = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+    assert(stateRows === numBands.toLong, s"state rows: $stateRows")
+  }
+
   test("HistMinSum both-saturated sentinel dominates any real range overlap") {
     // 2^50 per both-saturated range; 128 of them must not overflow a Long
     assert(graft.functions.HistMinSum.BothSaturated === (1L << 50))
