@@ -14,7 +14,6 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, Par
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -38,9 +37,10 @@ import graft.sources.{KeysetScan, Serialize}
   *
   * NO page row ever materializes on the driver. The driver keeps only
   * BOUNDARY VALUES: `latestOffset` reduces the page to its max update value
-  * (one row, one column), and `planInputPartitions` collects only every
-  * `maxRowsPerPartition`-th update value (≤ page/250 scalars) to cut the
-  * page into value sub-ranges. The keyset predicate composes per sub-range
+  * (one row, one column), and `planInputPartitions` collects the page's
+  * distinct-value (value, count) histogram — a partial-aggregable groupBy,
+  * no global sort — and walks it to cut the page into ~`maxRowsPerPartition`
+  * value sub-ranges. The keyset predicate composes per sub-range
   * — `upd > lo AND upd <= hi`, exactly the reference's query shape
   * (`in_sql.rb:129-135`) — and each `PartitionReader` runs its OWN scan of
   * that sub-range executor-side through Spark's parquet reader
@@ -166,20 +166,33 @@ final class KeysetMicroBatchStream(schema: StructType, path: String,
     val ord = TypeUtils.getInterpretedOrdering(updType)
     val hiInt = toInternal(hiExt)
     val loInt = loExt.filter(_ != null).map(toInternal)
-    // Sub-range cuts: every maxRowsPerPartition-th update value of the
-    // page, ONE distributed job whose driver result is just those scalars.
-    // Exact row values (no string round-trip), then kept strictly
-    // increasing inside the typed (start, end] interval — the resulting
-    // ranges are disjoint and tile the batch exactly, so no row is lost or
-    // duplicated even when ties or coarse time formats collapse cuts.
+    // Sub-range cuts from the page's DISTINCT-VALUE histogram: one
+    // partial-aggregable groupBy (no global sort, no single-partition
+    // window) whose driver result is (value, count) pairs — bounded by
+    // the page row count for limit > 0 polls, and by the batch's distinct
+    // values (small by definition for a tie-heavy page) otherwise. The
+    // driver walks the sorted histogram and cuts wherever the cumulative
+    // count reaches maxRowsPerPartition — exact row values (no string
+    // round-trip), then kept strictly increasing inside the typed
+    // (start, end] interval, so the resulting ranges are disjoint and
+    // tile the batch exactly even when ties or coarse time formats
+    // collapse cuts.
     val pageDf = KeysetScan.scan(table, updateColumn, s.last, limit = 0,
         rubyTimeFormat = rubyTimeFormat)
       .filter(!KeysetScan.lowerBound(table, updateColumn, e.last.get, rubyTimeFormat))
-    val cutsExt = pageDf.select(col(updateColumn).as("u"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("u"))))
-      .filter(col("rn") % maxRowsPerPartition === 0)
-      .orderBy("rn").select("u")
-      .collect().map(_.get(0)).filter(_ != null)
+    val hist = pageDf.groupBy(col(updateColumn).as("u"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("u"))
+      .collect().filter(!_.isNullAt(0))
+    val cutsExt = {
+      val cuts = Vector.newBuilder[Any]
+      var acc = 0L
+      hist.foreach { r =>
+        acc += r.getLong(1)
+        if (acc >= maxRowsPerPartition) { cuts += r.get(0); acc = 0L }
+      }
+      cuts.result()
+    }
     val interior = cutsExt.map(toInternal).foldLeft(Vector.empty[Any]) { (acc, c) =>
       val inRange = loInt.forall(l => ord.gt(c, l)) && ord.lt(c, hiInt)
       if (inRange && (acc.isEmpty || ord.gt(c, acc.last))) acc :+ c else acc
