@@ -136,6 +136,49 @@ class Round10OpsSpec extends SparkSpecBase {
       s"partition payload grew with the page: $small -> $big bytes")
   }
 
+  test("keyset reader timestamp bounds parse exactly like the driver filter across a resume") {
+    // timestamp update column through TWO planned batches: the second
+    // batch's lower bound is the serialized string of batch 1's boundary,
+    // so the executor-side residual must parse it to the same micros the
+    // driver-side KeysetScan filter does — reader row sets must equal the
+    // driver-computed (start, end] intervals exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsb").toString
+    graft.sources.Tables.events(spark, sf0001).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val fmt = graft.core.RubyStrftime.DefaultRubyFormat
+    val stream = new graft.streaming.KeysetMicroBatchStream(schema, dir,
+      "ts", maxRowsPerBatch = 300, rubyTimeFormat = fmt,
+      maxRowsPerPartition = 120)
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(300)
+    val factory = stream.createReaderFactory()
+    val idIdx = schema.fieldIndex("event_id")
+    def readBatch(start: org.apache.spark.sql.connector.read.streaming.Offset,
+                  end: org.apache.spark.sql.connector.read.streaming.Offset): Seq[Long] =
+      stream.planInputPartitions(start, end).flatMap { p =>
+        val r = factory.createReader(p)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (r.next()) buf += r.get().getLong(idIdx)
+        r.close(); buf
+      }.toSeq
+    def driverBatch(startLast: Option[String], endLast: String): Seq[Long] = {
+      val t = spark.read.parquet(dir)
+      graft.sources.KeysetScan.scan(t, "ts", startLast, limit = 0, rubyTimeFormat = fmt)
+        .filter(!graft.sources.KeysetScan.lowerBound(t, "ts", endLast, fmt))
+        .select("event_id").collect().map(_.getLong(0)).toSeq
+    }
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset(o0, limit)
+    val o2 = stream.latestOffset(o1, limit)
+    val k1 = o1.asInstanceOf[graft.streaming.KeysetOffset]
+    val k2 = o2.asInstanceOf[graft.streaming.KeysetOffset]
+    assert(k1.last.isDefined && k2.last.isDefined && k1 != k2)
+    assert(readBatch(o0, o1).sorted === driverBatch(None, k1.last.get).sorted)
+    assert(readBatch(o1, o2).sorted === driverBatch(k1.last, k2.last.get).sorted)
+    // batches are disjoint and the resume loses nothing within the range
+    assert(readBatch(o0, o1).toSet.intersect(readBatch(o1, o2).toSet).isEmpty)
+  }
+
   test("minhashNearDupStream per-bucket state stays at its maxBucket bound") {
     // 20 IDENTICAL docs collide into one bucket per band with maxBucket=4:
     // the first 4 arrivals are stored, every later arrival pairs against
