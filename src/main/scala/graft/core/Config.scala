@@ -23,7 +23,11 @@ final case class ConnectionConfig(
     username: Option[String] = None,
     password: Option[String] = None,
     socket: Option[String] = None,            // in_sql.rb:38-39
-    schemaSearchPath: Option[String] = None   // in_sql.rb:40-41
+    schemaSearchPath: Option[String] = None,  // in_sql.rb:40-41
+    /** Connection-establishment timeout in MILLISECONDS (`out_sql.rb:34-35`,
+      * reference default 5000 ms — applied by [[ConfigText.parseConnection]];
+      * None here means "driver default" for programmatic construction). */
+    timeoutMs: Option[Int] = None
 ) {
   /** ActiveRecord adapter name → JDBC subprotocol. */
   val subprotocol: String = adapter match {
@@ -75,6 +79,21 @@ final case class ConnectionConfig(
     if (subprotocol == "postgresql")
       schemaSearchPath.foreach(p.put("currentSchema", _))
     sessionInitStatement.foreach(p.put("sessionInitStatement", _))
+    // `timeout` (out_sql.rb:34-35) → the dialect's connect-timeout property.
+    // pgjdbc takes SECONDS (connectTimeout/loginTimeout); MySQL Connector/J
+    // takes MILLISECONDS (connectTimeout). Dialects without a documented
+    // property (e.g. embedded Derby, which has no network connect phase)
+    // get none — noted divergence rather than a guessed property name.
+    timeoutMs.foreach { ms =>
+      val secs = math.max(1, (ms + 999) / 1000).toString
+      subprotocol match {
+        case "postgresql" =>
+          p.put("connectTimeout", secs); p.put("loginTimeout", secs)
+        case "mysql" | "mariadb" =>
+          p.put("connectTimeout", ms.toString)
+        case _ => ()
+      }
+    }
     p
   }
 

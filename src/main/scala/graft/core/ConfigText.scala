@@ -85,7 +85,10 @@ object ConfigText {
     require(defaults.nonEmpty, "There must be one <table> without pattern (out_sql.rb:183-185)")
     OutputConfig(
       routes = all.collect { case (false, c) => c },
-      defaultTable = defaults.head, // duplicate defaults: first wins, as out_sql.rb:171-177
+      // Duplicate pattern-less <table>s: the LAST wins — the reference warns
+      // and then reassigns `@default_table = te` on every pattern-less
+      // section (out_sql.rb:171-173), so the final assignment survives.
+      defaultTable = defaults.last,
       removeTagPrefix = m.params.get("remove_tag_prefix"),
       enableFallback = parseBool(m.params.get("enable_fallback"), default = true))
   }
@@ -101,7 +104,9 @@ object ConfigText {
     username = p.get("username"),
     password = p.get("password"),
     socket = p.get("socket"),
-    schemaSearchPath = p.get("schema_search_path"))
+    schemaSearchPath = p.get("schema_search_path"),
+    // reference default: 5000 ms (out_sql.rb:34-35)
+    timeoutMs = Some(p.get("timeout").map(_.trim.toInt).getOrElse(5000)))
 
   /** `<source>` connection params → ConnectionConfig. */
   def parseInputConnection(text: String): ConnectionConfig =

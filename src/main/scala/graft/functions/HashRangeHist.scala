@@ -122,7 +122,7 @@ case class HistMinSum(left: Expression, right: Expression)
          |  long $xa = $a.getLong($w); long $yb = $b.getLong($w);
          |  for (int $k = 0; $k < 16; $k++) {
          |    long $ca = $xa & 15L; long $cb = $yb & 15L;
-              |    $sum += ($ca == 15L && $cb == 15L) ? (1L << 50) : java.lang.Math.min($ca, $cb);
+         |    $sum += ($ca == 15L && $cb == 15L) ? ${HistMinSum.BothSaturated}L : java.lang.Math.min($ca, $cb);
          |    $xa >>>= 4; $yb >>>= 4;
          |  }
          |}

@@ -349,7 +349,7 @@ object Graph {
     * is sum(deg^2)-bounded (the triangle-join bound); the irrational
     * 1/ln terms route through round(.,10) -> DECIMAL -> exact sum so the
     * score is summation-order-independent. */
-  def adamicAdar(edges: DataFrame): DataFrame = {
+  def adamicAdar(edges: DataFrame, maxDegree: Int = 1 << 20): DataFrame = {
     val e = edges.select(col("id_a").as("u"), col("id_b").as("w"))
     val und = e.union(e.select(col("w").as("u"), col("u").as("w")))
     // Round 10 (r9 verdict #6): wedges come from per-center SORTED
@@ -362,7 +362,25 @@ object Graph {
     // one shuffle to build adjacency + the final (x, y) aggregation;
     // wedge volume is exactly Σ_w C(deg_w, 2). Transient slice copies are
     // bounded by the cell-capped degree (the chunker carry argument).
-    val adj = und.groupBy(col("w")).agg(sort_array(collect_list(col("u"))).as("ns"))
+    //
+    // Degree guard (r10 advice): the per-center adjacency array is O(deg)
+    // in ONE aggregation buffer, safe only while the edge source keeps
+    // degrees cell-capped. graft_collect_capped bounds the buffer at
+    // maxDegree + 1 BY CONSTRUCTION (update/merge truncate), and a
+    // retained (maxDegree+1)-element array is the overflow marker: it
+    // raises a named error instead of silently computing wedges over a
+    // truncated neighbor set (or OOMing an executor on an uncapped hub).
+    // Default 2^20 ≈ 8 MiB of longs per hub buffer; wedge volume
+    // C(deg, 2) makes far smaller degrees the practical ceiling anyway.
+    val adj = und.groupBy(col("w"))
+      .agg(sort_array(graft.functions.CollectCapped.collectCapped(
+        col("u"), maxDegree + 1)).as("ns"))
+      .withColumn("ns",
+        when(size(col("ns")) > maxDegree,
+          raise_error(concat(
+            lit(s"adamicAdar: degree of node "), col("w").cast("string"),
+            lit(s" exceeds maxDegree=$maxDegree — cap or pre-filter hub nodes"))))
+          .otherwise(col("ns")))
     val wedges = adj
       .select(col("ns"), size(col("ns")).as("dw"),
         posexplode(col("ns")).as(Seq("i", "x")))

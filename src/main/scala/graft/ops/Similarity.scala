@@ -287,11 +287,14 @@ object Similarity {
     * history verdict — `history` rows pass through untouched, and the
     * output hash-equals the full-recompute [[semDedupGeom]] (the
     * q_dedup_clusters_incr proof pattern: the declared oracle IS the full
-    * recompute). The contract is ENFORCED at runtime: a one-row broadcast
-    * of max(history.vec_id) rides the final flag projection and any new
-    * row at or below it raises (raise_error inside the `keep` expression,
-    * so pruning can't elide the check) — a violating caller gets a named
-    * failure, never silently-diverged output.
+    * recompute). The contract is ENFORCED at runtime, eagerly: the call
+    * compares max(history.vec_id) against min(new vec_id) with two
+    * driver-side column-pruned scalar aggregates BEFORE building the
+    * result plan — a violating caller gets a named failure at call time,
+    * never silently-diverged output. (An in-plan raise_error was tried
+    * first and rejected: Catalyst column pruning elides the carrying
+    * projection — and the error with it — for consumers that never read
+    * that column.)
     *
     * Cost: one linear assignment pass over the corpus + a pair join
     * bounded by |new| × cell occupancy — never |history|².
@@ -327,21 +330,25 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("idb").as("vec_id")).distinct()
       .withColumn("dup", lit(1))
-    // Append-only contract guard: max(history id) is a one-row broadcast
-    // scalar (the q_tf_idf corpus-stats class); `vec_id <= max_hist_id`
-    // is NULL on empty history, so the otherwise-branch applies.
-    val maxHist = history.agg(max(col("vec_id")).as("max_hist_id"))
+    // Append-only contract guard, checked EAGERLY with two driver-side
+    // scalars (column-pruned min/max scans). An in-plan raise_error inside
+    // a projected column is elidable — Catalyst prunes the column (and the
+    // error with it) when a downstream consumer never reads it — so the
+    // only un-elidable form is this driver comparison, run before the
+    // result plan is even constructed.
+    val maxHistRow = history.agg(max(col("vec_id")).cast("long")).head
+    if (!maxHistRow.isNullAt(0)) {
+      val maxHist = maxHistRow.getLong(0)
+      val minNewRow = corpus.filter(isNew(col("vec_id")))
+        .agg(min(col("vec_id")).cast("long")).head
+      if (!minNewRow.isNullAt(0) && minNewRow.getLong(0) <= maxHist)
+        throw new IllegalStateException(
+          "semDedupIncrement: append-only contract violated: new vec_id " +
+            s"${minNewRow.getLong(0)} <= max history vec_id $maxHist")
+    }
     val newFlags = newSide.select("vec_id", "cid")
       .join(dropped, Seq("vec_id"), "left_outer")
-      .crossJoin(broadcast(maxHist))
-      .select(col("vec_id"), col("cid"),
-        when(col("vec_id") <= col("max_hist_id"),
-          raise_error(concat(
-            lit("semDedupIncrement: append-only contract violated: new vec_id "),
-            col("vec_id").cast("string"),
-            lit(" <= max history vec_id "),
-            col("max_hist_id").cast("string"))).cast("boolean"))
-          .otherwise(col("dup").isNull).as("keep"))
+      .select(col("vec_id"), col("cid"), col("dup").isNull.as("keep"))
     history.unionByName(newFlags)
   }
 

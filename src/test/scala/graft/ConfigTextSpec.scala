@@ -90,6 +90,38 @@ class ConfigTextSpec extends AnyFunSuite {
     assert(ConfigText.parseOutput(on).enableFallback)
   }
 
+  test("duplicate pattern-less <table>s: the LAST wins (out_sql.rb:171-173)") {
+    // the reference warns on each duplicate but reassigns @default_table
+    // every time, so the final pattern-less section receives the route
+    val cfg = ConfigText.parseOutput("""
+      |<match x>
+      |  <table>
+      |    table first_default
+      |    column_mapping a
+      |  </table>
+      |  <table>
+      |    table second_default
+      |    column_mapping b
+      |  </table>
+      |</match>""".stripMargin)
+    assert(cfg.defaultTable.table === "second_default")
+    assert(cfg.routeFor("anything.unmatched").table === "second_default")
+  }
+
+  test("connection timeout plumbs to the dialect's connect-timeout property (out_sql.rb:34-35)") {
+    def conn(adapter: String, extra: String = "") = ConfigText.parseOutputConnection(
+      s"<match x>\n  adapter $adapter\n  database d\n$extra</match>")
+    // reference default 5000 ms when unset
+    assert(conn("postgresql").timeoutMs === Some(5000))
+    val pg = conn("postgresql", "  timeout 12500\n").properties
+    assert(pg.getProperty("connectTimeout") === "13") // ceil(12500 ms / 1000)
+    assert(pg.getProperty("loginTimeout") === "13")
+    val my = conn("mysql2", "  timeout 12500\n").properties
+    assert(my.getProperty("connectTimeout") === "12500") // Connector/J takes ms
+    // dialects without a documented property get none (embedded Derby)
+    assert(conn("derby").properties.getProperty("connectTimeout") === null)
+  }
+
   test("missing default table is a config error (out_sql.rb:183-185)") {
     intercept[IllegalArgumentException] {
       ConfigText.parseOutput(
