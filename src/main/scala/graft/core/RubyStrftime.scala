@@ -64,9 +64,13 @@ object RubyStrftime {
           case 'b' | 'h' => Some("MMM")
           case 'B' => Some("MMMM")
           case 'p' => Some("a")
-          case 'u' => Some("e")
-          case 'G' => Some("YYYY")
-          case 'V' => Some("ww")
+          // ISO week-based fields: Spark BANS the pattern letters since 3.0
+          // (DateTimeFormatterHelper.weekBasedLetters = e,Y,u,w,c,W throw
+          // DATETIME_WEEK_BASED_PATTERN). Mapping them would crash deep in
+          // date_format at runtime; fail loudly at config time instead.
+          case 'u' | 'G' | 'V' => throw new IllegalArgumentException(
+            s"strftime %$conv (ISO week-based field) has no Spark datetime-pattern " +
+              "equivalent — week-based pattern letters are unsupported since Spark 3.0")
           case 'F' => Some("yyyy-MM-dd")
           case 'T' | 'X' => Some("HH:mm:ss")
           case 'R' => Some("HH:mm")

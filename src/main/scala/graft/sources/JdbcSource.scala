@@ -22,15 +22,19 @@ object JdbcSource {
   /** `SELECT * FROM t WHERE upd > ? ORDER BY upd ASC LIMIT n` pushed into
     * the remote DB (`in_sql.rb:129-135`). `fetchFirstSyntax` covers
     * LIMIT-less dialects (Derby/Oracle/DB2: FETCH FIRST n ROWS ONLY). */
+  /** A serialized keyset resume value as a SQL literal. Numeric values go
+    * unquoted (strict engines like Derby refuse BIGINT > CHAR); everything
+    * else stays a quoted string and round-trips through the DB's cast,
+    * exactly like the reference's serialized resume (`in_sql.rb:131, 141`).
+    * The ONE literal form used by the page query and the streaming
+    * sub-range readers, so boundary semantics can never diverge. */
+  def sqlLiteral(v: String): String =
+    if (v.matches("-?\\d+(\\.\\d+)?")) v else "'" + v.replace("'", "''") + "'"
+
   def keysetPage(spark: SparkSession, url: String, table: String, updateColumn: String,
                  last: Option[String], limit: Int, props: Properties = new Properties(),
                  fetchFirstSyntax: Boolean = false): DataFrame = {
-    // Numeric resume values go unquoted (strict engines like Derby refuse
-    // BIGINT > CHAR); everything else stays a quoted string and round-trips
-    // through the DB's cast, exactly like the reference's serialized resume.
-    def literal(v: String): String =
-      if (v.matches("-?\\d+(\\.\\d+)?")) v else "'" + v.replace("'", "''") + "'"
-    val where = last.map(v => s"WHERE $updateColumn > ${literal(v)}").getOrElse("")
+    val where = last.map(v => s"WHERE $updateColumn > ${sqlLiteral(v)}").getOrElse("")
     val limitClause =
       if (limit <= 0) ""
       else if (fetchFirstSyntax) s"FETCH FIRST $limit ROWS ONLY"

@@ -23,7 +23,11 @@ final class KeysetTailRunner(
     spark: SparkSession,
     cfg: InputConfig,
     loadTable: (SparkSession, String) => DataFrame,
-    store: StateStore) {
+    store: StateStore,
+    /** Internal page size for `select_limit <= 0` polls ("disables limit",
+      * `in_sql.rb:52`): the driver never collects the whole remaining table
+      * at once — it walks VALUE-DELIMITED chunks of about this many rows. */
+    internalChunkRows: Int = 5000) {
 
   /** Tables that survived init (update column resolvable). */
   val activeTables: Seq[SourceTableConfig] = cfg.tables.filter { t =>
@@ -45,18 +49,48 @@ final class KeysetTailRunner(
         val updCol = t.updateColumn.orElse(t.primaryKey).getOrElse(
           throw new IllegalStateException(s"${t.table}: no update_column/primary_key"))
         val last = store.lastRecord(t.table).flatMap(_.get(updCol))
-        val page = KeysetScan.scan(df, updCol, last, cfg.selectLimit,
-          rubyTimeFormat = t.timeFormat)
-        val rows = page.collect() // bounded by select_limit, like the reference page
-        if (rows.nonEmpty) {
-          val tag = t.resolvedTag(cfg.tagPrefix)
-          emit(tag, spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
-            page.schema))
-          // state update AFTER emit: crash between = replay (at-least-once)
-          store.update(t.table, Serialize.rowToStringMap(page.schema, rows.last, t.timeFormat))
-        }
-        emitted += t.table -> rows.length.toLong
+        val total =
+          if (cfg.selectLimit > 0) {
+            val page = KeysetScan.scan(df, updCol, last, cfg.selectLimit,
+              rubyTimeFormat = t.timeFormat)
+            emitPage(t, page.collect(), page.schema, emit) // bounded by select_limit
+          } else {
+            // select_limit <= 0 disables the LIMIT (in_sql.rb:52). One
+            // unbounded collect would put O(remaining rows) on the driver;
+            // instead walk VALUE-DELIMITED chunks: a limited probe page
+            // reduces to ONE boundary scalar, the chunk is every row in
+            // (last, boundary] (tie groups travel whole — nothing is lost
+            // to the strict-> resume at an internal boundary), emit, and
+            // advance. A boundary that cannot advance (the whole remaining
+            // tail serializes equal to the resume value — a coarse
+            // time_format pathology) stops the walk: those rows are
+            // unreachable under the reference's strict-> contract, the same
+            // skip the streaming provider's unchanged-offset poll applies.
+            var lo = last
+            var chunkTotal = 0L
+            var continue = true
+            while (continue) {
+              val probe = KeysetScan.scan(df, updCol, lo, internalChunkRows,
+                rubyTimeFormat = t.timeFormat)
+              val mx = probe.agg(org.apache.spark.sql.functions.max(
+                org.apache.spark.sql.functions.col(updCol)).as(updCol)).collect().head
+              if (mx.isNullAt(0)) continue = false
+              else {
+                val boundary = Serialize.valueToString(
+                  df.schema(updCol).dataType, mx.get(0), t.timeFormat)
+                if (lo.contains(boundary)) continue = false
+                else {
+                  val chunk = KeysetScan.scan(df, updCol, lo, limit = 0,
+                      rubyTimeFormat = t.timeFormat)
+                    .filter(!KeysetScan.lowerBound(df, updCol, boundary, t.timeFormat))
+                  chunkTotal += emitPage(t, chunk.collect(), chunk.schema, emit)
+                  lo = Some(boundary)
+                }
+              }
+            }
+            chunkTotal
+          }
+        emitted += t.table -> total
       } catch {
         case NonFatal(e) =>
           lastErrors(t.table) = e // isolate: other tables keep polling
@@ -64,6 +98,23 @@ final class KeysetTailRunner(
       }
     }
     emitted.toMap
+  }
+
+  /** Emit one collected page/chunk under the table's tag, then update the
+    * state store (crash between = replay, at-least-once, in_sql.rb:269-271).
+    * Rows arrive sorted by the update column (KeysetScan orders the page),
+    * so `rows.last` IS the boundary record. */
+  private def emitPage(t: SourceTableConfig, rows: Array[org.apache.spark.sql.Row],
+                       schema: org.apache.spark.sql.types.StructType,
+                       emit: (String, DataFrame) => Unit): Long = {
+    if (rows.nonEmpty) {
+      val tag = t.resolvedTag(cfg.tagPrefix)
+      emit(tag, spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+        schema))
+      store.update(t.table, Serialize.rowToStringMap(schema, rows.last, t.timeFormat))
+    }
+    rows.length.toLong
   }
 
   /** Poll until every table returns an empty page (Trigger.AvailableNow

@@ -28,19 +28,34 @@ object Serialize {
       .map(s => java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone")))
       .getOrElse(java.time.ZoneOffset.UTC)
 
+  /** Serialize ONE external value (a collected scalar — an offset boundary,
+    * a sub-range cut) to its resume-string form: the same rendering
+    * [[rowToStringMap]] applies per field, so a boundary serialized from an
+    * aggregate is byte-identical to one serialized from a collected row. */
+  def valueToString(dt: DataType, v: Any,
+                    rubyTimeFormat: String = RubyStrftime.DefaultRubyFormat): String =
+    dt match {
+      case TimestampType =>
+        // Locale.US to match Spark's own DateTimeFormatter locale — month/
+        // day NAMES must render identically on both serialization paths
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern(RubyStrftime.toSparkPattern(rubyTimeFormat), java.util.Locale.US)
+          .withZone(sessionZone)
+        v match {
+          case t: java.sql.Timestamp  => fmt.format(t.toInstant)
+          case i: java.time.Instant   => fmt.format(i)
+          case other                  => fmt.format(java.time.Instant.parse(other.toString))
+        }
+      case _ => v.toString
+    }
+
   /** Serialize every column of a local Row (already collected; bounded by
     * select_limit) to the string map persisted in the state store. */
   def rowToStringMap(schema: StructType, row: Row,
                      rubyTimeFormat: String = RubyStrftime.DefaultRubyFormat): Map[String, String] = {
-    val fmt = java.time.format.DateTimeFormatter
-      .ofPattern(RubyStrftime.toSparkPattern(rubyTimeFormat))
-      .withZone(sessionZone)
     schema.fields.zipWithIndex.flatMap { case (f, i) =>
       if (row.isNullAt(i)) None
-      else Some(f.name -> (f.dataType match {
-        case TimestampType => fmt.format(row.getTimestamp(i).toInstant)
-        case _ => row.get(i).toString
-      }))
+      else Some(f.name -> valueToString(f.dataType, row.get(i), rubyTimeFormat))
     }.toMap
   }
 }

@@ -5,8 +5,9 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.paths.SparkPath
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -20,74 +21,130 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.RubyStrftime
-import graft.sources.{KeysetScan, Serialize}
+import graft.sources.{JdbcSource, KeysetScan, Serialize}
+
+/** Where a keyset-tail stream reads its rows from. */
+sealed trait KeysetReadMode extends Serializable
+/** Parquet table directory (the testdata-shaped mode). */
+final case class ParquetMode(path: String) extends KeysetReadMode
+/** An RDBMS table over JDBC — the reference's ACTUAL scenario
+  * (`in_sql.rb:129-135, 188-212`): the keyset page query runs in the
+  * database (which has the documented index on the update column,
+  * `README.md:100-102`), and each input partition's value sub-range
+  * composes into its own pushed-down `WHERE upd > lo AND upd <= hi`
+  * executed by a PartitionReader over its OWN executor-side connection.
+  * `fetchFirst` selects `FETCH FIRST n ROWS ONLY` for LIMIT-less dialects
+  * (Derby/Oracle/DB2). `props` carries credentials / driver /
+  * sessionInitStatement (applied by [[JdbcSource.connect]]). */
+final case class JdbcMode(url: String, dbtable: String,
+    props: Map[String, String], fetchFirst: Boolean) extends KeysetReadMode
 
 /** Structured Streaming keyset-tail source (`format("keyset-tail")`):
   * the reference's poll loop (`in_sql.rb:129-135, 255-278`) as a DSv2
-  * `MicroBatchStream`.
+  * `MicroBatchStream`, over parquet ([[ParquetMode]]) or a live RDBMS
+  * ([[JdbcMode]] — the reference's core scenario).
   *
   *   - Offset = the SERIALIZED update-column value of the last emitted row
   *     (mirrors the YAML state file, `in_sql.rb:269-271, 280-307`; timestamps
   *     round-trip through their formatted string, `in_sql.rb:131, 141`).
   *   - Each micro-batch is one keyset page: `upd > last ORDER BY upd LIMIT n`
-  *     with `maxRowsPerBatch` ≙ `select_limit` and the trigger interval ≙
-  *     `select_interval`.
+  *     with `maxRowsPerBatch` ≙ `select_limit` (`<= 0` disables the limit,
+  *     `in_sql.rb:52`) and the trigger interval ≙ `select_interval`.
   *   - Offsets commit to the checkpoint log AFTER the batch is processed —
   *     the same at-least-once contract as the reference.
   *
-  * NO page row ever materializes on the driver. The driver keeps only
-  * BOUNDARY VALUES: `latestOffset` reduces the page to its max update value
-  * (one row, one column), and `planInputPartitions` collects the page's
-  * distinct-value (value, count) histogram — a partial-aggregable groupBy,
-  * no global sort — and walks it to cut the page into ~`maxRowsPerPartition`
-  * value sub-ranges. The keyset predicate composes per sub-range
-  * — `upd > lo AND upd <= hi`, exactly the reference's query shape
-  * (`in_sql.rb:129-135`) — and each `PartitionReader` runs its OWN scan of
-  * that sub-range executor-side through Spark's parquet reader
-  * (`ParquetFileFormat.buildReaderWithPartitionValues`, the same machinery
-  * `FileSourceScanExec` ships to tasks: vectorized read, row-group pruning
-  * from the pushed range filter, full Catalyst type fidelity). A tie-heavy
-  * boundary page with `limit <= 0` therefore streams through executor
-  * readers instead of buffering its tie count on the driver.
+  * NO page row ever materializes on the driver, and the driver's poll state
+  * is CONSTANT-SIZE regardless of page size or distinct-value count:
+  * `latestOffset` runs ONE distributed aggregation per poll returning
+  * (max boundary, row count, ≤ `maxPartitionsPerBatch`−1 equi-height cut
+  * candidates via `percentile_approx` — actual row values from the sketch),
+  * and `planInputPartitions` reuses that same pass's cuts for the matching
+  * (start, end] batch (a replayed batch after restart recomputes them with
+  * one equivalent pass). A `limit <= 0` poll over a near-unique update
+  * column — the reference's PK default (`in_sql.rb:107-114`) — therefore
+  * holds O(`maxPartitionsPerBatch`) values on the driver, never O(rows) or
+  * O(distinct). Types `percentile_approx` cannot sketch (e.g. strings)
+  * fall back to a deterministic hash-thinned distinct sample bounded at
+  * ~8× the cut budget.
   *
-  * Sub-range cuts are EXACT row values (no serialization round-trip), kept
-  * strictly increasing inside the typed (start, end] interval, so the
-  * ranges are disjoint and tile the batch exactly; a replayed batch always
-  * re-reads the same (start, end] content even if the cut positions differ.
+  * Cut candidates are EXACT row values kept strictly increasing inside the
+  * typed (start, end] interval, so sub-ranges are disjoint and tile the
+  * batch exactly; a replayed batch always re-reads the same (start, end]
+  * content even if the cut positions differ. Each sub-range's bounds are
+  * pushed into ITS OWN read: parquet readers get per-partition
+  * `GreaterThan`/`LessThanOrEqual` filters (row-group pruning confines each
+  * reader to data that can match — not just the page range); JDBC readers
+  * compose `upd > lo AND upd <= hi` into the executor-side query the
+  * database answers with its index.
   *
-  * Options: `path` (parquet table), `updateColumn`, `maxRowsPerBatch`
-  * (default 500), `timeFormat` (Ruby strftime, reference default),
-  * `maxRowsPerPartition` (default 250).
+  * Options: `path` (parquet mode) OR `url` + `dbtable` (JDBC mode, with
+  * optional `user`/`password`/`driver`/`sessionInitStatement`/`fetchFirst`);
+  * `updateColumn` (required; resolved case-insensitively — Derby et al.
+  * upper-case identifiers), `maxRowsPerBatch` (default 500; `<= 0` reads
+  * all available), `timeFormat` (Ruby strftime, reference default),
+  * `maxRowsPerPartition` (default 250), `maxPartitionsPerBatch`
+  * (default 64 — the driver-state bound).
   */
 class KeysetTailProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "keyset-tail"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SparkSession.active.read.parquet(options.get("path")).schema
+    if (options.containsKey("url"))
+      SparkSession.active.read.jdbc(options.get("url"),
+        options.get("dbtable"), KeysetTailTable.jdbcProps(
+          options.asCaseSensitiveMap().asScala.toMap)).schema
+    else SparkSession.active.read.parquet(options.get("path")).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new KeysetTailTable(schema, properties.asScala.toMap)
 }
 
+object KeysetTailTable {
+  /** JDBC connection properties from source options: everything Spark's own
+    * JDBC source honors that a raw DriverManager connection needs too. */
+  def jdbcProps(options: Map[String, String]): java.util.Properties = {
+    val ci = options.map { case (k, v) => k.toLowerCase -> v }
+    val p = new java.util.Properties()
+    ci.get("user").foreach(p.put("user", _))
+    ci.get("password").foreach(p.put("password", _))
+    ci.get("driver").foreach(p.put("driver", _))
+    ci.get("sessioninitstatement").foreach(p.put("sessionInitStatement", _))
+    p
+  }
+}
+
 final class KeysetTailTable(schema: StructType, props: Map[String, String])
     extends Table with SupportsRead {
   private val ci: Map[String, String] = props.map { case (k, v) => k.toLowerCase -> v }
-  override def name(): String = s"keyset-tail(${ci.getOrElse("path", "?")})"
+  override def name(): String =
+    s"keyset-tail(${ci.getOrElse("path", ci.getOrElse("dbtable", "?"))})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  private def mode: KeysetReadMode = ci.get("url") match {
+    case Some(url) =>
+      val dbtable = ci.getOrElse("dbtable", sys.error("keyset-tail JDBC mode requires dbtable"))
+      // FETCH FIRST for LIMIT-less dialects, overridable via the option
+      val ff = ci.get("fetchfirst").map(_.toBoolean).getOrElse(
+        Seq("jdbc:derby", "jdbc:oracle", "jdbc:db2").exists(url.startsWith))
+      JdbcMode(url, dbtable, KeysetTailTable.jdbcProps(ci).asScala.toMap.map {
+        case (k, v) => (k.toString, v.toString) }, ff)
+    case None => ParquetMode(ci.getOrElse("path",
+      sys.error("keyset-tail requires path (parquet) or url+dbtable (JDBC)")))
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
       override def readSchema(): StructType = schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new KeysetMicroBatchStream(schema,
-          ci("path"),
+        new KeysetMicroBatchStream(schema, mode,
           ci.getOrElse("updatecolumn", sys.error("keyset-tail requires updateColumn")),
           ci.getOrElse("maxrowsperbatch", "500").toInt,
           ci.getOrElse("timeformat", RubyStrftime.DefaultRubyFormat),
-          ci.getOrElse("maxrowsperpartition", "250").toInt)
+          ci.getOrElse("maxrowsperpartition", "250").toInt,
+          ci.getOrElse("maxpartitionsperbatch", "64").toInt)
     }
 }
 
@@ -105,20 +162,45 @@ object KeysetOffset {
   }
 }
 
-final class KeysetMicroBatchStream(schema: StructType, path: String,
+final class KeysetMicroBatchStream(schema: StructType, mode: KeysetReadMode,
     updateColumn: String, maxRowsPerBatch: Int, rubyTimeFormat: String,
-    maxRowsPerPartition: Int = 250)
+    maxRowsPerPartition: Int = 250, maxPartitionsPerBatch: Int = 64)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
-  private def table: DataFrame = spark.read.schema(schema).parquet(path)
-  private val updType: DataType = schema(updateColumn).dataType
+  // JDBC dialects upper-case identifiers (Derby: event_id -> EVENT_ID);
+  // resolve the configured name against the inferred schema once.
+  private val updCol: String = schema.fields
+    .collectFirst { case f if f.name.equalsIgnoreCase(updateColumn) => f.name }
+    .getOrElse(sys.error(s"keyset-tail: updateColumn '$updateColumn' not in ${schema.fieldNames.mkString(",")}"))
+  private val updType: DataType = schema(updCol).dataType
+
+  /** Dialect-quoted identifier for raw JDBC SQL: Spark-written tables carry
+    * case-sensitive (quoted) column names, so unquoted references would
+    * resolve to the dialect's upper-cased form and miss them. */
+  private def quoted(url: String, name: String): String =
+    org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(name)
+
+  /** The keyset page `upd > last ORDER BY upd LIMIT n` in the mode's native
+    * engine: a Catalyst scan over parquet, or pushed INSIDE the dbtable
+    * subquery so the database's index answers it (`JdbcSource.keysetPage`). */
+  private def pageDf(last: Option[String], limit: Int): DataFrame = mode match {
+    case ParquetMode(path) =>
+      KeysetScan.scan(spark.read.schema(schema).parquet(path), updCol, last,
+        limit, rubyTimeFormat = rubyTimeFormat)
+    case JdbcMode(url, dbtable, props, ff) =>
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.put(k, v) }
+      JdbcSource.keysetPage(spark, url, dbtable, quoted(url, updCol), last, limit, p, ff)
+  }
 
   override def initialOffset(): Offset = KeysetOffset(None)
   override def deserializeOffset(json: String): Offset = KeysetOffset.fromJson(json)
   override def commit(end: Offset): Unit = () // checkpoint log is the state store
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRowsPerBatch)
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)
+    else ReadLimit.allAvailable() // limit <= 0 disables paging (in_sql.rb:52)
 
   /** One poll from the engine-provided committed offset: the serialized
     * boundary of the next page. Stateless — restart-safe by construction
@@ -126,123 +208,244 @@ final class KeysetMicroBatchStream(schema: StructType, path: String,
     * state file). Unchanged offset → empty poll cycle. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[KeysetOffset]
-    pageBoundary(s.last).map(b => KeysetOffset(Some(b))).getOrElse(s)
+    pollAggregate(s.last, endSer = None) match {
+      case Some((boundary, cuts)) =>
+        lastPoll = Some((s.last, boundary, cuts))
+        KeysetOffset(Some(boundary))
+      case None => s
+    }
   }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("uses latestOffset(start, limit)")
 
-  /** Serialized boundary of the next page: the page's max update value,
-    * reduced executor-side — the driver receives ONE scalar, never rows.
-    * (The page scan is ordered asc and limited, so its max IS the last
-    * emitted row's value — byte-identical to the collected-page boundary.) */
-  private def pageBoundary(last: Option[String]): Option[String] = {
-    val page = KeysetScan.scan(table, updateColumn, last, maxRowsPerBatch,
-      rubyTimeFormat = rubyTimeFormat)
-    val one = page.agg(max(col(updateColumn)).as(updateColumn)).collect().head
-    if (one.isNullAt(0)) None
-    else Serialize.rowToStringMap(StructType(Seq(schema(updateColumn))), one,
-      rubyTimeFormat).get(updateColumn)
+  /** The ONE distributed pass per poll's fused result, reused by the
+    * subsequent planInputPartitions for the same (start, end] batch:
+    * (start offset, serialized boundary, cut candidates). Driver-held size
+    * is O(maxPartitionsPerBatch) by construction. */
+  @volatile private var lastPoll: Option[(Option[String], String, Vector[Any])] = None
+
+  /** ONE distributed aggregation per poll: the page's max update value
+    * (the serialized offset boundary) and its ≤ `maxPartitionsPerBatch`−1
+    * equi-height cut candidates, in the same pass. `endSer` bounds a
+    * replayed batch's recomputation to its committed (start, end] range.
+    * Returns None on an empty page. */
+  private def pollAggregate(last: Option[String],
+                            endSer: Option[String]): Option[(String, Vector[Any])] = {
+    val base = endSer match {
+      case None    => pageDf(last, maxRowsPerBatch)
+      case Some(e) => // value-delimited replay range (start, end]
+        pageDf(last, 0).filter(col(updCol) <= KeysetScan.typedBound(updType, e, rubyTimeFormat))
+    }
+    val upd = col(updCol)
+    val cap = math.max(1, maxPartitionsPerBatch)
+    val wantQ = cap > 1 && supportsPercentile(updType)
+    val aggCols = Seq(max(upd).as("mx"), count(lit(1L)).as("cnt")) ++
+      (if (wantQ)
+        Seq(percentile_approx(upd,
+          array((1 until cap).map(i => lit(i.toDouble / cap)): _*),
+          lit(10000)).as("qs"))
+      else Nil)
+    val row = base.agg(aggCols.head, aggCols.drop(1): _*).collect().head
+    if (row.isNullAt(0)) return None
+    val boundary = Serialize.valueToString(updType, row.get(0), rubyTimeFormat)
+    val cnt = row.getLong(1)
+    val needed = math.min(cap.toLong,
+      math.max(1L, (cnt + maxRowsPerPartition - 1) / math.max(1, maxRowsPerPartition))).toInt
+    val cuts: Vector[Any] =
+      if (needed <= 1) Vector.empty
+      else if (wantQ) {
+        // cap-1 equi-height values; pick `needed`-balanced interior cuts
+        val qs = Option(row.getSeq[Any](2)).getOrElse(Seq.empty).toVector
+        if (qs.isEmpty) Vector.empty
+        else (1 until needed).map { j =>
+          qs(math.min(qs.size - 1, math.max(0, j * cap / needed - 1)))
+        }.toVector
+      } else sampledCuts(base, cnt, needed)
+    Some((boundary, cuts))
+  }
+
+  /** percentile_approx's input domain (actual row values come back from the
+    * sketch — exactly what a cut must be). */
+  private def supportsPercentile(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Cut candidates for types percentile_approx cannot sketch (e.g. string
+    * update columns): a DETERMINISTIC hash-thinned distinct sample —
+    * expected size ~8× the cut budget, never O(distinct) on the driver —
+    * then balanced picks. Cuts only steer partition balance; batch content
+    * is exact regardless (sub-ranges tile (start, end] by construction). */
+  private def sampledCuts(base: DataFrame, cnt: Long, needed: Int): Vector[Any] = {
+    val budget = 8L * math.max(1, needed)
+    val m = math.max(1L, cnt / budget)
+    val sample = base.select(col(updCol))
+      .where(col(updCol).isNotNull && pmod(abs(xxhash64(col(updCol))), lit(m)) === 0)
+      .distinct().orderBy(col(updCol))
+      .limit(2 * budget.toInt) // hard driver bound even under hash skew
+      .collect().map(_.get(0)).toVector
+    if (sample.isEmpty) Vector.empty
+    else (1 until needed).map { j =>
+      sample(math.min(sample.size - 1, j * sample.size / needed))
+    }.toVector.distinct
   }
 
   /** Parse a serialized boundary to its EXTERNAL typed value with the same
     * expression `KeysetScan.lowerBound` filters with (to_timestamp with the
     * table's time format for timestamps, a cast otherwise) — evaluated over
-    * a local one-row relation, so no job runs and parity is exact. */
+    * a LOCAL one-row relation (LocalTableScan, whose executeTake answers on
+    * the driver), so no Spark job runs and parity is exact. */
   private def parseExternal(serialized: String): Any = {
     val bound = KeysetScan.typedBound(updType, serialized, rubyTimeFormat)
-    spark.sql("SELECT 1").select(bound.as("v")).head.get(0)
+    val oneRow = spark.createDataFrame(
+      java.util.Collections.singletonList(Row(1)),
+      StructType(Seq(StructField("one", IntegerType))))
+    oneRow.select(bound.as("v")).head.get(0)
+  }
+
+  /** [[parseExternal]] with fail-loud context: an unparseable boundary —
+    * null under legacy parsing, a thrown CANNOT_PARSE_* under ANSI — is
+    * re-raised naming WHICH boundary and the likely cause. A silently
+    * dropped START offset would otherwise replay the table from the
+    * beginning (e.g. a checkpoint written under a different timeFormat). */
+  private def parseBoundary(which: String, v: String): Any = {
+    def fail(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"keyset-tail: $which '$v' does not parse as $updType " +
+          "(checkpoint written under a different timeFormat?)", cause)
+    val p = try parseExternal(v) catch { case scala.util.control.NonFatal(e) => fail(e) }
+    if (p == null) fail(null)
+    p
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KeysetOffset]
     val e = end.asInstanceOf[KeysetOffset]
     if (s == e || e.last.isEmpty) return Array.empty
-    val hiExt = parseExternal(e.last.get)
-    if (hiExt == null)
-      sys.error(s"keyset-tail: end boundary '${e.last.get}' does not parse as $updType")
-    val loExt = s.last.map(parseExternal)
+    val hiExt = parseBoundary("end boundary", e.last.get)
+    val loExt: Option[Any] = s.last.map(parseBoundary("start offset", _))
     val toInternal = CatalystTypeConverters.createToCatalystConverter(updType)
     val ord = TypeUtils.getInterpretedOrdering(updType)
     val hiInt = toInternal(hiExt)
-    val loInt = loExt.filter(_ != null).map(toInternal)
-    // Sub-range cuts from the page's DISTINCT-VALUE histogram: one
-    // partial-aggregable groupBy (no global sort, no single-partition
-    // window) whose driver result is (value, count) pairs — bounded by
-    // the page row count for limit > 0 polls, and by the batch's distinct
-    // values (small by definition for a tie-heavy page) otherwise. The
-    // driver walks the sorted histogram and cuts wherever the cumulative
-    // count reaches maxRowsPerPartition — exact row values (no string
-    // round-trip), then kept strictly increasing inside the typed
-    // (start, end] interval, so the resulting ranges are disjoint and
-    // tile the batch exactly even when ties or coarse time formats
-    // collapse cuts.
-    val pageDf = KeysetScan.scan(table, updateColumn, s.last, limit = 0,
-        rubyTimeFormat = rubyTimeFormat)
-      .filter(!KeysetScan.lowerBound(table, updateColumn, e.last.get, rubyTimeFormat))
-    val hist = pageDf.groupBy(col(updateColumn).as("u"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("u"))
-      .collect().filter(!_.isNullAt(0))
-    val cutsExt = {
-      val cuts = Vector.newBuilder[Any]
-      var acc = 0L
-      hist.foreach { r =>
-        acc += r.getLong(1)
-        if (acc >= maxRowsPerPartition) { cuts += r.get(0); acc = 0L }
+    val loInt = loExt.map(toInternal)
+    // Cut candidates: the fused poll pass computed them alongside the
+    // boundary; a batch planned without that pass in memory (restart
+    // replay) recomputes them with one equivalent bounded aggregation.
+    val cutsExt: Vector[Any] = lastPoll match {
+      case Some((ls, le, cuts)) if ls == s.last && le == e.last.get => cuts
+      case _ => pollAggregate(s.last, endSer = Some(e.last.get)).map(_._2).getOrElse(Vector.empty)
+    }
+    // exact row values, strictly increasing, strictly inside (lo, hi):
+    // disjoint sub-ranges that tile the batch exactly even when ties or
+    // coarse time formats collapse cuts
+    val interior: Vector[(Any, Any)] = cutsExt.filter(_ != null)
+      .map(c => (c, toInternal(c)))
+      .foldLeft(Vector.empty[(Any, Any)]) { case (acc, (ce, ci)) =>
+        val inRange = loInt.forall(l => ord.gt(ci, l)) && ord.lt(ci, hiInt)
+        if (inRange && (acc.isEmpty || ord.gt(ci, acc.last._2))) acc :+ ((ce, ci)) else acc
       }
-      cuts.result()
+    mode match {
+      case ParquetMode(path) =>
+        // Each sub-range gets its OWN read function with ITS bounds pushed
+        // down — row-group pruning confines each reader to files/groups
+        // that can match its (lo, hi], not just the page range.
+        val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+        val files = spark.read.schema(schema).parquet(path).inputFiles.toSeq.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(hadoopConf).getFileStatus(p)
+          (f, st.getLen, st.getModificationTime)
+        }
+        val hisExt = interior.map(_._1) :+ hiExt
+        val hisInt = interior.map(_._2) :+ hiInt
+        val losExt = loExt +: hisExt.init.map(Some(_))
+        val losInt = loInt +: hisInt.init.map(Some(_))
+        hisExt.indices.map { i =>
+          val pushed: Seq[Filter] =
+            losExt(i).map(v => GreaterThan(updCol, v)).toSeq :+
+              LessThanOrEqual(updCol, hisExt(i))
+          val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+            spark, schema, StructType(Nil), schema, pushed,
+            Map(FileFormat.OPTION_RETURNING_BATCH -> "false"), hadoopConf)
+          KeysetRangePartition(files, losInt(i), hisInt(i), readFunc): InputPartition
+        }.toArray
+      case JdbcMode(url, dbtable, props, _) =>
+        // JDBC readers filter in the DATABASE's comparison space, so bounds
+        // travel as serialized strings (the same literal form the page
+        // query pushes, `JdbcSource.keysetPage`). A coarse time format can
+        // collapse a cut's round-trip — re-parse each serialized cut and
+        // keep only those still strictly increasing inside (start, end];
+        // dropped cuts cost balance, never content.
+        val serCuts = interior.map(p => Serialize.valueToString(updType, p._1, rubyTimeFormat))
+          .foldLeft(Vector.empty[(String, Any)]) { (acc, sc) =>
+            // a cut whose round-trip fails to parse is DROPPED (balance-only
+            // cost), unlike the batch boundaries which must fail loudly
+            val pe = scala.util.Try(parseExternal(sc)).getOrElse(null)
+            val pi = if (pe == null) null else toInternal(pe)
+            val ok = pi != null &&
+              loInt.forall(l => ord.gt(pi, l)) && ord.lt(pi, hiInt) &&
+              acc.lastOption.forall(prev => ord.gt(pi, prev._2))
+            if (ok) acc :+ ((sc, pi)) else acc
+          }.map(_._1)
+        val his = serCuts :+ e.last.get
+        val los: Vector[Option[String]] = s.last +: his.init.map(Some(_))
+        los.zip(his).map { case (lo, hi) =>
+          KeysetJdbcPartition(url, dbtable, props,
+            schema.fieldNames.toSeq.map(quoted(url, _)),
+            quoted(url, updCol), lo, hi): InputPartition
+        }.toArray
     }
-    val interior = cutsExt.map(toInternal).foldLeft(Vector.empty[Any]) { (acc, c) =>
-      val inRange = loInt.forall(l => ord.gt(c, l)) && ord.lt(c, hiInt)
-      if (inRange && (acc.isEmpty || ord.gt(c, acc.last))) acc :+ c else acc
-    }
-    // The executor-side read function: Spark's own parquet reader with the
-    // PAGE range pushed down (row-group pruning skips everything outside
-    // (start, end]); each reader adds its sub-range residual per record.
-    val pushed: Seq[Filter] =
-      loExt.filter(_ != null).map(v => GreaterThan(updateColumn, v)).toSeq :+
-        LessThanOrEqual(updateColumn, hiExt)
-    val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, schema, StructType(Nil), schema, pushed,
-      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"), hadoopConf)
-    val files = table.inputFiles.toSeq.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      val st = p.getFileSystem(hadoopConf).getFileStatus(p)
-      (f, st.getLen, st.getModificationTime)
-    }
-    val his = interior :+ hiInt
-    val los: Seq[Option[Any]] = loInt +: his.init.map(Some(_))
-    los.zip(his).map { case (lo, hi) =>
-      KeysetRangePartition(files, lo, hi, readFunc): InputPartition
-    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeysetReaderFactory(schema, updateColumn)
+    new KeysetReaderFactory(schema, updCol)
 
   override def stop(): Unit = ()
 }
 
 /** A value sub-range of one micro-batch: `(lo, hi]` in the update column's
   * INTERNAL type (micros Long for timestamps, UTF8String for strings, …)
-  * plus the table's file inventory and the serialized parquet read
-  * function. Carries NO rows — the reader fetches them executor-side. */
+  * plus the table's file inventory and this sub-range's parquet read
+  * function (bounds pushed down). Carries NO rows — the reader fetches
+  * them executor-side. */
 final case class KeysetRangePartition(
     files: Seq[(String, Long, Long)],
     lo: Option[Any], hi: Any,
     readFunc: PartitionedFile => Iterator[InternalRow]) extends InputPartition
 
-/** Executor-side reader: scans the table's parquet files through the
-  * shipped read function (vectorized, page-filter row-group pruning) and
-  * keeps rows in this partition's `(lo, hi]` update-column sub-range.
-  * Iterators auto-close at exhaustion (RecordReaderIterator semantics);
-  * rows follow the DSv2 contract (valid until the next `next()`). */
+/** A value sub-range of one micro-batch in JDBC mode: SERIALIZED `(lo, hi]`
+  * bounds that compose into the executor-side page query — the reader opens
+  * its own connection and the database (with its update-column index,
+  * `README.md:100-102`) answers `upd > lo AND upd <= hi` exactly. Carries
+  * NO rows and no driver-side state beyond the bound strings. */
+final case class KeysetJdbcPartition(
+    url: String, dbtable: String, props: Map[String, String],
+    columns: Seq[String], updateColumn: String,
+    lo: Option[String], hi: String) extends InputPartition {
+  /** The executor-side sub-range query (no ORDER/LIMIT — sub-ranges tile the
+    * batch exactly, and batch assembly has no order contract). */
+  def query: String = {
+    val bounds = lo.map(v => s"${JdbcSource.sqlLiteral(v)} < $updateColumn AND ").getOrElse("") +
+      s"$updateColumn <= ${JdbcSource.sqlLiteral(hi)}"
+    s"SELECT ${columns.mkString(", ")} FROM $dbtable WHERE $bounds"
+  }
+}
+
+/** Executor-side readers: parquet sub-ranges scan the table's files through
+  * the shipped read function (vectorized, sub-range row-group pruning) and
+  * re-filter per record for exactness; JDBC sub-ranges run their composed
+  * query over the reader's own connection (the database's comparison is the
+  * source of truth — no residual filter). Iterators auto-close at
+  * exhaustion; rows follow the DSv2 contract (valid until next `next()`). */
 final class KeysetReaderFactory(schema: StructType, updateColumn: String)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[KeysetRangePartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: KeysetRangePartition => parquetReader(p)
+      case p: KeysetJdbcPartition  => new KeysetJdbcReader(schema, p)
+    }
+
+  private def parquetReader(p: KeysetRangePartition): PartitionReader[InternalRow] = {
     val ordinal = schema.fieldIndex(updateColumn)
     val dt = schema(updateColumn).dataType
     val ord = TypeUtils.getInterpretedOrdering(dt)
@@ -265,5 +468,63 @@ final class KeysetReaderFactory(schema: StructType, updateColumn: String)
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
+  }
+}
+
+/** Executor-side JDBC sub-range reader: one connection, one ResultSet,
+  * typed per-field conversion to InternalRow driven by the Catalyst schema
+  * Spark's own JDBC dialect inferred (so getter and type always agree). */
+final class KeysetJdbcReader(schema: StructType, p: KeysetJdbcPartition)
+    extends PartitionReader[InternalRow] {
+  private val props = {
+    val pr = new java.util.Properties()
+    p.props.foreach { case (k, v) => pr.put(k, v) }
+    pr
+  }
+  // executors don't run DriverManager's service discovery for drivers
+  // loaded after JVM start — honor an explicit driver class like Spark does
+  Option(props.getProperty("driver")).foreach(java.lang.Class.forName)
+  private val conn = JdbcSource.connect(p.url, props)
+  private val stmt = conn.createStatement()
+  private val rs = stmt.executeQuery(p.query)
+  private val fields = schema.fields
+  private val converters =
+    fields.map(f => CatalystTypeConverters.createToCatalystConverter(f.dataType))
+
+  private def readField(i: Int): Any = {
+    val v = fields(i).dataType match {
+      case LongType       => rs.getLong(i + 1)
+      case IntegerType    => rs.getInt(i + 1)
+      case ShortType      => rs.getShort(i + 1)
+      case ByteType       => rs.getByte(i + 1)
+      case DoubleType     => rs.getDouble(i + 1)
+      case FloatType      => rs.getFloat(i + 1)
+      case BooleanType    => rs.getBoolean(i + 1)
+      case StringType     => rs.getString(i + 1)
+      case TimestampType  => rs.getTimestamp(i + 1)
+      case DateType       => rs.getDate(i + 1)
+      case _: DecimalType => rs.getBigDecimal(i + 1)
+      case BinaryType     => rs.getBytes(i + 1)
+      case _              => rs.getObject(i + 1)
+    }
+    if (rs.wasNull()) null else converters(i)(v)
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    val h = rs.next()
+    if (h) {
+      val vals = new Array[Any](fields.length)
+      var i = 0
+      while (i < fields.length) { vals(i) = readField(i); i += 1 }
+      current = new GenericInternalRow(vals)
+    }
+    h
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = {
+    graft.sinks.JdbcSink.cleanupQuietly(rs.close())
+    graft.sinks.JdbcSink.cleanupQuietly(stmt.close())
+    graft.sinks.JdbcSink.cleanupQuietly(conn.close())
   }
 }

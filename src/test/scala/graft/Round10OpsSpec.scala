@@ -115,7 +115,8 @@ class Round10OpsSpec extends SparkSpecBase {
       .coalesce(2).write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     def partBytes(pageRows: Int): Int = {
-      val stream = new graft.streaming.KeysetMicroBatchStream(schema, dir,
+      val stream = new graft.streaming.KeysetMicroBatchStream(schema,
+        graft.streaming.ParquetMode(dir),
         "event_id", maxRowsPerBatch = pageRows,
         rubyTimeFormat = graft.core.RubyStrftime.DefaultRubyFormat,
         maxRowsPerPartition = 250)
@@ -147,7 +148,8 @@ class Round10OpsSpec extends SparkSpecBase {
       .write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val fmt = graft.core.RubyStrftime.DefaultRubyFormat
-    val stream = new graft.streaming.KeysetMicroBatchStream(schema, dir,
+    val stream = new graft.streaming.KeysetMicroBatchStream(schema,
+      graft.streaming.ParquetMode(dir),
       "ts", maxRowsPerBatch = 300, rubyTimeFormat = fmt,
       maxRowsPerPartition = 120)
     val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(300)

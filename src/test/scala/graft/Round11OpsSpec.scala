@@ -1,0 +1,309 @@
+package graft
+
+import java.sql.DriverManager
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.connector.read.streaming.ReadLimit
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{InputConfig, SourceTableConfig}
+import graft.sources.{FileStateStore, KeysetTailRunner, Tables}
+import graft.streaming.{JdbcMode, KeysetJdbcPartition, KeysetMicroBatchStream, KeysetOffset, ParquetMode}
+
+/** Round-11 guards: the JDBC read mode of the keyset-tail streaming source
+  * (the reference's actual RDBMS-tail scenario, `in_sql.rb:129-135`),
+  * constant-size driver state for `limit <= 0` polls in both front doors,
+  * the fused one-pass poll, and the fail-loud start-offset parse. */
+class Round11OpsSpec extends SparkSpecBase {
+  private val url = "jdbc:derby:memory:graftdb11;create=true"
+  private val noProps = new java.util.Properties()
+
+  private def exec(sql: String): Unit = {
+    val c = DriverManager.getConnection(url)
+    try { val s = c.createStatement(); try s.execute(sql) finally s.close() }
+    finally c.close()
+  }
+
+  private val rubyFmt = graft.core.RubyStrftime.DefaultRubyFormat
+
+  test("JDBC keyset-tail offsets are byte-identical to the parquet mode on the same rows") {
+    val df = spark.range(0, 1000).selectExpr("id AS event_id", "id * 2 AS v")
+    val dir = java.nio.file.Files.createTempDirectory("r11_par").toString
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    df.write.mode("append").jdbc(url, "R11_EVENTS", noProps)
+
+    val pq = new KeysetMicroBatchStream(spark.read.parquet(dir).schema,
+      ParquetMode(dir), "event_id", 300, rubyFmt)
+    val jdbcSchema = spark.read.jdbc(url, "R11_EVENTS", noProps).schema
+    val jd = new KeysetMicroBatchStream(jdbcSchema,
+      JdbcMode(url, "R11_EVENTS", Map.empty, fetchFirst = true),
+      "event_id", 300, rubyFmt)
+    val lim = ReadLimit.maxRows(300)
+    var (op, oj) = (pq.initialOffset(), jd.initialOffset())
+    // 4 pages (300/300/300/100) then an unchanged-offset empty poll
+    (1 to 5).foreach { _ =>
+      val (np, nj) = (pq.latestOffset(op, lim), jd.latestOffset(oj, lim))
+      assert(nj.json() === np.json(), "JDBC offset diverged from parquet offset")
+      op = np; oj = nj
+    }
+    assert(oj.asInstanceOf[KeysetOffset].last === Some("999"))
+  }
+
+  test("JDBC sub-range partitions carry only serialized bounds; readers fetch executor-side") {
+    val jdbcSchema = spark.read.jdbc(url, "R11_EVENTS", noProps).schema
+    val jd = new KeysetMicroBatchStream(jdbcSchema,
+      JdbcMode(url, "R11_EVENTS", Map.empty, fetchFirst = true),
+      "event_id", 1000, rubyFmt, maxRowsPerPartition = 250)
+    val o0 = jd.initialOffset()
+    val o1 = jd.latestOffset(o0, ReadLimit.maxRows(1000))
+    val parts = jd.planInputPartitions(o0, o1)
+    assert(parts.length === 4) // 1000-row page / 250 per partition
+    parts.foreach { p =>
+      val jp = p.asInstanceOf[KeysetJdbcPartition]
+      // serialized bound strings only — no rows, no typed payloads
+      jp.productIterator.foreach(f => assert(!f.isInstanceOf[org.apache.spark.sql.Row]))
+      assert(jp.query.startsWith("SELECT "))
+    }
+    // constant payload as the page grows 10x (drop the batch cap to compare
+    // the same partition shape): bounds are strings, not row sets
+    def payload(stream: KeysetMicroBatchStream, lim: Int): Int = {
+      val s = stream.initialOffset()
+      val e = stream.latestOffset(s, ReadLimit.maxRows(lim))
+      val part = stream.planInputPartitions(s, e).head
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(part); oos.close(); bos.size()
+    }
+    val small = payload(new KeysetMicroBatchStream(jdbcSchema,
+      JdbcMode(url, "R11_EVENTS", Map.empty, fetchFirst = true),
+      "event_id", 100, rubyFmt), 100)
+    val big = payload(new KeysetMicroBatchStream(jdbcSchema,
+      JdbcMode(url, "R11_EVENTS", Map.empty, fetchFirst = true),
+      "event_id", 1000, rubyFmt), 1000)
+    assert(big < small * 2 + 1024, s"JDBC partition payload grew with the page: $small -> $big")
+    // executor-side fetch path: readers return exactly the planned batch
+    val factory = jd.createReaderFactory()
+    val idIdx = jdbcSchema.fieldIndex(jdbcSchema.fields.map(_.name)
+      .find(_.equalsIgnoreCase("event_id")).get)
+    val got = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) buf += r.get().getLong(idIdx)
+      r.close(); buf
+    }
+    assert(got.length === 1000 && got.toSet === (0L until 1000L).toSet)
+  }
+
+  test("streaming tail over JDBC end-to-end via format(keyset-tail) — the reference's RDBMS scenario") {
+    exec("CREATE TABLE R11_E2E (event_id BIGINT, payload VARCHAR(20))")
+    val c = DriverManager.getConnection(url)
+    try {
+      val ps = c.prepareStatement("INSERT INTO R11_E2E VALUES (?, ?)")
+      (0 until 700).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"p$i"); ps.executeUpdate()
+      }
+    } finally c.close()
+    val out = spark.readStream.format("keyset-tail")
+      .option("url", url).option("dbtable", "R11_E2E")
+      .option("updateColumn", "event_id")
+      .option("maxRowsPerBatch", "200")
+      .load()
+    val q = out.writeStream.format("memory").queryName("r11_jdbc_tail")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT count(*) c, count(distinct event_id) d FROM r11_jdbc_tail").collect().head
+      assert(got.getLong(0) === 700 && got.getLong(1) === 700)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4) // ceil(700/200) pages
+    } finally q.stop()
+  }
+
+  test("JDBC tie-group crash e2e: value-delimited batches lose nothing on restart") {
+    // same shape as the parquet twin (StreamingSpec): upd 1,2,2,2,3,4 with a
+    // 2-row page puts the serialized boundary '2' inside the tie group
+    exec("CREATE TABLE R11_TIES (id BIGINT, upd BIGINT)")
+    exec("INSERT INTO R11_TIES VALUES (10,1),(20,2),(21,2),(22,2),(30,3),(40,4)")
+    val ckpt = java.nio.file.Files.createTempDirectory("r11_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("r11_sink").toString
+    def stream() = spark.readStream.format("keyset-tail")
+      .option("url", url).option("dbtable", "R11_TIES")
+      .option("updateColumn", "upd").option("maxRowsPerBatch", "2")
+      .load()
+    val q1 = stream().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once()).start()
+    q1.awaitTermination(30000)
+    val afterKill = spark.read.parquet(outDir).collect()
+    assert(afterKill.length === 4, afterKill.mkString(","))
+    val offset0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt, "offsets", "0")))
+    assert(offset0.contains("\"last\":\"2\""), offset0)
+    val q2 = stream().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() === 6)
+    assert(got.select("ID").distinct().count() === 6)
+  }
+
+  test("JDBC timestamp update column: serialized boundaries round-trip through the DB's cast") {
+    // Derby accepts 'yyyy-MM-dd HH:mm:ss.ffffff' string comparisons but NOT
+    // a %z zone suffix — the tail uses a zone-less time format (the
+    // reference's time_format is per-table config, in_sql.rb:64-66)
+    val fmt = "%Y-%m-%d %H:%M:%S.%6N"
+    exec("CREATE TABLE R11_TS (id BIGINT, created_at TIMESTAMP)")
+    val c = DriverManager.getConnection(url)
+    try {
+      val ps = c.prepareStatement("INSERT INTO R11_TS VALUES (?, ?)")
+      (0 until 120).foreach { i =>
+        ps.setLong(1, i.toLong)
+        ps.setTimestamp(2, java.sql.Timestamp.valueOf(f"2024-03-01 10:${i / 60}%02d:${i % 60}%02d"))
+        ps.executeUpdate()
+      }
+    } finally c.close()
+    val out = spark.readStream.format("keyset-tail")
+      .option("url", url).option("dbtable", "R11_TS")
+      .option("updateColumn", "created_at")
+      .option("maxRowsPerBatch", "50").option("timeFormat", fmt)
+      .load()
+    val q = out.writeStream.format("memory").queryName("r11_ts_tail")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT count(*) c, count(distinct id) d FROM r11_ts_tail").collect().head
+      assert(got.getLong(0) === 120 && got.getLong(1) === 120)
+    } finally q.stop()
+  }
+
+  test("limit <= 0 poll: driver holds O(maxPartitionsPerBatch), never O(rows) or O(distinct)") {
+    // near-unique update column (the reference's PK default, in_sql.rb:107)
+    // with the page limit DISABLED: the round-10 histogram would have put
+    // 5000 (value, count) rows on the driver; the fused percentile pass
+    // holds at most maxPartitionsPerBatch-1 cut values
+    val dir = java.nio.file.Files.createTempDirectory("r11_nolimit").toString
+    spark.range(0, 5000).selectExpr("id AS event_id", "id * 2 AS v")
+      .coalesce(2).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = new KeysetMicroBatchStream(schema, ParquetMode(dir),
+      "event_id", maxRowsPerBatch = 0, rubyFmt,
+      maxRowsPerPartition = 50, maxPartitionsPerBatch = 64)
+    assert(stream.getDefaultReadLimit === ReadLimit.allAvailable())
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable())
+    assert(o1.asInstanceOf[KeysetOffset].last === Some("4999"))
+    val parts = stream.planInputPartitions(o0, o1)
+    // 5000/50 would want 100 partitions; the driver-state cap binds at 64
+    assert(parts.length === 64, s"expected the 64-partition cap, got ${parts.length}")
+    val factory = stream.createReaderFactory()
+    val idIdx = schema.fieldIndex("event_id")
+    val got = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) buf += r.get().getLong(idIdx)
+      r.close(); buf
+    }
+    assert(got.length === 5000 && got.toSet === (0L until 5000L).toSet)
+  }
+
+  test("one distributed pass per poll: planInputPartitions reuses latestOffset's aggregation") {
+    val dir = java.nio.file.Files.createTempDirectory("r11_fused").toString
+    spark.range(0, 2000).selectExpr("id AS event_id", "id AS v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = new KeysetMicroBatchStream(schema, ParquetMode(dir),
+      "event_id", 500, rubyFmt, maxRowsPerPartition = 100)
+    val group = "r11-fused-poll"
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id")) jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "poll")
+      val o0 = stream.initialOffset()
+      val o1 = stream.latestOffset(o0, ReadLimit.maxRows(500))
+      // wait until the poll's job events land AND the count stabilizes
+      // (AQE can post several job events for the one logical aggregation)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      var afterPoll = jobs.get()
+      var stableFor = 0
+      while (stableFor < 5 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        if (jobs.get() == afterPoll) stableFor += 1
+        else { afterPoll = jobs.get(); stableFor = 0 }
+      }
+      assert(afterPoll >= 1, "latestOffset should run its one aggregation job")
+      val parts = stream.planInputPartitions(o0, o1)
+      assert(parts.length === 5) // 500-row page / 100 per partition
+      Thread.sleep(1000) // would catch a histogram/boundary re-scan job
+      assert(jobs.get() === afterPoll,
+        "planInputPartitions must reuse the poll's fused aggregation, not re-scan")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("unparseable START offset fails loudly instead of replaying from the beginning") {
+    val dir = java.nio.file.Files.createTempDirectory("r11_badstart").toString
+    Tables.events(spark, sf0001).limit(50).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = new KeysetMicroBatchStream(schema, ParquetMode(dir),
+      "ts", 20, rubyFmt)
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset(o0, ReadLimit.maxRows(20))
+    assert(o1.asInstanceOf[KeysetOffset].last.isDefined)
+    // a checkpoint written under a different timeFormat parses to null —
+    // the round-10 code silently dropped it (unbounded replay); now: error
+    val e = intercept[RuntimeException] {
+      stream.planInputPartitions(KeysetOffset(Some("not-a-timestamp")), o1)
+    }
+    assert(e.getMessage.contains("start offset"), e.getMessage)
+    // the end boundary guard still fires too
+    val e2 = intercept[RuntimeException] {
+      stream.planInputPartitions(o0, KeysetOffset(Some("not-a-timestamp")))
+    }
+    assert(e2.getMessage.contains("end boundary"), e2.getMessage)
+  }
+
+  test("runner with select_limit <= 0 walks value-delimited chunks — bounded driver, ties travel whole") {
+    val dir = java.nio.file.Files.createTempDirectory("r11_runner").toString
+    // 1000 rows in tie groups of 7 (143 values): internal chunks of 150
+    // never align with group edges, so every chunk boundary splits a tie
+    // group that the value-delimited walk must carry whole
+    spark.range(0, 1000).selectExpr("id", "CAST(id / 7 AS BIGINT) AS upd")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val f = java.nio.file.Files.createTempFile("r11_runner_state", ".json").toString
+    val cfg = InputConfig(Seq(SourceTableConfig("chunky", updateColumn = Some("upd"))),
+      selectLimit = 0) // reference-legal: disables the LIMIT (in_sql.rb:52)
+    var emits = 0
+    var seen = Vector.empty[Long]
+    var maxChunk = 0
+    val runner = new KeysetTailRunner(spark, cfg,
+      (s, _) => s.read.parquet(dir), new FileStateStore(f),
+      internalChunkRows = 150)
+    val counts = runner.pollOnce { (_, df) =>
+      val ids = df.select("id").collect().map(_.getLong(0))
+      emits += 1; maxChunk = math.max(maxChunk, ids.length); seen = seen ++ ids
+    }
+    assert(counts === Map("chunky" -> 1000L))
+    assert(emits >= 6, s"expected chunked emits, got $emits") // ~1000/150
+    // the driver never held the whole table: each chunk is ~150 rows plus
+    // at most one tie group's spill
+    assert(maxChunk <= 150 + 7, s"chunk exceeded the internal bound: $maxChunk")
+    assert(seen.length === 1000 && seen.toSet === (0L until 1000L).toSet)
+    // drained: resume state is the final boundary; next poll emits nothing
+    assert(new FileStateStore(f).lastRecord("chunky").get("upd") === "142")
+    assert(runner.pollOnce((_, _) => fail("drained table must not emit")) ===
+      Map("chunky" -> 0L))
+  }
+}

@@ -176,7 +176,8 @@ class Round9OpsSpec extends SparkSpecBase {
     graft.sources.Tables.events(spark, sf0001).coalesce(1)
       .write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
-    val stream = new graft.streaming.KeysetMicroBatchStream(schema, dir,
+    val stream = new graft.streaming.KeysetMicroBatchStream(schema,
+      graft.streaming.ParquetMode(dir),
       "event_id", maxRowsPerBatch = 500,
       rubyTimeFormat = graft.core.RubyStrftime.DefaultRubyFormat,
       maxRowsPerPartition = 200)
