@@ -275,6 +275,54 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("end boundary"), e2.getMessage)
   }
 
+  test("flagship loop: JDBC keyset tail -> route -> keyed upsert; a FULL replay is a no-op") {
+    import graft.core.{OutputConfig, SinkTableConfig}
+    // the reference's whole pipeline (in_sql.rb poll -> tag -> out_sql.rb
+    // route/write) as one streaming query, RDBMS to RDBMS. Source written
+    // by Spark (quoted lower-case identifiers — the mapping is
+    // case-sensitive like the reference's record keys).
+    Tables.events(spark, sf0001).limit(300)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("append").jdbc(url, "R11_LOOP_SRC", noProps)
+    exec("CREATE TABLE R11_MONEY (id BIGINT NOT NULL PRIMARY KEY, tag VARCHAR(50), amount DOUBLE)")
+    exec("CREATE TABLE R11_REST (id BIGINT NOT NULL PRIMARY KEY, tag VARCHAR(50), amount DOUBLE)")
+    val cfg = OutputConfig(
+      routes = Seq(SinkTableConfig("{purchase,error}", "R11_MONEY", "event_id:id,tag,value:amount")),
+      defaultTable = SinkTableConfig("", "R11_REST", "event_id:id,tag,value:amount"),
+      removeTagPrefix = Some("db"))
+    def run(): Unit = {
+      val cp = java.nio.file.Files.createTempDirectory("r11_loop_cp").toString
+      val stream = spark.readStream.format("keyset-tail")
+        .option("url", url).option("dbtable", "R11_LOOP_SRC")
+        .option("updateColumn", "event_id").option("maxRowsPerBatch", "120")
+        .load()
+        .withColumn("tag", concat(lit("db."), col("event_type")))
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.ops.EventOps.routedTables(batch.toDF().repartition(col("tag")), cfg)
+            .foreach { case (table, df) =>
+              graft.sinks.JdbcSink.idempotentUpsert(
+                df.repartition(col("id")), url, table, Seq("id"))
+            }
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def snap(t: String) = spark.read.jdbc(url, t, noProps).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(2))).toSeq
+    run()
+    val money1 = snap("R11_MONEY")
+    val rest1 = snap("R11_REST")
+    assert(money1.size + rest1.size === 300)
+    assert(money1.nonEmpty && money1.map(_._2).toSet.subsetOf(Set("purchase", "error")))
+    assert(rest1.nonEmpty && rest1.map(_._2).toSet.intersect(Set("purchase", "error")).isEmpty)
+    // a FRESH checkpoint replays the source from the beginning; the keyed
+    // upsert absorbs every batch again — effective exactly-once end to end
+    run()
+    assert(snap("R11_MONEY") === money1 && snap("R11_REST") === rest1)
+  }
+
   test("runner with select_limit <= 0 walks value-delimited chunks — bounded driver, ties travel whole") {
     val dir = java.nio.file.Files.createTempDirectory("r11_runner").toString
     // 1000 rows in tie groups of 7 (143 values): internal chunks of 150
