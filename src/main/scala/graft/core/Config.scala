@@ -27,8 +27,16 @@ final case class ConnectionConfig(
     /** Connection-establishment timeout in MILLISECONDS (`out_sql.rb:34-35`,
       * reference default 5000 ms — applied by [[ConfigText.parseConnection]];
       * None here means "driver default" for programmatic construction). */
-    timeoutMs: Option[Int] = None
+    timeoutMs: Option[Int] = None,
+    /** Connection-pool size (`out_sql.rb:32-33`, default 5). The reference
+      * can only WARN when writer threads outnumber the pool
+      * (`out_sql.rb:179-181` — ActiveRecord then blocks on checkout); Spark
+      * picks its own write parallelism, so the sink ENFORCES the bound
+      * instead: routed writes coalesce to ≤ `pool` partitions ≙ concurrent
+      * connections ([[graft.sinks.JdbcSink.capToPool]]). */
+    pool: Int = 5
 ) {
+  require(pool > 0, s"pool must be positive, got $pool (out_sql.rb:32-33)")
   /** ActiveRecord adapter name → JDBC subprotocol. */
   val subprotocol: String = adapter match {
     case "mysql2" | "mysql"        => "mysql"

@@ -106,7 +106,9 @@ object ConfigText {
     socket = p.get("socket"),
     schemaSearchPath = p.get("schema_search_path"),
     // reference default: 5000 ms (out_sql.rb:34-35)
-    timeoutMs = Some(p.get("timeout").map(_.trim.toInt).getOrElse(5000)))
+    timeoutMs = Some(p.get("timeout").map(_.trim.toInt).getOrElse(5000)),
+    // reference default: 5 connections (out_sql.rb:32-33)
+    pool = p.get("pool").map(_.trim.toInt).getOrElse(5))
 
   /** `<source>` connection params → ConnectionConfig. */
   def parseInputConnection(text: String): ConnectionConfig =

@@ -75,13 +75,24 @@ object JdbcSink {
     * `cc.properties` covers this at the driver level too; the explicit
     * qualification is what makes the behavior dialect-portable (Derby,
     * the embedded e2e engine, has no search-path property). */
+  /** Cap a write's partition count at the connection-pool size: Spark's
+    * analogue of the reference's pool/flush_thread_count guard
+    * (`out_sql.rb:32-33, 179-181`) — ActiveRecord warns and then blocks on
+    * pool checkout; Spark chooses its parallelism, so the bound is
+    * ENFORCED (coalesce never increases partition count). */
+  def capToPool(df: DataFrame, pool: Int): DataFrame = {
+    require(pool > 0, s"pool must be positive, got $pool")
+    df.coalesce(pool)
+  }
+
   def writeRouted(batch: DataFrame, cfg: OutputConfig,
                   cc: graft.core.ConnectionConfig,
                   batchSize: Int): Map[String, DataFrame] = {
     val chunked = batch.repartition(col("tag"))
     graft.ops.EventOps.routedTables(chunked, cfg).flatMap { case (table, df) =>
-      appendWithFallback(df, cc.jdbcUrl, cc.qualify(table), cc.properties,
-        batchSize, enableFallback = cfg.enableFallback)
+      // concurrent connections per destination <= the configured pool
+      appendWithFallback(capToPool(df, cc.pool), cc.jdbcUrl, cc.qualify(table),
+        cc.properties, batchSize, enableFallback = cfg.enableFallback)
         .map(cc.qualify(table) -> _)
     }.toMap
   }

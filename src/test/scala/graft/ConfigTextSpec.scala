@@ -122,6 +122,20 @@ class ConfigTextSpec extends AnyFunSuite {
     assert(conn("derby").properties.getProperty("connectTimeout") === null)
   }
 
+  test("pool parses with the reference default and bounds write parallelism (out_sql.rb:32-33, 179-181)") {
+    def conn(extra: String = "") = ConfigText.parseOutputConnection(
+      s"<match x>\n  adapter postgresql\n  database d\n$extra</match>")
+    assert(conn().pool === 5) // reference default
+    assert(conn("  pool 2\n").pool === 2)
+    intercept[IllegalArgumentException](conn("  pool 0\n"))
+    // the sink ENFORCES the bound the reference could only warn about:
+    // a 16-partition batch writes through <= pool concurrent connections
+    val df = SparkSpecBase.session.range(0, 160).repartition(16)
+    assert(graft.sinks.JdbcSink.capToPool(df.toDF(), 2).rdd.getNumPartitions === 2)
+    // never INCREASES parallelism (coalesce semantics)
+    assert(graft.sinks.JdbcSink.capToPool(df.toDF(), 64).rdd.getNumPartitions === 16)
+  }
+
   test("missing default table is a config error (out_sql.rb:183-185)") {
     intercept[IllegalArgumentException] {
       ConfigText.parseOutput(
