@@ -53,6 +53,17 @@ object TextOps {
   val StopwordsFr = Seq("le", "la", "les", "et", "est", "dans")
   val StopwordsEs = Seq("el", "los", "las", "y", "es", "en")
 
+  /** All four language stopword scores in ONE native byte-scan pass —
+    * `array(en, de, fr, es)` counts, value-identical per element to
+    * [[stopwordCount]] on the matching list (parity property-tested in
+    * StopwordCountsSpec). The 4-language scorers previously ran four full
+    * regex scans of every document; ProbeBand measured that stage at
+    * 0.38 s / 3.50 s (sf0.1 / sf1x) — the hottest part of
+    * q_pipeline_assemble — so the fan-out sites use this fused form. */
+  def langScores(text: Column): Column =
+    graft.functions.StopwordCounts.of(text,
+      Seq(StopwordsEn, StopwordsDe, StopwordsFr, StopwordsEs))
+
   /** Whitespace-collapsed, trimmed, lowercased canonical form. The
     * whitespace class is EXPLICIT ASCII, not `\s`: Java's `\s` includes
     * U+000B (vertical tab) but RE2's does not, so an oracle mirroring

@@ -1543,13 +1543,15 @@ object ExtensionQueries {
 
     "q_lang_id" -> QueryDef.sql(
       (s, dir) => {
-        def score(ws: Seq[String]) = TextOps.stopwordCount(col("text"), ws).cast("long")
+        // one fused scan for all four scores (TextOps.langScores)
+        val sc = TextOps.langScores(col("text"))
+        def score(i: Int) = sc.getItem(i).cast("long")
         Tables.documents(s, dir).select(
             col("doc_id"),
-            score(TextOps.StopwordsEn).as("en_score"),
-            score(TextOps.StopwordsDe).as("de_score"),
-            score(TextOps.StopwordsFr).as("fr_score"),
-            score(TextOps.StopwordsEs).as("es_score"))
+            score(0).as("en_score"),
+            score(1).as("de_score"),
+            score(2).as("fr_score"),
+            score(3).as("es_score"))
           .withColumn("lang_guess",
             when(col("en_score") >= col("de_score") && col("en_score") >= col("fr_score")
               && col("en_score") >= col("es_score"), "en")

@@ -253,14 +253,15 @@ object StatsQueries {
     // over the union class space (inner-joined marginals).
     "q_cohens_kappa" -> QueryDef.sql(
       (s, dir) => {
-        def score(ws: Seq[String]) =
-          graft.ops.TextOps.stopwordCount(col("text"), ws).cast("long")
+        // one fused scan for all four scores (TextOps.langScores)
+        val sc = graft.ops.TextOps.langScores(col("text"))
+        def score(i: Int) = sc.getItem(i).cast("long")
         val labeled = Tables.documents(s, dir).select(
             col("lang").as("actual"),
-            score(graft.ops.TextOps.StopwordsEn).as("en_score"),
-            score(graft.ops.TextOps.StopwordsDe).as("de_score"),
-            score(graft.ops.TextOps.StopwordsFr).as("fr_score"),
-            score(graft.ops.TextOps.StopwordsEs).as("es_score"))
+            score(0).as("en_score"),
+            score(1).as("de_score"),
+            score(2).as("fr_score"),
+            score(3).as("es_score"))
           .withColumn("pred",
             when(col("en_score") >= col("de_score") && col("en_score") >= col("fr_score")
               && col("en_score") >= col("es_score"), "en")
@@ -618,13 +619,12 @@ object StatsQueries {
     // so the bin sums are order-independent.
     "q_reliability_bins" -> QueryDef.sql(
       (s, dir) => {
-        def score(ws: Seq[String]) =
-          graft.ops.TextOps.stopwordCount(col("text"), ws).cast("long")
+        // one fused scan for all four scores (TextOps.langScores)
+        val sc = graft.ops.TextOps.langScores(col("text"))
+        def score(i: Int) = sc.getItem(i).cast("long")
         val scored = Tables.documents(s, dir).select(
-          col("lang"), score(graft.ops.TextOps.StopwordsEn).as("en"),
-          (score(graft.ops.TextOps.StopwordsEn) + score(graft.ops.TextOps.StopwordsDe)
-            + score(graft.ops.TextOps.StopwordsFr) + score(graft.ops.TextOps.StopwordsEs))
-            .as("tot"))
+          col("lang"), score(0).as("en"),
+          (score(0) + score(1) + score(2) + score(3)).as("tot"))
         scored.select(
             call_function("div", col("en") * 10, col("tot") + 1).as("bin"),
             call_function("div", col("en") * 1000000L, col("tot") + 1).as("conf_micro"),
@@ -671,13 +671,12 @@ object StatsQueries {
     // the minimax structure: the calibration map a gate would apply.
     "q_isotonic" -> QueryDef.sql(
       (s, dir) => {
-        def score(ws: Seq[String]) =
-          graft.ops.TextOps.stopwordCount(col("text"), ws).cast("long")
+        // one fused scan for all four scores (TextOps.langScores)
+        val sc = graft.ops.TextOps.langScores(col("text"))
+        def score(i: Int) = sc.getItem(i).cast("long")
         val scored = Tables.documents(s, dir).select(
-          col("lang"), score(graft.ops.TextOps.StopwordsEn).as("en"),
-          (score(graft.ops.TextOps.StopwordsEn) + score(graft.ops.TextOps.StopwordsDe)
-            + score(graft.ops.TextOps.StopwordsFr) + score(graft.ops.TextOps.StopwordsEs))
-            .as("tot"))
+          col("lang"), score(0).as("en"),
+          (score(0) + score(1) + score(2) + score(3)).as("tot"))
         val bins = scored.select(
             call_function("div", col("en") * 10, col("tot") + 1).as("bin"),
             when(col("lang") === "en", 1L).otherwise(0L).as("hit"))

@@ -871,12 +871,13 @@ object TrainingQueries {
           .groupBy("fp").agg(min("doc_id").as("doc_id"))
           .select("doc_id")
         val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
-        def score(ws: Seq[String]) = TextOps.stopwordCount(col("text"), ws)
+        // one fused scan for all four scores (TextOps.langScores)
+        val sc = TextOps.langScores(col("text"))
         val scored = deduped
-          .withColumn("en_c", score(TextOps.StopwordsEn))
-          .withColumn("de_c", score(TextOps.StopwordsDe))
-          .withColumn("fr_c", score(TextOps.StopwordsFr))
-          .withColumn("es_c", score(TextOps.StopwordsEs))
+          .withColumn("en_c", sc.getItem(0))
+          .withColumn("de_c", sc.getItem(1))
+          .withColumn("fr_c", sc.getItem(2))
+          .withColumn("es_c", sc.getItem(3))
           .filter(col("en_c") >= col("de_c") && col("en_c") >= col("fr_c") &&
             col("en_c") >= col("es_c"))
         val toks = TextOps.tokens(col("text"))
