@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.DataStreamReader
+
+import graft.core.{ConnectionConfig, InputConfig, SourceTableConfig}
+
+/** Config → streaming-source glue: build the `format("keyset-tail")` reader
+  * for one tailed table straight from the parsed reference config
+  * (`ConfigText.parseInput` + `parseInputConnection`), so a reference user
+  * runs their existing `<source>` section through Structured Streaming
+  * without hand-assembling options.
+  *
+  * Mapping (reference `in_sql.rb:28-66`): connection → `url` (+ JDBC
+  * credentials and the schema-search-path session init, applied by the
+  * driver-side page scan, the schema inference AND each executor-side
+  * partition reader — `JdbcSource.connect`); `table` → schema-qualified
+  * `dbtable` (the sink-side qualification rule, dialect-portable);
+  * `update_column`/`primary_key` → `updateColumn`; `select_limit` →
+  * `maxRowsPerBatch` (`<= 0` disables paging); `time_format` →
+  * `timeFormat`. LIMIT-less dialects (Derby/Oracle/DB2) get
+  * `FETCH FIRST` page syntax via the adapter. */
+object KeysetTail {
+
+  def reader(spark: SparkSession, cc: ConnectionConfig, t: SourceTableConfig,
+             selectLimit: Int = 500): DataStreamReader = {
+    val upd = t.updateColumn.orElse(t.primaryKey).getOrElse(
+      sys.error(s"${t.table}: no update_column/primary_key configured " +
+        "(the reference reflects the PK; pass primary_key for PK-less views, in_sql.rb:107-114)"))
+    var r = spark.readStream.format("keyset-tail")
+      .option("url", cc.jdbcUrl)
+      .option("dbtable", cc.qualify(t.table))
+      .option("updateColumn", upd)
+      .option("maxRowsPerBatch", selectLimit.toString)
+      .option("timeFormat", t.timeFormat)
+      .option("fetchFirst",
+        Seq("derby", "oracle", "db2").contains(cc.subprotocol).toString)
+    cc.username.foreach(u => r = r.option("user", u))
+    cc.password.foreach(p => r = r.option("password", p))
+    cc.sessionInitStatement.foreach(s => r = r.option("sessionInitStatement", s))
+    r
+  }
+
+  /** One reader per configured (or discovered-upstream) table. */
+  def readers(spark: SparkSession, cc: ConnectionConfig,
+              cfg: InputConfig): Map[String, DataStreamReader] =
+    cfg.tables.map(t => t.resolvedTag(cfg.tagPrefix) ->
+      reader(spark, cc, t, cfg.selectLimit)).toMap
+}

@@ -82,6 +82,16 @@ object ProbeBand {
             col("en_c") >= col("es_c"))
           .select(col("doc_id"), col("en_c"))
       },
+      "asm/plus_lang_fused" -> { dir =>
+        // the graft_stopword_counts rewrite of plus_lang: one native pass
+        val sc = TextOps.langScores(col("text"))
+        docs(dir)
+          .withColumn("en_c", sc.getItem(0)).withColumn("de_c", sc.getItem(1))
+          .withColumn("fr_c", sc.getItem(2)).withColumn("es_c", sc.getItem(3))
+          .filter(col("en_c") >= col("de_c") && col("en_c") >= col("fr_c") &&
+            col("en_c") >= col("es_c"))
+          .select(col("doc_id"), col("en_c"))
+      },
       "asm/plus_quality" -> { dir =>
         val toks = TextOps.tokens(col("text"))
         val nToks = size(toks)

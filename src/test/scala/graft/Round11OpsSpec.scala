@@ -323,6 +323,47 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(snap("R11_MONEY") === money1 && snap("R11_REST") === rest1)
   }
 
+  test("config text drives the streaming tail, schema_search_path honored executor-side") {
+    import graft.core.ConfigText
+    // the reference's <source> section, verbatim shape (in_sql.rb:28-66),
+    // pointing at a NON-default schema — same table name exists in the
+    // default schema with poison rows, so resolution must follow the path
+    exec("CREATE SCHEMA TAILSCHEMA")
+    exec("CREATE TABLE TAILSCHEMA.readings (id BIGINT, v BIGINT)")
+    exec("CREATE TABLE readings (id BIGINT, v BIGINT)")
+    exec("INSERT INTO readings VALUES (999, -1)") // default-schema poison
+    val c = DriverManager.getConnection(url)
+    try {
+      val ps = c.prepareStatement("INSERT INTO TAILSCHEMA.readings VALUES (?, ?)")
+      (0 until 90).foreach { i => ps.setLong(1, i.toLong); ps.setLong(2, i * 2L); ps.executeUpdate() }
+    } finally c.close()
+    val in = ConfigText.parseInput(
+      """<source>
+        |  select_limit 40
+        |  <table>
+        |    table readings
+        |    update_column id
+        |  </table>
+        |</source>""".stripMargin)
+    val cc = graft.core.ConnectionConfig(adapter = "derby",
+      database = "memory:graftdb11;create=true",
+      schemaSearchPath = Some("TAILSCHEMA"))
+    val readers = graft.streaming.KeysetTail.readers(spark, cc, in)
+    assert(readers.keySet === Set("readings")) // tag defaults to table name
+    val q = readers("readings").load()
+      .writeStream.format("memory").queryName("r11_cfg_tail")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT count(*) c, count(distinct id) d, max(id) m, min(v) mv FROM r11_cfg_tail")
+        .collect().head
+      // 90 schema rows, zero poison rows from the default schema
+      assert(got.getLong(0) === 90 && got.getLong(1) === 90)
+      assert(got.getLong(2) === 89 && got.getLong(3) === 0)
+    } finally q.stop()
+  }
+
   test("runner with select_limit <= 0 walks value-delimited chunks — bounded driver, ties travel whole") {
     val dir = java.nio.file.Files.createTempDirectory("r11_runner").toString
     // 1000 rows in tie groups of 7 (143 values): internal chunks of 150
