@@ -323,6 +323,39 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(snap("R11_MONEY") === money1 && snap("R11_REST") === rest1)
   }
 
+  test("JDBC tail picks up table growth across a checkpointed restart (no replay, no gaps)") {
+    exec("CREATE TABLE R11_GROW (id BIGINT, v BIGINT)")
+    def insert(from: Int, until: Int): Unit = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val ps = c.prepareStatement("INSERT INTO R11_GROW VALUES (?, ?)")
+        (from until until).foreach { i => ps.setLong(1, i.toLong); ps.setLong(2, i * 3L); ps.executeUpdate() }
+      } finally c.close()
+    }
+    insert(0, 250)
+    val ckpt = java.nio.file.Files.createTempDirectory("r11_grow_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("r11_grow_out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("keyset-tail")
+        .option("url", url).option("dbtable", "R11_GROW")
+        .option("updateColumn", "id").option("maxRowsPerBatch", "100")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(spark.read.parquet(outDir).count() === 250)
+    // the table keeps growing while the consumer is down (tail semantics);
+    // restart from the offset log resumes strictly after id=249
+    insert(250, 400)
+    drain()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() === 400)
+    assert(got.select("ID").distinct().count() === 400)
+  }
+
   test("config text drives the streaming tail, schema_search_path honored executor-side") {
     import graft.core.ConfigText
     // the reference's <source> section, verbatim shape (in_sql.rb:28-66),
