@@ -195,13 +195,26 @@ object JdbcSink {
     * repartition by the key columns first (same rule as any keyed sink).
     * Work is all executor-side; connections = partitions (cap upstream
     * like bulkAppend's numPartitions). */
+  /** Batched since round 11: updates go through `addBatch`/`executeBatch`
+    * in chunks of `batchSize` (ONE round-trip per chunk instead of one per
+    * row — on a networked RDBMS this is the difference between the
+    * pipeline being write-bound and being source-bound); the chunk's
+    * per-statement update counts select the miss rows, which are then
+    * batch-INSERTed. Sequential last-wins semantics are preserved exactly:
+    * a chunk is flushed BEFORE adding a row whose key is already pending,
+    * so intra-batch duplicates apply in arrival order, and a driver that
+    * reports `SUCCESS_NO_INFO` counts (the JDBC spec allows it) makes the
+    * chunk replay row-by-row inside the same transaction — the updates
+    * are idempotent (same key, same values), so the replay is safe. */
   def idempotentUpsert(df: DataFrame, url: String, table: String,
                        keyCols: Seq[String],
-                       user: String = "", password: String = ""): Unit = {
+                       user: String = "", password: String = "",
+                       batchSize: Int = 500): Unit = {
     val schema = df.schema
     val cols = schema.fieldNames.toSeq
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
       s"keyCols $keyCols must be columns of ${cols.mkString(",")}")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val valCols = cols.filterNot(keyCols.contains)
     require(valCols.nonEmpty, "need at least one non-key column to upsert")
     val updateSql = s"UPDATE $table SET ${valCols.map(c => s"$c = ?").mkString(", ")}" +
@@ -227,6 +240,33 @@ object JdbcSink {
             case _ => st.setObject(pos, r.get(i))
           }
         }
+        def bindUpdate(r: Row): Unit =
+          (valCols ++ keyCols).zipWithIndex.foreach { case (c, p) => bindOne(upd, p + 1, c, r) }
+        def bindInsert(r: Row): Unit =
+          cols.zipWithIndex.foreach { case (c, p) => bindOne(ins, p + 1, c, r) }
+        def insertMisses(misses: Seq[Row]): Unit =
+          if (misses.nonEmpty) {
+            misses.foreach { r => bindInsert(r); ins.addBatch() }
+            ins.executeBatch()
+          }
+        val pending = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val pendingKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
+        def flush(): Unit = if (pending.nonEmpty) {
+          val counts = upd.executeBatch()
+          if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO)) {
+            // driver withheld counts: replay the chunk row-by-row (the
+            // already-applied updates are idempotent, same txn)
+            pending.foreach { r =>
+              bindUpdate(r)
+              if (upd.executeUpdate() == 0) { bindInsert(r); ins.executeUpdate() }
+            }
+          } else {
+            insertMisses(pending.indices.collect {
+              case i if counts(i) == 0 => pending(i)
+            })
+          }
+          pending.clear(); pendingKeys.clear()
+        }
         // On failure: roll back the open transaction before closing, and keep
         // cleanup exceptions from masking the root cause (Spark's task retry
         // must see the original failure, not a close()-with-open-txn error).
@@ -238,12 +278,12 @@ object JdbcSink {
           JdbcSink.cleanupQuietly(f, cause)
         try {
           rows.foreach { r =>
-            (valCols ++ keyCols).zipWithIndex.foreach { case (c, p) => bindOne(upd, p + 1, c, r) }
-            if (upd.executeUpdate() == 0) {
-              cols.zipWithIndex.foreach { case (c, p) => bindOne(ins, p + 1, c, r) }
-              ins.executeUpdate()
-            }
+            val k: Seq[Any] = keyCols.map(c => r.get(fieldIdx(c)))
+            if (pendingKeys.contains(k) || pending.size >= batchSize) flush()
+            bindUpdate(r); upd.addBatch()
+            pending += r; pendingKeys += k
           }
+          flush()
           conn.commit()
         } catch {
           case e: Throwable =>

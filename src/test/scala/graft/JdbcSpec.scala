@@ -41,6 +41,28 @@ class JdbcSpec extends SparkSpecBase {
     assert(snap() === Seq((1L, "a", 10L), (2L, "B", 21L), (3L, "c", 30L), (4L, "d", 40L)))
   }
 
+  test("batched upsert: intra-partition duplicate keys apply in order (last wins), chunks flush at batchSize") {
+    exec("CREATE TABLE ups_dup (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+    import spark.implicits._
+    // ONE partition carrying a duplicate key: the batch must flush before
+    // the dup so (1,"first") lands, then (1,"last") UPDATEs it — the exact
+    // sequential semantics, now through executeBatch chunks
+    val rows = Seq((1L, "first"), (2L, "b"), (1L, "last"), (3L, "c")) ++
+      (10L until 40L).map(i => (i, s"v$i")) // > batchSize=8 forces mid-chunk flushes
+    val df = rows.toDF("id", "v").coalesce(1)
+    JdbcSink.idempotentUpsert(df, url, "ups_dup", Seq("id"), batchSize = 8)
+    val got = spark.read.jdbc(url, "ups_dup", new java.util.Properties())
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.size === 33)
+    assert(got.head === ((1L, "last"))) // last occurrence won
+    assert(got(1) === ((2L, "b")) && got(2) === ((3L, "c")))
+    // replay the whole thing: still idempotent through the batched path
+    JdbcSink.idempotentUpsert(df, url, "ups_dup", Seq("id"), batchSize = 8)
+    val again = spark.read.jdbc(url, "ups_dup", new java.util.Properties())
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(again === got)
+  }
+
   test("streaming upsert e2e: a FULL source replay leaves the table unchanged") {
     exec("CREATE TABLE s_ups (event_id BIGINT NOT NULL PRIMARY KEY, " +
       "event_type VARCHAR(20), value DOUBLE)")
