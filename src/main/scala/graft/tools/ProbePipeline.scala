@@ -42,7 +42,13 @@ object ProbePipeline {
     }
 
     // stage the source table in the DB (not timed — it plays the OLTP
-    // system that exists before the pipeline does)
+    // system that exists before the pipeline does). Deployment shape per
+    // the reference: the update column carries an index (README.md:100-102)
+    // so keyset pages are index range scans, not per-poll full sorts.
+    // quoted lower-case identifiers: the column mapping is case-sensitive
+    // like the reference's record keys, and Spark writes quoted names
+    exec("CREATE TABLE PIPE_SRC (\"event_id\" BIGINT NOT NULL PRIMARY KEY, " +
+      "\"event_type\" VARCHAR(40), \"value\" DOUBLE)")
     val src = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"))
     src.write.mode("append").jdbc(url, "PIPE_SRC", noProps)

@@ -397,6 +397,42 @@ class Round11OpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("string update column: hash-sampled cuts fan out, nasty values survive the offset JSON") {
+    // percentile_approx can't sketch strings — this exercises the
+    // sampledCuts fallback (bounded hash-thinned distinct sample) AND the
+    // offset serializer against keys holding quotes/backslashes/unicode
+    val dir = java.nio.file.Files.createTempDirectory("r11_str").toString
+    val nasty = Seq("\"quoted\"", "back\\slash", "uni·é世", "space key", "tab\tkey")
+    import spark.implicits._
+    val keys = (0 until 900).map(i => f"key_$i%04d") ++ nasty.map("zz_" + _)
+    keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = new KeysetMicroBatchStream(schema, ParquetMode(dir),
+      "k", maxRowsPerBatch = 600, rubyFmt, maxRowsPerPartition = 100)
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset(o0, ReadLimit.maxRows(600))
+    val parts1 = stream.planInputPartitions(o0, o1)
+    assert(parts1.length > 1, "sampled cuts should fan the 600-row page out")
+    val o2 = stream.latestOffset(o1, ReadLimit.maxRows(600))
+    // the final boundary is a nasty key; it must round-trip the JSON offset
+    val k2 = o2.asInstanceOf[KeysetOffset]
+    assert(k2.last === Some("zz_uni·é世"), k2.last)
+    assert(graft.streaming.KeysetOffset.fromJson(k2.json()) === k2)
+    // batch 2 planned from the replayed JSON string delivers exactly the rest
+    val replayed = stream.deserializeOffset(o1.asInstanceOf[KeysetOffset].json())
+    val factory = stream.createReaderFactory()
+    val kIdx = schema.fieldIndex("k")
+    val got = (stream.planInputPartitions(o0, o1) ++
+        stream.planInputPartitions(replayed, o2)).flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (r.next()) buf += r.get().getUTF8String(kIdx).toString
+      r.close(); buf
+    }
+    assert(got.length === 905 && got.toSet === keys.toSet)
+  }
+
   test("runner with select_limit <= 0 walks value-delimited chunks — bounded driver, ties travel whole") {
     val dir = java.nio.file.Files.createTempDirectory("r11_runner").toString
     // 1000 rows in tie groups of 7 (143 values): internal chunks of 150
