@@ -73,6 +73,25 @@ object JdbcSource {
       pks.headOption
     }
 
+  /** Is `column` the LEADING column of some index on `table`? The keyset
+    * page (`WHERE upd > ? ORDER BY upd LIMIT n`) is an index range scan
+    * exactly when such an index exists — the reference's documented
+    * prerequisite (`README.md:100-102`); without it every poll is a
+    * full-table sort in the database. None when the catalog cannot answer
+    * (views, subqueries, permission-restricted metadata). */
+  def hasIndexOn(url: String, table: String, column: String,
+                 props: Properties = new Properties()): Option[Boolean] =
+    scala.util.Try(Using.resource(connect(url, props)) { conn =>
+      val schema = Option(conn.getSchema).filter(_ => hasSessionInit(props)).orNull
+      val rs = conn.getMetaData.getIndexInfo(null, schema, table, false, true)
+      var found = false
+      while (rs.next() && !found) {
+        found = rs.getShort("ORDINAL_POSITION") == 1 &&
+          Option(rs.getString("COLUMN_NAME")).exists(_.equalsIgnoreCase(column))
+      }
+      found
+    }).toOption
+
   private def hasSessionInit(props: Properties): Boolean =
     props.getProperty("sessionInitStatement") != null
 

@@ -181,6 +181,23 @@ final class KeysetMicroBatchStream(schema: StructType, mode: KeysetReadMode,
   private def quoted(url: String, name: String): String =
     org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(name)
 
+  // The reference documents an index on the update column as a deployment
+  // prerequisite (README.md:100-102). Without one, EVERY poll's page query
+  // is a full-table sort in the database — silent and quadratic-ish over a
+  // long tail. Warn once at stream construction (the reference's stance is
+  // documentation-only, so this is a warning, not an error; introspection
+  // failures — views, restricted catalogs — stay silent).
+  mode match {
+    case JdbcMode(url, dbtable, props, _) if !dbtable.trim.startsWith("(") =>
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.put(k, v) }
+      if (JdbcSource.hasIndexOn(url, dbtable, updCol, p).contains(false))
+        System.err.println(s"[graft.keyset-tail] no index leads with " +
+          s"'$updCol' on $dbtable: every poll will sort the remaining table " +
+          "in the database (README.md:100-102 requires an update-column index)")
+    case _ => ()
+  }
+
   /** The keyset page `upd > last ORDER BY upd LIMIT n` in the mode's native
     * engine: a Catalyst scan over parquet, or pushed INSIDE the dbtable
     * subquery so the database's index answers it (`JdbcSource.keysetPage`). */

@@ -397,6 +397,20 @@ class Round11OpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("index introspection: keyset page prerequisite detectable per README.md:100-102") {
+    exec("CREATE TABLE R11_IDX (id BIGINT NOT NULL PRIMARY KEY, v BIGINT)")
+    exec("CREATE TABLE R11_NOIDX (id BIGINT, v BIGINT)")
+    exec("CREATE INDEX r11_v_idx ON R11_NOIDX (v, id)")
+    import graft.sources.JdbcSource
+    // PK index leads with id
+    assert(JdbcSource.hasIndexOn(url, "R11_IDX", "id") === Some(true))
+    // id only appears as the SECOND column of (v, id): not a keyset index
+    assert(JdbcSource.hasIndexOn(url, "R11_NOIDX", "id") === Some(false))
+    assert(JdbcSource.hasIndexOn(url, "R11_NOIDX", "v") === Some(true))
+    // unanswerable catalogs (nonexistent table) stay None-silent
+    assert(JdbcSource.hasIndexOn(url, "R11_NOPE", "id").getOrElse(false) === false)
+  }
+
   test("string update column: hash-sampled cuts fan out, nasty values survive the offset JSON") {
     // percentile_approx can't sketch strings — this exercises the
     // sampledCuts fallback (bounded hash-thinned distinct sample) AND the
