@@ -35,11 +35,19 @@ object JdbcSource {
                  last: Option[String], limit: Int, props: Properties = new Properties(),
                  fetchFirstSyntax: Boolean = false): DataFrame = {
     val where = last.map(v => s"WHERE $updateColumn > ${sqlLiteral(v)}").getOrElse("")
-    val limitClause =
-      if (limit <= 0) ""
-      else if (fetchFirstSyntax) s"FETCH FIRST $limit ROWS ONLY"
-      else s"LIMIT $limit"
-    val sub = s"(SELECT * FROM $table $where ORDER BY $updateColumn ASC $limitClause) page"
+    // ORDER BY only when a LIMIT defines the page through it: an unbounded
+    // page (`limit <= 0` disables the LIMIT, in_sql.rb:52) is the whole
+    // remaining range, and its aggregation/sub-range consumers don't need
+    // order — leaving the ORDER BY in would make unindexed databases sort
+    // the full remainder per poll for nothing (planners are NOT guaranteed
+    // to elide a subquery ORDER BY).
+    val sub =
+      if (limit <= 0) s"(SELECT * FROM $table $where) page"
+      else {
+        val limitClause =
+          if (fetchFirstSyntax) s"FETCH FIRST $limit ROWS ONLY" else s"LIMIT $limit"
+        s"(SELECT * FROM $table $where ORDER BY $updateColumn ASC $limitClause) page"
+      }
     spark.read.jdbc(url, sub, props)
   }
 
