@@ -502,7 +502,14 @@ final class KeysetJdbcReader(schema: StructType, p: KeysetJdbcPartition)
   // loaded after JVM start — honor an explicit driver class like Spark does
   Option(props.getProperty("driver")).foreach(java.lang.Class.forName)
   private val conn = JdbcSource.connect(p.url, props)
+  // cursor-mode fetch: a limit<=0 batch's sub-range can hold cnt/cap rows,
+  // and buffering drivers (pgjdbc with autocommit, most defaults) would
+  // materialize the whole range in executor memory. autocommit OFF +
+  // a fetch size is the portable way to stream instead (the read-only
+  // txn's implicit rollback at close is harmless).
+  conn.setAutoCommit(false)
   private val stmt = conn.createStatement()
+  stmt.setFetchSize(1000)
   private val rs = stmt.executeQuery(p.query)
   private val fields = schema.fields
   private val converters =
