@@ -148,17 +148,52 @@ final class KeysetTailTable(schema: StructType, props: Map[String, String])
     }
 }
 
-/** Offset = serialized last update-column value (None before the first row). */
+/** Offset = serialized last update-column value (None before the first row).
+  *
+  * `json()` must stay ONE LINE: Spark's offset log is line-oriented, so a
+  * raw newline inside the value (legal in a string update column) would
+  * corrupt the checkpoint. Control characters are JSON-escaped, and
+  * `fromJson` unescapes in a single pass (sequential `replace` calls
+  * mis-handle adjacent escapes like a literal backslash-n). */
 final case class KeysetOffset(last: Option[String]) extends Offset {
   override def json(): String = last match {
-    case Some(v) => "{\"last\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
-    case None    => "{\"last\":null}"
+    case Some(v) =>
+      val sb = new StringBuilder("{\"last\":\"")
+      v.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c    => sb.append(c)
+      }
+      sb.append("\"}").toString
+    case None => "{\"last\":null}"
   }
 }
 object KeysetOffset {
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case o   => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
   def fromJson(s: String): KeysetOffset = {
     val m = "\"last\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(s)
-    KeysetOffset(m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")))
+    KeysetOffset(m.map(g => unescape(g.group(1))))
   }
 }
 

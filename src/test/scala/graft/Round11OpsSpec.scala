@@ -397,6 +397,20 @@ class Round11OpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("offset JSON: any string boundary round-trips on ONE line (offset log is line-oriented)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab\"\\\n\r\té世 _".toCharArray
+    val values = Seq("", "\\n", "\\", "\"", "a\nb", "\r\n", "\\\"", "\\\\n") ++
+      (1 to 200).map(_ => (1 to rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    values.foreach { v =>
+      val o = KeysetOffset(Some(v))
+      val j = o.json()
+      assert(!j.contains('\n') && !j.contains('\r'), s"offset json not single-line for ${v.toList}")
+      assert(KeysetOffset.fromJson(j) === o, s"round-trip failed for ${v.toList}: $j")
+    }
+    assert(KeysetOffset.fromJson(KeysetOffset(None).json()) === KeysetOffset(None))
+  }
+
   test("index introspection: keyset page prerequisite detectable per README.md:100-102") {
     exec("CREATE TABLE R11_IDX (id BIGINT NOT NULL PRIMARY KEY, v BIGINT)")
     exec("CREATE TABLE R11_NOIDX (id BIGINT, v BIGINT)")
