@@ -46,4 +46,10 @@ object KeysetTail {
               cfg: InputConfig): Map[String, DataStreamReader] =
     cfg.tables.map(t => t.resolvedTag(cfg.tagPrefix) ->
       reader(spark, cc, t, cfg.selectLimit)).toMap
+
+  /** `select_interval` (`in_sql.rb:49-50`, default 60 s) as the stream's
+    * trigger — the last config param of the reference's poll loop. */
+  def trigger(cfg: InputConfig): org.apache.spark.sql.streaming.Trigger =
+    org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+      cfg.selectIntervalSec * 1000L)
 }

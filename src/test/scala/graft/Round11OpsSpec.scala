@@ -383,6 +383,9 @@ class Round11OpsSpec extends SparkSpecBase {
       schemaSearchPath = Some("TAILSCHEMA"))
     val readers = graft.streaming.KeysetTail.readers(spark, cc, in)
     assert(readers.keySet === Set("readings")) // tag defaults to table name
+    // select_interval (default 60 s) maps onto the trigger
+    assert(graft.streaming.KeysetTail.trigger(in) ===
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(60000L))
     val q = readers("readings").load()
       .writeStream.format("memory").queryName("r11_cfg_tail")
       .trigger(Trigger.ProcessingTime(0)).start()
