@@ -372,6 +372,53 @@ object CleanOps {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  /** Blocklist page screen (C4's "dirty word" filter, Raffel et al. 2020
+    * §2.2: drop any page containing a listed phrase): per-document
+    * occurrence counts of a literal phrase dictionary, total hits, distinct
+    * patterns present, and the keep verdict.
+    *
+    * The dictionary scan is ONE Aho–Corasick pass per document
+    * ([[graft.functions.AcCounts]] — cost independent of dictionary size),
+    * not |dict| `contains` scans; the per-pattern counts come back as one
+    * array column and the summary folds are |dict|-term codegen'd addition
+    * chains (plain `+` — NOT an `aggregate` HOF, which is CodegenFallback).
+    * Scale shape: a map-only projection — no shuffle at all; the verdict
+    * filter pushes to the scan at 100 TB.
+    *
+    * Counting semantics (oracle-expressible, overlap-inclusive): for each
+    * pattern p, the number of positions i with `substr(text,i,len(p)) = p`.
+    */
+  def blocklistScreen(docs: DataFrame, idCol: String, textCol: String,
+                      patterns: Seq[String]): DataFrame = {
+    val counted = docs.select(col(idCol),
+      graft.functions.AcCounts.of(col(textCol), patterns).as("c"))
+    val hits = patterns.indices.map(i => element_at(col("c"), i + 1))
+    counted.select(col(idCol),
+      hits.reduce(_ + _).as("n_hits"),
+      hits.map(h => when(h > 0, 1L).otherwise(0L)).reduce(_ + _).as("n_pats"),
+      hits.reduce(_ + _).===(0L).as("keep"))
+  }
+
+  /** DuckDB twin of [[blocklistScreen]]: the per-pattern count is a literal
+    * position scan (list comprehension over every start offset), the
+    * overlap-inclusive definition the automaton reproduces. Patterns must
+    * be '-quote-safe (plain ASCII phrases). */
+  def blocklistScreenOracle(idCol: String, textCol: String,
+                            patterns: Seq[String]): String = {
+    val vals = patterns.zipWithIndex
+      .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+    s"""WITH pats(pid, p) AS (VALUES $vals),
+       |hit AS (SELECT $idCol, pid,
+       |    len([i FOR i IN range(1, len($textCol) - len(p) + 2)
+       |         IF substr($textCol, i, len(p)) = p]) AS c
+       |  FROM documents, pats)
+       |SELECT $idCol,
+       |  CAST(SUM(c) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(CASE WHEN c > 0 THEN 1 END) AS BIGINT) AS n_pats,
+       |  SUM(c) = 0 AS keep
+       |FROM hit GROUP BY $idCol ORDER BY $idCol""".stripMargin
+  }
+
   /** URL canonicalization — the standard web-crawl dedup key (one fetch
     * identity per page, not per tracking-decorated variant):
     *   1. strip the fragment (`#…` is client-side only);

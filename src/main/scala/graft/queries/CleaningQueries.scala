@@ -335,6 +335,25 @@ object CleaningQueries {
       doc = "regex PII redaction (email/IP/phone) with per-doc match counts " +
         "over deterministically planted fixture-derived PII"),
 
+    // ------------------------------------------------ blocklist screen
+    // C4's "dirty word" page filter (Raffel et al. 2020 §2.2): drop any
+    // page containing a listed phrase. One Aho-Corasick pass per document
+    // (graft_ac_counts — cost independent of dictionary size), map-only,
+    // no shuffle. The fixture dictionary is built from corpus phrases with
+    // deliberate automaton structure: nested patterns ("slow" inside
+    // "slow scan", "low" a proper suffix inside "slow" — fail-link hits),
+    // self-overlapping phrases ("a a" twice inside "a a a"), and shared
+    // words across phrases. 90/500 docs pass clean at sf0.01, so both
+    // verdict branches are exercised.
+    "q_blocklist_filter" -> QueryDef.sql(
+      (s, dir) => CleanOps.blocklistScreen(
+          Tables.documents(s, dir), "doc_id", "text", BlocklistPats)
+        .orderBy("doc_id"),
+      CleanOps.blocklistScreenOracle("doc_id", "text", BlocklistPats),
+      doc = "blocklist page screen via one Aho-Corasick dictionary pass " +
+        "(overlap-inclusive per-pattern counts, keep verdict), fully " +
+        "oracle-checked"),
+
     // --------------------------------------------- URL canonicalization
     // Web-crawl URL dedup: the fixture carries no URL column, so one is
     // planted deterministically from (source, lang, doc_id) with every
@@ -371,6 +390,12 @@ object CleaningQueries {
       doc = "pairwise cross-source shingle overlap + Jaccard in " +
         "micro-units (boilerplate-capped pair join), fully oracle-checked")
   )
+
+  /** Fixture blocklist with deliberate Aho-Corasick structure (nested /
+    * suffix-overlapping / self-overlapping phrases) — see q_blocklist_filter. */
+  private val BlocklistPats: Seq[String] = Seq(
+    "slow", "low", "slow scan", "scan slow",
+    "table table", "a a", "merge batch", "big vector")
 
   /** Deterministic fixture-derived URL with every canonicalization hazard:
     * mixed-case scheme+host, conditional default port, conditional trailing
