@@ -548,6 +548,84 @@ object Sketch {
       org.apache.spark.sql.Encoders.scalaDouble
   }
 
+  // --------------------------------------- HDR-histogram quantile sketch
+
+  /** Per-group quantile estimates from a log-bucketed integer histogram —
+    * the HdrHistogram / DDSketch production shape (Tene, HdrHistogram;
+    * Masson et al. 2019, "DDSketch"), in the fully-deterministic integer
+    * form both engines reproduce bit-for-bit: a positive measure `v`
+    * (exact integer units, e.g. cents) lands in the bucket whose lower
+    * bound keeps the top `m+1` significant bits,
+    *
+    *   e  = max(bitlen(v) − (m+1), 0),   lb = (v >> e) << e,
+    *
+    * so bucket widths double per octave and every estimate's relative
+    * error is < 2^-m. The quantile-q estimate is the lower bound of the
+    * bucket holding the rank-⌈q·n⌉ value (ranks in exact integer
+    * arithmetic — no floating-point quantile interpolation to diverge on).
+    *
+    * Unlike `approx_percentile` (Greenwald-Khanna, engine-internal state,
+    * q_percentile_approx's bound-check-only oracle), the sketch HERE is
+    * the value: bucket counts are a plain `groupBy(group, lb).count` —
+    * partially aggregable (map-side combine), mergeable across shards /
+    * stream batches by addition, and bounded at ≤ 64−m octaves × 2^m
+    * sub-buckets per group regardless of data volume. At 100 TB the
+    * shuffle carries one row per occupied bucket, not per value; the
+    * cumulative/rank step windows over that bounded bucket table only.
+    *
+    * @param cents positive exact-integer measure (caller routes doubles
+    *              through [[Exact.dec]] × scale first)
+    * @param quantiles (numerator, denominator) pairs, e.g. (1,2) = p50 */
+  def hdrQuantiles(df: DataFrame, groupCol: String, cents: Column, m: Int,
+                   quantiles: Seq[(Int, Int)]): DataFrame = {
+    val buckets = df.groupBy(col(groupCol), hdrBucketLb(cents, m).as("lb"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("lb")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val cum = buckets
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(wAll))
+    val qCols = quantiles.map { case (qn, qd) =>
+      val rank = call_function("div", col("n") * qn + (qd - 1), lit(qd.toLong))
+      min(when(col("cum") >= rank, col("lb"))).as(s"p${qn * 100 / qd}_lb")
+    }
+    val aggs = max("n").as("n") +: qCols
+    cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The bucket lower bound `(v >> e) << e`, `e = max(bitlen(v)−(m+1), 0)`
+    * — the sketch's whole hashing step, shared by the batch quantiles and
+    * the windowed streaming form ([[graft.streaming.StreamOps
+    * .tumblingHdrBuckets]]). Codegen'd `bin`/shift built-ins only. */
+  def hdrBucketLb(cents: Column, m: Int): Column = {
+    require(m >= 1 && m <= 20, s"hdrBucketLb: m out of range: $m")
+    val e = greatest(length(bin(cents)) - lit(m + 1), lit(0))
+    call_function("shiftleft", call_function("shiftright", cents, e), e)
+  }
+
+  /** DuckDB SQL reproducing [[hdrQuantiles]] bit-for-bit. `centsSql` must
+    * be the exact-integer twin of the Spark `cents` column. */
+  def hdrQuantilesOracle(table: String, groupCol: String, centsSql: String,
+                         m: Int, quantiles: Seq[(Int, Int)]): String = {
+    val qSelects = quantiles.map { case (qn, qd) =>
+      s"CAST(MIN(CASE WHEN cum >= (n * $qn + ${qd - 1}) // $qd THEN lb END) " +
+        s"AS BIGINT) AS p${qn * 100 / qd}_lb"
+    }.mkString(",\n  ")
+    s"""WITH c AS (SELECT $groupCol, $centsSql AS v FROM $table),
+       |b AS (SELECT $groupCol, (v >> e) << e AS lb, COUNT(*) AS cnt
+       |      FROM (SELECT $groupCol, v,
+       |              greatest(length(bin(v)) - ${m + 1}, 0) AS e FROM c)
+       |      GROUP BY 1, 2),
+       |w AS (SELECT $groupCol, lb, cnt,
+       |        SUM(cnt) OVER (PARTITION BY $groupCol ORDER BY lb) AS cum,
+       |        SUM(cnt) OVER (PARTITION BY $groupCol) AS n
+       |      FROM b)
+       |SELECT $groupCol, CAST(MAX(n) AS BIGINT) AS n,
+       |  $qSelects
+       |FROM w GROUP BY $groupCol ORDER BY $groupCol""".stripMargin
+  }
+
   // ------------------------------------------------- Misra-Gries summary
 
   /** Heavy-hitter report from the native Misra–Gries summary

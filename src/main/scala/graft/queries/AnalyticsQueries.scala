@@ -490,6 +490,28 @@ object AnalyticsQueries {
         "check, so its bench time measures the exact path, not sketch " +
         "speed — production form is HllAgg alone"),
 
+    // HDR-histogram quantile sketch: the portable, mergeable quantile tier
+    // (HdrHistogram/DDSketch shape) with the WHOLE estimate oracle-checked
+    // — log-bucketed integer histogram (top m+1 = 6 significant bits kept,
+    // rel. error < 1/32), bucket counts partially aggregable, quantile =
+    // lower bound of the rank bucket in exact integer arithmetic. The
+    // scale-path complement of q_percentile_approx (built-in GK, whose
+    // engine-internal state only admits a bound check): here the shuffle
+    // carries one row per occupied bucket per group, mergeable by addition
+    // across shards and stream batches.
+    "q_hdr_quantiles" -> QueryDef.sql(
+      (s, dir) => graft.ops.Sketch.hdrQuantiles(
+          Tables.orders(s, dir), "o_orderpriority",
+          (graft.ops.Exact.dec(col("o_totalprice")) * 100).cast("long"),
+          m = 5, quantiles = Seq((1, 2), (9, 10), (99, 100)))
+        .orderBy("o_orderpriority"),
+      graft.ops.Sketch.hdrQuantilesOracle("orders", "o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)",
+        m = 5, quantiles = Seq((1, 2), (9, 10), (99, 100))),
+      doc = "HDR-histogram quantile sketch (log-bucketed integer " +
+        "histogram, rel. error < 2^-5): p50/p90/p99 cents per order " +
+        "priority, mergeable bucket counts, fully oracle-checked"),
+
     // KMV set algebra (Beyer et al. 2007): distinct-part estimates for two
     // shipping years, their union, and their intersection — all from
     // mergeable bottom-k sketches (union sketch = bottom-k of the merged

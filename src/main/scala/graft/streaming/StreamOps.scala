@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -79,6 +79,24 @@ object StreamOps {
       .groupBy(window(col(tsCol), windowDur).as("w"), col("d"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col("d"), col("cell"), col("cnt"))
+
+  /** Windowed HDR-histogram quantile buckets ([[graft.ops.Sketch
+    * .hdrBucketLb]]): per tumbling window, the log-bucketed integer
+    * histogram of a positive exact-integer measure. Same mergeable-
+    * by-addition discipline as [[tumblingCountMin]] — each micro-batch's
+    * partial bucket counts add into window state, bounded at
+    * ≤ (64−m)·2^m occupied buckets per window regardless of traffic, and
+    * the emitted table equals the batch sketch over the same rows
+    * (asserted stream==batch in StreamOpsSpec). Downstream consumers rank
+    * the emitted buckets for any quantile
+    * ([[graft.ops.Sketch.hdrQuantiles]] runs the same selection). */
+  def tumblingHdrBuckets(events: DataFrame, tsCol: String, watermarkDelay: String,
+                         windowDur: String, cents: Column, m: Int): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), graft.ops.Sketch.hdrBucketLb(cents, m).as("lb"))
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("lb"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("lb"), col("cnt"))
 
   /** Tumbling-window latest-k per key through the NATIVE bounded top-k
     * aggregate ([[graft.functions.TopKPairs]]): per (window, key), the k

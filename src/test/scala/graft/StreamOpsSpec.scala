@@ -100,6 +100,21 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(s === b)
   }
 
+  test("windowed HDR quantile buckets: stream equals batch (additive merge)") {
+    def cents = (graft.ops.Exact.dec(col("value")) * 100).cast("long")
+    val streamed = runToMemory(
+      StreamOps.tumblingHdrBuckets(eventStream, "ts", "1 hour", "1 day", cents, m = 5),
+      "s_hdr", "append")
+    val batch = StreamOps.tumblingHdrBuckets(
+      Tables.events(spark, sf0001), "ts", "1 hour", "1 day", cents, m = 5)
+    val emitted = streamed.select("w_start").distinct().collect().map(_.get(0)).toSet
+    assert(emitted.nonEmpty, "watermark never closed any window")
+    val b = batch.filter(col("w_start").isInCollection(emitted))
+      .orderBy("w_start", "lb").collect().toSeq
+    val s = streamed.orderBy("w_start", "lb").collect().toSeq
+    assert(s === b)
+  }
+
   test("tumbling latest-k via the native top-k aggregate: stream equals batch") {
     val streamed = runToMemory(
       StreamOps.tumblingLatestK(eventStream, "ts", "1 hour", "1 day",
