@@ -1189,4 +1189,129 @@ object TrainOps {
        |  CAST((sup3 * 1000000) // sup2 AS BIGINT) AS conf_micro
        |FROM l3 JOIN l2 USING (ia, ib)
        |ORDER BY sup3 DESC, ia, ib, ic LIMIT 50""".stripMargin
+
+  // ----------------------------------- unigram-LM (Viterbi) segmentation
+
+  /** Unigram-language-model word segmentation — the SentencePiece-family
+    * tokenizer lineage next to the BPE tier (Kudo 2018): fit a scored
+    * piece vocabulary on the corpus, then segment every DISTINCT word by
+    * Viterbi minimum total surprisal.
+    *
+    * Fit (all relational, exact integers):
+    *   - piece inventory = every substring of length 1..`maxPieceLen` of
+    *     every word type, occurrence-counted weighted by token frequency
+    *     (`c(p) = Σ_w tf(w) · occ(p, w)`);
+    *   - surprisal = `round(round(−log2(c/total), 6) · 1e6)` micro-bits —
+    *     the q_lm_perplexity determinism contract;
+    *   - vocabulary = ALL single characters (full coverage by
+    *     construction — the Viterbi UNK fallback is unreachable) plus the
+    *     top-`topV` multi-character pieces by `(count DESC, piece ASC)`.
+    *
+    * Segmentation is the native [[graft.functions.ViterbiSeg]] DP over the
+    * distinct-word table (never per token); ties prefer the longer last
+    * piece, mirrored by the oracle's `ORDER BY score ASC, j DESC` pick.
+    *
+    * Scale shape: the piece inventory explodes the Zipf-bounded TYPES
+    * table (and is structurally ≤ Σ_k |charset|^k rows — the global
+    * top-`topV` rank windows over that bounded table, like the IVF
+    * centroid fit); the vocabulary (≤ charset + topV rows) is collected
+    * to the driver and ships as expression literals, the bounded-collect
+    * discipline of `Similarity.ivfTopK`. The corpus-sized work — token
+    * explode and the final map-only segmentation — carries no window and
+    * no join wider than the types table. */
+  def unigramSegment(docs: DataFrame, textCol: String,
+                     maxPieceLen: Int = 4, topV: Int = 200): DataFrame = {
+    val types = docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("tf"))
+    val pieces = types
+      .select(col("w"), col("tf"),
+        explode(sequence(lit(1), length(col("w")))).as("s"))
+      .select(col("w"), col("tf"), col("s"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+      .filter(col("s") + col("l") - 1 <= length(col("w")))
+      .select(call_function("substring", col("w"), col("s"), col("l")).as("piece"),
+        col("tf"))
+    val counts = pieces.groupBy("piece").agg(sum(col("tf")).cast("long").as("c"))
+    val total = counts.agg(sum(col("c")).cast("long").as("total"))
+    val scored = counts.crossJoin(broadcast(total))
+      .withColumn("s", round(round(-log2(
+          col("c").cast("double") / col("total").cast("double")), 6) * 1000000d)
+        .cast("long"))
+    val singles = scored.filter(length(col("piece")) === 1).select("piece", "s")
+    val multi = scored.filter(length(col("piece")) > 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("piece").asc)))
+      .filter(col("rk") <= topV).select("piece", "s")
+    // bounded collect: ≤ charset + topV rows (see scaladoc)
+    val vocab = singles.union(multi).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    types.select(col("w").as("word"), col("tf"),
+        graft.functions.ViterbiSeg.of(col("w"), vocab, maxPieceLen).as("seg"))
+      .withColumn("n_pieces", size(split(col("seg"), "\\|")).cast("long"))
+      .select("word", "tf", "n_pieces", "seg")
+  }
+
+  /** DuckDB twin of [[unigramSegment]]: identical fit, then the DP
+    * unrolled over prefix lengths 1..`maxLen` as chained CTEs (the
+    * kmeans-unrolled-oracle discipline), each step picking its best
+    * predecessor with `row_number() OVER (PARTITION BY w ORDER BY score
+    * ASC, j DESC)`. A word longer than `maxLen` fails LOUDLY via
+    * `error()` (DuckDB `//`-by-zero is NULL, not an error — FIXTURES). */
+  def unigramSegmentOracle(maxPieceLen: Int = 4, topV: Int = 200,
+                           maxLen: Int = 12): String = {
+    val dps = (1 to maxLen).map { i =>
+      val cands = (1 to math.min(maxPieceLen, i)).map { j =>
+        s"""      SELECT d.w, d.len, d.score + v.s AS score,
+           |        d.seg || '|' || v.piece AS seg, $j AS j
+           |      FROM dp${i - j} d JOIN vocab v
+           |        ON v.piece = substr(d.w, ${i - j + 1}, $j)
+           |      WHERE d.len >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      // MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+      // dp chain (each step reading up to maxPieceLen predecessors)
+      // would otherwise expand exponentially — "too many open files"
+      // before it even runs.
+      s"""dp$i AS MATERIALIZED (
+         |  SELECT w, len, score, seg FROM (
+         |    SELECT w, len, score, seg,
+         |      row_number() OVER (PARTITION BY w ORDER BY score ASC, j DESC) AS rn
+         |    FROM (
+         |$cands)
+         |  ) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to maxLen)
+      .map(i => s"SELECT w, seg FROM dp$i WHERE len = $i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |            FROM documents),
+       |ty AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf
+       |                    FROM tok GROUP BY 1),
+       |g AS (SELECT CASE WHEN max(len(w)) > $maxLen
+       |        THEN error('unigram_segment oracle: word exceeds unrolled DP depth')
+       |        ELSE 0 END AS ok FROM ty),
+       |pc AS (SELECT substr(ty.w, s, l) AS piece, CAST(SUM(tf) AS BIGINT) AS c
+       |       FROM ty, unnest(range(1, len(w) + 1)) AS t(s),
+       |            unnest(range(1, ${maxPieceLen + 1})) AS u(l)
+       |       WHERE s + l - 1 <= len(w) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM pc),
+       |sc AS (SELECT piece, len(piece) AS pl, c,
+       |         CAST(ROUND(ROUND(-log2(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+       |           * 1000000) AS BIGINT) AS s
+       |       FROM pc CROSS JOIN tot),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, s FROM sc WHERE pl = 1
+       |  UNION ALL
+       |  SELECT piece, s FROM (
+       |    SELECT piece, s, row_number() OVER (ORDER BY c DESC, piece) AS rk
+       |    FROM sc WHERE pl > 1) WHERE rk <= $topV),
+       |dp0 AS (SELECT w, len(w) AS len, CAST(0 AS BIGINT) AS score, '' AS seg
+       |        FROM ty),
+       |$dps
+       |SELECT ty.w AS word, ty.tf,
+       |  CAST(len(f.seg) - len(replace(f.seg, '|', '')) AS BIGINT) AS n_pieces,
+       |  substr(f.seg, 2) AS seg
+       |FROM ty JOIN ($finals) f ON ty.w = f.w CROSS JOIN g
+       |WHERE g.ok = 0
+       |ORDER BY word""".stripMargin
+  }
 }

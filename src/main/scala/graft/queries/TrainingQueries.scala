@@ -729,6 +729,23 @@ object TrainingQueries {
         "corpus word stream; top-20 subword vocabulary, fully " +
         "oracle-checked (codegen'd replace chain, no UDF)"),
 
+    // The OTHER tokenizer family: unigram-LM (SentencePiece-style)
+    // segmentation by Viterbi minimum surprisal, next to the BPE tier's
+    // merge-table greedy application. Corpus-fit piece vocabulary (all
+    // substrings len<=4, micro-bit surprisals under the q_lm_perplexity
+    // determinism contract, singles + top-200 multi pieces), then the
+    // native DP kernel (graft_viterbi_seg) segments the DISTINCT-word
+    // table map-only; the oracle replays the fit and unrolls the DP as
+    // chained materialized CTEs with the identical (score ASC, j DESC)
+    // tie-break.
+    "q_unigram_segment" -> QueryDef.sql(
+      (s, dir) => TrainOps.unigramSegment(Tables.documents(s, dir), "text")
+        .orderBy("word"),
+      TrainOps.unigramSegmentOracle(),
+      doc = "unigram-LM (SentencePiece-family) Viterbi word segmentation " +
+        "against a corpus-fit scored piece vocabulary, fully oracle-" +
+        "checked (native DP kernel over the distinct-word table)"),
+
     // Tokenizer FERTILITY (subword tokens per word) per language — the
     // standard tokenizer-quality metric (a merge table induced on English
     // should show fertility near 1 on English and higher elsewhere).
