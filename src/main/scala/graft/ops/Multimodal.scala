@@ -395,6 +395,58 @@ object Multimodal {
       }(enc)
   }
 
+  /** Shot-boundary / keyframe detection — the video-tier consumer of the
+    * aHash fingerprint: consecutive frames are perceptually compared and a
+    * frame opens a new shot when its Hamming distance to the previous
+    * frame's hash exceeds `threshold` (the classic histogram/hash-based
+    * cut detector; frame 0 is a keyframe by definition).
+    *
+    * The fixture has no video column, so a deterministic frame sequence
+    * is synthesized per document in both engines identically: frame 0 is
+    * the text rendered as the standard 16-wide BMP, frame f applies a
+    * single-letter `translate` remap with a +1..+5 code delta (a small
+    * "lighting change" — measured 0–4 flipped hash bits between
+    * consecutive frames at sf0.01), and docs with `doc_id % 3 = 0` carry
+    * ONE planted hard cut (the reversed text; 18+ bits) at a
+    * doc_id-derived frame — so both verdict branches are live with a
+    * wide margin around the threshold.
+    *
+    * Scale shape: frames are a bounded explode (`nFrames` ≤ 8 rows/doc),
+    * encode→decode→hash is the partition-batched map-only codec path, and
+    * the lag window partitions by document with ≤ `nFrames` rows — never
+    * a corpus-sized sort. Signatures are 4 longs/frame downstream. */
+  def keyframes(docs: DataFrame, idCol: String, textCol: String,
+                nFrames: Int = 6, threshold: Int = 10): DataFrame = {
+    require(nFrames >= 2 && nFrames <= 8, s"keyframes: bad nFrames $nFrames")
+    val docId = col(idCol)
+    val text = col(textCol)
+    val fromCh = "aeiosn"; val toCh = "bfjpto"
+    val frames = (0 until nFrames).map { f =>
+      val content =
+        when(docId % 3 === 0 && (docId % 5 + 1) === lit(f), reverse(text))
+          .otherwise(if (f == 0) text
+            else translate(text, fromCh.substring(f - 1, f), toCh.substring(f - 1, f)))
+      struct(lit(f.toLong).as("f"), content.as("ft"))
+    }
+    val fr = docs.filter(length(text) >= 8 * ImgWidth)
+      .select(docId, explode(array(frames: _*)).as("x"))
+      .select((docId * 8 + col("x.f")).as("aid"), col("x.ft").as("ft"))
+    val sigs = ahashBmpAssets(asBmpAssets(fr, "aid", "ft"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("frame_idx")
+    sigs.select(
+        shiftright(col("asset_id"), 3).as(idCol),
+        (col("asset_id") % 8).as("frame_idx"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .withColumn("ham", coalesce(
+        (0 to 3).map(c => bit_count(
+          col(s"c$c").bitwiseXOR(lag(col(s"c$c"), 1).over(w)))).reduce(_ + _)
+          .cast("long"),
+        lit(-1L)))
+      .select(col(idCol), col("frame_idx"), col("ham"),
+        (col("frame_idx") === 0 || col("ham") >= threshold).as("is_key"))
+  }
+
   /** Nearest-neighbor ×`factor` downsample as a codec-to-codec transform:
     * decode, pick `out(x,y) = in(factor·x, factor·y)`, re-encode. Images
     * whose output would be empty are dropped (matching the oracle's

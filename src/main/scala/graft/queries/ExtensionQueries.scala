@@ -1772,6 +1772,57 @@ object ExtensionQueries {
       doc = "8×8 average-hash perceptual image fingerprint (integer-exact " +
         "block-mean threshold), all 64 bits oracle-checked per asset"),
 
+    // Shot-boundary / keyframe detection — the VIDEO-tier consumer of the
+    // aHash tier: per document a deterministic 6-frame sequence (frame f =
+    // a single-letter translate remap, a small "lighting change" flipping
+    // 0-4 hash bits; docs with doc_id%3=0 carry one planted hard cut — the
+    // reversed text, 18+ bits), hash each frame through the real BMP
+    // encode→decode→aHash path, and mark a keyframe when the Hamming
+    // distance to the previous frame exceeds 10 (frame 0 by definition).
+    // Frames are a bounded <=8-row explode; the lag window partitions by
+    // document with <= nFrames rows — never a corpus-sized sort.
+    "q_multimodal_keyframes" -> QueryDef.sql(
+      (s, dir) => Multimodal.keyframes(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "frame_idx"),
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE length(text) >= 128),
+        |fr AS (SELECT doc_id, f,
+        |    CASE WHEN doc_id % 3 = 0 AND f = 1 + doc_id % 5
+        |         THEN reverse(text)
+        |         WHEN f = 0 THEN text
+        |         ELSE translate(text, substr('aeiosn', CAST(f AS INT), 1),
+        |                              substr('bfjpto', CAST(f AS INT), 1)) END AS ft
+        |  FROM base CROSS JOIN range(6) r(f)),
+        |d AS (SELECT doc_id, f, ft, length(ft) // 16 AS h FROM fr
+        |      WHERE length(ft) // 16 >= 8),
+        |px AS (SELECT doc_id, f, h, (i-1) // 16 AS y, (i-1) % 16 AS x,
+        |         ord(substr(ft, CAST(i AS INTEGER), 1)) AS v
+        |       FROM d, unnest(range(1, h*16 + 1)) AS t(i)),
+        |ob AS (SELECT doc_id, f, y // (h // 8) AS gy, x // 2 AS gx, sum(v) AS s
+        |       FROM px WHERE y < (h // 8) * 8 GROUP BY doc_id, f, gy, gx),
+        |ot AS (SELECT doc_id, f, sum(s) AS ts FROM ob GROUP BY doc_id, f),
+        |obit AS (SELECT b.doc_id, b.f, gy*8 + gx AS i,
+        |           CASE WHEN s*64 > ts THEN 1 ELSE 0 END AS bit
+        |         FROM ob b JOIN ot USING (doc_id, f)),
+        |osig AS (SELECT doc_id, f,
+        |    sum(CASE WHEN i // 16 = 0 THEN bit * (1 << (i % 16)) ELSE 0 END)::BIGINT AS c0,
+        |    sum(CASE WHEN i // 16 = 1 THEN bit * (1 << (i % 16)) ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN i // 16 = 2 THEN bit * (1 << (i % 16)) ELSE 0 END)::BIGINT AS c2,
+        |    sum(CASE WHEN i // 16 = 3 THEN bit * (1 << (i % 16)) ELSE 0 END)::BIGINT AS c3
+        |  FROM obit GROUP BY doc_id, f),
+        |lagd AS (SELECT doc_id, f AS frame_idx, COALESCE(
+        |    bit_count(xor(c0, LAG(c0) OVER w)) + bit_count(xor(c1, LAG(c1) OVER w)) +
+        |    bit_count(xor(c2, LAG(c2) OVER w)) + bit_count(xor(c3, LAG(c3) OVER w)),
+        |    -1)::BIGINT AS ham
+        |  FROM osig WINDOW w AS (PARTITION BY doc_id ORDER BY f))
+        |SELECT doc_id, frame_idx, ham,
+        |  (frame_idx = 0 OR ham >= 10) AS is_key
+        |FROM lagd ORDER BY doc_id, frame_idx""".stripMargin,
+      doc = "shot-boundary keyframe detection: per-frame aHash through the " +
+        "real BMP codec, Hamming-to-previous cut rule over planted hard " +
+        "cuts, fully oracle-checked"),
+
     // Image near-dup dedup: the aHash signatures through the SAME
     // pigeonhole Hamming join as portable SimHash (Dedup.chunk4x16Pairs) —
     // one (chunk, value) shuffle of 32-byte signatures, hot-value cap,

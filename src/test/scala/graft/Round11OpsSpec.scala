@@ -495,4 +495,24 @@ class Round11OpsSpec extends SparkSpecBase {
     assert(runner.pollOnce((_, _) => fail("drained table must not emit")) ===
       Map("chunky" -> 0L))
   }
+
+  test("keyframes: every planted hard cut detected, no false cuts elsewhere") {
+    val out = graft.ops.Multimodal.keyframes(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    def plantedCut(doc: Long, f: Long): Boolean = doc % 3 == 0 && f == 1 + doc % 5
+    // every planted cut frame is a keyframe (min measured margin 13 at
+    // sf0.001 vs normal drift max 4 — the threshold sits in the gap)...
+    val cuts = out.filter { case (d, f, _, _) => plantedCut(d, f) }
+    assert(cuts.nonEmpty && cuts.forall { case (_, _, ham, key) => key && ham >= 10 })
+    // ...frame 0 is always a keyframe with sentinel distance...
+    assert(out.filter(_._2 == 0L).forall { case (_, _, ham, key) => key && ham == -1L })
+    // ...and the only other keyframes are the frame AFTER a cut (shot of
+    // length one re-opens) — normal lighting drift never crosses the
+    // threshold
+    val others = out.filter { case (d, f, _, _) =>
+      f > 0 && !plantedCut(d, f) && !plantedCut(d, f - 1) }
+    assert(others.forall { case (_, _, ham, key) => !key && ham >= 0 && ham < 10 })
+  }
 }
