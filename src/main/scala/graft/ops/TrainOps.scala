@@ -1221,8 +1221,23 @@ object TrainOps {
     * no join wider than the types table. */
   def unigramSegment(docs: DataFrame, textCol: String,
                      maxPieceLen: Int = 4, topV: Int = 200): DataFrame = {
+    val (types, vocab) = unigramFit(docs, textCol, maxPieceLen, topV)
+    types.select(col("w").as("word"), col("tf"),
+        graft.functions.ViterbiSeg.of(col("w"), vocab, maxPieceLen).as("seg"))
+      .withColumn("n_pieces", size(split(col("seg"), "\\|")).cast("long"))
+      .select("word", "tf", "n_pieces", "seg")
+  }
+
+  /** The shared fit: the persisted TYPES table (`w`, `tf`) and the scored
+    * piece vocabulary collected under the bounded discipline above. The
+    * types table is localCheckpoint-free but persisted so the two corpus
+    * consumers (fit + segmentation, or the EM round's E/M steps) tokenize
+    * the corpus ONCE. */
+  private def unigramFit(docs: DataFrame, textCol: String, maxPieceLen: Int,
+                         topV: Int): (DataFrame, Seq[(String, Long)]) = {
     val types = docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("long").as("tf"))
+      .persist()
     val pieces = types
       .select(col("w"), col("tf"),
         explode(sequence(lit(1), length(col("w")))).as("s"))
@@ -1245,10 +1260,64 @@ object TrainOps {
     // bounded collect: ≤ charset + topV rows (see scaladoc)
     val vocab = singles.union(multi).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    types.select(col("w").as("word"), col("tf"),
-        graft.functions.ViterbiSeg.of(col("w"), vocab, maxPieceLen).as("seg"))
-      .withColumn("n_pieces", size(split(col("seg"), "\\|")).cast("long"))
-      .select("word", "tf", "n_pieces", "seg")
+    (types, vocab)
+  }
+
+  /** One EM-and-prune round on top of [[unigramSegment]] — the LEARN side
+    * of the unigram-LM tokenizer (SentencePiece's training loop): the
+    * round-1 Viterbi segmentation is the E-step; the M-step re-scores
+    * pieces from their USAGE counts with add-one smoothing AND PRUNES the
+    * multi-character vocabulary to the top `keepV` by usage (single
+    * characters always survive, so coverage — and the oracle's DP
+    * reachability — is preserved). Words whose pieces were pruned MUST
+    * re-segment, so `changed` (the convergence signal a real training
+    * loop iterates on) is live by construction; pure re-scoring without
+    * pruning is a fixed point of round 1 on this corpus — rich-get-richer
+    * reinforces the E-step's own choices.
+    *
+    * Determinism: the re-scores are computed IN SPARK's `log2` expression
+    * over the usage counts (the q_lm_perplexity micro-bit contract — a
+    * driver-side `Math.log` quotient is NOT bit-guaranteed against
+    * DuckDB's log2), then collected under the same bounded-vocab
+    * discipline as round 1. */
+  def unigramSegmentEm(docs: DataFrame, textCol: String,
+                       maxPieceLen: Int = 4, topV: Int = 200,
+                       keepV: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    val (types, vocab1kv) = unigramFit(docs, textCol, maxPieceLen, topV)
+    val vocab1 = vocab1kv.map(_._1)
+    val seg1 = types.select(col("w").as("word"), col("tf"),
+      graft.functions.ViterbiSeg.of(col("w"), vocab1kv, maxPieceLen).as("seg"))
+    val nv = vocab1.size
+    // E-step usage: tf-weighted piece occurrences in the round-1 segs
+    val usage = seg1.select(col("tf"),
+        explode(split(col("seg"), "\\|")).as("piece"))
+      .groupBy("piece").agg(sum(col("tf")).cast("long").as("c2"))
+    val tot2 = usage.agg(sum(col("c2")).cast("long").as("total2"))
+    // M-step: add-one re-score over usage, multi pieces pruned to the
+    // top keepV by (usage DESC, piece ASC); singles always survive
+    val v1df = spark.createDataFrame(vocab1.map(Tuple1(_))).toDF("piece")
+    val rescored = v1df.join(usage, Seq("piece"), "left")
+      .na.fill(0L, Seq("c2"))
+      .crossJoin(broadcast(tot2))
+      .withColumn("s", round(round(-log2(
+          (col("c2") + 1).cast("double") / (col("total2") + nv).cast("double")),
+          6) * 1000000d).cast("long"))
+    val singles2 = rescored.filter(length(col("piece")) === 1)
+      .select("piece", "s")
+    val multi2 = rescored.filter(length(col("piece")) > 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c2").desc, col("piece").asc)))
+      .filter(col("rk") <= keepV).select("piece", "s")
+    val vocab2 = singles2.union(multi2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    seg1.select(col("word"), col("tf"), col("seg").as("seg1"))
+      .withColumn("seg",
+        graft.functions.ViterbiSeg.of(col("word"), vocab2, maxPieceLen))
+      .select(col("word"), col("tf"),
+        size(split(col("seg"), "\\|")).cast("long").as("n_pieces"),
+        col("seg"),
+        (col("seg") =!= col("seg1")).as("changed"))
   }
 
   /** DuckDB twin of [[unigramSegment]]: identical fit, then the DP
@@ -1257,21 +1326,22 @@ object TrainOps {
     * predecessor with `row_number() OVER (PARTITION BY w ORDER BY score
     * ASC, j DESC)`. A word longer than `maxLen` fails LOUDLY via
     * `error()` (DuckDB `//`-by-zero is NULL, not an error — FIXTURES). */
-  def unigramSegmentOracle(maxPieceLen: Int = 4, topV: Int = 200,
-                           maxLen: Int = 12): String = {
+  /** One unrolled Viterbi DP chain: CTEs `$p0..$p$maxLen` joining vocab
+    * CTE `$vocabCte`, plus the per-length finals union. MATERIALIZED —
+    * DuckDB inlines plain CTEs per reference, so a chain whose step reads
+    * up to `maxPieceLen` predecessors expands exponentially ("too many
+    * open files" at plan build, see FIXTURES). */
+  private def viterbiDpSql(p: String, vocabCte: String, maxPieceLen: Int,
+                           maxLen: Int): (String, String) = {
     val dps = (1 to maxLen).map { i =>
       val cands = (1 to math.min(maxPieceLen, i)).map { j =>
         s"""      SELECT d.w, d.len, d.score + v.s AS score,
            |        d.seg || '|' || v.piece AS seg, $j AS j
-           |      FROM dp${i - j} d JOIN vocab v
+           |      FROM $p${i - j} d JOIN $vocabCte v
            |        ON v.piece = substr(d.w, ${i - j + 1}, $j)
            |      WHERE d.len >= $i""".stripMargin
       }.mkString("\n      UNION ALL\n")
-      // MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
-      // dp chain (each step reading up to maxPieceLen predecessors)
-      // would otherwise expand exponentially — "too many open files"
-      // before it even runs.
-      s"""dp$i AS MATERIALIZED (
+      s"""$p$i AS MATERIALIZED (
          |  SELECT w, len, score, seg FROM (
          |    SELECT w, len, score, seg,
          |      row_number() OVER (PARTITION BY w ORDER BY score ASC, j DESC) AS rn
@@ -1280,8 +1350,14 @@ object TrainOps {
          |  ) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val finals = (1 to maxLen)
-      .map(i => s"SELECT w, seg FROM dp$i WHERE len = $i")
+      .map(i => s"SELECT w, seg FROM $p$i WHERE len = $i")
       .mkString("\n  UNION ALL\n  ")
+    (dps, finals)
+  }
+
+  def unigramSegmentOracle(maxPieceLen: Int = 4, topV: Int = 200,
+                           maxLen: Int = 12): String = {
+    val (dps, finals) = viterbiDpSql("dp", "vocab", maxPieceLen, maxLen)
     s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
        |            FROM documents),
        |ty AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1312,6 +1388,73 @@ object TrainOps {
        |  substr(f.seg, 2) AS seg
        |FROM ty JOIN ($finals) f ON ty.w = f.w CROSS JOIN g
        |WHERE g.ok = 0
+       |ORDER BY word""".stripMargin
+  }
+
+  /** DuckDB twin of [[unigramSegmentEm]]: the round-1 fit + DP chain,
+    * then usage counts from the round-1 segmentations, the add-one
+    * re-score of the SAME vocabulary, and a SECOND unrolled DP chain
+    * against it. */
+  def unigramSegmentEmOracle(maxPieceLen: Int = 4, topV: Int = 200,
+                             maxLen: Int = 12, keepV: Int = 16): String = {
+    val (dpsA, finalsA) = viterbiDpSql("dp", "vocab", maxPieceLen, maxLen)
+    val (dpsB, finalsB) = viterbiDpSql("em", "vocab2", maxPieceLen, maxLen)
+    s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |            FROM documents),
+       |ty AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf
+       |                    FROM tok GROUP BY 1),
+       |g AS (SELECT CASE WHEN max(len(w)) > $maxLen
+       |        THEN error('unigram_em oracle: word exceeds unrolled DP depth')
+       |        ELSE 0 END AS ok FROM ty),
+       |pc AS (SELECT substr(ty.w, s, l) AS piece, CAST(SUM(tf) AS BIGINT) AS c
+       |       FROM ty, unnest(range(1, len(w) + 1)) AS t(s),
+       |            unnest(range(1, ${maxPieceLen + 1})) AS u(l)
+       |       WHERE s + l - 1 <= len(w) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM pc),
+       |sc AS (SELECT piece, len(piece) AS pl, c,
+       |         CAST(ROUND(ROUND(-log2(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+       |           * 1000000) AS BIGINT) AS s
+       |       FROM pc CROSS JOIN tot),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, s FROM sc WHERE pl = 1
+       |  UNION ALL
+       |  SELECT piece, s FROM (
+       |    SELECT piece, s, row_number() OVER (ORDER BY c DESC, piece) AS rk
+       |    FROM sc WHERE pl > 1) WHERE rk <= $topV),
+       |dp0 AS (SELECT w, len(w) AS len, CAST(0 AS BIGINT) AS score, '' AS seg
+       |        FROM ty),
+       |$dpsA,
+       |sega AS MATERIALIZED (
+       |  SELECT w, substr(seg, 2) AS seg FROM ($finalsA)),
+       |u AS MATERIALIZED (
+       |  SELECT p.piece, CAST(SUM(ty.tf) AS BIGINT) AS c2
+       |  FROM sega a JOIN ty USING (w),
+       |       unnest(string_split(a.seg, '|')) AS p(piece)
+       |  GROUP BY 1),
+       |t2 AS (SELECT CAST(SUM(c2) AS BIGINT) AS total2 FROM u),
+       |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vocab),
+       |resc AS (
+       |  SELECT v.piece, len(v.piece) AS pl, COALESCE(u.c2, 0) AS c2,
+       |    CAST(ROUND(ROUND(-log2(
+       |      CAST(COALESCE(u.c2, 0) + 1 AS DOUBLE) /
+       |      CAST(t2.total2 + nv.n AS DOUBLE)), 6) * 1000000) AS BIGINT) AS s
+       |  FROM vocab v LEFT JOIN u ON u.piece = v.piece
+       |  CROSS JOIN t2 CROSS JOIN nv),
+       |vocab2 AS MATERIALIZED (
+       |  SELECT piece, s FROM resc WHERE pl = 1
+       |  UNION ALL
+       |  SELECT piece, s FROM (
+       |    SELECT piece, s, row_number() OVER (ORDER BY c2 DESC, piece) AS rk
+       |    FROM resc WHERE pl > 1) WHERE rk <= $keepV),
+       |em0 AS (SELECT w, len(w) AS len, CAST(0 AS BIGINT) AS score, '' AS seg
+       |        FROM ty),
+       |$dpsB
+       |SELECT ty.w AS word, ty.tf,
+       |  CAST(len(b.seg) - len(replace(b.seg, '|', '')) AS BIGINT) AS n_pieces,
+       |  substr(b.seg, 2) AS seg,
+       |  substr(b.seg, 2) <> a.seg AS changed
+       |FROM ty JOIN sega a USING (w) JOIN ($finalsB) b ON ty.w = b.w
+       |CROSS JOIN g WHERE g.ok = 0
        |ORDER BY word""".stripMargin
   }
 }

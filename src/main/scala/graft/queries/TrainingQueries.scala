@@ -746,6 +746,24 @@ object TrainingQueries {
         "against a corpus-fit scored piece vocabulary, fully oracle-" +
         "checked (native DP kernel over the distinct-word table)"),
 
+    // The unigram tokenizer's LEARN side: one EM-AND-PRUNE round
+    // (SentencePiece's training loop) — round-1 Viterbi segmentation is
+    // the E-step; the M-step re-scores pieces from usage with add-one
+    // smoothing AND prunes the multi-char vocabulary to the top-16 by
+    // usage (singles survive, preserving coverage). Pruned-away pieces
+    // force their words to re-segment, so `changed` — the convergence
+    // signal — is live by construction (pure re-scoring is a fixed point
+    // of round 1: rich-get-richer reinforces the E-step's choices). The
+    // oracle replays both rounds as two unrolled materialized DP chains.
+    "q_unigram_em" -> QueryDef.sql(
+      (s, dir) => TrainOps.unigramSegmentEm(Tables.documents(s, dir), "text")
+        .orderBy("word"),
+      TrainOps.unigramSegmentEmOracle(),
+      doc = "unigram-LM tokenizer EM-and-prune round: E-step Viterbi " +
+        "usage counts, add-one M-step re-score + top-16 multi-piece " +
+        "prune, re-segmentation + per-word change flag, fully " +
+        "oracle-checked"),
+
     // Tokenizer FERTILITY (subword tokens per word) per language — the
     // standard tokenizer-quality metric (a merge table induced on English
     // should show fertility near 1 on English and higher elsewhere).
