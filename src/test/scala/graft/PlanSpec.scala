@@ -328,4 +328,39 @@ class PlanSpec extends SparkSpecBase {
     val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
     assert(aggs.exists(_.contains("partial")), s"expected partial aggregate before exchange:\n$plan")
   }
+
+  test("blocklist screen is map-only: AC kernel in the scan projection, zero exchanges") {
+    // the OPERATOR (without the declared presentation ORDER BY) must not
+    // shuffle at all — the verdict is a per-row projection
+    val df = ops.CleanOps.blocklistScreen(
+      sources.Tables.documents(spark, sf0001), "doc_id", "text",
+      Seq("slow", "low", "a a"))
+    val plan = planString(df)
+    assert(plan.contains("graft_ac_counts"), s"AC kernel missing from plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"blocklist screen must be map-only:\n$plan")
+  }
+
+  test("HDR sketch: bucket counts partial-agg map-side; one bucket exchange feeds the windows") {
+    val plan = planString(SparkEntry.queries("q_hdr_quantiles")(spark, sf0001))
+    val aggs = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(a => a.contains("partial_count") || a.contains("partial")),
+      s"expected partial bucket counts before the exchange:\n$plan")
+    // the cum/total windows must run over the BOUNDED bucket table, never
+    // over raw rows: below the last Window (plan prints top-down) there is
+    // still a HashAggregate — the bucket count — between it and the scan
+    val lastWindow = plan.lastIndexOf("Window [")
+    assert(lastWindow > 0, s"expected window operators:\n$plan")
+    assert(plan.indexOf("HashAggregate", lastWindow) > 0,
+      s"windows must sit above the bucket aggregate:\n$plan")
+  }
+
+  test("unigram segmentation applies the Viterbi kernel on the TYPES table, map-only") {
+    val plan = planString(SparkEntry.queries("q_unigram_segment")(spark, sf0001))
+    assert(plan.contains("graft_viterbi_seg"), s"kernel missing:\n$plan")
+    // the kernel input is the aggregated word table, not the raw corpus:
+    // the projection containing the kernel sits above a HashAggregate
+    val kernelIdx = plan.indexOf("graft_viterbi_seg")
+    assert(plan.indexOf("HashAggregate", kernelIdx) > 0,
+      s"kernel must run over the aggregated types table:\n$plan")
+  }
 }
