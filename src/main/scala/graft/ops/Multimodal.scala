@@ -417,6 +417,27 @@ object Multimodal {
     * a corpus-sized sort. Signatures are 4 longs/frame downstream. */
   def keyframes(docs: DataFrame, idCol: String, textCol: String,
                 nFrames: Int = 6, threshold: Int = 10): DataFrame = {
+    val sigs = frameSigs(docs, idCol, textCol, nFrames)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("frame_idx")
+    sigs
+      .withColumn("ham", coalesce(
+        (0 to 3).map(c => bit_count(
+          col(s"c$c").bitwiseXOR(lag(col(s"c$c"), 1).over(w)))).reduce(_ + _)
+          .cast("long"),
+        lit(-1L)))
+      .select(col(idCol), col("frame_idx"), col("ham"),
+        (col("frame_idx") === 0 || col("ham") >= threshold).as("is_key"))
+  }
+
+  /** The stateless stage of [[keyframes]]: synthesize the deterministic
+    * frame sequence and hash every frame through the BMP codec — a pure
+    * scan-side map shared with the streaming twin
+    * ([[graft.streaming.StreamOps.keyframeStream]], which replaces the
+    * doc-bounded lag window with a per-asset 5-long cursor state).
+    * Output: `(idCol, frame_idx, c0..c3)`. */
+  def frameSigs(docs: DataFrame, idCol: String, textCol: String,
+                nFrames: Int): DataFrame = {
     require(nFrames >= 2 && nFrames <= 8, s"keyframes: bad nFrames $nFrames")
     val docId = col(idCol)
     val text = col(textCol)
@@ -431,20 +452,11 @@ object Multimodal {
     val fr = docs.filter(length(text) >= 8 * ImgWidth)
       .select(docId, explode(array(frames: _*)).as("x"))
       .select((docId * 8 + col("x.f")).as("aid"), col("x.ft").as("ft"))
-    val sigs = ahashBmpAssets(asBmpAssets(fr, "aid", "ft"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("frame_idx")
-    sigs.select(
+    ahashBmpAssets(asBmpAssets(fr, "aid", "ft"))
+      .select(
         shiftright(col("asset_id"), 3).as(idCol),
         (col("asset_id") % 8).as("frame_idx"),
         col("c0"), col("c1"), col("c2"), col("c3"))
-      .withColumn("ham", coalesce(
-        (0 to 3).map(c => bit_count(
-          col(s"c$c").bitwiseXOR(lag(col(s"c$c"), 1).over(w)))).reduce(_ + _)
-          .cast("long"),
-        lit(-1L)))
-      .select(col(idCol), col("frame_idx"), col("ham"),
-        (col("frame_idx") === 0 || col("ham") >= threshold).as("is_key"))
   }
 
   /** Nearest-neighbor ×`factor` downsample as a codec-to-codec transform:

@@ -403,6 +403,50 @@ object StreamOps {
       }
   }
 
+  /** Per-asset cursor for [[keyframeStream]]: the previous frame's index
+    * and 4-chunk aHash signature — five primitive longs per asset forever
+    * (public, collection-free per the janino state-store rules). */
+  final case class FrameCursor(lastIdx: Long, c0: Long, c1: Long, c2: Long, c3: Long)
+  final case class KeyframeRow(doc_id: Long, frame_idx: Long, ham: Long, is_key: Boolean)
+
+  /** Streaming twin of [[graft.ops.Multimodal.keyframes]]: the stateless
+    * frame-synthesis + BMP-codec aHash stage is shared
+    * (`Multimodal.frameSigs`), and the batch op's doc-bounded lag window
+    * becomes a per-asset 5-long cursor state — the shape a live video
+    * ingest needs, where a shot detector cannot wait for an asset's
+    * frames to "finish". Rows inside a batch are ordered by frame index;
+    * across batches the cursor threads the chain (the markovStream
+    * arrival-order caveat). State is 5 longs per asset regardless of
+    * frame count; stream==batch asserted in StreamOpsSpec. */
+  def keyframeStream(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", nFrames: Int = 6,
+                     threshold: Int = 10): Dataset[KeyframeRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ops.Multimodal.frameSigs(docs, idCol, textCol, nFrames)
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FrameCursor, KeyframeRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (doc: Long, rows: Iterator[(Long, Long, Long, Long, Long, Long)],
+         state: GroupState[FrameCursor]) =>
+          var cur = state.getOption.getOrElse(FrameCursor(-1L, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[KeyframeRow]
+          rows.toSeq.sortBy(_._2).foreach { case (_, f, c0, c1, c2, c3) =>
+            val ham =
+              if (cur.lastIdx < 0) -1L
+              else java.lang.Long.bitCount(c0 ^ cur.c0) +
+                java.lang.Long.bitCount(c1 ^ cur.c1) +
+                java.lang.Long.bitCount(c2 ^ cur.c2) +
+                java.lang.Long.bitCount(c3 ^ cur.c3)
+            out += KeyframeRow(doc, f, ham, f == 0 || ham >= threshold)
+            cur = FrameCursor(f, c0, c1, c2, c3)
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: per-key high-watermark
     * monitor that emits one row per micro-batch per key whose running max
     * `value` advanced. State = one double per key (timeout-free here;

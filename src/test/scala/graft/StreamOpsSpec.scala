@@ -291,6 +291,16 @@ class StreamOpsSpec extends SparkSpecBase {
     assert(streamCounts === batchCounts)
   }
 
+  test("streaming keyframe detection equals the batch lag-window operator") {
+    val streamed = runToMemory(
+      StreamOps.keyframeStream(docStream).toDF(), "s_keyframes", "append")
+    val batch = graft.ops.Multimodal.keyframes(
+      Tables.documents(spark, sf0001), "doc_id", "text")
+    val s = streamed.orderBy("doc_id", "frame_idx").collect().toSeq
+    val b = batch.orderBy("doc_id", "frame_idx").collect().toSeq
+    assert(s.nonEmpty && s === b)
+  }
+
   test("streaming CUSUM recurrence equals the batch prefix-sum closed form") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
