@@ -310,4 +310,131 @@ object TextOps {
        |SELECT checkpoint, threshold,
        |  CAST(COUNT(CASE WHEN first_doc <= threshold THEN 1 END) AS BIGINT) AS vocab
        |FROM th, fd GROUP BY 1, 2 ORDER BY checkpoint""".stripMargin
+
+  // -------------------------------------- TextTiling topic segmentation
+
+  /** TextTiling (Hearst 1997, "TextTiling: Segmenting text into
+    * multi-paragraph subtopic passages") — topic-boundary detection, the
+    * content-aware CHUNKING step a RAG pipeline wants instead of
+    * q_chunk_sliding's fixed windows: documents split into `w`-token
+    * pseudo-sentences; at every gap the lexical cohesion of the `k`
+    * segments on each side is the exact integer DOT PRODUCT of their term
+    * counts; a gap's DEPTH is `(maxLeft − dot) + (maxRight − dot)` with
+    * running maxima standing in for Hearst's climb-to-peak (deterministic
+    * and order-free); boundaries are gaps whose depth clears 1.5× the
+    * document's mean depth, in the cross-multiplied integer form
+    * `2·depth·nGaps ≥ 3·Σdepth` (no division, no FP — the oracle matches
+    * bit-for-bit).
+    *
+    * Scale shape: every window partitions by document and is bounded by
+    * the document's own gap count (≤ tokens/w rows); block-term rows fan
+    * out ≤ 2k gaps per (segment, term); the dot is one partial-aggregable
+    * groupBy(doc, gap). No corpus-wide shuffle key other than doc_id. */
+  def textTiling(docs: DataFrame, idCol: String, textCol: String,
+                 w: Int = 10, k: Int = 2): DataFrame = {
+    // gap cohesion dots come from the ONE-PASS native kernel (element i =
+    // gap i+1) — the relational explode-per-gap form shuffles ~2k rows per
+    // token with nearly unique (doc, gap, term) keys and measured 1060%
+    // at the 10× probe; the kernel makes this stage map-only (spec-proven
+    // equal to the relational referee in Round11OpsSpec)
+    val dots = docs.select(col(idCol),
+        posexplode(graft.functions.TextTilingDots.of(col(textCol), w, k))
+          .as(Seq("g0", "dot")))
+      .select(col(idCol), (col("g0") + 1).as("gap"), col("dot"))
+    textTilingDepth(dots, idCol)
+  }
+
+  /** Depth scoring + the 1.5×-mean cutoff over a `(idCol, gap, dot)` gap
+    * table — windows all partition by document, bounded by its gap count. */
+  private def textTilingDepth(dots: DataFrame, idCol: String): DataFrame = {
+    val wFwd = Window.partitionBy(idCol).orderBy("gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBwd = Window.partitionBy(idCol).orderBy(col("gap").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDoc = Window.partitionBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dots
+      .withColumn("depth",
+        (max(col("dot")).over(wFwd) - col("dot")) +
+          (max(col("dot")).over(wBwd) - col("dot")))
+      .withColumn("n_gaps", count(lit(1)).over(wDoc))
+      .withColumn("sum_depth", sum(col("depth")).over(wDoc))
+      .select(col(idCol), col("gap").cast("long").as("gap"),
+        col("dot"), col("depth"),
+        (col("depth") > 0 &&
+          col("depth") * 2 * col("n_gaps") >= col("sum_depth") * 3).as("is_boundary"))
+  }
+
+  /** Spec-only RELATIONAL referee for the kernel's cohesion dots: the
+    * definitional explode-per-gap formulation ((doc, gap, term) block sums
+    * → dot). Kept out of the declared path — its shuffle carries ~2k rows
+    * per token with near-unique keys (the 1060% probe) — but it pins the
+    * kernel's tokenization/segmentation/block semantics in
+    * Round11OpsSpec. */
+  private[graft] def textTilingRelationalDots(docs: DataFrame, idCol: String,
+                                              textCol: String, w: Int,
+                                              k: Int): DataFrame = {
+    val segs = docs.select(col(idCol),
+      posexplode(CleanOps.tokenSegments(col(textCol), w)).as(Seq("pos", "seg")))
+    val segTerms = segs
+      .select(col(idCol), col("pos"), explode(tokens(col("seg"))).as("term"))
+    val nSeg = segs.groupBy(idCol).agg(max(col("pos")).as("maxPos"))
+    val contrib = segTerms.select(col(idCol), col("term"),
+        explode(array(
+          (1 to k).map(d => struct((col("pos") + d).as("gap"), lit(true).as("isLeft"))) ++
+            (0 until k).map(d => struct((col("pos") - d).as("gap"), lit(false).as("isLeft"))): _*))
+          .as("e"))
+      .select(col(idCol), col("term"),
+        col("e.gap").as("gap"), col("e.isLeft").as("isLeft"))
+      .join(nSeg, Seq(idCol))
+      .filter(col("gap") >= 1 && col("gap") <= col("maxPos"))
+    contrib
+      .groupBy(col(idCol), col("gap"), col("term"))
+      .agg(sum(when(col("isLeft"), 1L).otherwise(0L)).as("lcnt"),
+        sum(when(!col("isLeft"), 1L).otherwise(0L)).as("rcnt"))
+      .groupBy(col(idCol), col("gap"))
+      .agg(sum(col("lcnt") * col("rcnt")).cast("long").as("dot"))
+  }
+
+  /** DuckDB twin of [[textTiling]] over the `documents` table. */
+  def textTilingOracle(w: Int = 10, k: Int = 2): String = {
+    val offsets = ((1 to k).map(d => s"($d, TRUE)") ++
+      (0 until k).map(d => s"(${-d}, FALSE)")).mkString(", ")
+    s"""WITH raw AS (SELECT doc_id,
+       |    regexp_extract_all(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))),
+       |                       '(?:[a-z0-9]+ ){0,${w - 1}}[a-z0-9]+') AS arr
+       |  FROM documents),
+       |segs AS (SELECT doc_id, unnest(range(len(arr))) AS pos, unnest(arr) AS seg
+       |         FROM raw),
+       |st AS (SELECT doc_id, pos, term, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM (SELECT doc_id, pos,
+       |               unnest(regexp_extract_all(lower(seg), '[a-z0-9]+')) AS term
+       |             FROM segs)
+       |       GROUP BY 1, 2, 3),
+       |ns AS (SELECT doc_id, MAX(pos) AS max_pos FROM segs GROUP BY 1),
+       |contrib AS (SELECT st.doc_id, st.term, st.cnt,
+       |    st.pos + g0.d AS gap, g0.is_left
+       |  FROM st, (VALUES $offsets) AS g0(d, is_left), ns
+       |  WHERE ns.doc_id = st.doc_id
+       |    AND st.pos + g0.d >= 1 AND st.pos + g0.d <= ns.max_pos),
+       |bt AS (SELECT doc_id, gap, term,
+       |         SUM(CASE WHEN is_left THEN cnt ELSE 0 END) AS lcnt,
+       |         SUM(CASE WHEN NOT is_left THEN cnt ELSE 0 END) AS rcnt
+       |       FROM contrib GROUP BY 1, 2, 3),
+       |dots AS (SELECT doc_id, gap, CAST(SUM(lcnt * rcnt) AS BIGINT) AS dot
+       |         FROM bt GROUP BY 1, 2),
+       |dep AS (SELECT doc_id, gap, dot,
+       |    (MAX(dot) OVER (PARTITION BY doc_id ORDER BY gap
+       |       ROWS UNBOUNDED PRECEDING) - dot) +
+       |    (MAX(dot) OVER (PARTITION BY doc_id ORDER BY gap DESC
+       |       ROWS UNBOUNDED PRECEDING) - dot) AS depth
+       |  FROM dots),
+       |fin AS (SELECT doc_id, gap, dot, depth,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n_gaps,
+       |    SUM(depth) OVER (PARTITION BY doc_id) AS sum_depth
+       |  FROM dep)
+       |SELECT doc_id, CAST(gap AS BIGINT) AS gap, dot, CAST(depth AS BIGINT) AS depth,
+       |  (depth > 0 AND depth * 2 * n_gaps >= sum_depth * 3) AS is_boundary
+       |FROM fin ORDER BY doc_id, gap""".stripMargin
+  }
 }

@@ -875,6 +875,22 @@ object TrainingQueries {
       doc = "overlapping token-window chunking (64/48): the long-document " +
         "split step of training-sequence assembly, chunk md5 for dedup"),
 
+    // TextTiling topic segmentation (Hearst 1997) — the CONTENT-AWARE
+    // chunking complement of q_chunk_sliding's fixed windows: gap cohesion
+    // = exact integer dot of the k=2-segment block term counts, depth via
+    // running maxima (deterministic stand-in for Hearst's climb-to-peak),
+    // boundary iff 2*depth*nGaps >= 3*sumDepth (cross-multiplied integer
+    // form of the 1.5x-mean cutoff — no division, no FP). All windows
+    // partition by document and are bounded by its own gap count.
+    "q_texttiling" -> QueryDef.sql(
+      (s, dir) => graft.ops.TextOps.textTiling(
+          Tables.documents(s, dir), "doc_id", "text", w = 10, k = 2)
+        .orderBy("doc_id", "gap"),
+      graft.ops.TextOps.textTilingOracle(w = 10, k = 2),
+      doc = "TextTiling topic-boundary detection (integer block-cohesion " +
+        "dot, depth scoring, 1.5x-mean cutoff) — content-aware RAG " +
+        "chunk boundaries, fully oracle-checked"),
+
     // DSIR importance resampling (Xie et al. 2023): hashed-bigram
     // importance weights of every document against the target slice
     // (lang = 'en'). The bucket log-ratio table (≤ 256 rows) and the

@@ -496,6 +496,28 @@ class Round11OpsSpec extends SparkSpecBase {
       Map("chunky" -> 0L))
   }
 
+  test("texttiling kernel dots equal the relational explode-per-gap referee") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val kernel = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.posexplode(
+          graft.functions.TextTilingDots.of(col("text"), 10, 2)).as(Seq("g0", "dot")))
+      .select(col("doc_id"), (col("g0") + 1).as("gap"), col("dot"))
+      .orderBy("doc_id", "gap").collect().toSeq
+    val relational = graft.ops.TextOps
+      .textTilingRelationalDots(docs, "doc_id", "text", w = 10, k = 2)
+      .orderBy("doc_id", "gap").collect().toSeq
+    assert(kernel.nonEmpty && kernel === relational)
+    // degenerate inputs: < 2 segments -> no gaps; empty/short text -> none
+    val tiny = spark.createDataFrame(Seq((1L, "only nine tokens a b c d e f"),
+      (2L, ""), (3L, (1 to 25).map(i => s"t$i").mkString(" ")))).toDF("doc_id", "text")
+    val t = tiny.select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          graft.functions.TextTilingDots.of(col("text"), 10, 2)).as("dot"))
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(3L -> 2L)) // 25 tokens -> 3 segments -> 2 gaps
+  }
+
   test("keyframes: every planted hard cut detected, no false cuts elsewhere") {
     val out = graft.ops.Multimodal.keyframes(
         Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
