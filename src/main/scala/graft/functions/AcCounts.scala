@@ -88,6 +88,35 @@ final class AcAutomaton(
 
   def counts(text: UTF8String): Array[Long] =
     counts(text, new Array[Long](nPatterns))
+
+  /** One pass, summary only: `[total occurrences, distinct patterns hit]`.
+    * The per-pattern array never materializes into the plan, so the cost
+    * of consuming the result is independent of dictionary size — a
+    * k-wide `element_at` fold over [[counts]] builds a k-deep expression
+    * tree (interpreted-speed past ~64 terms, StackOverflow in the
+    * analyzer past ~512; see CLAUDE.md k-wide-tree trap). */
+  def summary(text: UTF8String): Array[Long] = {
+    val str = text.toString
+    val n = str.length
+    val seen = new Array[Boolean](nPatterns)
+    var hits = 0L
+    var pats = 0L
+    var state = 0
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      state = if (c < 128) next(state)(c) else 0
+      val outs = outputs(state)
+      var k = 0
+      while (k < outs.length) {
+        hits += 1L
+        if (!seen(outs(k))) { seen(outs(k)) = true; pats += 1L }
+        k += 1
+      }
+      i += 1
+    }
+    Array(hits, pats)
+  }
 }
 
 object AcAutomaton {
@@ -129,6 +158,61 @@ object AcAutomaton {
     }
     new AcAutomaton(next.take(nNodes), out.take(nNodes).map(_.sorted.toArray),
       patterns.size)
+  }
+}
+
+/** The summary twin of [[AcCounts]]: `[n_hits, n_pats]` from the same
+  * one-pass automaton — the form the blocklist VERDICT consumes, with
+  * plan cost independent of dictionary size (see [[AcAutomaton.summary]]).
+  */
+case class AcSummary(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "graft_ac_summary: need at least one non-empty pattern")
+  require(patterns.forall(_.forall(_ < 128)),
+    "graft_ac_summary: patterns must be ASCII (text may be any Unicode)")
+  require(patterns.distinct.size == patterns.size,
+    "graft_ac_summary: duplicate pattern")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ac_summary"
+
+  @transient private lazy val automaton: AcAutomaton = AcAutomaton.build(patterns)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(automaton.summary(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acAutomaton", automaton,
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = new ${classOf[GenericArrayData].getName}(
+         |  $acRef.summary($s));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AcSummary =
+    copy(child = newChild)
+}
+
+object AcSummary {
+  val FunctionName = "graft_ac_summary"
+
+  val builder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        s"$FunctionName(text, patterns_spec): patterns_spec must be a literal")
+      AcSummary(exprs.head, exprs(1).eval().toString.split('|').toSeq)
+    }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FunctionName, builder, "scala_udf")
+
+  /** Column API: `[n_hits, n_pats]` in one scan. */
+  def of(text: Column, patterns: Seq[String]): Column = {
+    require(patterns.forall(!_.contains('|')), "patterns must not contain '|'")
+    register(SparkSession.active)
+    call_function(FunctionName, text, lit(patterns.mkString("|")))
   }
 }
 

@@ -378,26 +378,28 @@ object CleanOps {
     * patterns present, and the keep verdict.
     *
     * The dictionary scan is ONE Aho–Corasick pass per document
-    * ([[graft.functions.AcCounts]] — cost independent of dictionary size),
-    * not |dict| `contains` scans; the per-pattern counts come back as one
-    * array column and the summary folds are |dict|-term codegen'd addition
-    * chains (plain `+` — NOT an `aggregate` HOF, which is CodegenFallback).
-    * Scale shape: a map-only projection — no shuffle at all; the verdict
-    * filter pushes to the scan at 100 TB.
+    * ([[graft.functions.AcSummary]] — cost independent of dictionary
+    * size), not |dict| `contains` scans, and the summary `[n_hits,
+    * n_pats]` is computed INSIDE the kernel: a per-pattern array consumed
+    * by a |dict|-term `element_at` fold builds a |dict|-deep expression
+    * tree — interpreted-speed past ~64 terms and an analyzer
+    * StackOverflow past ~512 (ProbeAc measured it; the k-wide-tree trap).
+    * Per-pattern detail remains available via [[graft.functions
+    * .AcCounts]] for callers that need it. Scale shape: a map-only
+    * projection — no shuffle at all; the verdict filter pushes to the
+    * scan at 100 TB.
     *
     * Counting semantics (oracle-expressible, overlap-inclusive): for each
     * pattern p, the number of positions i with `substr(text,i,len(p)) = p`.
     */
   def blocklistScreen(docs: DataFrame, idCol: String, textCol: String,
-                      patterns: Seq[String]): DataFrame = {
-    val counted = docs.select(col(idCol),
-      graft.functions.AcCounts.of(col(textCol), patterns).as("c"))
-    val hits = patterns.indices.map(i => element_at(col("c"), i + 1))
-    counted.select(col(idCol),
-      hits.reduce(_ + _).as("n_hits"),
-      hits.map(h => when(h > 0, 1L).otherwise(0L)).reduce(_ + _).as("n_pats"),
-      hits.reduce(_ + _).===(0L).as("keep"))
-  }
+                      patterns: Seq[String]): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.AcSummary.of(col(textCol), patterns).as("s"))
+      .select(col(idCol),
+        element_at(col("s"), 1).as("n_hits"),
+        element_at(col("s"), 2).as("n_pats"),
+        element_at(col("s"), 1).===(0L).as("keep"))
 
   /** DuckDB twin of [[blocklistScreen]]: the per-pattern count is a literal
     * position scan (list comprehension over every start offset), the

@@ -70,6 +70,20 @@ class AcCountsSpec extends SparkSpecBase {
     assert(got.toSeq.map(_.toSeq) === want)
   }
 
+  test("property: one-pass summary equals the fold of per-pattern counts") {
+    val alpha = Gen.oneOf('a', 'b', ' ', 'c')
+    val word = Gen.choose(1, 5).flatMap(n => Gen.stringOfN(n, alpha))
+    val dict = Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, word))
+      .map(_.distinct).suchThat(_.nonEmpty)
+    val text = Gen.choose(0, 60).flatMap(n => Gen.stringOfN(n, alpha))
+    check(Prop.forAll(dict, text) { (pats: List[String], t: String) =>
+      val a = AcAutomaton.build(pats)
+      val cs = a.counts(UTF8String.fromString(t))
+      val s = a.summary(UTF8String.fromString(t))
+      s.toSeq == Seq(cs.sum, cs.count(_ > 0).toLong)
+    })
+  }
+
   test("null text yields null counts, not a crash") {
     val df = spark.createDataFrame(Seq((0L, "slow"), (1L, null.asInstanceOf[String])))
       .toDF("id", "t")
