@@ -74,7 +74,22 @@ object GraftFunctions {
       HistMinSum.builder),
     (GramHashes.FunctionName,
       "graft_gram_hashes(text, k) - all k-gram rolling hashes of a document (one O(len) pass)",
-      GramHashes.builder)
+      GramHashes.builder),
+    (StopwordCounts.FunctionName,
+      "graft_stopword_counts(text, sets_spec) - per-word-set \\b-exact stopword counts in one pass",
+      StopwordCounts.builder),
+    (AcCounts.FunctionName,
+      "graft_ac_counts(text, patterns_spec) - per-pattern overlap-inclusive occurrence counts (Aho-Corasick, one pass)",
+      AcCounts.builder),
+    (AcSummary.FunctionName,
+      "graft_ac_summary(text, patterns_spec) - [total hits, distinct patterns hit] (Aho-Corasick, one pass)",
+      AcSummary.builder),
+    (ViterbiSeg.FunctionName,
+      "graft_viterbi_seg(word, vocab_spec, max_piece_len) - min-surprisal unigram-LM segmentation, pieces joined by '|'",
+      ViterbiSeg.builder),
+    (TextTilingDots.FunctionName,
+      "graft_texttiling_dots(text, w, k) - TextTiling per-gap block-cohesion dot products (one pass)",
+      TextTilingDots.builder)
   )
 
   /** Register every graft function in an existing session (idempotent). */

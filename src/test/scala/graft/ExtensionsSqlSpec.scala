@@ -32,6 +32,19 @@ class ExtensionsSqlSpec extends SparkSpecBase {
     assert(spark.sql("SELECT graft_matvec(array(3.0D,4.0D), " +
         "array(1.0D,0.0D,0.0D,1.0D), 2, 2)")
       .head.getSeq[Double](0) === Seq(3.0, 4.0))
+    // round-11 kernels
+    assert(spark.sql("SELECT graft_stopword_counts('the cat the', 'the|cat,dog')")
+      .head.getSeq[Int](0) === Seq(2, 1))
+    assert(spark.sql("SELECT graft_ac_counts('a a a', 'a a|a')")
+      .head.getSeq[Long](0) === Seq(2L, 3L))
+    assert(spark.sql("SELECT graft_ac_summary('a a a', 'a a|a')")
+      .head.getSeq[Long](0) === Seq(5L, 2L))
+    assert(spark.sql("SELECT graft_viterbi_seg('abab', 'a:7,b:9,ab:12', 4)")
+      .head.getString(0) === "ab|ab")
+    // 20 identical tokens, w=10 -> 2 segments, 1 gap; dot = 10*10
+    assert(spark.sql("SELECT graft_texttiling_dots(" +
+        "concat_ws(' ', array_repeat('tok', 20)), 10, 2)")
+      .head.getSeq[Long](0) === Seq(100L))
   }
 
   test("SQL calls build the same expression as the Column API helpers") {
