@@ -336,7 +336,7 @@ class PlanSpec extends SparkSpecBase {
       sources.Tables.documents(spark, sf0001), "doc_id", "text",
       Seq("slow", "low", "a a"))
     val plan = planString(df)
-    assert(plan.contains("graft_ac_counts"), s"AC kernel missing from plan:\n$plan")
+    assert(plan.contains("graft_ac_summary"), s"AC kernel missing from plan:\n$plan")
     assert(!plan.contains("Exchange"), s"blocklist screen must be map-only:\n$plan")
   }
 
