@@ -67,6 +67,37 @@ object AnalyticsQueries {
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Oracle for q_dedup_recall: both pair tiers replayed as derived tables
+    * (nested WITHs scope their CTE names), joined by a full pair union.
+    * Assembled with mkString, NOT an outer stripMargin — interpolating
+    * already-stripped fragments into a stripMargin re-strips any line that
+    * happens to start with '|' (the FIXTURES round-7 composition trap). */
+  private def dedupRecallOracle: String = {
+    val exactPairs = Seq(
+      s"WITH sh AS ($ShingleSqlFragment),",
+      "cnt AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),",
+      "inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter",
+      "          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)",
+      "SELECT id_a, id_b FROM inter JOIN cnt ca ON ca.id = id_a",
+      "  JOIN cnt cb ON cb.id = id_b",
+      "WHERE ROUND(CAST(n_inter AS DOUBLE)/(ca.n_sh + cb.n_sh - n_inter), 6) >= 0.5"
+    ).mkString("\n")
+    val mhPairs = minhashPortableOracle(numPerm = 32, rowsPerBand = 2,
+      threshold = 0.5, maxBucket = 64)
+    Seq(
+      "SELECT CAST(SUM(ie) AS BIGINT) AS n_exact,",
+      "  CAST(SUM(im) AS BIGINT) AS n_mh,",
+      "  CAST(SUM(ie*im) AS BIGINT) AS n_both,",
+      "  CAST(SUM((1-ie)*im) AS BIGINT) AS n_extra,",
+      "  CAST((SUM(ie*im) * 1000000) // SUM(ie) AS BIGINT) AS recall_micro",
+      "FROM (SELECT id_a, id_b, MAX(ie) AS ie, MAX(im) AS im FROM (",
+      s"  SELECT id_a, id_b, 1 AS ie, 0 AS im FROM ($exactPairs) ep",
+      "  UNION ALL",
+      s"  SELECT id_a, id_b, 0, 1 FROM ($mhPairs) mp",
+      ") GROUP BY 1, 2)"
+    ).mkString("\n")
+  }
+
   /** DuckDB reproduction of `Dedup.simhashNearDupPairsPortable`: md5-derived
     * 64-bit signature as four 16-bit chunks, majority vote per bit, bucket
     * join per chunk with the hot-bucket cap, hamming verify via bit_count. */
@@ -489,6 +520,47 @@ object AnalyticsQueries {
         "runs an exact countDistinct and joins it in for the within-3sigma " +
         "check, so its bench time measures the exact path, not sketch " +
         "speed — production form is HllAgg alone"),
+
+    // MEASURED recall of the MinHash-LSH dedup tier against exact n-gram
+    // Jaccard ground truth — the text-dedup twin of q_ann_recall's
+    // "recall is measured, not asserted" discipline. Both tiers run at
+    // the production geometry (n=3 shingles, threshold 0.5, 32 perms x
+    // 16 bands, maxBucket 64); the LSH pairs are exact-verified by
+    // construction, so n_extra doubles as a subset PROOF (precision 1.0)
+    // and recall_micro quantifies what band collisions miss. One-row
+    // integer output; the oracle replays BOTH tiers as derived tables.
+    "q_dedup_recall" -> QueryDef.sql(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // localCheckpoint each tier's (tiny) pair table EAGERLY: one union
+        // action over both lazy tiers races their branches against the
+        // not-yet-materialized shared shingle caches and re-computes the
+        // regex pass per branch (measured 39 s vs the tiers' 12 s sum at
+        // the 10x probe); sequential checkpoints run each tier exactly as
+        // its standalone query, and the final agg reads two pair tables
+        val e = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+            n = 3, threshold = 0.5)
+          .select(col("id_a"), col("id_b"), lit(1L).as("ie"), lit(0L).as("im"))
+          .localCheckpoint()
+        val m = Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text",
+            n = 3, numPerm = 32, rowsPerBand = 2, threshold = 0.5, maxBucket = 64)
+          .select(col("id_a"), col("id_b"), lit(0L).as("ie"), lit(1L).as("im"))
+          .localCheckpoint()
+        e.unionByName(m)
+          .groupBy("id_a", "id_b")
+          .agg(max("ie").as("e"), max("im").as("m"))
+          .agg(sum(col("e")).cast("long").as("n_exact"),
+            sum(col("m")).cast("long").as("n_mh"),
+            sum(col("e") * col("m")).cast("long").as("n_both"),
+            sum((lit(1L) - col("e")) * col("m")).cast("long").as("n_extra"))
+          .select(col("n_exact"), col("n_mh"), col("n_both"), col("n_extra"),
+            call_function("div", col("n_both") * 1000000L, col("n_exact"))
+              .as("recall_micro"))
+      },
+      dedupRecallOracle,
+      doc = "measured recall of the MinHash-LSH near-dup tier vs exact " +
+        "Jaccard ground truth (n_extra = 0 proves the verified subset), " +
+        "fully oracle-checked"),
 
     // HDR-histogram quantile sketch: the portable, mergeable quantile tier
     // (HdrHistogram/DDSketch shape) with the WHOLE estimate oracle-checked
