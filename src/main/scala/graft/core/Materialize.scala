@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Eager lineage cut for iterative operators (label propagation, star-CC,
+  * BPE merge rounds, multi-tier dedup unions): each round's result is
+  * materialized and its plan truncated so N rounds stay an O(1)-deep plan
+  * instead of an O(N)-deep one the analyzer re-walks every round.
+  *
+  * Two modes, selected by the runtime conf `spark.graft.checkpointDir`:
+  *
+  *  - '''unset (default)''': `localCheckpoint()` — blocks live in executor
+  *    block storage. The right idiom on `local[*]` and the fastest path on
+  *    a healthy cluster, but the truncated lineage has NO recompute path:
+  *    losing one executor mid-query fails the query.
+  *  - '''set to a directory''': reliable `checkpoint()` — blocks are
+  *    written to the (HDFS-compatible) checkpoint dir, so an executor loss
+  *    recomputes from the checkpoint files instead of failing the query.
+  *    This is the 100 TB / 1000-executor posture; the dir is registered on
+  *    the SparkContext once, on first use.
+  *
+  * Both modes are eager and produce bit-identical results (the cut changes
+  * fault-tolerance, never semantics) — asserted in Round12OpsSpec by
+  * running labelPropagation under each mode.
+  */
+object Materialize {
+
+  /** Runtime conf key: when set (non-empty), [[stage]] uses reliable
+    * `checkpoint()` rooted at this directory instead of `localCheckpoint`. */
+  val ConfKey = "spark.graft.checkpointDir"
+
+  def stage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val dir = spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty)
+    dir match {
+      case Some(d) =>
+        val sc = spark.sparkContext
+        // setCheckpointDir appends a per-context UUID subdir; register once
+        // (a mid-session conf change to a DIFFERENT dir is not a supported
+        // flow — the first dir wins for the context's lifetime)
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
+  /** `df.staged()` sugar so call sites read like the `localCheckpoint()`
+    * they replace. */
+  implicit class StageOps(private val df: DataFrame) extends AnyVal {
+    def staged(): DataFrame = stage(df)
+  }
+}

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Materialize.StageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -403,12 +404,13 @@ object CleanOps {
 
   /** DuckDB twin of [[blocklistScreen]]: the per-pattern count is a literal
     * position scan (list comprehension over every start offset), the
-    * overlap-inclusive definition the automaton reproduces. Patterns must
-    * be '-quote-safe (plain ASCII phrases). */
+    * overlap-inclusive definition the automaton reproduces. Single quotes
+    * in patterns are SQL-escaped (doubled), so any ASCII phrase the
+    * automaton accepts produces well-formed oracle SQL. */
   def blocklistScreenOracle(idCol: String, textCol: String,
                             patterns: Seq[String]): String = {
     val vals = patterns.zipWithIndex
-      .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+      .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }.mkString(", ")
     s"""WITH pats(pid, p) AS (VALUES $vals),
        |hit AS (SELECT $idCol, pid,
        |    len([i FOR i IN range(1, len($textCol) - len(p) + 2)
@@ -616,7 +618,7 @@ object CleanOps {
     val sh = docs.select(col(groupCol).as("g"),
         explode(TextOps.shingles(col(textCol), n)).as("s"))
       .distinct()
-      .localCheckpoint()
+      .staged()
     val elig = sh.groupBy("s").agg(count(lit(1)).as("nsrc"))
       .filter(col("nsrc").between(2, maxSrc))
       .select("s")

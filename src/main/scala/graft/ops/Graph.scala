@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Materialize.StageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -19,7 +20,7 @@ import org.apache.spark.sql.functions._
   * large-star/small-star alternation [Kiveris et al. 2014] halves rounds;
   * not needed for dedup-shaped graphs.)
   *
-  * Intermediate labels are `localCheckpoint`ed per round: each round's plan
+  * Intermediate labels are staged (`core.Materialize` — localCheckpoint, or reliable checkpoint under `spark.graft.checkpointDir`) per round: each round's plan
   * references the previous round TWICE (the self-union and the edge join),
   * so without lineage truncation the logical plan doubles every round —
   * by round ~14 the plan tree is ~2^14 nodes and merely *stringifying* it
@@ -46,9 +47,9 @@ object Graph {
     // the PPJoin pipeline
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst")).persist()
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint() // eager: materializes here, truncates the pair-pipeline plan
+      .staged() // eager: materializes here, truncates the pair-pipeline plan
     e.unpersist(blocking = false)
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("label")).staged()
     // labels only ever DECREASE under min-propagation, so sum(label) is a
     // strictly-decreasing convergence signal: one small aggregate per round
     // both materializes the cache and detects the fixpoint (decimal sum —
@@ -65,7 +66,7 @@ object Graph {
         .select(sym("dst").as("id"), col("label"))
       val next = labels.select("id", "label").union(viaEdges)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint() // eager: O(1)-deep plan; prior round's RDD is GC-reclaimed
+        .staged() // eager: O(1)-deep plan; prior round's RDD is GC-reclaimed
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -92,7 +93,7 @@ object Graph {
     * round as a label round, far fewer rounds. The fixpoint is a star
     * forest centered at component minima; the (count, edge-hash-sum)
     * signature detects it with one small aggregate per round (the
-    * labelSum discipline). Intermediate edge sets are localCheckpointed
+    * labelSum discipline). Intermediate edge sets are staged (Materialize)
     * for the same plan-depth reason as the label loop.
     *
     * Output contract identical to [[connectedComponents]] — (id, label)
@@ -123,12 +124,12 @@ object Graph {
         Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
     }
     var e = canon(edges.select(greatest(col("id_a"), col("id_b")).as("a"),
-      least(col("id_a"), col("id_b")).as("b"))).localCheckpoint()
+      least(col("id_a"), col("id_b")).as("b"))).staged()
     var prev = sig(e)
     var converged = prev._1 == 0L // no edges: already a (degenerate) forest
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).staged()
       val s = sig(next)
       converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
       prev = s
@@ -258,7 +259,7 @@ object Graph {
     * `max(struct(count, -label))` — never a corpus-sized window
     * partition. `rounds` is a fixed small constant (community labels
     * stabilize in a handful of rounds on dedup-shaped graphs); per-round
-    * labels are localCheckpointed for the same plan-depth reason as
+    * labels are staged (Materialize) for the same plan-depth reason as
     * [[connectedComponents]].
     *
     * @param edges columns `id_a`, `id_b` (undirected, a < b, no dups —
@@ -269,7 +270,7 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst")).persist()
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint() // eager: truncates the pair-pipeline plan
+      .staged() // eager: truncates the pair-pipeline plan
     e.unpersist(blocking = false)
     var lab = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
@@ -280,7 +281,7 @@ object Graph {
         .groupBy("src")
         .agg(max(struct(col("c").as("c"), (-col("nl")).as("negl"))).as("m"))
         .select(col("src").as("id"), (-col("m.negl")).as("label"))
-        .localCheckpoint() // eager: O(1)-deep plan across rounds
+        .staged() // eager: O(1)-deep plan across rounds
     }
     val sizes = lab.groupBy("label").agg(count(lit(1)).cast("long").as("csize"))
     lab.join(sizes, "label").select("id", "label", "csize")
@@ -303,7 +304,7 @@ object Graph {
     * the reachability relation — trades each round for an edge×edge
     * self-join; for the small fixed radii this audit wants, frontier
     * expansion moves strictly less data). Per-round results are
-    * localCheckpointed so the plan stays O(1)-deep, same as
+    * staged (Materialize) so the plan stays O(1)-deep, same as
     * [[connectedComponents]] / [[labelPropagation]].
     *
     * @param edges columns `id_a`, `id_b` (undirected, a < b, no dups)
@@ -328,14 +329,14 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val e0 = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
     var sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .staged()
     for (_ <- 1 to rounds) {
       val keep = sym.groupBy("src").agg(count(lit(1)).as("n"))
         .filter(col("n") >= k).select(col("src").as("id"))
       sym = sym
         .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint()
+        .staged()
     }
     val deg = sym.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
     val converged = deg.filter(col("deg") < k).isEmpty
@@ -397,7 +398,7 @@ object Graph {
   def bfsLevels(edges: DataFrame, seedMod: Long, rounds: Int): DataFrame = {
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .staged()
     var visited = sym.select(col("src").as("id")).distinct()
       .filter(col("id") % seedMod === 0)
       .withColumn("lev", lit(0L))
@@ -407,10 +408,10 @@ object Graph {
         .join(frontier.select(col("id").as("src")), "src")
         .select(col("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint()
+        .staged()
       visited = visited
         .union(frontier.withColumn("lev", lit(r.toLong)))
-        .localCheckpoint()
+        .staged()
     }
     visited
   }

@@ -441,7 +441,10 @@ object Multimodal {
     require(nFrames >= 2 && nFrames <= 8, s"keyframes: bad nFrames $nFrames")
     val docId = col(idCol)
     val text = col(textCol)
-    val fromCh = "aeiosn"; val toCh = "bfjpto"
+    // 7 single-char remaps (frames 1..7 use fromCh(f-1)→toCh(f-1)) so the
+    // documented nFrames ≤ 8 bound is actually reachable; frames ≤ 6 keep
+    // their original mapping (fixture hashes unchanged)
+    val fromCh = "aeiosnr"; val toCh = "bfjptos"
     val frames = (0 until nFrames).map { f =>
       val content =
         when(docId % 3 === 0 && (docId % 5 + 1) === lit(f), reverse(text))

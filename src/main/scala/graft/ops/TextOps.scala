@@ -374,11 +374,15 @@ object TextOps {
   private[graft] def textTilingRelationalDots(docs: DataFrame, idCol: String,
                                               textCol: String, w: Int,
                                               k: Int): DataFrame = {
-    val segs = docs.select(col(idCol),
-      posexplode(CleanOps.tokenSegments(col(textCol), w)).as(Seq("pos", "seg")))
-    val segTerms = segs
-      .select(col(idCol), col("pos"), explode(tokens(col("seg"))).as("term"))
-    val nSeg = segs.groupBy(idCol).agg(max(col("pos")).as("maxPos"))
+    // segment = token index / w, matching the kernel (and the oracle) on
+    // ARBITRARY text — the earlier w-token regex chunking broke segments
+    // early at any non-space separator and agreed only on [a-z0-9 ] fixtures
+    val segTerms = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("ti", "term")))
+      .select(col(idCol),
+        call_function("div", col("ti"), lit(w)).cast("int").as("pos"),
+        col("term"))
+    val nSeg = segTerms.groupBy(idCol).agg(max(col("pos")).as("maxPos"))
     val contrib = segTerms.select(col(idCol), col("term"),
         explode(array(
           (1 to k).map(d => struct((col("pos") + d).as("gap"), lit(true).as("isLeft"))) ++
@@ -396,22 +400,25 @@ object TextOps {
       .agg(sum(col("lcnt") * col("rcnt")).cast("long").as("dot"))
   }
 
-  /** DuckDB twin of [[textTiling]] over the `documents` table. */
+  /** DuckDB twin of [[textTiling]] over the `documents` table. Segments by
+    * TOKEN INDEX (`i // w` over the unnested token array) — exactly the
+    * kernel's `tok / w` bucketing — rather than a w-token regex over the
+    * normalized text, so the twin holds on arbitrary text (punctuation
+    * between tokens forced the regex form to break a segment early; the
+    * two agreed only on strictly-`[a-z0-9 ]` fixture text). */
   def textTilingOracle(w: Int = 10, k: Int = 2): String = {
     val offsets = ((1 to k).map(d => s"($d, TRUE)") ++
       (0 until k).map(d => s"(${-d}, FALSE)")).mkString(", ")
     s"""WITH raw AS (SELECT doc_id,
-       |    regexp_extract_all(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))),
-       |                       '(?:[a-z0-9]+ ){0,${w - 1}}[a-z0-9]+') AS arr
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
        |  FROM documents),
-       |segs AS (SELECT doc_id, unnest(range(len(arr))) AS pos, unnest(arr) AS seg
-       |         FROM raw),
+       |tok AS (SELECT doc_id, i // $w AS pos, term
+       |        FROM (SELECT doc_id, unnest(range(len(toks))) AS i,
+       |                unnest(toks) AS term
+       |              FROM raw)),
        |st AS (SELECT doc_id, pos, term, CAST(COUNT(*) AS BIGINT) AS cnt
-       |       FROM (SELECT doc_id, pos,
-       |               unnest(regexp_extract_all(lower(seg), '[a-z0-9]+')) AS term
-       |             FROM segs)
-       |       GROUP BY 1, 2, 3),
-       |ns AS (SELECT doc_id, MAX(pos) AS max_pos FROM segs GROUP BY 1),
+       |       FROM tok GROUP BY 1, 2, 3),
+       |ns AS (SELECT doc_id, MAX(pos) AS max_pos FROM tok GROUP BY 1),
        |contrib AS (SELECT st.doc_id, st.term, st.cnt,
        |    st.pos + g0.d AS gap, g0.is_left
        |  FROM st, (VALUES $offsets) AS g0(d, is_left), ns

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Materialize.StageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -168,15 +169,15 @@ object TrainOps {
     // expensive step of the job at sf0.1). Out-degree instead rides on the
     // node-sized rank table below.
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .staged()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint() // node-sized; computed once
+      .staged() // node-sized; computed once
     e.unpersist(blocking = false)
     val n = deg.count() // every node has out-edges under the symmetric closure
     val teleport = (S * (100L - dampingPct) / 100L) / n
     // Per iteration, the per-source contribution (pr div outdeg) is built
     // on the NODE-sized side (ranks ⋈ deg — two tiny tables) and joined
-    // onto the edges. Both small tables sit behind localCheckpoints, which
+    // onto the edges. Both small tables sit behind Materialize.stage cuts, which
     // hide their size from the planner (LogicalRDD reports
     // spark.sql.defaultSizeInBytes), so without an explicit hint every
     // iteration falls back to sort-merge — re-sorting the full edge list
@@ -197,7 +198,7 @@ object TrainOps {
         .select(sym("dst").as("id"), col("c"))
         .groupBy("id")
         .agg((lit(teleport) + expr(s"($dampingPct * sum(c)) div 100")).as("pr_micro"))
-        .localCheckpoint() // O(1)-deep plan across iterations (see Graph.scala)
+        .staged() // O(1)-deep plan across iterations (see Graph.scala)
     }
     ranks.withColumn("pr", col("pr_micro").cast("double") / lit(1.0e12))
   }
@@ -290,7 +291,7 @@ object TrainOps {
     * against the small kept set (broadcast at page scale, shuffled
     * hash-join beyond) — positions adjacent to the merged pair are the
     * only rows that change, everything else streams through the join
-    * untouched, and no full-corpus sort ever runs again. localCheckpoint
+    * untouched, and no full-corpus sort ever runs again. Materialize.stage
     * keeps the plan O(1)-deep across rounds (the [[pageRank]] contract).
     * `rounds` passes of scan+join is BPE's inherent cost — production
     * tokenizers fit on a corpus SAMPLE; pair counts are deterministic,
@@ -330,7 +331,7 @@ object TrainOps {
         Window.partitionBy(col(idCol)).orderBy(col("pos"))))
       .withColumn("nxt_pos", lead(col("pos"), 1).over(
         Window.partitionBy(col(idCol)).orderBy(col("pos"))))
-      .localCheckpoint()
+      .staged()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -353,7 +354,7 @@ object TrainOps {
         // sits exactly at the previous candidate's next-live position
         // (true only for self-pairs a==b; a!=b runs are singletons)
         val cw = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-        // materialized once (localCheckpoint): kept feeds FOUR joins below,
+        // materialized once (Materialize.stage): kept feeds FOUR joins below,
         // and a lazy plan would re-run the candidate scan + windows per use;
         // materialization also hands AQE its true (small) size, so the
         // rewrite joins broadcast at page scale without a forced hint that
@@ -367,7 +368,7 @@ object TrainOps {
             Window.partitionBy(col(idCol), col("isl")).orderBy(col("pos"))))
           .filter(col("rn") % 2 === 1)
           .select(col(idCol), col("pos").as("p"), col("nxt_pos").as("q"))
-          .localCheckpoint()
+          .staged()
         // merged-row info needs the row AT q (its nxt/nxt_pos become the
         // merged row's): one equi-join of adj against the small kept set.
         // If the next-live position r after q is ITSELF a kept start, its
@@ -407,7 +408,7 @@ object TrainOps {
               .otherwise(col("nxt")).as("nxt"),
             when(col("is_p").isNotNull, col("new_nxt_pos"))
               .otherwise(col("nxt_pos")).as("nxt_pos"))
-          .localCheckpoint()
+          .staged()
         r += 1
       }
     }
@@ -1228,16 +1229,20 @@ object TrainOps {
       .select("word", "tf", "n_pieces", "seg")
   }
 
-  /** The shared fit: the persisted TYPES table (`w`, `tf`) and the scored
+  /** The shared fit: the STAGED TYPES table (`w`, `tf`) and the scored
     * piece vocabulary collected under the bounded discipline above. The
-    * types table is localCheckpoint-free but persisted so the two corpus
-    * consumers (fit + segmentation, or the EM round's E/M steps) tokenize
-    * the corpus ONCE. */
+    * types table is staged (`Materialize.stage` — eager lineage cut, not
+    * a `persist`) so the two corpus consumers (fit + segmentation, or the
+    * EM round's E/M steps) tokenize the corpus ONCE, while the blocks are
+    * reclaimed by the ContextCleaner once the returned plan is dropped —
+    * the r11 advice found the old `persist()` leaked one CacheManager
+    * entry per invocation for the session's lifetime (a cache returned to
+    * a caller has no release point; a staged RDD releases itself). */
   private def unigramFit(docs: DataFrame, textCol: String, maxPieceLen: Int,
                          topV: Int): (DataFrame, Seq[(String, Long)]) = {
     val types = docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("long").as("tf"))
-      .persist()
+      .staged()
     val pieces = types
       .select(col("w"), col("tf"),
         explode(sequence(lit(1), length(col("w")))).as("s"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Materialize.StageOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,11 +86,15 @@ object AnalyticsQueries {
     val mhPairs = minhashPortableOracle(numPerm = 32, rowsPerBand = 2,
       threshold = 0.5, maxBucket = 64)
     Seq(
+      // n_exact = 0 must fail LOUDLY (DuckDB's `x // 0` is NULL, not an
+      // error — FIXTURES division-guard rule): a broken ground-truth tier
+      // would otherwise hash-match the Spark side's own NULL
       "SELECT CAST(SUM(ie) AS BIGINT) AS n_exact,",
       "  CAST(SUM(im) AS BIGINT) AS n_mh,",
       "  CAST(SUM(ie*im) AS BIGINT) AS n_both,",
       "  CAST(SUM((1-ie)*im) AS BIGINT) AS n_extra,",
-      "  CAST((SUM(ie*im) * 1000000) // SUM(ie) AS BIGINT) AS recall_micro",
+      "  CAST(CASE WHEN COALESCE(SUM(ie), 0) = 0 THEN error('q_dedup_recall: exact tier returned no pairs')",
+      "       ELSE (SUM(ie*im) * 1000000) // SUM(ie) END AS BIGINT) AS recall_micro",
       "FROM (SELECT id_a, id_b, MAX(ie) AS ie, MAX(im) AS im FROM (",
       s"  SELECT id_a, id_b, 1 AS ie, 0 AS im FROM ($exactPairs) ep",
       "  UNION ALL",
@@ -532,7 +537,7 @@ object AnalyticsQueries {
     "q_dedup_recall" -> QueryDef.sql(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        // localCheckpoint each tier's (tiny) pair table EAGERLY: one union
+        // stage (Materialize) each tier's (tiny) pair table EAGERLY: one union
         // action over both lazy tiers races their branches against the
         // not-yet-materialized shared shingle caches and re-computes the
         // regex pass per branch (measured 39 s vs the tiers' 12 s sum at
@@ -541,11 +546,11 @@ object AnalyticsQueries {
         val e = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
             n = 3, threshold = 0.5)
           .select(col("id_a"), col("id_b"), lit(1L).as("ie"), lit(0L).as("im"))
-          .localCheckpoint()
+          .staged()
         val m = Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text",
             n = 3, numPerm = 32, rowsPerBand = 2, threshold = 0.5, maxBucket = 64)
           .select(col("id_a"), col("id_b"), lit(0L).as("ie"), lit(1L).as("im"))
-          .localCheckpoint()
+          .staged()
         e.unionByName(m)
           .groupBy("id_a", "id_b")
           .agg(max("ie").as("e"), max("im").as("m"))
@@ -554,7 +559,17 @@ object AnalyticsQueries {
             sum(col("e") * col("m")).cast("long").as("n_both"),
             sum((lit(1L) - col("e")) * col("m")).cast("long").as("n_extra"))
           .select(col("n_exact"), col("n_mh"), col("n_both"), col("n_extra"),
-            call_function("div", col("n_both") * 1000000L, col("n_exact"))
+            // integral div by a zero n_exact would be a silent NULL on BOTH
+            // engines (masking a broken ground-truth tier as a still-
+            // matching row); recall_micro is an always-read output column,
+            // so raise_error here cannot be pruned away (the semDedup trap
+            // does not apply)
+            // coalesce: SUM over ZERO rows is NULL, not 0 (an empty pair
+            // union would otherwise slip past the === 0 check as NULL)
+            when(coalesce(col("n_exact"), lit(0L)) === 0,
+              raise_error(lit("q_dedup_recall: exact tier returned no pairs")))
+              .otherwise(call_function("div", col("n_both") * 1000000L,
+                col("n_exact")))
               .as("recall_micro"))
       },
       dedupRecallOracle,

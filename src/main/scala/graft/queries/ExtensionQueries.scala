@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Materialize.StageOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -736,7 +737,7 @@ object ExtensionQueries {
         // materialize the pair job ONCE — both the history CC and the
         // batch merge filter it (without this the shingle join runs twice)
         val pairs = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
-          n = 3, threshold = 0.5).select("id_a", "id_b").localCheckpoint()
+          n = 3, threshold = 0.5).select("id_a", "id_b").staged()
         val oldPairs = pairs.filter(col("id_a") < cut && col("id_b") < cut)
         val newPairs = pairs.filter(col("id_a") >= cut || col("id_b") >= cut)
         val oldLabels = Graph.connectedComponentsStar(

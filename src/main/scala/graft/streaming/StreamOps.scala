@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.core.Materialize.StageOps
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -337,7 +338,7 @@ object StreamOps {
     * two-batch feed). Thread-safe for Structured Streaming's serialized
     * foreachBatch calls. */
   final class ClusterMaintainer(initial: DataFrame) {
-    @volatile private var labelsDf: DataFrame = initial.localCheckpoint(true)
+    @volatile private var labelsDf: DataFrame = initial.staged()
     def labels: DataFrame = labelsDf
     def absorb(deltas: DataFrame): Unit = synchronized {
       val nodes = deltas.filter(col("kind") === "node")
@@ -345,7 +346,7 @@ object StreamOps {
       val edges = deltas.filter(col("kind") === "edge")
         .select(col("id_a"), col("id_b")).distinct()
       labelsDf = graft.ops.Graph.incrementalComponents(labelsDf, nodes, edges)
-        .localCheckpoint(true)
+        .staged()
     }
   }
 

@@ -358,9 +358,11 @@ class PlanSpec extends SparkSpecBase {
     val plan = planString(SparkEntry.queries("q_unigram_segment")(spark, sf0001))
     assert(plan.contains("graft_viterbi_seg"), s"kernel missing:\n$plan")
     // the kernel input is the aggregated word table, not the raw corpus:
-    // the projection containing the kernel sits above a HashAggregate
-    val kernelIdx = plan.indexOf("graft_viterbi_seg")
-    assert(plan.indexOf("HashAggregate", kernelIdx) > 0,
-      s"kernel must run over the aggregated types table:\n$plan")
+    // below the kernel projection sits either the HashAggregate itself or
+    // (round 12: the types table is STAGED so its cache self-releases) the
+    // staged materialization of exactly that (w, tf) aggregate
+    val below = plan.substring(plan.indexOf("graft_viterbi_seg"))
+    assert(below.contains("HashAggregate") || below.contains("Scan ExistingRDD[w#"),
+      s"kernel must run over the aggregated (or staged) types table:\n$plan")
   }
 }
