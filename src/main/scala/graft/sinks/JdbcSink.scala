@@ -100,16 +100,31 @@ object JdbcSink {
   /** Streaming form: one `writeRouted` per micro-batch (`foreachBatch` ≙
     * the per-chunk flush thread, `out_sql.rb:226-237`). Caller starts the
     * returned query with its own trigger/checkpoint. */
+  /** Dead letters are FIRST-CLASS streaming output (r11 verdict #8): every
+    * batch's dropped records are counted to the callback AND, when
+    * `deadLetterTable` is set, appended to that JDBC table as
+    * (record_json, error, dest_table, batch_id) — the reference's
+    * loss-after-retries mode (`out_sql.rb:123-129`) made observable. A
+    * failure writing the dead-letter table itself raises (silently losing
+    * the loss record would defeat the channel). */
   def routedStream(stream: DataFrame, cfg: OutputConfig, url: String,
                    props: Properties = new Properties(),
                    batchSize: Int = 1000,
+                   deadLetterTable: Option[String] = None,
                    onDeadLetters: (String, DataFrame) => Unit = (table, dead) =>
                      System.err.println(
                        s"[graft.sink] $table: ${dead.count()} dead-letter row(s) after fallback"))
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+    stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], bid: Long) =>
       writeRouted(batch.toDF(), cfg, url, props, batchSize)
-        .foreach { case (table, dead) => onDeadLetters(table, dead) }
+        .foreach { case (table, dead) =>
+          onDeadLetters(table, dead)
+          deadLetterTable.foreach { dlt =>
+            bulkAppend(dead
+              .withColumn("dest_table", lit(table))
+              .withColumn("batch_id", lit(bid)), url, dlt, props)
+          }
+        }
     }
 
   /** Streaming form of [[idempotentUpsert]]: one keyed upsert per
@@ -119,13 +134,32 @@ object JdbcSink {
     * rewind, even a full re-run from a fresh checkpoint) upserts the same
     * keys to the same values. Rows are repartitioned by the key columns
     * so no key spans two concurrent partition transactions. */
+  /** Same dead-letter surfacing as [[routedStream]]: a poisoned record in
+    * a micro-batch lands in the callback / `deadLetterTable` while the
+    * rest of the batch COMMITS (spec-asserted), instead of wedging the
+    * stream in a retry loop on a deterministic failure. */
   def upsertStream(stream: DataFrame, url: String, table: String,
                    keyCols: Seq[String],
-                   user: String = "", password: String = "")
+                   user: String = "", password: String = "",
+                   deadLetterTable: Option[String] = None,
+                   onDeadLetters: (Long, DataFrame) => Unit = (bid, dead) =>
+                     System.err.println(
+                       s"[graft.sink] batch $bid: ${dead.count()} dead-letter row(s) in upsert"))
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-      idempotentUpsert(batch.toDF().repartition(keyCols.map(col): _*),
+    stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], bid: Long) =>
+      val dead = idempotentUpsert(batch.toDF().repartition(keyCols.map(col): _*),
         url, table, keyCols, user, password)
+      if (!dead.isEmpty) {
+        onDeadLetters(bid, dead)
+        deadLetterTable.foreach { dlt =>
+          val p = new Properties()
+          if (user.nonEmpty) { p.put("user", user); p.put("password", password) }
+          bulkAppend(dead
+            .withColumn("dest_table", lit(table))
+            .withColumn("batch_id", lit(bid)), url, dlt, p)
+        }
+      }
+      ()
     }
 
   /** The reference's full chunk write path with the `enable_fallback`
@@ -206,10 +240,23 @@ object JdbcSink {
     * reports `SUCCESS_NO_INFO` counts (the JDBC spec allows it) makes the
     * chunk replay row-by-row inside the same transaction — the updates
     * are idempotent (same key, same values), so the replay is safe. */
+  /** Round 12 (r11 verdict #8): the upsert path now has the same
+    * dead-letter side channel as the append path — a DETERMINISTIC
+    * statement failure (SQLState 22/23/42) degrades the failing chunk to
+    * row-wise replay inside the same transaction (row-level UPDATE replays
+    * are idempotent, so re-applying a partially-applied batch is safe),
+    * and rows that individually still fail deterministically land in the
+    * RETURNED dead-letter DataFrame (record JSON + error) instead of
+    * failing the batch. Transient failures still raise in both modes —
+    * they are the retry mechanism's job (`out_sql.rb:117-136`), and
+    * `enableFallback = false` re-raises deterministic failures too
+    * (`out_sql.rb:107-113`). Executes EAGERLY exactly once, like
+    * [[resilientAppend]]. */
   def idempotentUpsert(df: DataFrame, url: String, table: String,
                        keyCols: Seq[String],
                        user: String = "", password: String = "",
-                       batchSize: Int = 500): Unit = {
+                       batchSize: Int = 500,
+                       enableFallback: Boolean = true): DataFrame = {
     val schema = df.schema
     val cols = schema.fieldNames.toSeq
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
@@ -222,8 +269,14 @@ object JdbcSink {
     val insertSql =
       s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val fieldIdx = cols.zipWithIndex.toMap
-    df.foreachPartition { rows: Iterator[Row] =>
-      if (rows.nonEmpty) {
+    val deadLetterSchema = new StructType()
+      .add("record_json", StringType).add("error", StringType)
+    val enc = org.apache.spark.sql.Encoders.row(deadLetterSchema)
+    // original field ordinals are unchanged — __json is appended LAST
+    val withJson = df.withColumn("__json", to_json(struct(cols.map(col): _*)))
+    val deadLetters = withJson.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty[Row]
+      else {
         val conn = DriverManager.getConnection(url, {
           val p = new Properties()
           if (user.nonEmpty) { p.put("user", user); p.put("password", password) }
@@ -244,26 +297,50 @@ object JdbcSink {
           (valCols ++ keyCols).zipWithIndex.foreach { case (c, p) => bindOne(upd, p + 1, c, r) }
         def bindInsert(r: Row): Unit =
           cols.zipWithIndex.foreach { case (c, p) => bindOne(ins, p + 1, c, r) }
-        def insertMisses(misses: Seq[Row]): Unit =
-          if (misses.nonEmpty) {
-            misses.foreach { r => bindInsert(r); ins.addBatch() }
-            ins.executeBatch()
-          }
         val pending = scala.collection.mutable.ArrayBuffer.empty[Row]
         val pendingKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
-        def flush(): Unit = if (pending.nonEmpty) {
-          val counts = upd.executeBatch()
-          if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO)) {
-            // driver withheld counts: replay the chunk row-by-row (the
-            // already-applied updates are idempotent, same txn)
-            pending.foreach { r =>
-              bindUpdate(r)
-              if (upd.executeUpdate() == 0) { bindInsert(r); ins.executeUpdate() }
+        val dead = scala.collection.mutable.ListBuffer.empty[Row]
+        // row-wise replay of a (possibly partially applied) chunk: UPDATE
+        // replays are idempotent in-txn; a row that STILL fails
+        // deterministically becomes a dead letter (enableFallback) instead
+        // of failing the batch — transient errors propagate to task retry
+        def rowWise(rs: Iterable[Row]): Unit = rs.foreach { r =>
+          try {
+            bindUpdate(r)
+            if (upd.executeUpdate() == 0) { bindInsert(r); ins.executeUpdate() }
+          } catch {
+            case e: Throwable if enableFallback && causeChain(e).exists(isDeterministic) =>
+              dead += Row(r.getAs[String]("__json"), s"deterministic: ${e.getMessage}")
+          }
+        }
+        def insertMisses(misses: Seq[Row]): Unit =
+          if (misses.nonEmpty) {
+            try {
+              misses.foreach { r => bindInsert(r); ins.addBatch() }
+              ins.executeBatch()
+            } catch {
+              case e: Throwable if enableFallback && causeChain(e).exists(isDeterministic) =>
+                JdbcSink.cleanupQuietly(ins.clearBatch(), e)
+                rowWise(misses) // their updates matched 0 rows; replay is safe
             }
-          } else {
-            insertMisses(pending.indices.collect {
-              case i if counts(i) == 0 => pending(i)
-            })
+          }
+        def flush(): Unit = if (pending.nonEmpty) {
+          try {
+            val counts = upd.executeBatch()
+            if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO)) {
+              // driver withheld counts: replay the chunk row-by-row (the
+              // already-applied updates are idempotent, same txn)
+              rowWise(pending)
+            } else {
+              insertMisses(pending.indices.collect {
+                case i if counts(i) == 0 => pending(i)
+              })
+            }
+          } catch {
+            case e: Throwable if enableFallback && causeChain(e).exists(isDeterministic) =>
+              // a poisoned row inside the UPDATE batch: isolate it row-wise
+              JdbcSink.cleanupQuietly(upd.clearBatch(), e)
+              rowWise(pending)
           }
           pending.clear(); pendingKeys.clear()
         }
@@ -292,8 +369,11 @@ object JdbcSink {
             throw e
         }
         quietly(upd.close()); quietly(ins.close()); quietly(conn.close())
+        dead.iterator
       }
-    }
+    }(enc).collect() // the one and only execution of the upserts
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(deadLetters: _*), deadLetterSchema)
   }
 
   def resilientAppend(df: DataFrame, url: String, table: String,
