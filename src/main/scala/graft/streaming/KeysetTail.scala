@@ -41,11 +41,43 @@ object KeysetTail {
     r
   }
 
-  /** One reader per configured (or discovered-upstream) table. */
+  /** One reader per configured (or discovered-upstream) table — N
+    * independent queries. Prefer [[multiReader]] for the reference's
+    * actual shape (ONE poll loop over all tables, one checkpoint,
+    * per-table fault isolation); per-table readers remain the right tool
+    * when one table needs its own trigger cadence or the single-table
+    * source's sub-range partition planner. */
   def readers(spark: SparkSession, cc: ConnectionConfig,
               cfg: InputConfig): Map[String, DataStreamReader] =
     cfg.tables.map(t => t.resolvedTag(cfg.tagPrefix) ->
       reader(spark, cc, t, cfg.selectLimit)).toMap
+
+  /** ALL configured tables as ONE coordinated stream
+    * (`format("keyset-tail-multi")`): one checkpoint, one trigger, tagged
+    * `(tag, record MAP<STRING,STRING>)` events, per-table fault isolation
+    * (`in_sql.rb:233-243, 272-275`) — the reference's single input plugin,
+    * whole. */
+  def multiReader(spark: SparkSession, cc: ConnectionConfig,
+                  cfg: InputConfig): DataStreamReader = {
+    var r = spark.readStream.format("keyset-tail-multi")
+      .option("url", cc.jdbcUrl)
+      .option("maxRowsPerBatch", cfg.selectLimit.toString)
+      .option("fetchFirst",
+        Seq("derby", "oracle", "db2").contains(cc.subprotocol).toString)
+    cfg.tables.zipWithIndex.foreach { case (t, i) =>
+      val upd = t.updateColumn.orElse(t.primaryKey).getOrElse(
+        sys.error(s"${t.table}: no update_column/primary_key configured " +
+          "(the reference reflects the PK; pass primary_key for PK-less views, in_sql.rb:107-114)"))
+      r = r.option(s"tables.$i.tag", t.resolvedTag(cfg.tagPrefix))
+        .option(s"tables.$i.dbtable", cc.qualify(t.table))
+        .option(s"tables.$i.updateColumn", upd)
+        .option(s"tables.$i.timeFormat", t.timeFormat)
+    }
+    cc.username.foreach(u => r = r.option("user", u))
+    cc.password.foreach(p => r = r.option("password", p))
+    cc.sessionInitStatement.foreach(s => r = r.option("sessionInitStatement", s))
+    r
+  }
 
   /** `select_interval` (`in_sql.rb:49-50`, default 60 s) as the stream's
     * trigger — the last config param of the reference's poll loop. */

@@ -157,23 +157,26 @@ final class KeysetTailTable(schema: StructType, props: Map[String, String])
   * mis-handle adjacent escapes like a literal backslash-n). */
 final case class KeysetOffset(last: Option[String]) extends Offset {
   override def json(): String = last match {
-    case Some(v) =>
-      val sb = new StringBuilder("{\"last\":\"")
-      v.foreach {
-        case '\\' => sb.append("\\\\")
-        case '"'  => sb.append("\\\"")
-        case '\n' => sb.append("\\n")
-        case '\r' => sb.append("\\r")
-        case '\t' => sb.append("\\t")
-        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-        case c    => sb.append(c)
-      }
-      sb.append("\"}").toString
-    case None => "{\"last\":null}"
+    case Some(v) => "{\"last\":\"" + KeysetOffset.escape(v) + "\"}"
+    case None    => "{\"last\":null}"
   }
 }
 object KeysetOffset {
-  private def unescape(s: String): String = {
+  /** One-line JSON string escaping shared with [[KeysetMultiOffset]]. */
+  private[streaming] def escape(v: String): String = {
+    val sb = new StringBuilder(v.length + 8)
+    v.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.toString
+  }
+  private[streaming] def unescape(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
