@@ -98,9 +98,56 @@ object ProbePipeline {
     val check2 = sinkChecksum()
     require(check2 == check1, s"replay changed the sink: $check1 -> $check2")
 
+    // ---- stage decomposition (r11 verdict #4): the SAME loop with each
+    // stage isolated, proving where the wall lives (the headline number's
+    // Derby-sink attribution was asserted but never measured).
+    // source-only: tail -> count (identical stream, no route/no write)
+    def drainCounting(work: org.apache.spark.sql.DataFrame => Unit): Double = {
+      val cp = java.nio.file.Files.createTempDirectory("pipe_cp_stage").toString
+      val stream = spark.readStream.format("keyset-tail")
+        .option("url", url).option("dbtable", "PIPE_SRC")
+        .option("updateColumn", "event_id")
+        .option("maxRowsPerBatch", pageSize.toString)
+        .load()
+        .withColumn("tag", concat(lit("db."), col("event_type")))
+      val t0 = System.nanoTime()
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          work(batch.toDF())
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try q.processAllAvailable() finally q.stop()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sourceOnlySec = drainCounting(b => { b.count(); () })
+    // route-only: tail -> tag-keyed repartition -> per-table projection ->
+    // count (everything but the JDBC write)
+    val routeOnlySec = drainCounting { b =>
+      EventOps.routedTables(b.repartition(col("tag")), cfg)
+        .foreach { case (_, df) => df.count() }
+    }
+    // sink-only: the routed tables materialized ONCE (not timed), then the
+    // keyed upserts into fresh destinations timed alone
+    exec("CREATE TABLE PIPE_MONEY2 (id BIGINT NOT NULL PRIMARY KEY, tag VARCHAR(50), amount DOUBLE)")
+    exec("CREATE TABLE PIPE_REST2 (id BIGINT NOT NULL PRIMARY KEY, tag VARCHAR(50), amount DOUBLE)")
+    val routed = EventOps.routedTables(
+        spark.read.jdbc(url, "PIPE_SRC", noProps)
+          .withColumn("tag", concat(lit("db."), col("event_type")))
+          .repartition(col("tag")), cfg)
+      .map { case (t, df) => (t, df.repartition(col("id")).localCheckpoint()) }
+    val tSink = System.nanoTime()
+    routed.foreach { case (t, df) =>
+      JdbcSink.idempotentUpsert(df, url, t + "2", Seq("id"))
+    }
+    val sinkOnlySec = (System.nanoTime() - tSink) / 1e9
+
     println(s"""{"metric":"pipeline_rows_per_sec","value":${(totalRows / firstSec).round},""" +
       s""""rows":$totalRows,"first_drain_sec":${f"$firstSec%.2f"},""" +
       s""""replay_drain_sec":${f"$replaySec%.2f"},"page":$pageSize,""" +
-      s""""money_rows":${check1._1},"rest_rows":${check1._2},"replay_identical":true}""")
+      s""""money_rows":${check1._1},"rest_rows":${check1._2},"replay_identical":true,""" +
+      s""""source_only_sec":${f"$sourceOnlySec%.2f"},""" +
+      s""""route_only_sec":${f"$routeOnlySec%.2f"},""" +
+      s""""sink_only_sec":${f"$sinkOnlySec%.2f"}}""")
   }
 }

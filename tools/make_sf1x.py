@@ -28,8 +28,11 @@ Construction (copy k = 0..9; k=0 is the original rows):
 - part/supplier: keys += k*1e6.
 - region/nation: copied unchanged (shared dims across the 10 sub-stars).
 
-Usage: python tools/make_sf1x.py [src_dir] [dst_dir]
-       (defaults: /root/testdata/sf0.1 -> /tmp/sf1x)
+Usage: python tools/make_sf1x.py [src_dir] [dst_dir] [K]
+       (defaults: /root/testdata/sf0.1 -> /tmp/sf1x, K=10 copies;
+        K=100 builds the "sf10" 100x stretch fixture — round-12 verdict #6.
+        Copies are written INCREMENTALLY, one per row group, so K=100 never
+        materializes the whole amplified table in memory.)
 """
 import sys
 
@@ -37,9 +40,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-K = 10
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1x"
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 
 def splitmix64(x):
@@ -48,11 +51,6 @@ def splitmix64(x):
     z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
     z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
     return z ^ (z >> np.uint64(31))
-
-
-def amplified(table, fn):
-    """Concatenate fn(table, k) for k in 0..K-1."""
-    return pa.concat_tables([fn(table, k) for k in range(K)])
 
 
 def offset_cols(t, k, offsets):
@@ -147,11 +145,17 @@ def main():
     }
     for name, fn in plans.items():
         t = pq.read_table(f"{SRC}/{name}.parquet")
-        out = t if fn is None else amplified(t, fn)
-        # preserve the source's physical timestamp type (events: unit-adaptive)
-        pq.write_table(out, f"{DST}/{name}.parquet",
-                       coerce_timestamps=None, use_deprecated_int96_timestamps=False)
-        print(f"{name}: {t.num_rows} -> {out.num_rows}")
+        if fn is None:
+            # preserve the source's physical timestamp type (events: unit-adaptive)
+            pq.write_table(t, f"{DST}/{name}.parquet",
+                           coerce_timestamps=None, use_deprecated_int96_timestamps=False)
+            print(f"{name}: {t.num_rows} -> {t.num_rows}")
+        else:
+            # incremental: one copy per write, bounded memory at any K
+            with pq.ParquetWriter(f"{DST}/{name}.parquet", t.schema) as w:
+                for k in range(K):
+                    w.write_table(fn(t, k))
+            print(f"{name}: {t.num_rows} -> {t.num_rows * K}")
 
 
 if __name__ == "__main__":
