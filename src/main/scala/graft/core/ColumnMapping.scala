@@ -27,6 +27,19 @@ final case class ColumnMapping(pairs: Seq[(String, String)]) extends Serializabl
     pairs.map { case (from, to) =>
       if (present(from)) col(from).as(to) else lit(null).cast("string").as(to)
     }
+
+  /** The mapping applied to a serialized-record MAP column (the
+    * `keyset-tail-multi` event shape, ≙ the reference mapping a record
+    * hash, `out_sql.rb:140-148`): `element_at` yields NULL for absent
+    * keys — exactly the "unmapped source → NULL column" rule — and the
+    * source name `tag` reads the event's tag (the `inject` overwrite,
+    * `out_sql.rb:10, 96, 156`). Key match is exact-case, like the Ruby
+    * hash lookup (a JDBC dialect that upper-cases identifiers produces
+    * upper-case record keys; write the mapping accordingly). */
+  def fromMap(record: Column, tag: Column): Seq[Column] =
+    pairs.map { case (from, to) =>
+      (if (from == "tag") tag else element_at(record, from)).as(to)
+    }
 }
 
 object ColumnMapping {

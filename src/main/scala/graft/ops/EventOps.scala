@@ -90,6 +90,29 @@ object EventOps {
     }
   }
 
+  /** [[routedTables]] for the `keyset-tail-multi` event shape
+    * `(tag, record MAP<STRING,STRING>)`: same strip/route chain, but each
+    * route's column mapping projects OUT OF THE MAP
+    * (`ColumnMapping.fromMap`) — the reference's actual flow, where the
+    * output plugin maps serialized record hashes (`out_sql.rb:140-148`).
+    * With this, a whole multi-table reference config runs as ONE
+    * streaming pipeline: `KeysetTail.multiReader` → route → per-table
+    * projection → JDBC sink (MultiTailSpec full-loop e2e). Values arrive
+    * serialized (strings); destinations wanting native types add a cast
+    * projection after the mapping, like the reference relies on the
+    * database's implicit cast. */
+  def routedTablesFromMap(df: DataFrame, cfg: OutputConfig): Map[String, DataFrame] = {
+    val stripped = df.withColumn("tag",
+      cfg.removeTagPrefix.map(p => stripTagPrefix(col("tag"), p)).getOrElse(col("tag")))
+    val all = cfg.routes :+ cfg.defaultTable
+    val routed = stripped.withColumn("__route",
+      routeColumn(col("tag"), cfg.routes.map(r => (r.compiledPattern, r.table)), cfg.defaultTable.table))
+    all.groupBy(_.table).map { case (tableName, rs) =>
+      val sub = routed.filter(col("__route") === tableName)
+      tableName -> sub.select(rs.head.mapping.fromMap(col("record"), col("tag")): _*)
+    }
+  }
+
   /** Inject tag/time into the record before mapping (Fluentd `inject`,
     * reference `out_sql.rb:10, 96, 156`). */
   def injectTagTime(df: DataFrame, tagCol: Column, timeCol: Column): DataFrame =

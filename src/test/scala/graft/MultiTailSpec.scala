@@ -82,6 +82,51 @@ class MultiTailSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("full reference loop as ONE pipeline: multi-tail -> route -> map-from-record -> JDBC sink") {
+    import graft.core.{ConnectionConfig, InputConfig, OutputConfig, SinkTableConfig, SourceTableConfig}
+    exec("CREATE TABLE src_users (id BIGINT NOT NULL PRIMARY KEY, name VARCHAR(20))")
+    exec("CREATE TABLE src_orders (id BIGINT NOT NULL PRIMARY KEY, amount VARCHAR(10))")
+    (1 to 5).foreach(i => exec(s"INSERT INTO src_users VALUES ($i, 'u$i')"))
+    (1 to 7).foreach(i => exec(s"INSERT INTO src_orders VALUES ($i, '${i}0.5')"))
+    // serialized (string) landing, like the reference's record hashes;
+    // unquoted DDL → Spark's append resolves DB column names case-insensitively
+    exec("CREATE TABLE dst_users (uid VARCHAR(20), uname VARCHAR(20), tag VARCHAR(40))")
+    // `gone` is CLOB: Spark's DerbyDialect types a NULL StringType bind as
+    // CLOB (setNull(CLOB) into VARCHAR is a Derby error) — Derby-only quirk
+    exec("CREATE TABLE dst_rest (rid VARCHAR(20), gone CLOB, tag VARCHAR(40))")
+    val cc = ConnectionConfig(adapter = "derby",
+      database = "memory:graftmt12;create=true")
+    val icfg = InputConfig(tables = Seq(
+      SourceTableConfig("src_users", updateColumn = Some("id")),
+      SourceTableConfig("src_orders", updateColumn = Some("id"))),
+      tagPrefix = Some("db"), selectLimit = 4)
+    // record keys are the dialect's identifiers (Derby: upper-case);
+    // `tag` reads the event tag; `MISSING` proves absent-source → NULL
+    val ocfg = OutputConfig(
+      routes = Seq(SinkTableConfig("src_users", "dst_users", "ID:uid,NAME:uname,tag")),
+      defaultTable = SinkTableConfig("", "dst_rest", "ID:rid,MISSING:gone,tag"),
+      removeTagPrefix = Some("db"))
+    val cp = java.nio.file.Files.createTempDirectory("graft_loop_cp").toString
+    val q = graft.streaming.KeysetTail.multiReader(spark, cc, icfg).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.EventOps.routedTablesFromMap(b.toDF(), ocfg).foreach {
+          case (table, df) => graft.sinks.JdbcSink.bulkAppend(df, url, table)
+        }
+      }
+      .option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+    val noProps = new java.util.Properties()
+    val users = spark.read.jdbc(url, "dst_users", noProps)
+      .orderBy(col("uid").cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(users === (1 to 5).map(i => (s"$i", s"u$i", "src_users")))
+    val rest = spark.read.jdbc(url, "dst_rest", noProps)
+      .orderBy(col("rid").cast("long"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getString(2))).toSeq
+    assert(rest === (1 to 7).map(i => (s"$i", None, "src_orders")))
+  }
+
   test("KeysetMultiOffset: tag-map offsets round-trip JSON, one line, escapes intact") {
     import graft.streaming.KeysetMultiOffset
     val o = KeysetMultiOffset(Map(
