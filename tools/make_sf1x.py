@@ -28,11 +28,28 @@ Construction (copy k = 0..9; k=0 is the original rows):
 - part/supplier: keys += k*1e6.
 - region/nation: copied unchanged (shared dims across the 10 sub-stars).
 
-Usage: python tools/make_sf1x.py [src_dir] [dst_dir] [K]
+Usage: python tools/make_sf1x.py [src_dir] [dst_dir] [K] [decorrelate]
        (defaults: /root/testdata/sf0.1 -> /tmp/sf1x, K=10 copies;
         K=100 builds the "sf10" 100x stretch fixture — round-12 verdict #6.
         Copies are written INCREMENTALLY, one per row group, so K=100 never
         materializes the whole amplified table in memory.)
+
+Document modes:
+- default (insertion): k>0 inserts a copy token after every 5th token.
+  Cross-copy 3-gram Jaccard ~0.35 — below the 0.5 dedup threshold but
+  SHARING ~35% of shingles, which deliberately stresses candidate pruning.
+  That shared mass is quadratic in K (every df>=2 shingle pools all K
+  copies into one prefix bucket): fine at K=10, a duplication BOMB at
+  K=100 (~25M PPJoin candidates from 5k doc groups — measured as a 5-min
+  driver GC stall). K=100 with this mode does not model "100x more data";
+  it models every document having 99 near-copies.
+- decorrelate: k>0 suffixes EVERY token with the copy id (w7 -> w7c3).
+  Copies share NO shingles/grams, while each copy preserves the original
+  corpus's internal near-dup structure exactly (all docs in a copy are
+  transformed identically, so within-copy Jaccard relations are
+  unchanged). 100x = 100 independent shards of equal structure — the
+  honest "more data, same duplication rate" scale probe. Use for the
+  sf1x-vs-sf10 decade measurements (generate BOTH scales in this mode).
 """
 import sys
 
@@ -43,6 +60,7 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1x"
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+DECOR = len(sys.argv) > 4 and sys.argv[4] == "decorrelate"
 
 
 def splitmix64(x):
@@ -71,6 +89,11 @@ def copy_documents(t, k):
     texts = []
     for s in t.column("text").to_pylist():
         ws = s.split(" ")
+        if DECOR:
+            # copy-unique token suffix: zero cross-copy shingle/gram overlap,
+            # within-copy dedup structure preserved (see module doc)
+            texts.append(" ".join(w + tok for w in ws))
+            continue
         out = []
         for i, w in enumerate(ws):
             out.append(w)
