@@ -175,6 +175,16 @@ final class KeysetMultiMicroBatchStream(url: String, connProps: Map[String, Stri
   private def quoted(name: String): String =
     org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(name)
 
+  // the multi source emits ONE partition per advanced table per batch —
+  // right for the reference's select_limit-bounded poll loop, but a
+  // `limit <= 0` poll reads a table's WHOLE remainder through one reader.
+  // Backlog-sized tables belong on the single-table source (sub-range
+  // percentile planner); say so once at stream construction.
+  if (maxRowsPerBatch <= 0)
+    warn("maxRowsPerBatch <= 0: each poll reads every table's full " +
+      "remainder as ONE partition; for backlog-sized tables use the " +
+      "single-table keyset-tail source (sub-range partition planner)")
+
   /** Driver-side schema reflection per table; failures DROP the table from
     * this run's set (`in_sql.rb:233-243` `tables.reject!`), logged. */
   private val live: Seq[ResolvedTable] = {
