@@ -108,7 +108,13 @@ object JdbcSource {
     * metadata/sink paths open their own connections, so the same statement
     * (e.g. `SET search_path TO ...` / `SET SCHEMA ...` from
     * `ConnectionConfig.schemaSearchPath`) is applied here too. */
+  /** Diagnostic counter: connections opened through [[connect]] in this
+    * JVM. Read by ProbeMultiTail to show the pooled driver connection's
+    * per-trigger overhead drop (r12 verdict #2); costs one atomic add. */
+  private[graft] val connectCount = new java.util.concurrent.atomic.AtomicLong()
+
   private[graft] def connect(url: String, props: Properties): Connection = {
+    connectCount.incrementAndGet()
     val conn = DriverManager.getConnection(url, props)
     Option(props.getProperty("sessionInitStatement")).foreach { stmt =>
       Using.resource(conn.createStatement())(_.execute(stmt))

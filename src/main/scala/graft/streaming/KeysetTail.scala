@@ -79,6 +79,46 @@ object KeysetTail {
     r
   }
 
+  /** `all_tables` mode feeding the ONE poll loop (`in_sql.rb:214-230`):
+    * catalog discovery REPLACES the configured `<table>` blocks entirely
+    * (the reference assigns `@tables =` from `connection.tables`), each
+    * discovered table getting tag = table name and `update_column = nil` —
+    * i.e. PK-defaulted here, since parquetless JDBC catalogs carry PK
+    * metadata. Framework system tables (`schema_migrations`) are skipped
+    * inside [[JdbcSource.discoverTables]] (`in_sql.rb:183, 217-219`); a
+    * table whose PK cannot default a single update column is dropped with
+    * a warning, the same `reject!` the provider applies to tables that
+    * fail schema reflection (`in_sql.rb:233-243`). Returns the
+    * [[multiReader]] over the discovered set. */
+  def discoveredMultiReader(spark: SparkSession, cc: ConnectionConfig,
+                            cfg: InputConfig): DataStreamReader = {
+    require(cfg.allTables,
+      "discoveredMultiReader: config must set all_tables (in_sql.rb:53-54)")
+    val discovered = graft.sources.JdbcSource
+      .discoverTables(cc.jdbcUrl, cc.properties)
+      .flatMap { t =>
+        // bare catalog name: primaryKey resolves the schema itself from the
+        // session (getPrimaryKeys takes schema and table separately)
+        try graft.sources.JdbcSource.primaryKey(cc.jdbcUrl, t, cc.properties) match {
+          case Some(pk) =>
+            Some(SourceTableConfig(t, tag = Some(t), updateColumn = Some(pk)))
+          case None =>
+            System.err.println(s"[graft.keyset-tail-multi] can't handle '$t' " +
+              "table (no single-column primary key to default update_column " +
+              "from). Ignoring. (in_sql.rb:233-243)")
+            None
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft.keyset-tail-multi] can't handle '$t' " +
+              s"table. Ignoring. (in_sql.rb:233-243): ${e.getMessage}")
+            None
+        }
+      }
+    require(discovered.nonEmpty,
+      s"all_tables discovery found no tailable tables at ${cc.jdbcUrl}")
+    multiReader(spark, cc, cfg.copy(tables = discovered))
+  }
+
   /** `select_interval` (`in_sql.rb:49-50`, default 60 s) as the stream's
     * trigger — the last config param of the reference's poll loop. */
   def trigger(cfg: InputConfig): org.apache.spark.sql.streaming.Trigger =

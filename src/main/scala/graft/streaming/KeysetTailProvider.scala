@@ -236,6 +236,16 @@ final class KeysetMicroBatchStream(schema: StructType, mode: KeysetReadMode,
     case _ => ()
   }
 
+  // Config-time %z guard (r12 verdict #8): a timestamp/date update column
+  // serialized through a %z-bearing time_format fails on a zone-less
+  // dialect only when the FIRST boundary literal re-enters the DB cast —
+  // fail at stream construction instead, naming the table and the fix.
+  mode match {
+    case JdbcMode(url, dbtable, _, _) =>
+      KeysetTailMulti.guardZoneSuffix(url, dbtable, updCol, updType, rubyTimeFormat)
+    case _ => ()
+  }
+
   /** The keyset page `upd > last ORDER BY upd LIMIT n` in the mode's native
     * engine: a Catalyst scan over parquet, or pushed INSIDE the dbtable
     * subquery so the database's index answers it (`JdbcSource.keysetPage`). */

@@ -91,13 +91,42 @@ object ProbeMultiTail {
     // checkpoints; table contents identical)
     val multiSec = drainMulti()
     val indSec = drainIndependent()
+
+    // pure poll-overhead phase (r13): M empty trigger cycles on drained
+    // tables through ONE multi stream, driver-side only — what a short
+    // `select_interval` pays per trigger when nothing changed. The cached
+    // connection makes this 0 connects/cycle; the round-12 shape paid
+    // nTables connects per cycle (JdbcSource.connectCount is the witness).
+    val pollCycles = 200
+    val (pollSec, connects) = {
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      val specs = (0 until nTables).map(t => graft.streaming.KeysetTailMulti
+        .TableSpec(s"t$t", s"mt_$t", "id", graft.core.RubyStrftime.DefaultRubyFormat))
+      val stream = new graft.streaming.KeysetMultiMicroBatchStream(
+        url, Map.empty, specs, page, fetchFirst = true)
+      try {
+        var o = stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+        val c0 = graft.sources.JdbcSource.connectCount.get()
+        val t0 = System.nanoTime()
+        (1 to pollCycles).foreach { _ =>
+          o = stream.latestOffset(o, ReadLimit.allAvailable())
+        }
+        ((System.nanoTime() - t0) / 1e9,
+          graft.sources.JdbcSource.connectCount.get() - c0)
+      } finally stream.stop()
+    }
+
     val rows = nTables.toLong * rowsPer
     println(s"""{"metric":"multi_tail_drain","tables":$nTables,"rows":$rows,""" +
       s""""page":$page,"multi_sec":${f"$multiSec%.2f"},""" +
       s""""independent_sec":${f"$indSec%.2f"},""" +
       s""""multi_rows_per_sec":${(rows / multiSec).round},""" +
       s""""independent_rows_per_sec":${(rows / indSec).round},""" +
-      s""""checkpoints":{"multi":1,"independent":$nTables}}""")
+      s""""checkpoints":{"multi":1,"independent":$nTables},""" +
+      s""""empty_poll":{"cycles":$pollCycles,""" +
+      s""""per_cycle_ms":${f"${pollSec * 1000 / pollCycles}%.2f"},""" +
+      s""""connects_during_polls":$connects,""" +
+      s""""r12_shape_connects_would_be":${nTables.toLong * pollCycles}}}""")
     spark.stop()
   }
 }

@@ -162,6 +162,272 @@ class MultiTailSpec extends SparkSpecBase {
     assert(got.asScala.toSet === Set("v9"))
   }
 
+  test("non-live tables keep their offsets: init-dropped at restart, held while others advance, resumed on recovery (in_sql.rb:280-307)") {
+    import graft.core.{ConnectionConfig, InputConfig, SourceTableConfig}
+    exec("CREATE TABLE mt_p (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+    exec("CREATE TABLE mt_q (id BIGINT NOT NULL PRIMARY KEY, w VARCHAR(20))")
+    (1 to 10).foreach { i =>
+      exec(s"INSERT INTO mt_p VALUES ($i, 'p$i')")
+      exec(s"INSERT INTO mt_q VALUES ($i, 'q$i')")
+    }
+    val cc = ConnectionConfig(adapter = "derby",
+      database = "memory:graftmt12;create=true")
+    val cfg = InputConfig(tables = Seq(
+      SourceTableConfig("mt_p", updateColumn = Some("id")),
+      SourceTableConfig("mt_q", updateColumn = Some("id"))),
+      selectLimit = 4)
+    val cp = java.nio.file.Files.createTempDirectory("graft_hold_cp").toString
+    def startQuery(sink: java.util.Queue[(String, String)]) =
+      graft.streaming.KeysetTail.multiReader(spark, cc, cfg).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach { r =>
+            sink.add((r.getString(0), r.getMap[String, String](1).get("ID").orNull))
+          }
+        }
+        .option("checkpointLocation", cp).start()
+    def latestOffsetJson(): String = {
+      val dir = java.nio.file.Paths.get(cp, "offsets")
+      import scala.jdk.CollectionConverters._
+      val latest = java.nio.file.Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.forall(_.isDigit))
+        .maxBy(_.getFileName.toString.toLong)
+      new String(java.nio.file.Files.readAllBytes(latest), "UTF-8")
+    }
+    import scala.jdk.CollectionConverters._
+    val got1 = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q1 = startQuery(got1)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got1.asScala.count(_._1 == "mt_q") === 10)
+    // RESTART with mt_q gone: init drops it (in_sql.rb:233-243); mt_p
+    // advances >= 1 batch — committed offsets must still CARRY mt_q's held
+    // boundary (the r12 divergence: it was erased here)
+    exec("DROP TABLE mt_q")
+    (11 to 15).foreach(i => exec(s"INSERT INTO mt_p VALUES ($i, 'p$i')"))
+    val got2 = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q2 = startQuery(got2)
+    try {
+      q2.processAllAvailable()
+      assert(got2.asScala.map(_._1).toSet === Set("mt_p"))
+      assert(got2.asScala.count(_._1 == "mt_p") === 5)
+    } finally q2.stop()
+    assert(latestOffsetJson().contains("\"mt_q\":\"10\""),
+      s"mt_q's held boundary must survive mt_p's advance: ${latestOffsetJson()}")
+    // SECOND restart with mt_q recreated WITH overlapping rows: it resumes
+    // from the held boundary — only 11..12 emitted, never 1..10 again
+    exec("CREATE TABLE mt_q (id BIGINT NOT NULL PRIMARY KEY, w VARCHAR(20))")
+    (1 to 12).foreach(i => exec(s"INSERT INTO mt_q VALUES ($i, 'q$i')"))
+    val got3 = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q3 = startQuery(got3)
+    try {
+      q3.processAllAvailable()
+      val byTable = got3.asScala.toSeq.groupBy(_._1)
+      assert(byTable.getOrElse("mt_p", Nil).isEmpty)
+      assert(byTable("mt_q").map(_._2).toSet === Set("11", "12"))
+    } finally q3.stop()
+  }
+
+  test("one pooled driver connection per stream: dead connection skips the cycle (offsets held), reconnects next trigger (in_sql.rb:259-265)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.streaming.{KeysetMultiMicroBatchStream, KeysetMultiOffset, KeysetTailMulti}
+    val poolUrl = "jdbc:derby:memory:graftmtpool" // NO ;create — reconnect can fail
+    def execAt(u: String, sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(u)
+      try { val s = c.createStatement(); try s.execute(sql) finally s.close() }
+      finally c.close()
+    }
+    execAt(poolUrl + ";create=true",
+      "CREATE TABLE mt_pool (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+    (1 to 5).foreach(i => execAt(poolUrl, s"INSERT INTO mt_pool VALUES ($i, 'v$i')"))
+    val stream = new KeysetMultiMicroBatchStream(poolUrl, Map.empty,
+      Seq(KeysetTailMulti.TableSpec("pool", "mt_pool", "id",
+        graft.core.RubyStrftime.DefaultRubyFormat)),
+      maxRowsPerBatch = 100, fetchFirst = true)
+    try {
+      val o1 = stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+      assert(o1.asInstanceOf[KeysetMultiOffset].last("pool") === Some("5"))
+      val liveConn = stream.cachedConn
+      assert(liveConn != null && !liveConn.isClosed, "connection must be cached across polls")
+      // kill the database: cached connection dies AND reconnect fails
+      intercept[java.sql.SQLException](
+        java.sql.DriverManager.getConnection(poolUrl + ";drop=true"))
+      val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+      assert(o2 === o1, "a dead connection must skip the cycle with every offset held")
+      // database comes back: next trigger reconnects and resumes from the
+      // held boundary
+      execAt(poolUrl + ";create=true",
+        "CREATE TABLE mt_pool (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
+      (1 to 8).foreach(i => execAt(poolUrl, s"INSERT INTO mt_pool VALUES ($i, 'v$i')"))
+      val o3 = stream.latestOffset(o1, ReadLimit.allAvailable())
+      assert(o3.asInstanceOf[KeysetMultiOffset].last("pool") === Some("8"))
+      val parts = stream.planInputPartitions(o1, o3)
+      assert(parts.length === 1)
+      assert(parts(0).asInstanceOf[graft.streaming.KeysetMultiPartition].lo === Some("5"),
+        "recovered table resumes strictly past the held boundary")
+    } finally stream.stop()
+  }
+
+  test("persistent READ failure (poll fine) demotes the table after k probe failures; other tables keep flowing (in_sql.rb:272-275)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.streaming.{KeysetMultiMicroBatchStream, KeysetMultiOffset, KeysetTailMulti}
+    exec("CREATE TABLE mt_u1 (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR(10), b VARCHAR(10))")
+    exec("CREATE TABLE mt_u2 (id BIGINT NOT NULL PRIMARY KEY, w VARCHAR(10))")
+    (1 to 3).foreach { i =>
+      exec(s"INSERT INTO mt_u1 VALUES ($i, 'a$i', 'b$i')")
+      exec(s"INSERT INTO mt_u2 VALUES ($i, 'w$i')")
+    }
+    val stream = new KeysetMultiMicroBatchStream(url, Map.empty,
+      Seq(KeysetTailMulti.TableSpec("u1", "mt_u1", "id",
+            graft.core.RubyStrftime.DefaultRubyFormat),
+          KeysetTailMulti.TableSpec("u2", "mt_u2", "id",
+            graft.core.RubyStrftime.DefaultRubyFormat)),
+      maxRowsPerBatch = 100, fetchFirst = true, demoteAfter = 2)
+    try {
+      val o1 = stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+      assert(o1.asInstanceOf[KeysetMultiOffset].last ===
+        Map("u1" -> Some("3"), "u2" -> Some("3")))
+      // break u1's FULL-ROW read while its poll (update column only) still
+      // succeeds: the schema reflected at init names column b
+      exec("ALTER TABLE mt_u1 DROP COLUMN b")
+      (4 to 6).foreach { i =>
+        exec(s"INSERT INTO mt_u1 (id, a) VALUES ($i, 'a$i')")
+        exec(s"INSERT INTO mt_u2 VALUES ($i, 'w$i')")
+      }
+      // cycle 1: u1's advance is REJECTED by the read probe (offset held,
+      // failure 1/2) while u2 advances and emits
+      val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+      val m2 = o2.asInstanceOf[KeysetMultiOffset].last
+      assert(m2("u1") === Some("3"), "broken table's offset must hold")
+      assert(m2("u2") === Some("6"), "healthy table must advance")
+      assert(!stream.demoted.contains("u1"), "one failure is below the demotion bar")
+      assert(stream.planInputPartitions(o1, o2).length === 1) // u2 only
+      // cycle 2: second consecutive probe failure -> demoted for the run
+      (7 to 7).foreach(i => exec(s"INSERT INTO mt_u2 VALUES ($i, 'w$i')"))
+      val o3 = stream.latestOffset(o2, ReadLimit.allAvailable())
+      val m3 = o3.asInstanceOf[KeysetMultiOffset].last
+      assert(m3("u1") === Some("3") && m3("u2") === Some("7"))
+      assert(stream.demoted.contains("u1"),
+        s"2 consecutive read failures must demote (demoted=${stream.demoted})")
+      // demoted: no longer polled, offset still CARRIED in every commit
+      (8 to 8).foreach(i => exec(s"INSERT INTO mt_u2 VALUES ($i, 'w$i')"))
+      val o4 = stream.latestOffset(o3, ReadLimit.allAvailable())
+      val m4 = o4.asInstanceOf[KeysetMultiOffset].last
+      assert(m4("u1") === Some("3") && m4("u2") === Some("8"))
+    } finally stream.stop()
+  }
+
+  test("e2e: mid-stream column drop on one table never wedges the batch; the query stays live and other tables flow") {
+    import graft.core.{ConnectionConfig, InputConfig, SourceTableConfig}
+    exec("CREATE TABLE mt_e1 (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR(10), b VARCHAR(10))")
+    exec("CREATE TABLE mt_e2 (id BIGINT NOT NULL PRIMARY KEY, w VARCHAR(10))")
+    (1 to 6).foreach { i =>
+      exec(s"INSERT INTO mt_e1 VALUES ($i, 'a$i', 'b$i')")
+      exec(s"INSERT INTO mt_e2 VALUES ($i, 'w$i')")
+    }
+    val cc = ConnectionConfig(adapter = "derby",
+      database = "memory:graftmt12;create=true")
+    val cfg = InputConfig(tables = Seq(
+      SourceTableConfig("mt_e1", updateColumn = Some("id")),
+      SourceTableConfig("mt_e2", updateColumn = Some("id"))),
+      selectLimit = 3)
+    val cp = java.nio.file.Files.createTempDirectory("graft_demote_cp").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q = graft.streaming.KeysetTail.multiReader(spark, cc, cfg).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach { r =>
+          got.add((r.getString(0), r.getMap[String, String](1).get("ID").orNull))
+        }
+      }
+      .option("checkpointLocation", cp).start()
+    import scala.jdk.CollectionConverters._
+    try {
+      q.processAllAvailable()
+      assert(got.asScala.count(_._1 == "mt_e1") === 6)
+      // break mt_e1's read mid-stream (poll on id still succeeds); without
+      // the read probe the planned partition would fail the micro-batch
+      // into Spark's retry loop, wedging mt_e2 too
+      exec("ALTER TABLE mt_e1 DROP COLUMN b")
+      (7 to 12).foreach { i =>
+        exec(s"INSERT INTO mt_e1 (id, a) VALUES ($i, 'a$i')")
+        exec(s"INSERT INTO mt_e2 VALUES ($i, 'w$i')")
+      }
+      q.processAllAvailable()
+      assert(got.asScala.count(_._1 == "mt_e2") === 12, "healthy table must keep flowing")
+      assert(got.asScala.count(_._1 == "mt_e1") === 6, "broken table held, not partially emitted")
+      assert(q.isActive && q.exception.isEmpty,
+        s"query must stay live through the broken table: ${q.exception}")
+    } finally q.stop()
+  }
+
+  test("config-time %z guard: timestamp update column + %z time_format on a zone-less dialect fails AT CONSTRUCTION naming table and fix") {
+    import graft.streaming.{KeysetMultiMicroBatchStream, KeysetTailMulti}
+    exec("CREATE TABLE mt_zg (upd TIMESTAMP NOT NULL, v VARCHAR(10))")
+    exec("INSERT INTO mt_zg VALUES (TIMESTAMP('2024-01-01 00:00:01'), 'v1')")
+    // multi provider: the reference DEFAULT time_format carries %z
+    val e1 = intercept[IllegalArgumentException](
+      new KeysetMultiMicroBatchStream(url, Map.empty,
+        Seq(KeysetTailMulti.TableSpec("zg", "mt_zg", "upd",
+          graft.core.RubyStrftime.DefaultRubyFormat)),
+        maxRowsPerBatch = 100, fetchFirst = true))
+    assert(e1.getMessage.contains("mt_zg") && e1.getMessage.contains("%z") &&
+      e1.getMessage.contains("zone-less"), e1.getMessage)
+    // single-table provider: same guard at stream construction
+    val schema = spark.read.jdbc(url, "mt_zg", new java.util.Properties()).schema
+    val e2 = intercept[IllegalArgumentException](
+      new graft.streaming.KeysetMicroBatchStream(schema,
+        graft.streaming.JdbcMode(url, "mt_zg", Map.empty, fetchFirst = true),
+        "upd", 100, graft.core.RubyStrftime.DefaultRubyFormat))
+    assert(e2.getMessage.contains("mt_zg") && e2.getMessage.contains("time_format"))
+    // a zone-less format on the same table constructs fine (and the
+    // existing timestamp e2e proves it runs)
+    new KeysetMultiMicroBatchStream(url, Map.empty,
+      Seq(KeysetTailMulti.TableSpec("zg", "mt_zg", "upd",
+        "%Y-%m-%d %H:%M:%S.%6N")),
+      maxRowsPerBatch = 100, fetchFirst = true).stop()
+  }
+
+  test("all_tables discovery feeds the ONE multi stream: schema_migrations skipped, PK-defaulted update columns, PK-less/composite dropped (in_sql.rb:214-230)") {
+    import graft.core.{ConnectionConfig, InputConfig}
+    val dUrl = "jdbc:derby:memory:graftdisc;create=true"
+    def execAt(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(dUrl)
+      try { val s = c.createStatement(); try s.execute(sql) finally s.close() }
+      finally c.close()
+    }
+    execAt("CREATE TABLE disc_one (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(10))")
+    execAt("CREATE TABLE disc_two (id BIGINT NOT NULL PRIMARY KEY, w VARCHAR(10))")
+    execAt("CREATE TABLE schema_migrations (version VARCHAR(20) NOT NULL PRIMARY KEY)")
+    execAt("CREATE TABLE disc_nopk (a BIGINT)")
+    execAt("CREATE TABLE disc_comp (a BIGINT NOT NULL, b BIGINT NOT NULL, PRIMARY KEY (a, b))")
+    (1 to 7).foreach(i => execAt(s"INSERT INTO disc_one VALUES ($i, 'v$i')"))
+    (1 to 4).foreach(i => execAt(s"INSERT INTO disc_two VALUES ($i, 'w$i')"))
+    execAt("INSERT INTO schema_migrations VALUES ('20240101')")
+    val cc = ConnectionConfig(adapter = "derby",
+      database = "memory:graftdisc;create=true")
+    // the reference's all_tables REPLACES configured <table> blocks whole
+    val cfg = InputConfig(tables = Nil, allTables = true, selectLimit = 3)
+    val cp = java.nio.file.Files.createTempDirectory("graft_disc_cp").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val q = graft.streaming.KeysetTail.discoveredMultiReader(spark, cc, cfg).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach { r =>
+          r.getMap[String, String](1) // shape check: serialized record map
+          got.add((r.getString(0), r.getMap[String, String](1).head._2))
+        }
+      }
+      .option("checkpointLocation", cp).start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val byTag = got.asScala.toSeq.groupBy(_._1)
+    // only the PK-tailable user tables survive discovery: the framework
+    // system table and the PK-less/composite-PK tables never appear
+    assert(byTag.keySet === Set("DISC_ONE", "DISC_TWO"), byTag.keySet)
+    assert(byTag("DISC_ONE").size === 7)
+    assert(byTag("DISC_TWO").size === 4)
+  }
+
   test("KeysetMultiOffset: tag-map offsets round-trip JSON, one line, escapes intact") {
     import graft.streaming.KeysetMultiOffset
     val o = KeysetMultiOffset(Map(
