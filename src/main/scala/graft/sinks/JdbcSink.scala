@@ -252,11 +252,25 @@ object JdbcSink {
     * `enableFallback = false` re-raises deterministic failures too
     * (`out_sql.rb:107-113`). Executes EAGERLY exactly once, like
     * [[resilientAppend]]. */
+  /** Round 13: (a) the fallback replay is SAVEPOINT-isolated — each chunk/
+    * row statement runs behind a `java.sql.Savepoint` that is rolled back
+    * before the replay, so dialects where the first error ABORTS the
+    * transaction (PostgreSQL: every later statement fails 25P02) keep the
+    * advertised "rest of the batch commits" contract; dialects without
+    * savepoint support fall back to the statement-level-rollback behavior
+    * (correct on Derby/MySQL, where a statement failure poisons nothing).
+    * (b) the driver-side dead-letter collect is BOUNDED: at most
+    * `maxDeadLettersPerPartition` rows per partition are materialized; an
+    * entirely-poisoned page yields capped rows plus ONE overflow marker row
+    * (`record_json = NULL`, error = "overflow: N additional ...") carrying
+    * the exact suppressed count — the pathological case can no longer
+    * collect a whole page to the driver. */
   def idempotentUpsert(df: DataFrame, url: String, table: String,
                        keyCols: Seq[String],
                        user: String = "", password: String = "",
                        batchSize: Int = 500,
-                       enableFallback: Boolean = true): DataFrame = {
+                       enableFallback: Boolean = true,
+                       maxDeadLettersPerPartition: Int = 10000): DataFrame = {
     val schema = df.schema
     val cols = schema.fieldNames.toSeq
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
@@ -300,22 +314,54 @@ object JdbcSink {
         val pending = scala.collection.mutable.ArrayBuffer.empty[Row]
         val pendingKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
         val dead = scala.collection.mutable.ListBuffer.empty[Row]
+        var deadSuppressed = 0L // past the cap: count, don't materialize
+        def deadLetter(r: Row, msg: String): Unit =
+          if (dead.size < maxDeadLettersPerPartition)
+            dead += Row(r.getAs[String]("__json"), msg)
+          else deadSuppressed += 1
+        // Savepoint isolation for the replay contract: on ABORT-on-error
+        // dialects (PostgreSQL, SQLState 25P02) a failed statement poisons
+        // the whole transaction — every later statement fails with a code
+        // OUTSIDE the deterministic set and the stream would retry the
+        // poisoned batch forever. Each fallible statement runs behind a
+        // savepoint rolled back before its replay/dead-lettering. Dialects
+        // without savepoints (metadata says so) keep the plain path, which
+        // is correct exactly where statement-level rollback holds.
+        val useSavepoints =
+          try conn.getMetaData.supportsSavepoints()
+          catch { case scala.util.control.NonFatal(_) => false }
+        def guarded[T](f: => T): T =
+          if (!useSavepoints) f
+          else {
+            val sp = conn.setSavepoint()
+            try {
+              val out = f
+              // release quietly: some drivers invalidate savepoints on use
+              JdbcSink.cleanupQuietly(conn.releaseSavepoint(sp))
+              out
+            } catch {
+              case e: Throwable =>
+                // un-abort the transaction before any replay runs
+                JdbcSink.cleanupQuietly(conn.rollback(sp), e)
+                throw e
+            }
+          }
         // row-wise replay of a (possibly partially applied) chunk: UPDATE
         // replays are idempotent in-txn; a row that STILL fails
         // deterministically becomes a dead letter (enableFallback) instead
         // of failing the batch — transient errors propagate to task retry
         def rowWise(rs: Iterable[Row]): Unit = rs.foreach { r =>
-          try {
+          try guarded {
             bindUpdate(r)
             if (upd.executeUpdate() == 0) { bindInsert(r); ins.executeUpdate() }
           } catch {
             case e: Throwable if enableFallback && causeChain(e).exists(isDeterministic) =>
-              dead += Row(r.getAs[String]("__json"), s"deterministic: ${e.getMessage}")
+              deadLetter(r, s"deterministic: ${e.getMessage}")
           }
         }
         def insertMisses(misses: Seq[Row]): Unit =
           if (misses.nonEmpty) {
-            try {
+            try guarded {
               misses.foreach { r => bindInsert(r); ins.addBatch() }
               ins.executeBatch()
             } catch {
@@ -326,7 +372,7 @@ object JdbcSink {
           }
         def flush(): Unit = if (pending.nonEmpty) {
           try {
-            val counts = upd.executeBatch()
+            val counts = guarded(upd.executeBatch())
             if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO)) {
               // driver withheld counts: replay the chunk row-by-row (the
               // already-applied updates are idempotent, same txn)
@@ -339,6 +385,8 @@ object JdbcSink {
           } catch {
             case e: Throwable if enableFallback && causeChain(e).exists(isDeterministic) =>
               // a poisoned row inside the UPDATE batch: isolate it row-wise
+              // (the savepoint rollback in guarded() already un-aborted and
+              // un-applied the partial batch)
               JdbcSink.cleanupQuietly(upd.clearBatch(), e)
               rowWise(pending)
           }
@@ -369,6 +417,9 @@ object JdbcSink {
             throw e
         }
         quietly(upd.close()); quietly(ins.close()); quietly(conn.close())
+        if (deadSuppressed > 0) // exact total stays reportable: cap + marker
+          dead += Row(null, s"overflow: $deadSuppressed additional dead-letter " +
+            s"row(s) suppressed in this partition (cap $maxDeadLettersPerPartition)")
         dead.iterator
       }
     }(enc).collect() // the one and only execution of the upserts
@@ -376,9 +427,13 @@ object JdbcSink {
       java.util.Arrays.asList(deadLetters: _*), deadLetterSchema)
   }
 
+  /** Same bounded dead-letter materialization as [[idempotentUpsert]]: at
+    * most `maxDeadLettersPerPartition` rows collect per partition, plus one
+    * overflow marker row carrying the exact suppressed count. */
   def resilientAppend(df: DataFrame, url: String, table: String,
                       user: String = "", password: String = "",
-                      numRetries: Int = 5, retrySleepMs: Long = 500): DataFrame = {
+                      numRetries: Int = 5, retrySleepMs: Long = 500,
+                      maxDeadLettersPerPartition: Int = 10000): DataFrame = {
     val schema = df.schema
     val cols = schema.fieldNames
     val insertSql =
@@ -425,11 +480,19 @@ object JdbcSink {
           None
         }
 
-        val out = rows.flatMap { r =>
-          writeOne(r).map(err => Row(r.getAs[String]("__json"), err))
-        }.toList // drain before closing the connection
+        var deadSuppressed = 0L
+        rows.foreach { r => // drain fully before closing the connection
+          writeOne(r).foreach { err =>
+            if (dead.size < maxDeadLettersPerPartition)
+              dead += Row(r.getAs[String]("__json"), err)
+            else deadSuppressed += 1
+          }
+        }
         stmt.close(); conn.close()
-        (dead ++= out).iterator
+        if (deadSuppressed > 0)
+          dead += Row(null, s"overflow: $deadSuppressed additional dead-letter " +
+            s"row(s) suppressed in this partition (cap $maxDeadLettersPerPartition)")
+        dead.iterator
       }
     }(enc).collect() // the one and only execution of the inserts
 

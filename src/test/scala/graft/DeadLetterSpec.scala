@@ -35,6 +35,24 @@ class DeadLetterSpec extends SparkSpecBase {
     }
   }
 
+  test("idempotentUpsert: an entirely-poisoned batch collects BOUNDED dead letters plus an exact-count overflow marker (r12 verdict #7)") {
+    exec("CREATE TABLE ups13cap (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(3))")
+    import spark.implicits._
+    // every row poisoned: without the cap this collects the whole page
+    val df = (1L to 40L).map(i => (i, s"too-long-$i")).toDF("id", "v").coalesce(1)
+    val dead = graft.sinks.JdbcSink.idempotentUpsert(df, url, "ups13cap", Seq("id"),
+      maxDeadLettersPerPartition = 5).collect()
+    // 5 materialized + 1 overflow marker — never 40 rows on the driver
+    assert(dead.length === 6, dead.mkString("; "))
+    val (markers, letters) = dead.partition(_.isNullAt(0))
+    assert(letters.length === 5)
+    assert(letters.forall(_.getString(1).startsWith("deterministic:")))
+    assert(markers.length === 1)
+    assert(markers(0).getString(1).contains("35 additional"),
+      s"exact suppressed count must be reportable: ${markers(0).getString(1)}")
+    assert(spark.read.jdbc(url, "ups13cap", noProps).count() === 0)
+  }
+
   test("upsertStream: poisoned record lands in the dead-letter TABLE while the batch commits") {
     exec("CREATE TABLE s12 (event_id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(8))")
     exec("CREATE TABLE dl12 (\"record_json\" VARCHAR(2000), \"error\" VARCHAR(2000), " +

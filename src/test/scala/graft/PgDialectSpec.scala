@@ -78,6 +78,85 @@ class PgDialectSpec extends SparkSpecBase {
     assert(snap() === Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
+  test("shim double-check: statement failure ABORTS the txn (25P02 until rollback-to-savepoint), like PostgreSQL") {
+    fixture
+    execPlain("CREATE TABLE pgapp.abort_t (id BIGINT NOT NULL PRIMARY KEY)")
+    val conn = JdbcSource.connect(url, cc.properties)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      st.executeUpdate("INSERT INTO abort_t VALUES (1)")
+      val sp = conn.setSavepoint()
+      intercept[java.sql.SQLException](
+        st.executeUpdate("INSERT INTO abort_t VALUES (1)")) // PK violation
+      // aborted: even a perfectly valid statement now fails 25P02
+      val e = intercept[java.sql.SQLException](
+        st.executeUpdate("INSERT INTO abort_t VALUES (2)"))
+      assert(e.getSQLState === "25P02", e.getMessage)
+      conn.rollback(sp) // un-aborts, preserves work before the savepoint
+      st.executeUpdate("INSERT INTO abort_t VALUES (3)")
+      conn.commit()
+      st.close()
+    } finally conn.close()
+    val rows = spark.read.jdbc(url, cc.qualify("abort_t"), cc.properties)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(rows === Seq(1L, 3L))
+  }
+
+  test("upsert fallback on PG abort semantics: poisoned row dead-letters, REST OF THE BATCH COMMITS (savepoint isolation)") {
+    fixture
+    execPlain("CREATE TABLE pgapp.ups_dead (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(5) NOT NULL)")
+    import spark.implicits._
+    // one partition, one transaction: the middle row violates NOT NULL —
+    // on PG the first failure aborts the txn, so a non-savepoint replay
+    // would fail 25P02 on every subsequent row and retry forever
+    val b = Seq((1L, "a"), (2L, null: String), (3L, "c")).toDF("id", "v").coalesce(1)
+    val dead = JdbcSink.idempotentUpsert(b, url, cc.qualify("ups_dead"), Seq("id"))
+      .collect()
+    assert(dead.length === 1, dead.mkString("; "))
+    assert(dead(0).getString(0).contains("\"id\":2"))
+    val rows = spark.read.jdbc(url, cc.qualify("ups_dead"), cc.properties)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (3L, "c")), "healthy rows must commit")
+    // replay of the same batch stays idempotent AND keeps dead-lettering
+    val dead2 = JdbcSink.idempotentUpsert(b, url, cc.qualify("ups_dead"), Seq("id"))
+      .collect()
+    assert(dead2.length === 1)
+    assert(spark.read.jdbc(url, cc.qualify("ups_dead"), cc.properties).count() === 2)
+  }
+
+  test("fetchsize reaches the driver (pgjdbc's cursor-paging prerequisite)") {
+    fixture
+    val df = spark.read
+      .option("fetchsize", "100")
+      .jdbc(url, cc.qualify("pgt"), cc.properties)
+    assert(df.count() === 30)
+    assert(PgShimDriver.lastFetchSize === Some(100),
+      s"fetchsize option must reach Statement.setFetchSize, got ${PgShimDriver.lastFetchSize}")
+  }
+
+  test("quoted mixed-case identifiers round-trip: PostgresDialect quoting preserves case through write, read, and keyset page") {
+    fixture
+    import spark.implicits._
+    val src = (1 to 9).map(i => (i.toLong, s"m$i")).toDF("Id", "MixedCase")
+    val props = cc.properties
+    // pre-created: Spark's PG CREATE TABLE emits `TEXT`, which Derby can't
+    // parse — the shim translates statements, not DDL type names (FIXTURES)
+    execPlain("CREATE TABLE pgapp.mixed_pg (\"Id\" BIGINT, \"MixedCase\" VARCHAR(20))")
+    src.write.mode("append").jdbc(url, "pgapp.mixed_pg", props)
+    val back = spark.read.jdbc(url, "pgapp.mixed_pg", props)
+    // dialect-quoted DDL keeps the EXACT case (Derby unquoted would upcase)
+    assert(back.schema.fieldNames.toSeq === Seq("Id", "MixedCase"))
+    assert(back.orderBy("Id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === (1 to 9).map(i => (i.toLong, s"m$i")))
+    // keyset page over the quoted mixed-case update column (the providers
+    // quote through JdbcDialects.get — this is that path's PG row)
+    val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier("Id")
+    val page = JdbcSource.keysetPage(spark, url, "pgapp.mixed_pg", q,
+      Some("4"), 3, props, fetchFirstSyntax = false).collect()
+    assert(page.map(_.getLong(0)).toSeq === Seq(5L, 6L, 7L))
+  }
+
   test("tail: streaming keyset-tail over the PG URL — PostgresDialect quoting, LIMIT paging, resume") {
     fixture
     execPlain("CREATE TABLE pgapp.tail_pg (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(20))")
