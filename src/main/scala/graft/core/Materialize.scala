@@ -38,7 +38,25 @@ object Materialize {
         // setCheckpointDir appends a per-context UUID subdir; register once
         // (a mid-session conf change to a DIFFERENT dir is not a supported
         // flow — the first dir wins for the context's lifetime)
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+        if (sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(d)
+          // Spark deletes checkpoint files on GC only under
+          // spark.cleaner.referenceTracking.cleanCheckpoints=true, and the
+          // ContextCleaner reads that flag ONCE at context startup — it
+          // cannot be enabled mid-session. Without it every iterative round
+          // (and every micro-batch of a staged() streaming op) leaves its
+          // checkpoint files behind, growing the dir without bound over a
+          // long session. Warn once at registration; the fix belongs in the
+          // SparkConf that builds the session.
+          if (!sc.getConf.getBoolean(
+              "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+            System.err.println("[graft.materialize] reliable-checkpoint mode " +
+              s"is ON ($ConfKey=$d) but " +
+              "spark.cleaner.referenceTracking.cleanCheckpoints is false: " +
+              "checkpoint files are never deleted. For streaming or " +
+              "long-running sessions set it to true IN THE SPARKCONF AT " +
+              "SESSION BUILD (the cleaner reads it once at startup).")
+        }
         df.checkpoint()
       case None => df.localCheckpoint()
     }

@@ -41,14 +41,20 @@ object Graph {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIters: Int = 20): DataFrame = {
-    // persist the (possibly expensive) pair pipeline BEFORE the symmetrizing
-    // union — union(e, e.swap) over an unpersisted input runs the upstream
-    // plan twice, which doubled q_dedup_clusters' cost when edges came from
-    // the PPJoin pipeline
-    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst")).persist()
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // Symmetrize in ONE pass: each pair row explodes into both directions
+    // inside the scan/pipeline stage, so the (possibly expensive) pair
+    // pipeline runs ONCE and no persisted original is held alive while the
+    // doubled copy materializes. (History: union(e, e.swap) over an
+    // unpersisted input ran the upstream plan twice — doubling
+    // q_dedup_clusters when edges came from the PPJoin pipeline — and the
+    // round-12 persist+union fix held TWO edge-list copies live instead;
+    // explode needs neither. Consumers are min-aggregates and equi-joins,
+    // so the changed row order cannot change results.)
+    val sym = edges.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .staged() // eager: materializes here, truncates the pair-pipeline plan
-    e.unpersist(blocking = false)
     var labels = nodes.select(col("id"), col("id").as("label")).staged()
     // labels only ever DECREASE under min-propagation, so sum(label) is a
     // strictly-decreasing convergence signal: one small aggregate per round

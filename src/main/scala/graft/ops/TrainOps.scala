@@ -162,17 +162,27 @@ object TrainOps {
   def pageRank(edges: DataFrame, iters: Int = 5,
                dampingPct: Long = 85L): DataFrame = {
     val S = 1000000000000L // 1e12 micro-units of rank mass
-    val e = edges.select(col("src"), col("dst")).persist()
-    // checkpoint the BARE symmetric edge list — an earlier version joined
+    // Stage the BARE symmetric edge list — an earlier version joined
     // outdeg onto every edge here, which materialized a second, wider copy
     // of the whole edge list before the first iteration (the single most
     // expensive step of the job at sf0.1). Out-degree instead rides on the
     // node-sized rank table below.
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    //
+    // Symmetrize in ONE pass: each edge row explodes into its two
+    // directions inside the scan stage, so materializing `sym` holds ONE
+    // edge-list copy (the staged blocks) instead of three — the round-12
+    // shape (persist(e) + union of two scans of it) kept the persisted
+    // original alive while writing the doubled copy, and was the largest
+    // line item of q_pagerank's sf10 24g OOM. Row ORDER differs from the
+    // union form, but every consumer is an integer aggregate/join —
+    // order-independent by the fixed-point design.
+    val sym = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .staged()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .staged() // node-sized; computed once
-    e.unpersist(blocking = false)
     val n = deg.count() // every node has out-edges under the symmetric closure
     val teleport = (S * (100L - dampingPct) / 100L) / n
     // Per iteration, the per-source contribution (pr div outdeg) is built

@@ -1,0 +1,149 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Materialize.StageOps
+
+/** Stage isolation for q_dedup_substring's 870%/decade ratio (r12 verdict
+  * #4, the ProbePipeline discipline): the op is a five-stage pipeline —
+  *
+  *   1. gram    — one-pass rolling gram hashes, posexplode to (id, p, h)
+  *   2. duph    — groupBy(h) count_distinct(id) > 1 (the all-positions
+  *                shuffle: by far the largest exchange of the op)
+  *   3. duppos  — grams LEFT SEMI dupHashes (second shuffle of the mark
+  *                table)
+  *   4. islands — per-doc gaps-and-islands window + range aggregate over
+  *                CANDIDATE rows only
+  *   5. rebuild — join ranges back onto the docs, substring reconstruction
+  *
+  * Each stage's input is staged (lineage cut) so its time is ITS OWN cost,
+  * not its prefix's. Run at the sf1xd vs sf10 decorrelation fixtures to see
+  * which stage carries the decade ratio.
+  *
+  * `runMain graft.tools.ProbeSubstr <dirA> <dirB> [reps] [gram]`
+  * prints one JSON line; recorded in PROBES_r13/BASELINE.md.
+  */
+object ProbeSubstr {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ProbeSubstr <dirA> <dirB> [reps] [gram]")
+    val dirA = args(0)
+    val dirB = args(1)
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val gram = args.lift(3).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT warm
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    /** One full stage-isolated pass; returns per-stage seconds + volumes. */
+    def stages(dir: String): (Map[String, Double], Map[String, Long]) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val t = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val n = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+
+      var grams: DataFrame = null
+      t("gram") = timed {
+        val base = docs.select(col("doc_id"), col("text").as("t"),
+          length(col("text")).as("len"))
+        grams = base.filter(col("len") >= gram)
+          .select(col("doc_id"),
+            posexplode(graft.functions.GramHashes.hashes(col("t"), gram)))
+          .select(col("doc_id"), col("pos").cast("long").as("p"), col("col").as("h"))
+          .staged()
+        n("gram") = grams.count()
+      }
+      var duph: DataFrame = null
+      t("duph") = timed {
+        duph = grams.groupBy("h")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1).select("h")
+          .staged()
+        n("duph") = duph.count()
+      }
+      var duppos: DataFrame = null
+      t("duppos") = timed {
+        duppos = grams.join(duph, Seq("h"), "left_semi")
+          .select(col("doc_id"), col("p"))
+          .staged()
+        n("duppos") = duppos.count()
+      }
+      var perDoc: DataFrame = null
+      t("islands") = timed {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("p"))
+        val prevMaxEnd = max(col("p") + gram).over(w.rowsBetween(Long.MinValue, -1))
+        perDoc = duppos
+          .withColumn("ni", when(prevMaxEnd.isNull || col("p") > prevMaxEnd, 1)
+            .otherwise(0))
+          .withColumn("island", sum(col("ni")).over(w.rowsBetween(Long.MinValue, 0)))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min(col("p")).cast("long").as("s"),
+            (max(col("p")) + gram).cast("long").as("e"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_ranges"),
+            sum(col("e") - col("s")).cast("long").as("dup_chars"),
+            array_sort(collect_list(struct(col("s"), col("e")))).as("rs"))
+          .staged()
+        n("islands") = perDoc.count()
+      }
+      t("rebuild") = timed {
+        val base = docs.select(col("doc_id"), col("text").as("t"),
+          length(col("text")).as("len"))
+        val out = base
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .withColumn("acc", aggregate(
+            coalesce(col("rs"), array().cast("array<struct<s:bigint,e:bigint>>")),
+            struct(lit(0L).as("pos"), lit("").as("txt")),
+            (acc, r) => struct(
+              r.getField("e").as("pos"),
+              concat(acc.getField("txt"),
+                col("t").substr((acc.getField("pos") + 1).cast("int"),
+                  (r.getField("s") - acc.getField("pos")).cast("int"))).as("txt"))))
+          .select(col("doc_id"),
+            coalesce(col("n_ranges"), lit(0L)).as("n_ranges"),
+            coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+            concat(col("acc.txt"),
+              col("t").substr((col("acc.pos") + 1).cast("int"),
+                (col("len") - col("acc.pos")).cast("int"))).as("clean_text"))
+        out.write.format("noop").mode("overwrite").save()
+      }
+      // whole declared query for the end-to-end anchor
+      t("full_query") = timed {
+        graft.SparkEntry.queries("q_dedup_substring")(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      (t.toMap, n.toMap)
+    }
+
+    def minOf(dir: String): (Map[String, Double], Map[String, Long]) = {
+      val runs = (1 to reps).map(_ => stages(dir))
+      val keys = runs.head._1.keys
+      (keys.map(k => k -> runs.map(_._1(k)).min).toMap, runs.last._2)
+    }
+
+    val (ta, na) = minOf(dirA)
+    val (tb, nb) = minOf(dirB)
+    val keys = Seq("gram", "duph", "duppos", "islands", "rebuild", "full_query")
+    val rows = keys.map { k =>
+      val ratio = math.round(100.0 * tb(k) / ta(k))
+      System.err.println(f"[substr] $k%-10s a=${ta(k)}%7.2f s  b=${tb(k)}%7.2f s  ratio=${ratio}%4d%%")
+      f""""$k": {"a_sec": ${ta(k)}%.3f, "b_sec": ${tb(k)}%.3f, "ratio_pct": $ratio, """ +
+        s""""a_rows": ${na.getOrElse(k, -1L)}, "b_rows": ${nb.getOrElse(k, -1L)}}"""
+    }
+    println(s"""{"metric":"substr_stage_decade","dir_a":"$dirA","dir_b":"$dirB",""" +
+      s""""reps":$reps,"gram":$gram,"stages":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}
