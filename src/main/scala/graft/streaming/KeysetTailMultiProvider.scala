@@ -42,7 +42,13 @@ import graft.sources.{JdbcSource, Serialize}
   *     one checkpoint log — restart resumes EVERY table from its own
   *     boundary, INCLUDING tables that are not currently live (an
   *     init-dropped table's entry is preserved across the run, like the
-  *     reference state file's full-map rewrite, `in_sql.rb:280-307`).
+  *     reference state file's full-map rewrite, `in_sql.rb:280-307`);
+  *   - a replayed batch whose in-flight range belongs to a table that
+  *     failed init this run rolls that boundary BACK to the range start in
+  *     the next commit (the range cannot be read without the table), so a
+  *     crash + break + recover sequence re-emits those rows instead of
+  *     skipping past them — at-least-once holds in every fault
+  *     interleaving.
   *
   * Because the tables have heterogeneous schemas, rows are emitted in the
   * reference's own event shape (`in_sql.rb:139-158`): `tag STRING` +
@@ -387,8 +393,22 @@ final class KeysetMultiMicroBatchStream(url: String, connProps: Map[String, Stri
     } finally st.close()
   }
 
+  /** Boundaries to ROLL BACK in the next committed offset: a replayed
+    * batch (restart after a crash between offset-WAL write and batch
+    * completion) can carry an in-flight (lo, hi] range for a table that
+    * failed init this run — [[planInputPartitions]] has no schema/reader
+    * for it and must skip the range, so at-least-once is preserved by
+    * rewinding that tag's boundary to the range START; the rows re-emit
+    * when the table recovers. (The reference's emit-then-update loop,
+    * `in_sql.rb:269-271`, cannot lose these either. Residual window: the
+    * rollback itself commits with the next offset write — a recovery
+    * BEFORE any further offset commit still resumes from the logged hi.) */
+  private val pendingRollback = scala.collection.mutable.Map.empty[String, Option[String]]
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[KeysetMultiOffset].last
+    val s0 = start.asInstanceOf[KeysetMultiOffset].last
+    val rolled = synchronized { pendingRollback.toMap }
+    val s = s0 ++ rolled
     val conn = cycleConnection() match {
       case Some(c) => c
       case None => return start // warned; every offset held, retry next trigger
@@ -421,7 +441,13 @@ final class KeysetMultiMicroBatchStream(url: String, connProps: Map[String, Stri
     // reference state file preserves non-live tables' entries across its
     // full-map rewrite (in_sql.rb:280-307), so a recovered table resumes
     // from where it stopped instead of replaying from the beginning.
-    if (advanced) KeysetMultiOffset(s ++ polled) else start
+    // A pending rollback (skipped in-flight replay range) must COMMIT even
+    // on an otherwise-quiet cycle, or the rewound boundary never reaches
+    // the offset log.
+    if (advanced || rolled.nonEmpty) {
+      synchronized { rolled.keys.foreach(pendingRollback.remove) }
+      KeysetMultiOffset(s ++ polled)
+    } else start
   }
 
   override def latestOffset(): Offset =
@@ -430,6 +456,27 @@ final class KeysetMultiMicroBatchStream(url: String, connProps: Map[String, Stri
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[KeysetMultiOffset].last
     val e = end.asInstanceOf[KeysetMultiOffset].last
+    // An in-flight range for a tag with NO live table can only be a
+    // replayed batch (boundaries advance through the read probe while
+    // live, so a live table's range is always readable when committed)
+    // whose table then failed init at restart. It cannot be read — no
+    // schema, no reader — so queue a boundary ROLLBACK to the range start:
+    // the next committed offset rewinds it and the rows re-emit when the
+    // table recovers, instead of being silently skipped past.
+    val liveTags = live.map(_.spec.tag).toSet
+    e.foreach { case (tag, hi) =>
+      val lo = s.getOrElse(tag, None)
+      if (!liveTags.contains(tag) && lo != hi)
+        synchronized {
+          if (!pendingRollback.contains(tag)) {
+            pendingRollback(tag) = lo
+            warn(s"table '$tag' has an in-flight replayed range " +
+              s"(${lo.getOrElse("<start>")}, ${hi.getOrElse("?")}] but is not " +
+              "live this run; rolling its boundary back to the range start " +
+              "so the rows re-emit when it recovers (at-least-once)")
+          }
+        }
+    }
     live.flatMap { t =>
       val lo = s.getOrElse(t.spec.tag, None)
       val hi = e.getOrElse(t.spec.tag, None)

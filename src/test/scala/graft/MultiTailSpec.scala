@@ -387,6 +387,59 @@ class MultiTailSpec extends SparkSpecBase {
       maxRowsPerBatch = 100, fetchFirst = true).stop()
   }
 
+  test("at-least-once through crash + broken table: a skipped in-flight replay range ROLLS the boundary BACK instead of dropping rows") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.streaming.{KeysetMultiMicroBatchStream, KeysetMultiOffset, KeysetTailMulti}
+    exec("CREATE TABLE mt_r1 (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(10))")
+    exec("CREATE TABLE mt_r2 (id BIGINT NOT NULL PRIMARY KEY, w VARCHAR(10))")
+    (1 to 5).foreach { i =>
+      exec(s"INSERT INTO mt_r1 VALUES ($i, 'v$i')")
+      exec(s"INSERT INTO mt_r2 VALUES ($i, 'w$i')")
+    }
+    def specs = Seq(
+      KeysetTailMulti.TableSpec("r1", "mt_r1", "id", graft.core.RubyStrftime.DefaultRubyFormat),
+      KeysetTailMulti.TableSpec("r2", "mt_r2", "id", graft.core.RubyStrftime.DefaultRubyFormat))
+    def mkStream() = new KeysetMultiMicroBatchStream(url, Map.empty, specs,
+      maxRowsPerBatch = 100, fetchFirst = true)
+    // incarnation 1: both tables advance to 5; the engine logs this offset
+    // to the WAL, then "crashes" before the batch completes
+    val s1 = mkStream()
+    val o0 = s1.initialOffset()
+    val o1 = s1.latestOffset(o0, ReadLimit.allAvailable())
+    assert(o1.asInstanceOf[KeysetMultiOffset].last ===
+      Map("r1" -> Some("5"), "r2" -> Some("5")))
+    s1.stop()
+    // mt_r1 breaks while the stream is down
+    exec("DROP TABLE mt_r1")
+    // incarnation 2: r1 fails init (dropped); the engine REPLAYS (o0, o1]
+    val s2 = mkStream()
+    try {
+      val parts = s2.planInputPartitions(o0, o1)
+      assert(parts.length === 1, "only the readable table's range is planned")
+      // the next offset commit must REWIND r1 to the skipped range's start
+      // (a quiet cycle — no new rows anywhere — must still commit it)
+      val o2 = s2.latestOffset(o1, ReadLimit.allAvailable())
+      val m2 = o2.asInstanceOf[KeysetMultiOffset].last
+      assert(m2("r1") === None, s"boundary must roll back to range start: $m2")
+      assert(m2("r2") === Some("5"))
+      // recovery: mt_r1 back with its rows (+1 new); a fresh incarnation
+      // resumes from the REWOUND boundary and re-emits the whole skipped
+      // range — duplicates, never loss
+      exec("CREATE TABLE mt_r1 (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR(10))")
+      (1 to 6).foreach(i => exec(s"INSERT INTO mt_r1 VALUES ($i, 'v$i')"))
+      val s3 = mkStream()
+      try {
+        val o3 = s3.latestOffset(o2, ReadLimit.allAvailable())
+        assert(o3.asInstanceOf[KeysetMultiOffset].last("r1") === Some("6"))
+        val replay = s3.planInputPartitions(o2, o3)
+        val r1Part = replay.collectFirst {
+          case p: graft.streaming.KeysetMultiPartition if p.tag == "r1" => p }
+        assert(r1Part.exists(_.lo.isEmpty),
+          s"recovered table must re-read from the rewound start: $r1Part")
+      } finally s3.stop()
+    } finally s2.stop()
+  }
+
   test("all_tables discovery feeds the ONE multi stream: schema_migrations skipped, PK-defaulted update columns, PK-less/composite dropped (in_sql.rb:214-230)") {
     import graft.core.{ConnectionConfig, InputConfig}
     val dUrl = "jdbc:derby:memory:graftdisc;create=true"
