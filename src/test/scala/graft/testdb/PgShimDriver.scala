@@ -131,7 +131,10 @@ object PgShimDriver {
     reflective(classOf[Connection], derby, {
       case (m, Array(sql: String)) if m.getName == "nativeSQL" => translate(sql)
       case (m, args) if m.getName == "setAutoCommit" =>
-        // pgjdbc: toggling autocommit ends any open (incl. aborted) txn
+        // pgjdbc: toggling autocommit ends any open txn — but an ABORTED
+        // txn ends in ROLLBACK on PG, where Derby's setAutoCommit(true)
+        // would COMMIT the pre-failure work. Roll back first.
+        if (state.aborted) derby.rollback()
         state.autoCommit = args(0).asInstanceOf[java.lang.Boolean]
         state.aborted = false
         invokeRaw(m, derby, args)
