@@ -1122,7 +1122,15 @@ object TrainOps {
                    supDenom: Int = 5): DataFrame = {
     val di = docs.select(col(idCol).as("d"),
       explode(TextOps.distinctTokens(col(textCol))).as("item"))
-    val tot = di.agg(count_distinct(col("d")).as("n_docs"))
+    // n_docs = docs contributing >= 1 item. Counting docs with a non-empty
+    // token set is the SAME number as count_distinct(d) over the exploded
+    // stream, without the explode + distinct shuffle that formulation pays
+    // — this pass is a scan with a map-side aggregate. (The tokenization
+    // itself still runs 3x — tot, l1, db — which is the scale-correct
+    // trade: the exploded stream is corpus-sized, so caching it would be
+    // wrong at 100 TB; re-scanning is embarrassingly parallel.)
+    val tot = docs.agg(count(when(
+      size(TextOps.distinctTokens(col(textCol))) > 0, 1)).as("n_docs"))
     val l1 = di.groupBy("item").agg(count(lit(1)).cast("long").as("df"))
       .crossJoin(broadcast(tot))
       .filter(col("df") * supDenom >= col("n_docs"))
