@@ -500,14 +500,21 @@ object CleanOps {
     // PER POSITION, and the round-8 ladder already measured the hash-key
     // shape dominating: md5 13.0 s → xxhash 5.1 s at sf0.1), the oracle
     // md5; outputs agree absent collisions (~n_grams^2 / 2^64). The
-    // (id, p, h) mark table is persisted because BOTH the df aggregate
-    // and the position semi-join consume it — unpersisted, the whole
-    // explode pipeline runs twice.
-    val grams = PlanCache.getOrPersist(docs, s"substr_grams:$idCol:$textCol:$gram")(
+    // (id, p, h) mark table has TWO consumers (the df aggregate and the
+    // position semi-join) and is deliberately NOT cached: the mark table
+    // is corpus-sized (one row per character position), so caching it
+    // writes-then-reads more bytes than the one-pass rolling-hash kernel
+    // costs to recompute — measured BOTH ways at two scales in round 13
+    // (ProbeSubstr `fulls`): recompute 17.9 s vs cached 23.9 s at sf1xd,
+    // 124.9 s vs 143.0 s at sf10, where the cache additionally overflows
+    // the memory store and spills. (Round-8's persist rationale predated
+    // the single-pass GramHashes kernel, when the per-position explode
+    // made recompute expensive.)
+    val grams =
       base.filter(col("len") >= gram)
         .select(col(idCol),
           posexplode(graft.functions.GramHashes.hashes(col("t"), gram)))
-        .select(col(idCol), col("pos").cast("long").as("p"), col("col").as("h")))
+        .select(col(idCol), col("pos").cast("long").as("p"), col("col").as("h"))
     val dupHashes = grams.groupBy("h")
       .agg(count_distinct(col(idCol)).as("nd"))
       .filter(col("nd") > 1)
