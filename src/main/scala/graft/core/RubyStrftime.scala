@@ -92,6 +92,30 @@ object RubyStrftime {
     out.toString
   }
 
+  /** True when the format emits a timezone suffix — numeric `%z` (any `:`
+    * variant) OR zone-name `%Z` (→ `zzz`, e.g. " UTC"). Scans the format the
+    * way [[toSparkPattern]] tokenizes it, so `%%z` (escaped percent followed
+    * by a literal `z`) is NOT a zone directive while `%%%z` is. Used by the
+    * keyset providers' config-time guard: dialects whose string→TIMESTAMP
+    * cast rejects ANY zone suffix (Derby) fail on both forms the moment the
+    * serialized boundary re-enters the page query (ADVICE r13). */
+  def hasZoneDirective(rb: String): Boolean = {
+    var i = 0
+    while (i < rb.length) {
+      if (rb.charAt(i) == '%' && i + 1 < rb.length) {
+        var j = i + 1
+        while (j < rb.length && rb.charAt(j).isDigit) j += 1 // width (%6N)
+        while (j < rb.length && rb.charAt(j) == ':') j += 1  // %:z / %::z
+        if (j < rb.length) {
+          val conv = rb.charAt(j)
+          if (conv == 'z' || conv == 'Z') return true
+          i = j + 1 // %% consumes both chars: a following 'z' is a literal
+        } else i = j
+      } else i += 1
+    }
+    false
+  }
+
   /** The reference's default serialization format (`in_sql.rb:62`). */
   val DefaultRubyFormat = "%Y-%m-%d %H:%M:%S.%6N%z"
   lazy val DefaultSparkPattern: String = toSparkPattern(DefaultRubyFormat)

@@ -36,6 +36,15 @@ object JdbcSink {
     try f catch { case scala.util.control.NonFatal(ce) =>
       if (cause != null && (cause ne ce)) cause.addSuppressed(ce) }
 
+  /** The abort-on-error transaction dialect CLASS (round-13 lesson): one
+    * failed statement poisons the whole transaction until a rollback
+    * (PostgreSQL's 25P02 protocol). Only these dialects need per-statement
+    * savepoint isolation in the fallback replay; everywhere else
+    * statement-level rollback holds and savepoints are pure round-trip
+    * overhead (ADVICE r13). */
+  private[graft] def abortsTxnOnError(url: String): Boolean =
+    url.startsWith("jdbc:postgresql")
+
   def bulkAppend(df: DataFrame, url: String, table: String,
                  props: Properties = new Properties(),
                  batchSize: Int = 1000, numPartitions: Option[Int] = None): Unit = {
@@ -324,12 +333,15 @@ object JdbcSink {
         // the whole transaction — every later statement fails with a code
         // OUTSIDE the deterministic set and the stream would retry the
         // poisoned batch forever. Each fallible statement runs behind a
-        // savepoint rolled back before its replay/dead-lettering. Dialects
-        // without savepoints (metadata says so) keep the plain path, which
-        // is correct exactly where statement-level rollback holds.
-        val useSavepoints =
-          try conn.getMetaData.supportsSavepoints()
-          catch { case scala.util.control.NonFatal(_) => false }
+        // savepoint rolled back before its replay/dead-lettering. Only the
+        // abort-on-error dialect CLASS pays this (gated on the URL, then on
+        // metadata savepoint support): statement-level-rollback dialects
+        // (Derby/MySQL) don't need it, and paying setSavepoint + release
+        // round trips per chunk on every happy-path flush there is pure
+        // overhead (ADVICE r13).
+        val useSavepoints = JdbcSink.abortsTxnOnError(url) &&
+          (try conn.getMetaData.supportsSavepoints()
+           catch { case scala.util.control.NonFatal(_) => false })
         def guarded[T](f: => T): T =
           if (!useSavepoints) f
           else {

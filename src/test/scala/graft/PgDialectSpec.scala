@@ -190,4 +190,16 @@ class PgDialectSpec extends SparkSpecBase {
       assert(got2.asScala.toSet === (21L to 25L).toSet)
     } finally q2.stop()
   }
+
+  test("savepoint isolation is scoped to the abort-on-error dialect CLASS: PG pays it, statement-level-rollback dialects keep the zero-overhead path (ADVICE r13)") {
+    import graft.sinks.JdbcSink.abortsTxnOnError
+    assert(abortsTxnOnError("jdbc:postgresql://localhost/db"))
+    assert(abortsTxnOnError("jdbc:postgresql:db"))
+    // Derby/MySQL keep statement-level rollback: a failed statement poisons
+    // nothing, so per-chunk setSavepoint/releaseSavepoint round trips on the
+    // happy path would be pure overhead
+    assert(!abortsTxnOnError("jdbc:derby:memory:x;create=true"))
+    assert(!abortsTxnOnError("jdbc:mysql://h/db"))
+    assert(!abortsTxnOnError("jdbc:sqlite::memory:"))
+  }
 }
