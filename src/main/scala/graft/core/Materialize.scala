@@ -62,9 +62,36 @@ object Materialize {
     }
   }
 
+  /** [[stage]] with the physical LAYOUT advertised to consumers: under
+    * AQE, `Dataset.checkpoint`'s LogicalRDD captures the partitioning and
+    * ordering of `AdaptiveSparkPlanExec` — which reports UNKNOWN — so a
+    * staged table that is in fact hash-partitioned and sorted (e.g. the
+    * BPE adjacency after its round-0 window) re-pays one exchange + sort
+    * in EVERY downstream same-key window or join. Disabling AQE for just
+    * the materialization job makes the capture concrete: ProbeBpe's
+    * round-2 rewrite plans with zero Exchange/Sort (vs one of each), and
+    * per-round rewrite time halved at sf0.1 (2.31 → 1.22 s over 6
+    * rounds). The conf flip is scoped to the eager checkpoint action and
+    * restored in a finally — consumers still plan under the session's
+    * AQE. Use for iterative ops whose staged table is re-consumed on the
+    * SAME key it is already partitioned by; plain [[stage]] is right when
+    * the next consumer re-keys anyway (AQE then coalesces its shuffle). */
+  def stageKeepLayout(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try stage(df)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** `df.staged()` sugar so call sites read like the `localCheckpoint()`
     * they replace. */
   implicit class StageOps(private val df: DataFrame) extends AnyVal {
     def staged(): DataFrame = stage(df)
+    def stagedKeepLayout(): DataFrame = stageKeepLayout(df)
   }
 }

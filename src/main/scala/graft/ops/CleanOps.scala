@@ -499,28 +499,37 @@ object CleanOps {
     // explode+substr+xxhash64 formulation recopied and rehashed 64 chars
     // PER POSITION, and the round-8 ladder already measured the hash-key
     // shape dominating: md5 13.0 s → xxhash 5.1 s at sf0.1), the oracle
-    // md5; outputs agree absent collisions (~n_grams^2 / 2^64). The
-    // (id, p, h) mark table has TWO consumers (the df aggregate and the
-    // position semi-join) and is deliberately NOT cached: the mark table
-    // is corpus-sized (one row per character position), so caching it
-    // writes-then-reads more bytes than the one-pass rolling-hash kernel
-    // costs to recompute — measured BOTH ways at two scales in round 13
-    // (ProbeSubstr `fulls`): recompute 17.9 s vs cached 23.9 s at sf1xd,
-    // 124.9 s vs 143.0 s at sf10, where the cache additionally overflows
-    // the memory store and spills. (Round-8's persist rationale predated
-    // the single-pass GramHashes kernel, when the per-position explode
-    // made recompute expensive.)
-    val grams =
+    // md5; outputs agree absent collisions (~n_grams^2 / 2^64).
+    // r14 duph+duppos fusion (r13 verdict #3): the old shape ran the gram
+    // kernel TWICE and shuffled the corpus-sized mark table TWICE — once
+    // as count_distinct(id)'s (h, id) pre-aggregation, once for the
+    // left-semi join back (ProbeSubstr r13: duph 13.3 s + duppos 2.2 s of
+    // the 21.9 s sf1xd total). "h occurs in >1 document" is equivalent to
+    // min(doc) != max(doc) within the h-group, and min/max are computable
+    // as window aggregates over ONE exchange of the mark table — the dup
+    // verdict and the positions travel together, so the semi-join (and
+    // the second kernel scan) disappear. (id, p) ride packed into a
+    // single long — the packing is monotone, so the group's min/max
+    // packed value carries the group's min/max doc id in its high 32
+    // bits; rows shrink from 3 longs to 2. Packing contract: p < 2^31
+    // (Java string length) and 0 <= id < 2^31 — guarded per row (two
+    // long compares in codegen, free next to the hash itself).
+    val packed =
       base.filter(col("len") >= gram)
-        .select(col(idCol),
+        .select(
+          when(col(idCol) >= 0 && col(idCol) < lit(1L << 31), col(idCol))
+            .otherwise(raise_error(concat(lit(
+              "substringDedup: doc id out of packing range [0, 2^31): "),
+              col(idCol).cast("string")))).as("id"),
           posexplode(graft.functions.GramHashes.hashes(col("t"), gram)))
-        .select(col(idCol), col("pos").cast("long").as("p"), col("col").as("h"))
-    val dupHashes = grams.groupBy("h")
-      .agg(count_distinct(col(idCol)).as("nd"))
-      .filter(col("nd") > 1)
-      .select("h")
-    val dupPos = grams.join(dupHashes, Seq("h"), "left_semi")
-      .select(col(idCol), col("p"))
+        .select((col("id") * lit(1L << 32) + col("pos")).as("ip"), col("col").as("h"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val dupPos = packed
+      .withColumn("mn", min(col("ip")).over(wh))
+      .withColumn("mx", max(col("ip")).over(wh))
+      .filter(shiftright(col("mn"), 32) =!= shiftright(col("mx"), 32))
+      .select(shiftright(col("ip"), 32).as(idCol),
+        (col("ip") % lit(1L << 32)).as("p"))
     // gaps-and-islands: a new island opens when this mark starts past the
     // furthest end seen so far in the document
     val w = org.apache.spark.sql.expressions.Window

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.StageOps
 import graft.ops.Exact.dec
 
 /** Statistical testing / drift-detection operators for data pipelines:
@@ -556,8 +557,16 @@ object Stats {
         (col("wij") + col("wji")).as("n"))
       .union(sm.select(col("j").as("i"), col("i").as("j"), col("wji").as("w"),
         (col("wij") + col("wji")).as("n")))
+    // wTot/nTab (players- / players²-bounded) are re-read every round, and
+    // the per-round state `s` is referenced TWICE (the si and sj lookups):
+    // unstaged, the lazy plan doubled per round — the r14 before-plan
+    // inlined the corpus→win-matrix pipeline 200 times and q_bt_arena
+    // spent its 3.2 s re-deriving it. Stage once + stage per round (the
+    // Graph.connectedComponents lineage discipline); every staged table is
+    // player-bounded, never corpus-bounded.
     val wTot = dir.groupBy("i").agg(sum("w").as("wi"), sum("n").as("games"))
-    val nTab = dir.select("i", "j", "n")
+      .staged()
+    val nTab = dir.select("i", "j", "n").staged()
     val all = Window.partitionBy(lit(1))
     var s = wTot.select(col("i"), lit(Unit6).as("s"))
     for (_ <- 1 to rounds) {
@@ -571,6 +580,7 @@ object Stats {
       s = raw.select(col("i"),
         call_function("div",
           col("sr") * (count(lit(1)).over(all) * Unit6), sum("sr").over(all)).as("s"))
+        .staged()
     }
     wTot.join(s, "i")
       .select(col("i").as("player"), col("games"), col("wi").as("wins_smoothed"),

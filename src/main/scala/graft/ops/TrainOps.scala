@@ -333,15 +333,43 @@ object TrainOps {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32], got $rounds")
     // adjacency with ORIGINAL positions: merged-away positions leave gaps,
     // so no re-rank window is ever needed — adjacency is carried by
-    // nxt_pos, not by pos arithmetic
+    // nxt_pos, not by pos arithmetic.
+    //
+    // Partition count is SIZE-DERIVED (AQE's own coalescing law applied
+    // manually): stagedKeepLayout must plan its job with AQE off so the
+    // staged adjacency advertises its hash(id) layout, which also disables
+    // AQE's partition coalescing — left at spark.sql.shuffle.partitions,
+    // a page-scale corpus ran every per-round argmax over 32 near-empty
+    // partitions whose un-coalesced partial aggregates dominated the round
+    // (ProbeBpe: argmax 1.27 s → 2.42 s). The count mirrors AQE's OWN
+    // coalescing law (parallelism-first, SPARK-39915): at least one
+    // advisory-sized chunk per partition, but never coalescing below the
+    // context's default parallelism while partitions still clear
+    // minPartitionSize — on the (uncompressed, exploded) token stream,
+    // estimated at 8× the source's compressed bytes. sf0.1 lands at ~5
+    // partitions, a 100 TB corpus at ~bytes/advisory — scale-adaptive,
+    // no local[32] constant (defaultParallelism is the cluster's total
+    // cores, the same signal AQE uses).
+    val spark = docs.sparkSession
+    def confBytes(key: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get(key, dflt))
+    val advisory = confBytes("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+    val minSize = confBytes("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+    val adjBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes * 8
+    val parallel = BigInt(spark.sparkContext.defaultParallelism)
+      .min(BigInt(1).max(adjBytes / minSize))
+    val nParts = (adjBytes / advisory).max(parallel).max(BigInt(1))
+      .min(BigInt(1 << 20)).toInt
     var adj = docs
+      .repartition(nParts, col(idCol))
       .select(col(idCol), posexplode(TextOps.tokens(col(textCol)))
         .as(Seq("pos", "tok")))
       .withColumn("nxt", lead(col("tok"), 1).over(
         Window.partitionBy(col(idCol)).orderBy(col("pos"))))
       .withColumn("nxt_pos", lead(col("pos"), 1).over(
         Window.partitionBy(col(idCol)).orderBy(col("pos"))))
-      .staged()
+      .stagedKeepLayout()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -357,68 +385,74 @@ object TrainOps {
           best.head.getLong(2))
         merges += ((r.toLong, a, b, c))
         val ab = a + b
-        // candidates: occurrences of the best pair in the CURRENT stream —
-        // a codegen filter, no window over the corpus
-        val cand = adj.filter(col("tok") === a && col("nxt") === b)
-        // islands over candidates only: a candidate continues a run iff it
-        // sits exactly at the previous candidate's next-live position
-        // (true only for self-pairs a==b; a!=b runs are singletons)
-        val cw = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-        // materialized once (Materialize.stage): kept feeds FOUR joins below,
-        // and a lazy plan would re-run the candidate scan + windows per use;
-        // materialization also hands AQE its true (small) size, so the
-        // rewrite joins broadcast at page scale without a forced hint that
-        // would OOM on a 100 TB top pair
-        val kept = cand
-          .withColumn("brk",
-            when(lag(col("nxt_pos"), 1).over(cw) === col("pos"), 0).otherwise(1))
-          .withColumn("isl", sum(col("brk")).over(
-            cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col(idCol), col("isl")).orderBy(col("pos"))))
-          .filter(col("rn") % 2 === 1)
-          .select(col(idCol), col("pos").as("p"), col("nxt_pos").as("q"))
-          .staged()
-        // merged-row info needs the row AT q (its nxt/nxt_pos become the
-        // merged row's): one equi-join of adj against the small kept set.
-        // If the next-live position r after q is ITSELF a kept start, its
-        // token becomes `ab` this same round (the "a a a a" chain), so the
-        // merged row's nxt must say `ab` — r can never be a consumed
-        // position (consumed q's have unique predecessors, and q's
-        // predecessor p is kept, not consumed).
-        val qInfo = adj
-          .join(kept.select(col(idCol), col("p"), col("q").as("pos")), Seq(idCol, "pos"))
-          .select(col(idCol), col("p"), col("nxt").as("q_nxt"),
-            col("nxt_pos").as("q_nxt_pos"))
-        val marks = qInfo
-          .join(kept.select(col(idCol), col("p").as("q_nxt_pos"),
-              lit(1).as("r_kept")),
-            Seq(idCol, "q_nxt_pos"), "left_outer")
-          .select(col(idCol), col("p").as("pos"),
-            when(col("r_kept").isNotNull, lit(ab)).otherwise(col("q_nxt"))
-              .as("new_nxt"),
-            col("q_nxt_pos").as("new_nxt_pos"))
-        val qSet = kept.select(col(idCol), col("q").as("pos"), lit(1).as("is_q"))
-        val prevSet = kept.select(col(idCol), col("p").as("nxt_pos"),
-          lit(1).as("nxt_merged"))
-        // ONE rewrite pass: delete consumed rows, retoken merge starts,
-        // repoint predecessors' nxt at the merged symbol. Precedence: a
-        // merge start's own nxt comes from `marks` (which already folded
-        // the r-kept case); a predecessor that is itself consumed was
-        // deleted by the is_q filter before its nxt could matter.
-        adj = adj
-          .join(marks.withColumn("is_p", lit(1)), Seq(idCol, "pos"), "left_outer")
-          .join(qSet, Seq(idCol, "pos"), "left_outer")
-          .join(prevSet, Seq(idCol, "nxt_pos"), "left_outer")
-          .filter(col("is_q").isNull)
+        // ONE zero-shuffle window pass per round (r14 — replaced the kept
+        // table + its four rewrite joins, which ProbeBpe measured as 3.0 s
+        // of the 4.45 s query: kept 0.75 + rewrite 2.28 at sf0.1). The
+        // adjacency invariant makes every rewrite participant a NEIGHBOR
+        // ROW in (id, pos) order — nxt_pos IS the next live row's pos — so
+        // the consumed row q is lag-1 of its merge start p, the merged
+        // row's new nxt/nxt_pos are lead-2 of p, and a predecessor whose
+        // nxt merges is lead-1 of a merge start. stagedKeepLayout()
+        // preserves the round-0 window's hash(id) partitioning and
+        // (id, pos) ordering through LogicalRDD (plain staged() under AQE
+        // loses both — AdaptiveSparkPlanExec reports Unknown — and every
+        // round re-pays one exchange + sort), so the per-round WindowExec
+        // plans with NO exchange and NO sort: the round is one in-memory
+        // scan (ProbeBpe prints the round-2 plan as the receipt).
+        //
+        // Merge-start selection (the island alternation):
+        //  - a != b: a candidate's successor row q has tok = b != a, so no
+        //    candidate can sit at another's nxt_pos — every island is a
+        //    singleton and EVERY candidate is a merge start.
+        //  - a == b: islands are maximal RUNS of consecutive candidate
+        //    rows ("a a a a"); greedy LTR keeps the 1st, 3rd, ... of each
+        //    run. Run index = running candidate count minus the count at
+        //    the run's start — three running frames over the same window,
+        //    one WindowExec.
+        val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val candC = col("tok") === a && col("nxt") === b // null nxt => false
+        val withP =
+          if (a != b) adj.withColumn("is_p", candC)
+          else {
+            // brk: candidate whose previous row is not a candidate (run
+            // start); cum: running candidate count; runCum: cum at the most
+            // recent run start (running max over a monotone sequence).
+            // Island index within the run = cum - runCum + 1; keep odd.
+            adj
+              .withColumn("cnd", candC)
+              .withColumn("cum",
+                sum(when(col("cnd"), 1L).otherwise(0L)).over(wRun))
+              .withColumn("runcum",
+                max(when(col("cnd") &&
+                    !coalesce(lag(col("cnd"), 1).over(w), lit(false)),
+                  col("cum"))).over(wRun))
+              .withColumn("is_p",
+                col("cnd") && (col("cum") - col("runcum")) % 2 === 0)
+              .drop("cnd", "cum", "runcum")
+          }
+        // Rewrite from neighbor rows: delete q (= row after a merge
+        // start); a merge start takes tok = ab and inherits the deleted
+        // q's nxt/nxt_pos (= lead-2), except when the next live row after
+        // q is ITSELF a merge start this round (the "a a a a" chain) —
+        // then its token becomes ab too; a row immediately before a merge
+        // start repoints its nxt at ab.
+        adj = withP
+          .withColumn("is_q", coalesce(lag(col("is_p"), 1).over(w), lit(false)))
+          .withColumn("nx_p", coalesce(lead(col("is_p"), 1).over(w), lit(false)))
+          .withColumn("n2_p", coalesce(lead(col("is_p"), 2).over(w), lit(false)))
+          .withColumn("tok2", lead(col("tok"), 2).over(w))
+          .withColumn("pos2", lead(col("pos"), 2).over(w))
+          .filter(!col("is_q"))
           .select(col(idCol), col("pos"),
-            when(col("is_p").isNotNull, lit(ab)).otherwise(col("tok")).as("tok"),
-            when(col("is_p").isNotNull, col("new_nxt"))
-              .when(col("nxt_merged").isNotNull, lit(ab))
+            when(col("is_p"), lit(ab)).otherwise(col("tok")).as("tok"),
+            when(col("is_p"),
+                when(col("n2_p"), lit(ab)).otherwise(col("tok2")))
+              .when(col("nx_p"), lit(ab))
               .otherwise(col("nxt")).as("nxt"),
-            when(col("is_p").isNotNull, col("new_nxt_pos"))
+            when(col("is_p"), col("pos2"))
               .otherwise(col("nxt_pos")).as("nxt_pos"))
-          .staged()
+          .stagedKeepLayout()
         r += 1
       }
     }
@@ -1129,8 +1163,20 @@ object TrainOps {
     // itself still runs 3x — tot, l1, db — which is the scale-correct
     // trade: the exploded stream is corpus-sized, so caching it would be
     // wrong at 100 TB; re-scanning is embarrassingly parallel.)
+    // tot / l1 / l2 are all BOUNDED tables (1 row; support-floor-bounded;
+    // ≤ |L1|² rows) referenced from several plan branches — tot 3×, l1
+    // 5×, l2 3× (two L3 semi-filters + the final confidence join). Spark
+    // has no DAG-level subplan reuse, so before r14 every reference
+    // re-inlined its whole upstream pipeline: the executed plan scanned
+    // documents.parquet 19 TIMES and ran l2's pair SortMergeJoin THREE
+    // times (plans/r14/q_freq_itemsets_before.txt). Staging the three
+    // bounded tables (Materialize lineage cut — NOT a corpus-sized cache)
+    // collapses that to one run each; the corpus-sized `db` stream stays
+    // lazy and is still re-derived per join branch, the scale-correct
+    // trade the comment above describes.
     val tot = docs.agg(count(when(
       size(TextOps.distinctTokens(col(textCol))) > 0, 1)).as("n_docs"))
+      .staged()
     val l1 = di.groupBy("item").agg(count(lit(1)).cast("long").as("df"))
       .crossJoin(broadcast(tot))
       .filter(col("df") * supDenom >= col("n_docs"))
@@ -1143,6 +1189,7 @@ object TrainOps {
       .filter(isnull(assert_true(col("iid") < lit(1L << 21),
         lit("freqItemsets: |L1| exceeds 2^21, triple-key packing would collide"))))
       .select("item", "iid")
+      .staged()
     val db = di.join(broadcast(l1), "item").select(col("d"), col("iid"))
     val a = db.select(col("d"), col("iid").as("ia"))
     val b = db.select(col("d"), col("iid").as("ib"))
@@ -1152,6 +1199,7 @@ object TrainOps {
       .crossJoin(broadcast(tot))
       .filter(col("sup2") * supDenom >= col("n_docs"))
       .select("ia", "ib", "sup2")
+      .staged()
     val l3 = a.join(b, Seq("d")).filter(col("ia") < col("ib"))
       .join(broadcast(l2.select("ia", "ib")), Seq("ia", "ib"), "left_semi")
       .join(c, Seq("d")).filter(col("ib") < col("ic"))

@@ -8,22 +8,23 @@ import graft.core.Materialize.StageOps
 
 /** Stage isolation for q_bpe_merges (r13 verdict #4, the ProbeSubstr
   * discipline): bpeLearn is a round-0 tokenization plus, per merge round,
-  * three actions —
+  * two actions (r14 shape — the kept table and its four rewrite joins were
+  * replaced by one zero-shuffle window pass after this probe's first run
+  * measured them at 3.0 s of the 4.45 s query: kept 0.75 + rewrite 2.28) —
   *
   *   1. tok0    — posexplode tokens + two lead() windows + staged()
   *                (one corpus shuffle by doc, window sort, localCheckpoint
   *                 of the full adjacency)
   *   2. argmax  — full groupBy(tok, nxt) count over the adjacency +
   *                TakeOrdered(1) collect (per round)
-  *   3. kept    — candidate filter + islands windows + staged() of the
-  *                tiny kept set (per round)
-  *   4. rewrite — adj ⋈ marks/qSet/prevSet (broadcast) + project +
-  *                staged() of the FULL rewritten adjacency (per round)
+  *   3. rewrite — ONE lead/lag window pass over the staged adjacency
+  *                (no exchange, no sort — LogicalRDD preserves the round-0
+  *                hash(id) partitioning and (id, pos) ordering) + staged()
+  *                of the FULL rewritten adjacency (per round). The round-2
+  *                rewrite's executed plan is printed so the zero-exchange
+  *                claim is checkable.
   *
-  * The per-round actions are timed separately and summed across rounds, so
-  * the table answers "which stage carries the per-round cost": the argmax
-  * aggregation (corpus-sized hash agg on two strings), or the rewrite's
-  * full-adjacency localCheckpoint rewrite.
+  * Per-round actions are timed separately and summed across rounds.
   *
   * `runMain graft.tools.ProbeBpe <dir> [reps] [rounds]` — prints one JSON
   * line (min-of-reps per stage); recorded in PROBES_r14/OPTIMIZATION_r14.
@@ -38,7 +39,8 @@ object ProbeBpe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("PROBE_BPE_AQE", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -49,6 +51,7 @@ object ProbeBpe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    var plansPrinted = false
     def onePass(): Map[String, Double] = {
       val docs = graft.sources.Tables.documents(spark, dir)
         .select(col("doc_id"), col("text"))
@@ -63,7 +66,7 @@ object ProbeBpe {
             Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
           .withColumn("nxt_pos", lead(col("pos"), 1).over(
             Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-          .staged()
+          .stagedKeepLayout()
       }
       for (r <- 1 to rounds) {
         var best: Array[org.apache.spark.sql.Row] = null
@@ -76,51 +79,46 @@ object ProbeBpe {
         }
         val (a, b) = (best.head.getString(0), best.head.getString(1))
         val ab = a + b
-        var kept: DataFrame = null
-        t("kept") += timed {
-          val cand = adj.filter(col("tok") === a && col("nxt") === b)
-          val cw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          kept = cand
-            .withColumn("brk",
-              when(lag(col("nxt_pos"), 1).over(cw) === col("pos"), 0).otherwise(1))
-            .withColumn("isl", sum(col("brk")).over(
-              cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("doc_id"), col("isl")).orderBy(col("pos"))))
-            .filter(col("rn") % 2 === 1)
-            .select(col("doc_id"), col("pos").as("p"), col("nxt_pos").as("q"))
-            .staged()
-        }
+        // r14 shape: one zero-shuffle window pass per round (see
+        // TrainOps.bpeLearn) — `kept` and its four joins are gone
         t("rewrite") += timed {
-          val qInfo = adj
-            .join(kept.select(col("doc_id"), col("p"), col("q").as("pos")),
-              Seq("doc_id", "pos"))
-            .select(col("doc_id"), col("p"), col("nxt").as("q_nxt"),
-              col("nxt_pos").as("q_nxt_pos"))
-          val marks = qInfo
-            .join(kept.select(col("doc_id"), col("p").as("q_nxt_pos"),
-                lit(1).as("r_kept")),
-              Seq("doc_id", "q_nxt_pos"), "left_outer")
-            .select(col("doc_id"), col("p").as("pos"),
-              when(col("r_kept").isNotNull, lit(ab)).otherwise(col("q_nxt"))
-                .as("new_nxt"),
-              col("q_nxt_pos").as("new_nxt_pos"))
-          val qSet = kept.select(col("doc_id"), col("q").as("pos"), lit(1).as("is_q"))
-          val prevSet = kept.select(col("doc_id"), col("p").as("nxt_pos"),
-            lit(1).as("nxt_merged"))
-          adj = adj
-            .join(marks.withColumn("is_p", lit(1)), Seq("doc_id", "pos"), "left_outer")
-            .join(qSet, Seq("doc_id", "pos"), "left_outer")
-            .join(prevSet, Seq("doc_id", "nxt_pos"), "left_outer")
-            .filter(col("is_q").isNull)
+          val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val candC = col("tok") === a && col("nxt") === b
+          val withP =
+            if (a != b) adj.withColumn("is_p", candC)
+            else adj
+              .withColumn("cnd", candC)
+              .withColumn("cum",
+                sum(when(col("cnd"), 1L).otherwise(0L)).over(wRun))
+              .withColumn("runcum",
+                max(when(col("cnd") &&
+                    !coalesce(lag(col("cnd"), 1).over(w), lit(false)),
+                  col("cum"))).over(wRun))
+              .withColumn("is_p",
+                col("cnd") && (col("cum") - col("runcum")) % 2 === 0)
+              .drop("cnd", "cum", "runcum")
+          val next = withP
+            .withColumn("is_q", coalesce(lag(col("is_p"), 1).over(w), lit(false)))
+            .withColumn("nx_p", coalesce(lead(col("is_p"), 1).over(w), lit(false)))
+            .withColumn("n2_p", coalesce(lead(col("is_p"), 2).over(w), lit(false)))
+            .withColumn("tok2", lead(col("tok"), 2).over(w))
+            .withColumn("pos2", lead(col("pos"), 2).over(w))
+            .filter(!col("is_q"))
             .select(col("doc_id"), col("pos"),
-              when(col("is_p").isNotNull, lit(ab)).otherwise(col("tok")).as("tok"),
-              when(col("is_p").isNotNull, col("new_nxt"))
-                .when(col("nxt_merged").isNotNull, lit(ab))
+              when(col("is_p"), lit(ab)).otherwise(col("tok")).as("tok"),
+              when(col("is_p"),
+                  when(col("n2_p"), lit(ab)).otherwise(col("tok2")))
+                .when(col("nx_p"), lit(ab))
                 .otherwise(col("nxt")).as("nxt"),
-              when(col("is_p").isNotNull, col("new_nxt_pos"))
+              when(col("is_p"), col("pos2"))
                 .otherwise(col("nxt_pos")).as("nxt_pos"))
-            .staged()
+          if (r == 2 && !plansPrinted) {
+            plansPrinted = true
+            System.err.println("[bpe] round-2 rewrite plan:\n" +
+              next.queryExecution.executedPlan.toString.take(6000))
+          }
+          adj = next.stagedKeepLayout()
         }
       }
       // end-to-end anchor: the declared query through the noop sink
@@ -132,7 +130,7 @@ object ProbeBpe {
     }
 
     val runs = (1 to reps).map(_ => onePass())
-    val keys = Seq("tok0", "argmax", "kept", "rewrite", "full_query")
+    val keys = Seq("tok0", "argmax", "rewrite", "full_query")
     val rows = keys.map { k =>
       val v = runs.map(_(k)).min
       System.err.println(f"[bpe] $k%-10s ${v}%7.2f s (min of $reps)")
