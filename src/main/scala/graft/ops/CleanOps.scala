@@ -126,7 +126,8 @@ object CleanOps {
     * exploded rows instead of a second join. */
   def crossDocNgramDup(docs: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame = {
-    val grams = docs.select(col(idCol),
+    val grams = graft.sources.Tables.widen(
+      docs.select(col(idCol), col(textCol)), idCol).select(col(idCol),
       explode(TextOps.shingles(col(textCol), n)).as("gram"))
     val df = grams.groupBy("gram")
       .agg(count(lit(1)).cast("long").as("gram_df"))
@@ -209,7 +210,8 @@ object CleanOps {
   def lmKneserNeyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val joined = array_join(TextOps.tokens(col(textCol)), "_")
     val bigPat = "(?<![a-z0-9])(?=([a-z0-9]+_[a-z0-9]+))"
-    val docBig = docs
+    val docBig = graft.sources.Tables.widen(
+        docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol),
         explode(regexp_extract_all(joined, lit(bigPat), lit(1))).as("gram"))
       .select(col(idCol),
@@ -217,8 +219,13 @@ object CleanOps {
         substring_index(col("gram"), "_", -1).as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).cast("long").as("tf"))
+    // typeC (the bigram-TYPE model table, << corpus) feeds four branches
+    // (left/right continuation counts, n_types, the score join); unstaged,
+    // each branch re-ran the corpus bigram regex + two groupBys — five
+    // corpus passes for one query. Stage the model table once.
     val typeC = docBig.groupBy("w1", "w2")
       .agg(sum(col("tf")).cast("long").as("c_big"))
+      .staged()
     val leftC = typeC.groupBy("w1")
       .agg(sum(col("c_big")).cast("long").as("c_left"),
         count(lit(1)).cast("long").as("n1_left"))
@@ -257,7 +264,8 @@ object CleanOps {
     * totals via windows partitioned by doc (bounded by per-doc distinct
     * terms, never corpus-sized); no joins. */
   def lexicalEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs.select(col(idCol),
+    val tf = graft.sources.Tables.widen(
+        docs.select(col(idCol), col(textCol)), idCol).select(col(idCol),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
@@ -309,7 +317,8 @@ object CleanOps {
     * document (bounded by max doc length, never corpus-sized); the run
     * table is token-bounded and partially aggregable. */
   def repeatRuns(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol),
+    val tok = graft.sources.Tables.widen(
+      docs.select(col(idCol), col(textCol)), idCol).select(col(idCol),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
     val w = Window.partitionBy(idCol).orderBy("pos")
     val lagTerm = lag(col("term"), 1).over(w)
@@ -491,8 +500,13 @@ object CleanOps {
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
                      gram: Int = 64): DataFrame = {
     require(gram >= 2, s"substringDedup: gram must be >= 2, got $gram")
-    val base = docs.select(col(idCol), col(textCol).as("t"),
-      length(col(textCol)).as("len"))
+    // scan-parallelism floor: the rolling gram-hash kernel is the op's
+    // single heaviest scan projection (Tables.widen is a no-op at
+    // production scan widths)
+    val base = graft.sources.Tables.widen(
+        docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
     // the gram hash never reaches the output — only dup VERDICTS do — so
     // the engines need not share a hash family: Spark rolls all gram
     // hashes in ONE O(len) pass per doc (graft_gram_hashes — the

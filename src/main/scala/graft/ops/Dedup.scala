@@ -70,10 +70,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
   }
 
-  /** Per-doc distinct shingle array: (id, shs). */
+  /** Per-doc distinct shingle array: (id, shs). The shingle regex is the
+    * heaviest scan-side kernel of the dedup family, and the fixture
+    * parquet is single-row-group (unsplittable) — Tables.widen floors the
+    * scan parallelism so the kernel runs on all cores instead of one
+    * task (no-op once the source is already >= cores wide). */
   private def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int) =
-    docs.select(col(idCol).as("id"),
-      TextOps.shingles(col(textCol), n).as("shs"))
+    graft.sources.Tables.widen(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("id"),
+        TextOps.shingles(col(textCol), n).as("shs"))
 
   /** Per-doc distinct shingles, exploded: (id, shingle). */
   private def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int) =
@@ -134,9 +139,11 @@ object Dedup {
     * (the CodegenFallback trap is embedded subexpressions, not this). */
   private def hashedShingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     // sorted ascending at build (once per doc) so candidate verification can
-    // run the primitive merge-scan intersect instead of a per-pair hash set
-    docs.select(col(idCol).as("id"),
-      sort_array(transform(TextOps.shingles(col(textCol), n), s => xxhash64(s))).as("hs"))
+    // run the primitive merge-scan intersect instead of a per-pair hash set;
+    // widened for the same scan-parallelism reason as shingleArrays
+    graft.sources.Tables.widen(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("id"),
+        sort_array(transform(TextOps.shingles(col(textCol), n), s => xxhash64(s))).as("hs"))
 
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -409,7 +416,8 @@ object Dedup {
   def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 16, w: Int = 4, minShared: Int = 10,
                          maxDf: Int = 50): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"),
+    val fp = graft.sources.Tables.widen(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("id"),
       explode(array_distinct(graft.functions.Winnow.fingerprints(
         TextOps.normalizedText(col(textCol)), k, w))).as("fp"))
     // the stop-fingerprint cap (df > maxDf = boilerplate, and exactly the
@@ -447,7 +455,8 @@ object Dedup {
     * Output: one row per distinct (id, fp). Requires docs < 2^22 chars. */
   def winnowFingerprintsPortable(docs: DataFrame, idCol: String, textCol: String,
                                  k: Int = 16, w: Int = 4): DataFrame =
-    docs.select(col(idCol).as("id"),
+    graft.sources.Tables.widen(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("id"),
       explode(graft.functions.Winnow.fingerprintsMd5(
         TextOps.normalizedText(col(textCol)), k, w)).as("fp"))
 

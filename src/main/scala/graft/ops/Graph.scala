@@ -179,7 +179,13 @@ object Graph {
     * @return (id, label) over old ∪ new nodes, = full-recompute labels */
   def incrementalComponents(oldLabels: DataFrame, newNodes: DataFrame,
                             newEdges: DataFrame, maxIters: Int = 30): DataFrame = {
-    val ol = oldLabels.select(col("id"), col("label"))
+    // ol is referenced THREE times (both endpoint lookups + the final
+    // relabel) and is typically itself a lazy CC pipeline — unstaged, that
+    // pipeline re-ran per reference. contracted feeds cNodes twice plus
+    // the star-CC seed; delta (new-batch-bounded) feeds the remap and the
+    // new-node join. Stage each once: ol is node-sized (the op's own
+    // output scale), the others batch-bounded.
+    val ol = oldLabels.select(col("id"), col("label")).staged()
     val la = ol.select(col("id").as("id_a"), col("label").as("ca"))
     val lb = ol.select(col("id").as("id_b"), col("label").as("cb"))
     val contracted = newEdges.select(col("id_a"), col("id_b"))
@@ -187,10 +193,11 @@ object Graph {
       .join(lb, Seq("id_b"), "left_outer")
       .select(coalesce(col("ca"), col("id_a")).as("id_a"),
         coalesce(col("cb"), col("id_b")).as("id_b"))
+      .staged()
     val cNodes = newNodes.select(col("id"))
       .union(contracted.select(col("id_a").as("id")))
       .union(contracted.select(col("id_b").as("id"))).distinct()
-    val delta = connectedComponentsStar(cNodes, contracted, maxIters)
+    val delta = connectedComponentsStar(cNodes, contracted, maxIters).staged()
     val remap = delta.select(col("id").as("label0"), col("label").as("label1"))
     val oldOut = ol.join(remap, ol("label") === col("label0"), "left_outer")
       .select(ol("id"), coalesce(col("label1"), ol("label")).as("label"))
@@ -405,9 +412,17 @@ object Graph {
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .staged()
+    // seed set staged ONCE (it anchors every round's anti-join); after
+    // that `visited` is only ever a UNION of already-staged leaves, so
+    // re-staging it each round was pure localCheckpoint overhead — at
+    // sf0.1 ProbeStageMetrics showed this query almost entirely
+    // scheduler/materialization cost (40 stages, 1.9 s task time in a
+    // 2.9 s query). The lazy union keeps the plan a flat O(rounds)-leaf
+    // tree of materialized RDDs; each anti-join scans it in memory.
     var visited = sym.select(col("src").as("id")).distinct()
       .filter(col("id") % seedMod === 0)
       .withColumn("lev", lit(0L))
+      .staged()
     var frontier = visited.select("id")
     for (r <- 1 to rounds) {
       frontier = sym
@@ -417,7 +432,6 @@ object Graph {
         .staged()
       visited = visited
         .union(frontier.withColumn("lev", lit(r.toLong)))
-        .staged()
     }
     visited
   }

@@ -42,6 +42,14 @@ private[ops] object PlanCache {
             entries.remove(k)
           }
           val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+          // materialize EAGERLY: every cached table here exists because
+          // SEVERAL plan branches consume it, and Spark materializes a
+          // lazy InMemoryRelation independently per branch of one action
+          // (the round-11 q_dedup_recall race) - the PPJoin prefix table
+          // was measured building TWICE inside its own candidate join
+          // (2x 224k-row pipeline stages). One count() pays the build
+          // once; every branch then reads the cache.
+          df.count()
           entries.put(key, df)
           df
       }

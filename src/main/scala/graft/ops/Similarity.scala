@@ -49,7 +49,12 @@ object Similarity {
   /** Exact all-pairs near-duplicates by cosine (id_a < id_b). Quadratic —
     * the oracle baseline; use `lshTopK`/banded candidates at scale. */
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val base = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // scan-parallelism floor: with the unsplittable one-row-group fixture
+    // the whole O(n^2) cosine pass ran as ONE task (1x1 partition cross
+    // join); widening both sides spreads it across the cores
+    val base = graft.sources.Tables.widen(
+        corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val a = base.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Materialize.StageOps
+
 /** Mergeable cardinality sketches with engine-reproducible hash families.
   *
   * `approx_count_distinct` (HyperLogLog++) is the built-in fast path, but
@@ -138,10 +140,16 @@ object Sketch {
     // per-partition bottom-k + driver merge, no single-task global sort
     def bottomK(c: Column): DataFrame = flags.filter(c).select(col("v"), col("h"))
       .orderBy(col("h").asc, col("v").asc).limit(k)
-    val ka = bottomK(col("ia"))
-    val kb = bottomK(col("ib"))
+    // ka/kb/m are k-row BOUNDED sketches each referenced 2-3 times (merge,
+    // intersection probe, tau aggregate); unstaged, every reference
+    // re-ran the whole flags pipeline (scan + distinct-v groupBy + md5) —
+    // ~11 executions for one query. Stage the tiny sketch tables
+    // (Materialize lineage cut); flags itself stays lazy (distinct-key
+    // sized, the scale-correct trade).
+    val ka = bottomK(col("ia")).staged()
+    val kb = bottomK(col("ib")).staged()
     val m = ka.union(kb).distinct()
-      .orderBy(col("h").asc, col("v").asc).limit(k)
+      .orderBy(col("h").asc, col("v").asc).limit(k).staged()
     def sketchAgg(s: DataFrame, kName: String, tauName: String): DataFrame =
       s.agg(count(lit(1)).as(kName), max(col("h")).as(tauName))
     val im = m.join(ka.select(col("v"), lit(1).as("in_a")), Seq("v"), "left_outer")

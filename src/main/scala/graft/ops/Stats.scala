@@ -502,7 +502,13 @@ object Stats {
         .foldLeft[Column](lit(8L)) { case (els, (c, k)) =>
           when(h < lit(f"$c%08x"), k.toLong).otherwise(els) }
     }
-    val withW = df
+    // scan-parallelism floor: 8 md5 digests per input row is the query's
+    // dominant cost and ran single-task over the unsplittable fixture
+    // scan. Project to the three consumed columns FIRST - widen stages the
+    // rows it spreads, and staging the full-width table would lose the
+    // column pruning.
+    val withW = graft.sources.Tables.widen(
+        df.select(col(groupCol), col(valueCol), col(idCol)), idCol)
       .withColumn("__j", explode(sequence(lit(0), lit(reps / 4 - 1))))
       .withColumn("__hx", md5(concat(col(idCol).cast("string"), lit("_"),
         col("__j").cast("string"))))

@@ -953,7 +953,10 @@ object TrainOps {
     * quantile row; means are partial-agg'd sums. Three bounded shuffles
     * total, none carrying more than the bucket table. */
   def robustStats(docs: DataFrame, groupCol: String, score: Column): DataFrame = {
-    val scored = docs.select(col(groupCol), score.cast("long").as("score"))
+    // widen: the score expression is typically a token-regex kernel over
+    // an unsplittable narrow scan (see Tables.widen)
+    val scored = graft.sources.Tables.widen(docs, groupCol)
+      .select(col(groupCol), score.cast("long").as("score"))
     def buckets(df: DataFrame, c: String) =
       df.groupBy(col(groupCol), col(c)).agg(count(lit(1)).as("cnt"))
     def cums(b: DataFrame, c: String) = {
@@ -969,11 +972,16 @@ object TrainOps {
     def quantile(cb: DataFrame, c: String, q: Int, den: Int, out: String) =
       cb.filter(col("cum") * den >= col("n") * q)
         .groupBy(col(groupCol)).agg(min(col(c)).as(out))
-    val cb = cums(buckets(scored, "score"), "score")
+    // cb (bounded bucket table) feeds three quantile branches and qs
+    // (groups x 3 quantiles) feeds both the deviation and the mean pass:
+    // unstaged, every branch re-ran the corpus score pass — ~11 token-regex
+    // scans for one call. Stage the two bounded tables.
+    val cb = cums(buckets(scored, "score"), "score").staged()
     val qs = quantile(cb, "score", 1, 2, "p50")
       .join(quantile(cb, "score", 1, 10, "p10"), Seq(groupCol))
       .join(quantile(cb, "score", 9, 10, "p90"), Seq(groupCol))
-    val withQ = scored.join(qs, Seq(groupCol))
+      .staged()
+    val withQ = scored.join(broadcast(qs), Seq(groupCol))
     val dev = withQ.select(col(groupCol), abs(col("score") - col("p50")).as("dev"))
     val mad = quantile(cums(buckets(dev, "dev"), "dev"), "dev", 1, 2, "mad")
     val means = withQ.groupBy(col(groupCol)).agg(
@@ -1154,7 +1162,9 @@ object TrainOps {
     * broadcast after thresholding. */
   def freqItemsets(docs: DataFrame, idCol: String, textCol: String,
                    supDenom: Int = 5): DataFrame = {
-    val di = docs.select(col(idCol).as("d"),
+    val wdocs = graft.sources.Tables.widen(
+      docs.select(col(idCol), col(textCol)), idCol) // tokenizer runs 6x
+    val di = wdocs.select(col(idCol).as("d"),
       explode(TextOps.distinctTokens(col(textCol))).as("item"))
     // n_docs = docs contributing >= 1 item. Counting docs with a non-empty
     // token set is the SAME number as count_distinct(d) over the exploded
@@ -1174,7 +1184,7 @@ object TrainOps {
     // collapses that to one run each; the corpus-sized `db` stream stays
     // lazy and is still re-derived per join branch, the scale-correct
     // trade the comment above describes.
-    val tot = docs.agg(count(when(
+    val tot = wdocs.agg(count(when(
       size(TextOps.distinctTokens(col(textCol))) > 0, 1)).as("n_docs"))
       .staged()
     val l1 = di.groupBy("item").agg(count(lit(1)).cast("long").as("df"))

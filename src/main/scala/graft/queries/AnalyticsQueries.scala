@@ -224,7 +224,10 @@ object AnalyticsQueries {
     // engines, and rounding margins dwarf the <=1e-12 conversion noise.
     "q_stats_agg" -> QueryDef.sql(
       (s, dir) => {
-        val base = Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        val base = Tables.widen(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice")),
+          "l_orderkey").groupBy("l_returnflag").agg(
           count(lit(1)).cast("double").as("n"),
           sum(dec(col("l_quantity"))).cast("double").as("sx"),
           sum(dec(col("l_extendedprice"))).cast("double").as("sy"),

@@ -308,7 +308,7 @@ object CleaningQueries {
     // no-match branches are exercised (~1/3, 1/4, 1/5 of docs each).
     "q_pii_redact" -> QueryDef.sql(
       (s, dir) => {
-        val aug = Tables.documents(s, dir).select(col("doc_id"),
+        val aug = Tables.documentsWide(s, dir).select(col("doc_id"),
           plantedPiiText(col("doc_id"), col("text")).as("aug"))
         aug.select(col("doc_id"),
             CleanOps.piiCount(col("aug"), CleanOps.EmailRe).as("n_email"),

@@ -817,7 +817,7 @@ object ExtensionQueries {
         val docs = Tables.documents(s, dir)
         val raw = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
             n = 3, numPerm = 64, rowsPerBand = 2, threshold = 0.5)
-          .select(col("id_a"), col("id_b"), lit(1).as("raw_hit"))
+          .select(col("id_a"), col("id_b"), lit(1).as("raw_hit")).staged()
         val ind = Dedup.jaccardForPairs(docs, "doc_id", "text",
             raw.select("id_a", "id_b"), n = 3)
           .select(col("id_a"), col("id_b"), col("jaccard").as("ind_j"))
@@ -845,15 +845,18 @@ object ExtensionQueries {
         val docs = Tables.documents(s, dir)
         val raw = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
             k = 16, w = 4, minShared = 10, maxDf = 50)
-          .select(col("id_a"), col("id_b"), lit(1).as("raw_hit"))
+          .select(col("id_a"), col("id_b"), lit(1).as("raw_hit")).staged()
         // independent recount: direct array_intersect over per-doc
         // fingerprint sets (no bucket join, no groupBy count). The op counts
         // only df<=maxDf fingerprints, so its n_shared >= 10 implies the
         // uncapped intersection is >= 10 too — a necessary condition checked
         // without reading the op's own column.
-        val fpArr = docs.select(col("doc_id").as("id"),
-          array_distinct(graft.functions.Winnow.fingerprints(
-            TextOps.normalizedText(col("text")), 16, 4)).as("fps"))
+        val fpArr = graft.sources.Tables.widen(
+            docs.select(col("doc_id"), col("text")), "doc_id")
+          .select(col("doc_id").as("id"),
+            array_distinct(graft.functions.Winnow.fingerprints(
+              TextOps.normalizedText(col("text")), 16, 4)).as("fps"))
+          .staged()
         val ind = raw.select("id_a", "id_b")
           .join(fpArr.select(col("id").as("id_a"), col("fps").as("fa")), Seq("id_a"))
           .join(fpArr.select(col("id").as("id_b"), col("fps").as("fb")), Seq("id_b"))
@@ -883,11 +886,12 @@ object ExtensionQueries {
         val raw = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
             n = 3, maxHamming = 16)
           .select(col("id_a"), col("id_b"), lit(1).as("raw_hit"))
+          .staged()
         // independent hamming: re-derived by joining the pair back to the
         // signature table and xor-popcounting — catches a corrupted
         // signature carry in the bucket-collect path, which re-reading the
         // op's own hamming column never could
-        val sig = Dedup.simhash64(docs, "doc_id", "text", n = 3)
+        val sig = Dedup.simhash64(docs, "doc_id", "text", n = 3).staged()
         val ind = raw.select("id_a", "id_b")
           .join(sig.select(col("id").as("id_a"), col("simhash").as("sa")), Seq("id_a"))
           .join(sig.select(col("id").as("id_b"), col("simhash").as("sb")), Seq("id_b"))
@@ -1520,7 +1524,7 @@ object ExtensionQueries {
       (s, dir) => {
         val toks = TextOps.tokens(col("text"))
         val nToks = size(toks)
-        Tables.documents(s, dir).select(
+        Tables.documentsWide(s, dir).select(
           col("doc_id"),
           length(col("text")).cast("long").as("n_chars_len"),
           nToks.cast("long").as("n_tokens"),
@@ -1884,16 +1888,20 @@ object ExtensionQueries {
     "q_dedup_consensus" -> QueryDef.sql(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // each tier's pair table is referenced TWICE (the union space and
+        // its flag join) — staged eagerly so the expensive pair pipelines
+        // run once (the q_dedup_recall localCheckpoint lesson; pair tables
+        // are tiny)
         val text = graft.ops.Dedup.simhashNearDupPairsPortable(docs,
           "doc_id", "text", n = 3, maxHamming = 16, maxBucket = 64)
-          .select("id_a", "id_b")
+          .select("id_a", "id_b").staged()
         val img = graft.ops.Dedup.chunk4x16Pairs(
           Multimodal.ahashBmpAssets(
             Multimodal.asBmpAssets(docs, "doc_id", "text"))
             .withColumnRenamed("asset_id", "id"),
-          maxHamming = 4, maxBucket = 64).select("id_a", "id_b")
+          maxHamming = 4, maxBucket = 64).select("id_a", "id_b").staged()
         val emb = Similarity.cellEdges(Tables.embeddings(s, dir),
-          threshold = 0.3).select("id_a", "id_b")
+          threshold = 0.3).select("id_a", "id_b").staged()
         val u = text.union(img).union(emb).distinct()
         def flagged(p: DataFrame, name: String) =
           p.distinct().withColumn(name, lit(true))

@@ -27,8 +27,12 @@ object RelationalQueries {
     // TPC-H Q1 shape: partial+final hash aggregation over 4 exact measures.
     "q_agg_revenue" -> QueryDef.sql(
       (s, dir) => {
-        val l = Tables.lineitem(s, dir)
-          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        val l = Tables.widen(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+            .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+              col("l_tax")),
+          "l_orderkey")
         val qty = dec(col("l_quantity"))
         val price = dec(col("l_extendedprice"))
         val discF = oneMinus(col("l_discount"))
@@ -955,7 +959,8 @@ object RelationalQueries {
     // not raw fact rows).
     "q_window_running" -> QueryDef.sql(
       (s, dir) => {
-        val daily = Tables.lineitem(s, dir)
+        val daily = Tables.widen(Tables.lineitem(s, dir)
+            .select(col("l_suppkey"), col("l_shipdate"), col("l_quantity")), "l_suppkey")
           .groupBy(col("l_suppkey"), col("l_shipdate"))
           .agg(round(sum(dec(col("l_quantity"))), 2).as("day_qty_dec"))
         val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate").asc)

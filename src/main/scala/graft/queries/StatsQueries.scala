@@ -101,7 +101,9 @@ object StatsQueries {
     // lift?" readout that belongs next to every t-test verdict.
     "q_ab_power" -> QueryDef.sql(
       (s, dir) => Stats.abPowerMde(
-          Tables.events(s, dir).withColumn("arm", Stats.hashBucket(col("user_id"), 2)),
+          Tables.widen(Tables.events(s, dir)
+              .select(col("event_type"), col("user_id"), col("value")), "user_id")
+            .withColumn("arm", Stats.hashBucket(col("user_id"), 2)),
           "event_type", "arm", "value")
         .orderBy("event_type"),
       s"""WITH e AS (SELECT event_type, ${armSql("user_id", 2)} AS arm,

@@ -155,7 +155,7 @@ object TrainingQueries {
     // no rounding law, and the verdict compares the same computed number.
     "q_quality_gopher" -> QueryDef.sql(
       (s, dir) => {
-        val t = Tables.documents(s, dir)
+        val t = Tables.documentsWide(s, dir)
           .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
         val base = t.select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tok"),
@@ -206,7 +206,7 @@ object TrainingQueries {
     // rides the explode (no join-back to a count table).
     "q_contamination" -> QueryDef.sql(
       (s, dir) => {
-        val g = Tables.documents(s, dir)
+        val g = Tables.documentsWide(s, dir)
           .select(col("doc_id"), TextOps.shingles(col("text"), 4).as("grams"))
           .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
             explode(col("grams")).as("g"))
@@ -645,8 +645,14 @@ object TrainingQueries {
     // (see TrainOps.pageRank). Top 50 by rank so the output stays readable.
     "q_pagerank" -> QueryDef.sql(
       (s, dir) => {
-        val edges = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        // widen co-partitions both (column-pruned) sides on the join key
+        // - the widen repartition IS the join's exchange - and the distinct
+        // + 5 rank iterations inherit real parallelism
+        val edges = Tables.widen(Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_suppkey")), "l_orderkey")
+          .join(Tables.widen(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey")), "o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
           .select(concat(lit("c"), col("o_custkey")).as("src"),
             concat(lit("s"), col("l_suppkey")).as("dst"))
           .distinct()
@@ -708,7 +714,7 @@ object TrainingQueries {
     // (TakeOrderedAndProject, the q_vocab_topk pattern).
     "q_bpe_encode" -> QueryDef.sql(
       (s, dir) => {
-        val toks = Tables.documents(s, dir)
+        val toks = Tables.documentsWide(s, dir)
           .select(explode(TextOps.tokens(col("text"))).as("w"))
           .select(explode(TrainOps.bpeEncode(col("w"), BpeMerges)).as("token"))
         val g = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -773,7 +779,7 @@ object TrainingQueries {
     // explode-induced row blowup at all.
     "q_bpe_fertility" -> QueryDef.sql(
       (s, dir) => {
-        val perDoc = Tables.documents(s, dir).select(
+        val perDoc = Tables.documentsWide(s, dir).select(
           col("lang"),
           explode(TextOps.tokens(col("text"))).as("w"))
         val counted = perDoc.select(col("lang"),

@@ -66,6 +66,48 @@ object Tables {
         "(expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
   }
 
+  /** Scan-parallelism floor (r14, guide §6): the testdata parquet files are
+    * single-row-group, so Spark cannot split them — every scan is ONE
+    * partition and every scan-side kernel (regex shingling, rolling gram
+    * hashes, md5 resampling ladders, embedding dot products) ran
+    * SINGLE-THREADED until the first exchange (ProbeStageMetrics: 1-task
+    * 0.4 s cpu-bound stages under 32 idle cores). When the scan is
+    * narrower than the context's parallelism, redistribute rows by the
+    * table's key — a deterministic hash repartition of well under a MiB
+    * here. At production scale a table's scan already carries ≥ cores
+    * partitions and this is a structural NO-OP (the `if` short-circuits),
+    * so nothing extra is shuffled at 100 TB; on a cluster it still fixes
+    * the same hazard for any small side table. Filters/pruning pass
+    * through RepartitionByExpression, so PushedFilters/ReadSchema are
+    * unchanged (PlanSpec). Keyed repartition (never round-robin): the
+    * row→partition map is a pure hash of the key, so retried tasks
+    * reproduce it (SPARK-38388 class).
+    *
+    * Applied SELECTIVELY at kernel-heavy sites, not blanket on every
+    * reader: a full mid-r14 bench with every big table widened won the
+    * kernel tier (bootstrap −2.2 s, sim_near_dup −2.0, dedup_fuzzy −1.9)
+    * but taxed ~60 light-scan and iterative queries +0.3..+2.5 s each —
+    * 32 partitions of near-empty data cascade task-scheduling overhead
+    * through every downstream tiny stage and graph-loop staging. Net
+    * −22 s worse. The winners keep it via the *Wide readers / op-level
+    * widen calls; everything else stays on the narrow scan. */
+  /** A bare `repartition` is NOT enough here: Catalyst pushes projections
+    * below RepartitionByExpression (project-before-exchange), so a heavy
+    * kernel composed on top of the repartition still ran in the 1-task
+    * scan stage and only its OUTPUT was spread (ProbeStageMetrics on
+    * q_dedup_simhash: three 1-task ~1 s kernel stages with the repartition
+    * in place). When the floor fires, the repartitioned rows are staged
+    * (lineage cut, layout advertised) so the kernel sits above a
+    * wide LEAF that nothing can be pushed below. The staged copy is the
+    * raw narrow table (a few MiB) and only ever exists below the
+    * parallelism floor — at production widths this whole path is the
+    * `df` short-circuit. */
+  def widen(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else graft.core.Materialize.stageKeepLayout(df.repartition(target, col(key)))
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
@@ -76,6 +118,19 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Kernel-heavy variants: same tables with the scan-parallelism floor
+    * applied (see [[widen]] — no-op once the scan itself is ≥ cores wide). */
+  def documentsWide(spark: SparkSession, sfDir: String): DataFrame =
+    widen(documents(spark, sfDir), "doc_id")
+  def eventsWide(spark: SparkSession, sfDir: String): DataFrame =
+    widen(events(spark, sfDir), "event_id")
+  def embeddingsWide(spark: SparkSession, sfDir: String): DataFrame =
+    widen(embeddings(spark, sfDir), "vec_id")
+  def lineitemWide(spark: SparkSession, sfDir: String): DataFrame =
+    widen(lineitem(spark, sfDir), "l_orderkey")
+  def ordersWide(spark: SparkSession, sfDir: String): DataFrame =
+    widen(orders(spark, sfDir), "o_orderkey")
 
   /** `all_tables` discovery over a directory of parquet tables, skipping
     * system tables (`in_sql.rb:214-230`). For a JDBC catalog the same

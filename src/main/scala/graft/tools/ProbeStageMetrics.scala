@@ -33,7 +33,8 @@ object ProbeStageMetrics {
     spark.range(1000000).selectExpr("sum(id)").collect() // JIT warm
 
     case class St(name: String, ms: Long, runMs: Long, cpuMs: Long,
-                  shRead: Long, shWrite: Long, recIn: Long, recOut: Long)
+                  shRead: Long, shWrite: Long, recIn: Long, recOut: Long,
+                  nTasks: Int)
     val stages = scala.collection.mutable.ArrayBuffer.empty[St]
     val listener = new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
@@ -44,7 +45,8 @@ object ProbeStageMetrics {
             si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
             m.executorRunTime, m.executorCpuTime / 1000000,
             m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
-            m.inputMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten)
+            m.inputMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten,
+            si.numTasks)
         }
       }
     }
@@ -63,11 +65,11 @@ object ProbeStageMetrics {
       }
       Thread.sleep(1500) // let the listener bus drain the final stage events
       val snap = stages.synchronized(stages.toVector)
-      val byTime = snap.sortBy(-_.runMs)
+      val byTime = snap.sortBy(-_.ms)
       System.err.println(f"[stages] $n LAST REP ${total}%.2f s, ${snap.size} stages, " +
         f"sum runMs=${snap.map(_.runMs).sum}, sum shWrite=${snap.map(_.shWrite).sum / 1048576.0}%.1f MiB")
-      byTime.take(20).foreach { s =>
-        System.err.println(f"  run=${s.runMs}%6d cpu=${s.cpuMs}%6d wall=${s.ms}%6d " +
+      byTime.take(25).foreach { s =>
+        System.err.println(f"  wall=${s.ms}%6d tasks=${s.nTasks}%4d run=${s.runMs}%6d cpu=${s.cpuMs}%6d " +
           f"shR=${s.shRead / 1048576.0}%7.1f shW=${s.shWrite / 1048576.0}%7.1f MiB " +
           f"recIn=${s.recIn}%10d recShW=${s.recOut}%10d  ${s.name}")
       }
