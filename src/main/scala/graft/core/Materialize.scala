@@ -88,6 +88,28 @@ object Materialize {
     }
   }
 
+  /** Stage several INDEPENDENT DataFrames concurrently (guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially). Eager staging of N independent tiers one-by-one
+    * leaves the cluster idle through each job's tail; submitting the
+    * materialization jobs from a small thread pool lets them back-fill
+    * each other — q_dedup_consensus's three tier stagings overlapped this
+    * way cost about the wall of the slowest tier, not the sum. Results
+    * keep input order. (Uses plain [[stage]] — not stageKeepLayout, whose
+    * session-conf flip is not safe to race.) */
+  def stageAll(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    if (dfs.sizeIs <= 1) dfs.map(stage)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(dfs.size.min(4))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(dfs.map(d => scala.concurrent.Future(stage(d)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
+
   /** `df.staged()` sugar so call sites read like the `localCheckpoint()`
     * they replace. */
   implicit class StageOps(private val df: DataFrame) extends AnyVal {

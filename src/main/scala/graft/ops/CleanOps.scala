@@ -645,7 +645,9 @@ object CleanOps {
     // capped pair join, per-source totals) — materialize it once instead
     // of re-running the explode+distinct per consumer (the
     // connectedComponents lineage pattern)
-    val sh = docs.select(col(groupCol).as("g"),
+    val sh = graft.sources.Tables.widen(
+        docs.select(col(groupCol), col(textCol)), groupCol)
+      .select(col(groupCol).as("g"),
         explode(TextOps.shingles(col(textCol), n)).as("s"))
       .distinct()
       .staged()

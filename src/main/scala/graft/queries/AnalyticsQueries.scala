@@ -544,16 +544,17 @@ object AnalyticsQueries {
         // action over both lazy tiers races their branches against the
         // not-yet-materialized shared shingle caches and re-computes the
         // regex pass per branch (measured 39 s vs the tiers' 12 s sum at
-        // the 10x probe); sequential checkpoints run each tier exactly as
-        // its standalone query, and the final agg reads two pair tables
-        val e = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
-            n = 3, threshold = 0.5)
-          .select(col("id_a"), col("id_b"), lit(1L).as("ie"), lit(0L).as("im"))
-          .staged()
-        val m = Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text",
-            n = 3, numPerm = 32, rowsPerBand = 2, threshold = 0.5, maxBucket = 64)
-          .select(col("id_a"), col("id_b"), lit(0L).as("ie"), lit(1L).as("im"))
-          .staged()
+        // the 10x probe). r14: the two stagings run CONCURRENTLY
+        // (Materialize.stageAll, guide §2.6) — each tier still runs
+        // exactly once, but the jobs back-fill each other's idle cores;
+        // the shared PlanCache builds are serialized by its monitor.
+        val Seq(e, m) = graft.core.Materialize.stageAll(Seq(
+          Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+              n = 3, threshold = 0.5)
+            .select(col("id_a"), col("id_b"), lit(1L).as("ie"), lit(0L).as("im")),
+          Dedup.minhashNearDupPairsPortable(docs, "doc_id", "text",
+              n = 3, numPerm = 32, rowsPerBand = 2, threshold = 0.5, maxBucket = 64)
+            .select(col("id_a"), col("id_b"), lit(0L).as("ie"), lit(1L).as("im"))))
         e.unionByName(m)
           .groupBy("id_a", "id_b")
           .agg(max("ie").as("e"), max("im").as("m"))

@@ -843,20 +843,20 @@ object ExtensionQueries {
     "q_dedup_winnow" -> QueryDef.sql(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val raw = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
+        val raw0 = Dedup.winnowOverlapPairs(docs, "doc_id", "text",
             k = 16, w = 4, minShared = 10, maxDf = 50)
-          .select(col("id_a"), col("id_b"), lit(1).as("raw_hit")).staged()
+          .select(col("id_a"), col("id_b"), lit(1).as("raw_hit"))
         // independent recount: direct array_intersect over per-doc
         // fingerprint sets (no bucket join, no groupBy count). The op counts
         // only df<=maxDf fingerprints, so its n_shared >= 10 implies the
         // uncapped intersection is >= 10 too — a necessary condition checked
         // without reading the op's own column.
-        val fpArr = graft.sources.Tables.widen(
+        val fpArr0 = graft.sources.Tables.widen(
             docs.select(col("doc_id"), col("text")), "doc_id")
           .select(col("doc_id").as("id"),
             array_distinct(graft.functions.Winnow.fingerprints(
               TextOps.normalizedText(col("text")), 16, 4)).as("fps"))
-          .staged()
+        val Seq(raw, fpArr) = graft.core.Materialize.stageAll(Seq(raw0, fpArr0))
         val ind = raw.select("id_a", "id_b")
           .join(fpArr.select(col("id").as("id_a"), col("fps").as("fa")), Seq("id_a"))
           .join(fpArr.select(col("id").as("id_b"), col("fps").as("fb")), Seq("id_b"))
@@ -883,15 +883,15 @@ object ExtensionQueries {
     "q_dedup_simhash" -> QueryDef.sql(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val raw = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
-            n = 3, maxHamming = 16)
-          .select(col("id_a"), col("id_b"), lit(1).as("raw_hit"))
-          .staged()
+        val Seq(raw, sig) = graft.core.Materialize.stageAll(Seq(
+          Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+              n = 3, maxHamming = 16)
+            .select(col("id_a"), col("id_b"), lit(1).as("raw_hit")),
+          Dedup.simhash64(docs, "doc_id", "text", n = 3)))
         // independent hamming: re-derived by joining the pair back to the
         // signature table and xor-popcounting — catches a corrupted
         // signature carry in the bucket-collect path, which re-reading the
         // op's own hamming column never could
-        val sig = Dedup.simhash64(docs, "doc_id", "text", n = 3).staged()
         val ind = raw.select("id_a", "id_b")
           .join(sig.select(col("id").as("id_a"), col("simhash").as("sa")), Seq("id_a"))
           .join(sig.select(col("id").as("id_b"), col("simhash").as("sb")), Seq("id_b"))
@@ -1365,7 +1365,7 @@ object ExtensionQueries {
     // fixed-codebook twin below keeps row-level oracle coverage.
     "q_sim_pq_topk" -> QueryDef.sql(
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
+        val emb = Tables.embeddingsWide(s, dir) // ADC + brute-force scans
         val queries = emb.filter(col("vec_id") < 5)
         val bf = Similarity.bruteForceTopKL2(emb, queries, k = 10)
           .select(col("qid"), col("nid"), lit(1).as("bf_hit"))
@@ -1892,16 +1892,17 @@ object ExtensionQueries {
         // its flag join) — staged eagerly so the expensive pair pipelines
         // run once (the q_dedup_recall localCheckpoint lesson; pair tables
         // are tiny)
-        val text = graft.ops.Dedup.simhashNearDupPairsPortable(docs,
-          "doc_id", "text", n = 3, maxHamming = 16, maxBucket = 64)
-          .select("id_a", "id_b").staged()
-        val img = graft.ops.Dedup.chunk4x16Pairs(
-          Multimodal.ahashBmpAssets(
-            Multimodal.asBmpAssets(docs, "doc_id", "text"))
-            .withColumnRenamed("asset_id", "id"),
-          maxHamming = 4, maxBucket = 64).select("id_a", "id_b").staged()
-        val emb = Similarity.cellEdges(Tables.embeddings(s, dir),
-          threshold = 0.3).select("id_a", "id_b").staged()
+        val Seq(text, img, emb) = graft.core.Materialize.stageAll(Seq(
+          graft.ops.Dedup.simhashNearDupPairsPortable(docs,
+            "doc_id", "text", n = 3, maxHamming = 16, maxBucket = 64)
+            .select("id_a", "id_b"),
+          graft.ops.Dedup.chunk4x16Pairs(
+            Multimodal.ahashBmpAssets(
+              Multimodal.asBmpAssets(docs, "doc_id", "text"))
+              .withColumnRenamed("asset_id", "id"),
+            maxHamming = 4, maxBucket = 64).select("id_a", "id_b"),
+          Similarity.cellEdges(Tables.embeddings(s, dir),
+            threshold = 0.3).select("id_a", "id_b")))
         val u = text.union(img).union(emb).distinct()
         def flagged(p: DataFrame, name: String) =
           p.distinct().withColumn(name, lit(true))

@@ -922,7 +922,9 @@ object TrainingQueries {
     // chain flips this hash too; the oracle is the equivalent CTE chain.
     "q_pipeline_assemble" -> QueryDef.sql(
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        // three regex kernels (fingerprint, fused langScores, tokens) run
+        // in the scan projection — widen floors their parallelism
+        val docs = Tables.documentsWide(s, dir)
         val keep = docs
           .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
           .groupBy("fp").agg(min("doc_id").as("doc_id"))
