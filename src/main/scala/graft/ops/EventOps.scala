@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{OutputConfig, RubyStrftime, TagPattern}
+import graft.core.Materialize.StageOps
 
 /** The event-pipeline projections: serialization/coercion, event-time
   * normalization, tag assignment/routing, and tag/time injection. All are
@@ -314,7 +315,9 @@ object EventOps {
         .filter(col("cum") * 2 >= col("n"))
         .groupBy(col("event_type")).agg(min(col(c)).as(out))
     }
-    val med = lowerMedian(ev, "cents", "p50")
+    // med feeds both the deviation pass and the final stats join - staged
+    // (rows = |event types|) so the median bucket pass runs once
+    val med = lowerMedian(ev, "cents", "p50").staged()
     val mad = lowerMedian(
       ev.join(broadcast(med), Seq("event_type"))
         .select(col("event_type"), abs(col("cents") - col("p50")).as("dev")),

@@ -37,8 +37,7 @@ object Sketch {
     require(k >= 2, "KMV needs k >= 2")
     // COUNT(DISTINCT x) semantics: NULL values don't count (and a null
     // hash would crash the typed Aggregator twin's primitive encoder)
-    val d = graft.sources.Tables.widen(
-        df.select(col(groupCol), col(valueCol)), valueCol)
+    val d = df.select(col(groupCol), col(valueCol))
       .filter(col(valueCol).isNotNull)
       .distinct()
       .withColumn("h", portableUnitHash(col(valueCol)))
@@ -434,9 +433,7 @@ object Sketch {
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val remMod = 1L << (60 - HllB)                // low 55 bits
     val h = portableUnitHashLong(col(valueCol))
-    val base = graft.sources.Tables.widen(
-        df.select(col(groupCol), col(valueCol)), valueCol)
-      .filter(col(valueCol).isNotNull)
+    val base = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol),
         call_function("div", h, lit(remMod)).as("j"), (h % remMod).as("rem"))
       .withColumn("rho",

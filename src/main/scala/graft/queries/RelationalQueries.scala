@@ -434,9 +434,7 @@ object RelationalQueries {
         "the 2-D data-skipping sort key, bit-for-bit oracle"),
 
     "q_agg_distinct" -> QueryDef.sql(
-      (s, dir) => Tables.widen(Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey")),
-        "l_partkey").groupBy("l_returnflag").agg(
+      (s, dir) => Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows")
@@ -455,9 +453,7 @@ object RelationalQueries {
     // dataset — an accuracy regression flips the boolean and the driver
     // goes red.
     "q_agg_approx_distinct" -> QueryDef.sql(
-      (s, dir) => Tables.widen(Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_partkey"), col("l_suppkey")),
-        "l_partkey").groupBy("l_returnflag").agg(
+      (s, dir) => Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
           approx_count_distinct(col("l_partkey")).as("ap"),
           count_distinct(col("l_partkey")).as("n_parts"),
           approx_count_distinct(col("l_suppkey")).as("asu"),

@@ -103,8 +103,27 @@ object Tables {
     * parallelism floor — at production widths this whole path is the
     * `df` short-circuit. */
   def widen(df: DataFrame, key: String): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Size cap: the floor is for SMALL narrow scans, where respreading is
+    // near-free and the serial kernel is the whole cost. A table past one
+    // advisory chunk already carries real scan parallelism (bytes /
+    // maxPartitionBytes splits), and STAGING it is no longer cheap — the
+    // sf10 stretch probe measured q_dedup_substring at 96 s when a 60 MB
+    // compressed (~600 MB raw) documents table was eagerly staged under
+    // the 24g heap, vs ~22 s with the scan left alone. Estimated from
+    // Catalyst stats (≈ compressed file size; raw staged rows run ~8×
+    // that, so advisory/4 keeps the staged copy inside ~2 advisory
+    // chunks), checked BEFORE the partition count so big tables skip the
+    // physical-plan probe too.
+    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <= advisory / 4
+    if (!small || df.rdd.getNumPartitions >= target) df
+    // (A bare repartition for the mid-size tier was tried and rejected:
+    // unstaged, it re-executes per consuming branch — q_freq_itemsets'
+    // six tokenizer branches paid the text exchange six times at sf10,
+    // 4.8 s -> 11.8 s. Past the cap the scan's own width has to do.)
     else graft.core.Materialize.stageKeepLayout(df.repartition(target, col(key)))
   }
 
