@@ -245,10 +245,37 @@ object Stats {
     * already HUGEINT, so the oracle just skips the BIGINT narrowing and
     * casts the final exact integers to double. */
   def spearman(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
-    def rank2(c: String) =
-      lit(2L) * rank().over(Window.partitionBy(groupCol).orderBy(c)) +
-        count(lit(1)).over(Window.partitionBy(groupCol, c)) - 1
-    val r = df.withColumn("rx", rank2(xCol)).withColumn("ry", rank2(yCol))
+    // r15 (guide §2.4/§2.5): the old shape attached double-ranks with
+    // row-level windows — rank() over (group ORDER BY c) plus a tie count
+    // over (group, c) per column, i.e. FOUR corpus-row exchanges each
+    // SORTED and serialized per event_type (5 single-task 0.6-0.7 s sorts
+    // at sf0.1; at 100 TB a hot group is one straggler task). A row's
+    // double-rank depends only on its (group, VALUE) bucket:
+    //   rank2(v) = 2*min_rank(v) + ties(v) − 1
+    //            = 2*cnt_le(v) − ties(v) + 1
+    // so compute it once per DISTINCT value on the bounded bucket table
+    // (one partially-aggregated groupBy + a window over buckets, not
+    // rows — the q_auc cells-not-rows shape) and attach it back with a
+    // null-safe equi-join that AQE broadcasts when the value table is
+    // small. Shuffle work drops to two partial-agg bucket exchanges; no
+    // corpus-row sort remains, and the per-group serialization is gone.
+    def rankTable(c: String, rName: String) =
+      df.groupBy(col(groupCol), col(c).as("__v"))
+        .agg(count(lit(1)).as("__t"))
+        .withColumn("__cum", sum(col("__t")).over(
+          Window.partitionBy(groupCol).orderBy(col("__v"))))
+        .select(col(groupCol).as("__g"), col("__v"),
+          (lit(2L) * col("__cum") - col("__t") + 1).as(rName))
+    val xr = rankTable(xCol, "rx")
+    val yr = rankTable(yCol, "ry")
+    // null-safe equality: a NULL value is its own rank bucket (the window
+    // formulation ranked NULL rows too — nulls-first, same as the bucket
+    // window's null-first ordering)
+    val r = df
+      .join(xr, df(groupCol) <=> xr("__g") && df(xCol) <=> xr("__v"))
+      .drop(xr("__g")).drop(xr("__v"))
+      .join(yr, df(groupCol) <=> yr("__g") && df(yCol) <=> yr("__v"))
+      .drop(yr("__g")).drop(yr("__v"))
     val g = r.groupBy(groupCol).agg(
       count(lit(1)).as("n"),
       sum(dec(col("rx"), 19, 0)).as("sx"), sum(dec(col("ry"), 19, 0)).as("sy"),

@@ -208,7 +208,13 @@ object TrainOps {
         .select(sym("dst").as("id"), col("c"))
         .groupBy("id")
         .agg((lit(teleport) + expr(s"($dampingPct * sum(c)) div 100")).as("pr_micro"))
-        .staged() // O(1)-deep plan across iterations (see Graph.scala)
+      // r15: NOT staged per iteration. Unlike the CC loops (whose round
+      // plan references its predecessor 2-6× and so doubles without a
+      // cut), each rank iteration references the previous ranks exactly
+      // ONCE — the plan grows LINEARLY (~8 ops/iter over the staged
+      // sym/deg leaves), so the lineage cut bought nothing and cost one
+      // checkpoint job + one node-table store per iteration. The whole
+      // 5-iteration chain now plans and runs as one query.
     }
     ranks.withColumn("pr", col("pr_micro").cast("double") / lit(1.0e12))
   }
@@ -1201,18 +1207,42 @@ object TrainOps {
       .select("item", "iid")
       .staged()
     val db = di.join(broadcast(l1), "item").select(col("d"), col("iid"))
-    val a = db.select(col("d"), col("iid").as("ia"))
-    val b = db.select(col("d"), col("iid").as("ib"))
-    val c = db.select(col("d"), col("iid").as("ic"))
-    val l2 = a.join(b, Seq("d")).filter(col("ia") < col("ib"))
+    // r15 (guide §2.4 — remove shuffles outright): the pair and triple
+    // enumerations used to be d-keyed SELF-JOINS of the exploded item
+    // stream (a⋈b for L2, a⋈b⋈c for L3) — at sf0.1 that shuffled the
+    // 116k-row db stream five times and sorted it for two SortMergeJoins,
+    // to enumerate combinations that are a PER-DOC-LOCAL product. Collect
+    // each doc's L1 items once into a SORTED iid array (bounded by |L1|,
+    // the same |L1|²/2-per-doc fan-out bound the join had) and generate
+    // pairs/triples MAP-SIDE from array slices (the adamicAdar wedge
+    // idiom): ia<ib<ic holds by array order, the a-priori prunes stay
+    // broadcast LEFT-SEMI joins (map-side), and the only exchanges left
+    // are the two partially-aggregated support counts. The per-doc array
+    // table is rebuilt per pass (L2, L3) — one groupBy(d) each — keeping
+    // the corpus-sized stream LAZY (the r13 cache-vs-recompute lesson);
+    // per-doc items are distinct by construction (distinctTokens), so
+    // collect_list is a set.
+    val arr = db.groupBy("d")
+      .agg(sort_array(collect_list(col("iid"))).as("xs"))
+      .select("xs")
+    val pairs = arr
+      .select(posexplode(col("xs")).as(Seq("i", "ia")), col("xs"))
+      .select(col("ia"), explode(expr("slice(xs, i + 2, size(xs))")).as("ib"))
+    val l2 = pairs
       .groupBy("ia", "ib").agg(count(lit(1)).cast("long").as("sup2"))
       .crossJoin(broadcast(tot))
       .filter(col("sup2") * supDenom >= col("n_docs"))
       .select("ia", "ib", "sup2")
       .staged()
-    val l3 = a.join(b, Seq("d")).filter(col("ia") < col("ib"))
+    val l3 = arr
+      .select(posexplode(col("xs")).as(Seq("i", "ia")), col("xs"))
+      .select(col("i"), col("ia"), col("xs"),
+        posexplode(expr("slice(xs, i + 2, size(xs))")).as(Seq("j", "ib")))
       .join(broadcast(l2.select("ia", "ib")), Seq("ia", "ib"), "left_semi")
-      .join(c, Seq("d")).filter(col("ib") < col("ic"))
+      // ib sits at 0-based index i+1+j, so the strictly-after tail is the
+      // 1-based slice from i+j+3
+      .select(col("ia"), col("ib"),
+        explode(expr("slice(xs, i + j + 3, size(xs))")).as("ic"))
       .join(broadcast(l2.select(col("ia").as("ib"), col("ib").as("ic"))),
         Seq("ib", "ic"), "left_semi")
       // 21-bit-per-slot packing: with iid < 2^21 (asserted at L1), the

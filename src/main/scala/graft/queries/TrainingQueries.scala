@@ -647,17 +647,29 @@ object TrainingQueries {
       (s, dir) => {
         // widen co-partitions both (column-pruned) sides on the join key
         // - the widen repartition IS the join's exchange - and the distinct
-        // + 5 rank iterations inherit real parallelism
+        // + 5 rank iterations inherit real parallelism.
+        // r15 (guide §2.3, narrower types): node ids travel as PACKED
+        // LONGS (cust = 2k, supp = 2k+1 — the ranges may overlap, the low
+        // bit is the type tag) through the distinct, the degree table and
+        // all 5 rank iterations; the 'c…'/'s…' STRINGS are reconstructed
+        // only on the final node-sized table, before the same
+        // orderBy(pr_micro, id)/limit — so the tie-break still compares
+        // the exact string ids and the hash-ordered output is unchanged.
+        // Join keys and groupBy keys shrink from ~8-byte strings +
+        // per-row concat to primitive longs in every shuffle.
         val edges = Tables.widen(Tables.lineitem(s, dir)
             .select(col("l_orderkey"), col("l_suppkey")), "l_orderkey")
           .join(Tables.widen(Tables.orders(s, dir)
             .select(col("o_orderkey"), col("o_custkey")), "o_orderkey"),
             col("l_orderkey") === col("o_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
         TrainOps.pageRank(edges, iters = 5)
-          .select(col("id"), col("pr_micro"), col("pr"))
+          .select(
+            when(col("id") % 2 === 0, concat(lit("c"), shiftright(col("id"), 1)))
+              .otherwise(concat(lit("s"), shiftright(col("id"), 1))).as("id"),
+            col("pr_micro"), col("pr"))
           .orderBy(col("pr_micro").desc, col("id")).limit(50)
       },
       TrainOps.pageRankOracle(

@@ -15,9 +15,12 @@ object ProbeQueries {
     val sfDir = args(0)
     val reps = args(1).toInt
     val names = args.drop(2).toSeq
+    // core count via SPARK_GRAFT_CPUS (default 32) so probes can measure
+    // the same query at several widths — the r15 core-sweep deliverable
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

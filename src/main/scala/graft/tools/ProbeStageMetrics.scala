@@ -34,7 +34,7 @@ object ProbeStageMetrics {
 
     case class St(name: String, ms: Long, runMs: Long, cpuMs: Long,
                   shRead: Long, shWrite: Long, recIn: Long, recOut: Long,
-                  nTasks: Int)
+                  nTasks: Int, gcMs: Long, deserMs: Long)
     val stages = scala.collection.mutable.ArrayBuffer.empty[St]
     val listener = new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
@@ -46,7 +46,7 @@ object ProbeStageMetrics {
             m.executorRunTime, m.executorCpuTime / 1000000,
             m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
             m.inputMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten,
-            si.numTasks)
+            si.numTasks, m.jvmGCTime, m.executorDeserializeTime)
         }
       }
     }
@@ -67,9 +67,12 @@ object ProbeStageMetrics {
       val snap = stages.synchronized(stages.toVector)
       val byTime = snap.sortBy(-_.ms)
       System.err.println(f"[stages] $n LAST REP ${total}%.2f s, ${snap.size} stages, " +
-        f"sum runMs=${snap.map(_.runMs).sum}, sum shWrite=${snap.map(_.shWrite).sum / 1048576.0}%.1f MiB")
+        f"sum runMs=${snap.map(_.runMs).sum}, sum gcMs=${snap.map(_.gcMs).sum}, " +
+        f"sum deserMs=${snap.map(_.deserMs).sum}, " +
+        f"sum shWrite=${snap.map(_.shWrite).sum / 1048576.0}%.1f MiB")
       byTime.take(25).foreach { s =>
         System.err.println(f"  wall=${s.ms}%6d tasks=${s.nTasks}%4d run=${s.runMs}%6d cpu=${s.cpuMs}%6d " +
+          f"gc=${s.gcMs}%5d deser=${s.deserMs}%5d " +
           f"shR=${s.shRead / 1048576.0}%7.1f shW=${s.shWrite / 1048576.0}%7.1f MiB " +
           f"recIn=${s.recIn}%10d recShW=${s.recOut}%10d  ${s.name}")
       }
