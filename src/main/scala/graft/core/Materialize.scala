@@ -62,80 +62,25 @@ object Materialize {
     }
   }
 
-  /** LAZY lineage cut — the same LogicalRDD wrap as [[stage]] but the
-    * materialization job is NOT run here: the caller's next action over the
-    * returned frame computes the RDD, persists its blocks (localCheckpoint
-    * marks the RDD before the job) and truncates the lineage. Use inside
-    * iterative loops whose per-round convergence probe is itself an action
-    * — the probe then doubles as the materializer, fusing the old
-    * (checkpoint job + probe job) pair into ONE job per round (the r15
-    * star-CC fix: at sf0.1 the per-round fixed job cost, not bytes, was
-    * the wall). Rounds that re-reference the frame from several branches
-    * of ONE later action share its shuffle map stages (DAGScheduler dedups
-    * by shuffle id), so at worst the post-shuffle narrow tail recomputes.
-    * Under `spark.graft.checkpointDir` the reliable variant keeps the same
-    * contract (`checkpoint(eager = false)`); Spark re-runs the RDD to
-    * write the checkpoint files, the documented reliable-mode cost. */
-  def stageLazy(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val dir = spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty)
-    dir match {
-      case Some(d) =>
-        val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
-        df.checkpoint(eager = false)
-      case None => df.localCheckpoint(eager = false)
-    }
-  }
-
   /** Serializes every session-global SQL-conf flip this object performs
-    * ([[stageKeepLayout]]'s AQE toggle, [[withLoopConf]]'s AQE +
-    * shuffle-partition scope) so overlapping callers cannot plan under a
-    * stale flip or restore a stale value (r14 advice: the flip safety
-    * previously rested on a comment-level convention). The lock bounds
-    * driver-side planning only — executor work is unaffected — and both
-    * users hold it across at most one materialization action. */
+    * (today only [[stageKeepLayout]]'s AQE toggle) so overlapping callers
+    * cannot plan under a stale flip or restore a stale value (r14 advice:
+    * the flip safety previously rested on a comment-level convention —
+    * stageAll uses plain [[stage]], but nothing stopped a future thunk
+    * from widening a table, which routes through stageKeepLayout). The
+    * lock bounds driver-side planning only — executor work is unaffected
+    * — and the holder spans at most one materialization action.
+    *
+    * (r15 negative results, so the next round doesn't re-try them: a LAZY
+    * localCheckpoint variant — fusing the cut into the loop's convergence
+    * probe — ran the star-CC heavy stages 83 s → 108 s (re-marked RDDs
+    * recompute their narrow tails per consuming branch); an AQE-off loop
+    * scope with volume-derived shuffle partitions regressed clusters to
+    * 5.04 s (AQE's runtime broadcast conversions beat the saved
+    * scheduling); fusing two CC rounds per staged step re-inlined the
+    * inner round's 2-6-reference pipeline and hit 11.17 s. The r14 shape
+    * — eager staged() per round under AQE — stays.) */
   private[graft] val confLock = new Object
-
-  /** Run `body` under the ITERATIVE-LOOP planner posture: AQE off and
-    * `spark.sql.shuffle.partitions` settable per round from the measured
-    * data volume (the setter passed to `body`). Why: inside a staged loop
-    * every round's tables are tiny at fixture scale but corpus-bounded in
-    * production, and AQE's default coalescing is parallelism-first — it
-    * keeps ~defaultParallelism near-empty partitions for tiny shuffles, so
-    * a 32-core session pays 32 tasks × ~8 exchanges × rounds of pure
-    * scheduling (the r14 q_dedup_clusters regression: 5.04 s at 32 cores
-    * vs 3.05 s at 8). The loop instead derives the partition count from
-    * the rows it counted LAST round (every convergence probe already
-    * counts), scaled by advisoryPartitionSizeInBytes — the same
-    * size-per-partition law AQE applies, minus the parallelism floor that
-    * only makes sense when partitions carry real data. Scale-adaptive by
-    * construction: at 100 TB the measured volume drives the count up with
-    * the data; nothing is tuned to local[32]. Both confs are restored in
-    * a finally; the whole scope holds [[confLock]]. */
-  def withLoopConf[T](spark: org.apache.spark.sql.SparkSession)
-                     (body: (Long => Unit) => T): T = confLock.synchronized {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevAqe = spark.conf.getOption(aqeKey)
-    val prevSp = spark.conf.getOption(spKey)
-    val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"))
-    def setParts(estBytes: Long): Unit = {
-      val p = math.max(1L, math.min(1L << 15, (estBytes + advisory - 1) / advisory))
-      spark.conf.set(spKey, p.toString)
-    }
-    spark.conf.set(aqeKey, "false")
-    try body(setParts)
-    finally {
-      prevAqe match {
-        case Some(v) => spark.conf.set(aqeKey, v); case None => spark.conf.unset(aqeKey)
-      }
-      prevSp match {
-        case Some(v) => spark.conf.set(spKey, v); case None => spark.conf.unset(spKey)
-      }
-    }
-  }
 
   /** [[stage]] with the physical LAYOUT advertised to consumers: under
     * AQE, `Dataset.checkpoint`'s LogicalRDD captures the partitioning and
@@ -189,7 +134,6 @@ object Materialize {
     * they replace. */
   implicit class StageOps(private val df: DataFrame) extends AnyVal {
     def staged(): DataFrame = stage(df)
-    def stagedLazy(): DataFrame = stageLazy(df)
     def stagedKeepLayout(): DataFrame = stageKeepLayout(df)
   }
 }

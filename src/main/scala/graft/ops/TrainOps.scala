@@ -958,10 +958,19 @@ object TrainOps {
     * pass re-buckets |score − p50| against the broadcastable per-group
     * quantile row; means are partial-agg'd sums. Three bounded shuffles
     * total, none carrying more than the bucket table. */
-  def robustStats(docs: DataFrame, groupCol: String, score: Column): DataFrame = {
+  def robustStats(docs: DataFrame, groupCol: String, score: Column,
+                  widenKey: String = null): DataFrame = {
     // widen: the score expression is typically a token-regex kernel over
-    // an unsplittable narrow scan (see Tables.widen)
-    val scored = graft.sources.Tables.widen(docs, groupCol)
+    // an unsplittable narrow scan (see Tables.widen). r14 advice suggested
+    // a ROW-UNIQUE widen key (groupCol hashing leaves ~|groups| non-empty
+    // partitions, capping the kernel at a handful of cores) — MEASURED and
+    // REJECTED at sf0.1/32c: doc_id-keyed widen regressed q_robust_stats
+    // 1.20→1.49 s and q_neyman_sample 1.18→1.81 s (stable across reps),
+    // because all three downstream bucket passes inherit the staged
+    // 32-partition layout (3× 32 near-empty tasks of scheduling) while the
+    // score kernel was already adequately spread at |groups| partitions.
+    // `widenKey` stays available for callers whose kernel dominates.
+    val scored = graft.sources.Tables.widen(docs, Option(widenKey).getOrElse(groupCol))
       .select(col(groupCol), score.cast("long").as("score"))
     def buckets(df: DataFrame, c: String) =
       df.groupBy(col(groupCol), col(c)).agg(count(lit(1)).as("cnt"))

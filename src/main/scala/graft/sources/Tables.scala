@@ -102,7 +102,39 @@ object Tables {
     * raw narrow table (a few MiB) and only ever exists below the
     * parallelism floor — at production widths this whole path is the
     * `df` short-circuit. */
+  /** Bounded memo of widen results keyed by (session, analyzed-plan
+    * semantic hash, key) — r14 advice: queries that widen the same
+    * (table, key) at several sites (q_dedup_winnow widens documents in
+    * both the pair pass and the fp recount; every q_dedup_consensus tier
+    * re-widens docs) ran duplicate staging jobs and held duplicate staged
+    * copies. One memo entry serves every site. LRU-bounded like
+    * PlanCache; evicted entries need no explicit release (the staged
+    * blocks clear via the ContextCleaner once unreferenced), and entries
+    * are small by construction (widen short-circuits past advisory/4
+    * bytes). Same in-session reuse contract as PlanCache — nothing
+    * persists across JVMs, and the bench's outer-rep loop means a query's
+    * own reps never find its leftover entry at 234 queries. */
+  private val widenMemo =
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, Int, String), DataFrame]
+  private val WidenMemoMax = 8
+
   def widen(df: DataFrame, key: String): DataFrame = {
+    val memoKey = (df.sparkSession, df.queryExecution.analyzed.semanticHash(), key)
+    val hit = widenMemo.synchronized {
+      widenMemo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+      widenMemo.remove(memoKey).map { h => widenMemo.put(memoKey, h); h } // LRU touch
+    }
+    hit.getOrElse {
+      val out = widenUncached(df, key)
+      widenMemo.synchronized {
+        if (widenMemo.size >= WidenMemoMax) widenMemo.remove(widenMemo.head._1)
+        widenMemo.put(memoKey, out)
+      }
+      out
+    }
+  }
+
+  private def widenUncached(df: DataFrame, key: String): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     // Size cap: the floor is for SMALL narrow scans, where respreading is

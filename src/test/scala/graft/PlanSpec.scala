@@ -108,7 +108,14 @@ class PlanSpec extends SparkSpecBase {
     val finalPlan = plan.split("== Initial Plan ==").head
     // Tables.widen's scan-parallelism floor is a REPARTITION_BY_NUM
     // exchange directly over a sub-parallelism scan; it vanishes at
-    // production scan widths and is not part of the join's shuffle budget
+    // production scan widths and is not part of the join's shuffle budget.
+    // The exemption is CAPPED (r14 advice): the query widens at most its
+    // two scan-side inputs, so a third REPARTITION_BY_NUM means an
+    // accidental repartition(n) crept in somewhere — fail, don't exempt.
+    val widenFloors = finalPlan.linesIterator
+      .count(l => l.contains("Exchange") && l.contains("REPARTITION_BY_NUM"))
+    assert(widenFloors <= 2,
+      s"more REPARTITION_BY_NUM exchanges than widen sites ($widenFloors):\n$finalPlan")
     val exchanges = finalPlan.linesIterator
       .filterNot(_.contains("REPARTITION_BY_NUM"))
       .count(l => l.contains("Exchange hashpartitioning") ||
@@ -344,7 +351,12 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("graft_ac_summary"), s"AC kernel missing from plan:\n$plan")
     // map-only up to Tables.widen's scan-parallelism floor (a
     // REPARTITION_BY_NUM exchange of the raw rows that only exists below
-    // the cluster's parallelism — at scale the screen is exchange-free)
+    // the cluster's parallelism — at scale the screen is exchange-free).
+    // Capped at ONE exempted exchange (r14 advice): the screen widens a
+    // single table, so a second REPARTITION_BY_NUM is a stray repartition.
+    assert(plan.linesIterator.count(l =>
+        l.contains("Exchange") && l.contains("REPARTITION_BY_NUM")) <= 1,
+      s"more than one widen floor in a one-table screen:\n$plan")
     assert(!plan.linesIterator.exists(l =>
         l.contains("Exchange") && !l.contains("REPARTITION_BY_NUM")),
       s"blocklist screen must be map-only:\n$plan")
