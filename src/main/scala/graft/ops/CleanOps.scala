@@ -537,6 +537,23 @@ object CleanOps {
               col(idCol).cast("string")))).as("id"),
           posexplode(graft.functions.GramHashes.hashes(col("t"), gram)))
         .select((col("id") * lit(1L << 32) + col("pos")).as("ip"), col("col").as("h"))
+    // Skew posture (r14 verdict #3 / r15 measured rationale): a
+    // corpus-wide repeated gram (boilerplate header) puts ALL its
+    // positions in one window task — a straggler at 100 TB. The two-phase
+    // fix the verdict suggested — salted (h, salt) min/max pre-aggregation
+    // + left-semi attach over one shared exchange — was IMPLEMENTED and
+    // REJECTED on measurement (plans/r15/q_dedup_substring_salted_
+    // rejected.txt): Catalyst replaces the probe branch's
+    // REPARTITION_BY_COL exchange with the join's own ENSURE_REQUIREMENTS
+    // exchange, and ReuseExchange cannot bridge the two origins, so the
+    // gram kernel ran TWICE and the corpus shuffled TWICE — sf1xd
+    // 3.90 → 8.89 s (2.3×), sf0.1 1.77 → 2.00 s. Every variant that
+    // bounds the hot key needs a second corpus pass or a corpus-sized
+    // materialization (the r13 mark-table persist, measured worse at
+    // every scale). The single-exchange window stays: its straggler cost
+    // is ONE narrow (2-long) pass over the hot group's rows, and the
+    // gaps-and-islands step right after re-partitions by doc id, so the
+    // skew does not propagate.
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val dupPos = packed
       .withColumn("mn", min(col("ip")).over(wh))

@@ -118,6 +118,10 @@ object Tables {
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, Int, String), DataFrame]
   private val WidenMemoMax = 8
 
+  /** Release all memoized widen entries (probe hygiene: per-rep clears so
+    * min-of-reps prices the first-run staging cost, the r13 discipline). */
+  def clearWidenMemo(): Unit = widenMemo.synchronized(widenMemo.clear())
+
   def widen(df: DataFrame, key: String): DataFrame = {
     val memoKey = (df.sparkSession, df.queryExecution.analyzed.semanticHash(), key)
     val hit = widenMemo.synchronized {

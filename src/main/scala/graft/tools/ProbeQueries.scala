@@ -28,15 +28,25 @@ object ProbeQueries {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JIT warm
+    // SPARK_GRAFT_CLEAR=1: clear the PlanCache and the widen memo before
+    // every rep so min-of-reps prices the FIRST-RUN build cost instead of
+    // finding the previous rep's cached intermediates (the r13 discipline;
+    // also the r14-verdict #8 A/B lever — run the probe both ways).
+    val clearPerRep = sys.env.get("SPARK_GRAFT_CLEAR").contains("1")
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val times = (1 to reps).map { _ =>
+        if (clearPerRep) {
+          graft.ops.Dedup.clearCaches()
+          graft.sources.Tables.clearWidenMemo()
+        }
         val t0 = System.nanoTime()
         // noop sink materializes every output column (Bench methodology)
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"PROBE $n%-28s min=${times.min}%7.2f s  reps=$reps")
+      println(f"PROBE $n%-28s min=${times.min}%7.2f s  reps=$reps" +
+        (if (clearPerRep) " clear=1" else ""))
     }
     spark.stop()
   }
