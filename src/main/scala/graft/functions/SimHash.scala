@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -69,6 +69,35 @@ object Md5SimHashChunks {
   }
 }
 
+/** Packed 64-bit xxhash64-family SimHash of a shingle array in ONE native
+  * pass — the engine-hash twin of [[Md5SimHashChunks]]. Per shingle the 64
+  * signature bits come from `xxhash64(s)` (seed 42, bit-identical to the
+  * `functions.xxhash64` column it replaces — asserted in
+  * XxKernelParitySpec); each bit votes ±1 and the result sets bit k iff
+  * its vote sum is positive, exactly the relational
+  * `sum(when(shiftright(h,k)&1===1,1).otherwise(-1)) > 0` formulation.
+  * Replaces the exploded-shingle 64-sum-aggregate shuffle. Callers must
+  * drop shingle-less docs (filter size > 0) to mirror the relational
+  * groupBy's absent-group semantics — an empty array returns 0L, which
+  * must never reach the banding join. */
+case class XxSimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      SimHash.xxSim64FromArrayData(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val cls = SimHash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.xxSim64FromArrayData($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SimHash {
   val FunctionName = "graft_simhash_md5"
 
@@ -86,5 +115,46 @@ object SimHash {
   def chunksMd5(shingles: Column): Column = {
     register(SparkSession.active)
     call_function(FunctionName, shingles)
+  }
+
+  // --- xxhash64 family (engine-hash tier) -------------------------------
+
+  /** See [[XxSimHash64]]; empty input → 0L (callers filter size > 0). */
+  def xxSim64FromArrayData(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) sums(k) += 1 else sums(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var v = 0L
+    var k = 0
+    while (k < 64) {
+      if (sums(k) > 0) v |= (1L << k)
+      k += 1
+    }
+    v
+  }
+
+  val XxFunctionName = "graft_simhash_xx64"
+
+  val xxBuilder: Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == 1,
+        s"$XxFunctionName(shingles): expects 1 argument, got ${exprs.length}")
+      XxSimHash64(exprs.head)
+    }
+
+  /** Packed 64-bit xxhash64-family SimHash of a shingle-array column. */
+  def sim64Xx(shingles: Column): Column = {
+    SparkSession.active.sessionState.functionRegistry
+      .createOrReplaceTempFunction(XxFunctionName, xxBuilder, "scala_udf")
+    call_function(XxFunctionName, shingles)
   }
 }

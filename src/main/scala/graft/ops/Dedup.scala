@@ -497,9 +497,6 @@ object Dedup {
 
   /** MinHash signature columns: perm p's hash of a doc is
     * min over shingles of xxhash64(p, shingle). */
-  private def minhashAggs(numPerm: Int): Seq[Column] =
-    (0 until numPerm).map(p => min(xxhash64(lit(p), col("s"))).as(s"h$p"))
-
   /** Tier 3a: MinHash-LSH candidate pairs, exact-verified.
     *
     * numPerm signatures banded into groups of `rowsPerBand`; docs sharing any
@@ -513,20 +510,19 @@ object Dedup {
                           threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     require(numPerm % rowsPerBand == 0, "numPerm must be divisible by rowsPerBand")
     require(threshold > 0.0, "threshold must be positive (zero-overlap candidates are pruned)")
-    val numBands = numPerm / rowsPerBand
     val arrays = cachedPersist(docs, idCol + ":" + textCol, n, hashed = false)(
       shingleArrays(docs, idCol, textCol, n))
-    val sh = arrays.select(col("id"), explode(col("shs")).as("s"))
-    val sigs = sh.groupBy("id").agg(minhashAggs(numPerm).head, minhashAggs(numPerm).tail: _*)
-    // one row per (doc, band): bandHash = xxhash64 over the band's signature
-    // slice. The signature agg feeds both join sides, so cache the (tiny,
-    // one-row-per-doc-per-band) banded table rather than recompute it.
-    val bandCols = (0 until numBands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
-    }
-    val banded = sigs.select(col("id"), explode(array(bandCols: _*)).as("e"))
-      .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    // r15: band keys come from the one-pass native kernel (the sigsMd5
+    // idiom) instead of exploding every shingle into a numPerm-wide
+    // min-aggregate shuffle and folding numPerm signature columns into
+    // band hashes — same xxhash64 values bit-for-bit (XxKernelParitySpec),
+    // zero exploded-shingle exchange, no 64-buffer hash agg. filter
+    // size > 0 mirrors the relational groupBy's absent-group semantics
+    // for shingle-less docs.
+    val banded = arrays.filter(size(col("shs")) > 0)
+      .select(col("id"), posexplode(
+        graft.functions.MinHash.bandsXx(col("shs"), numPerm, rowsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
     // one shuffle on (band, bandHash); see bucketPairs for cap semantics
     // (near-dup clusters > maxBucket lose pairs — fan-out bound, not recall)
     val candidates = bucketPairs(banded, Seq("band", "bh"), maxBucket).distinct()
@@ -642,18 +638,19 @@ object Dedup {
 
   /** 64-bit SimHash of the shingle set: bit k is the sign of
     * sum over shingles of ±1 according to bit k of xxhash64(shingle). */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val sh = explodedShingles(docs, idCol, textCol, n)
-      .withColumn("h", xxhash64(col("s")))
-    val bitSums = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
-    }
-    val sums = sh.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { k =>
-      when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col("id"), sim.as("simhash"))
-  }
+  def simhash64(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    // r15: one-pass native kernel (the chunksMd5 idiom) instead of
+    // exploding every shingle into a 64-sum-aggregate shuffle and OR-folding
+    // 64 sign columns — same xxhash64 bit votes bit-for-bit
+    // (XxKernelParitySpec); filter size > 0 mirrors the relational
+    // groupBy's absent-group semantics for shingle-less docs. The arrays
+    // go through the shared shingle cache so q_dedup_simhash's raw-pair
+    // and signature tiers run the regex pass once, not per tier.
+    cachedPersist(docs, idCol + ":" + textCol, n, hashed = false)(
+        shingleArrays(docs, idCol, textCol, n))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"),
+        graft.functions.SimHash.sim64Xx(col("shs")).as("simhash"))
 
   /** Tier 3b: SimHash near-dup candidates — band the 64 bits into four
     * 16-bit chunks (pigeonhole: hamming <= 3 pairs share at least one exact

@@ -45,7 +45,11 @@ object ProbeQueries {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"PROBE $n%-28s min=${times.min}%7.2f s  reps=$reps" +
+      // median alongside min: cross-JVM probe mins drift ±0.4 s on this
+      // host, so an A/B on mins alone can invert — the median of >=5 reps
+      // is the decision number, the min stays for contention-free shape
+      val med = times.sorted.apply((times.size - 1) / 2)
+      println(f"PROBE $n%-28s min=${times.min}%7.2f s  med=$med%7.2f s  reps=$reps" +
         (if (clearPerRep) " clear=1" else ""))
     }
     spark.stop()
