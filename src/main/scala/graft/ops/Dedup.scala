@@ -134,16 +134,19 @@ object Dedup {
     * the cached arrays makes every downstream join key and set-intersect a
     * primitive long instead of a ~20-byte string; a cross-shingle collision
     * (p ~ |vocab|^2 / 2^64) is the only way this diverges from the
-    * string-exact computation. The `transform` lambda body is a bare
-    * xxhash64 of the element — nothing non-trivial re-evaluates per call
-    * (the CodegenFallback trap is embedded subexpressions, not this). */
+    * string-exact computation.
+    *
+    * r15: ONE native pass (tokenize + window + hash + sort + dedupe,
+    * [[graft.functions.XxShingleHashes]]) instead of the
+    * `sort_array(transform(shingles(text, n), xxhash64))` chain, which
+    * allocated the full distinct shingle STRING array plus two array
+    * copies per row — the substrate's scan stages measured cpu/run ≈ 0.6
+    * (allocation stall); value-identical by XxKernelParitySpec. Widened
+    * for the same scan-parallelism reason as shingleArrays. */
   private def hashedShingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int) =
-    // sorted ascending at build (once per doc) so candidate verification can
-    // run the primitive merge-scan intersect instead of a per-pair hash set;
-    // widened for the same scan-parallelism reason as shingleArrays
     graft.sources.Tables.widen(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol).as("id"),
-        sort_array(transform(TextOps.shingles(col(textCol), n), s => xxhash64(s))).as("hs"))
+        graft.functions.ShingleHashes.of(col(textCol), n).as("hs"))
 
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, threshold: Double = 0.5): DataFrame = {

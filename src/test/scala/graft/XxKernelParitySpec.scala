@@ -62,6 +62,38 @@ class XxKernelParitySpec extends SparkSpecBase {
       "packed simhash must be bit-identical to the relational formulation")
   }
 
+  test("XxShingleHashes matches sort_array(transform(shingles, xxhash64))") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    for (n <- Seq(2, 3, 5)) {
+      val kernel = docs.select(col("doc_id").as("id"),
+        ShingleHashes.of(col("text"), n).as("hs"))
+      val relational = docs.select(col("doc_id").as("id"),
+        sort_array(transform(graft.ops.TextOps.shingles(col("text"), n),
+          s => xxhash64(s))).as("hs"))
+      assert(kernel.exceptAll(relational).isEmpty && relational.exceptAll(kernel).isEmpty,
+        s"n=$n: kernel hashes must be bit-identical to the relational chain")
+    }
+    // adversarial shapes: unicode (multi-byte separators + lowering),
+    // punctuation-only, shorter-than-n, duplicated shingles, empty
+    import spark.implicits._
+    val edge = Seq(
+      (1L, "The QUICK brown fox jumps over the quick brown fox"),
+      (2L, "Héllo wörld ÉÉ naïve 世界 abc123 ABC123 x"),
+      (3L, "!!! --- ??? ***"),
+      (4L, "one two"),
+      (5L, ""),
+      (6L, "a_b_c a b c a b c a b"),
+      (7L, "\ttabs\nnewlinesvt  spaces")
+    ).toDF("doc_id", "text")
+    val k = edge.select(col("doc_id").as("id"),
+      ShingleHashes.of(col("text"), 3).as("hs"))
+    val r = edge.select(col("doc_id").as("id"),
+      sort_array(transform(graft.ops.TextOps.shingles(col("text"), 3),
+        s => xxhash64(s))).as("hs"))
+    assert(k.exceptAll(r).isEmpty && r.exceptAll(k).isEmpty,
+      "edge-shape docs must match the relational chain")
+  }
+
   test("empty shingle arrays produce no banded rows and no simhash rows") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, ""), (3L, "x"))
